@@ -1,0 +1,77 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced with a count() (materializes the whole plan
+without driver-side result transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "wordcount",
+    "wordcount_top20",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_customers",
+    "window_order_rank",
+    "sessionize_events",
+    "tumbling_event_counts",
+    "asof_last_signup",
+    "similarity_topk",
+    "nearest_neighbor_sample",
+    "near_dup_jaccard",
+    "exact_dedup",
+    "quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from mapreduce511_spark import queries as suite
+    from mapreduce511_spark.session import get_spark
+
+    spark = get_spark("mapreduce511-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = suite.all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.get(name)
+        if fn is None:
+            continue
+        start = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

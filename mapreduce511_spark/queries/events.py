@@ -1,0 +1,204 @@
+"""Event-stream analytics (batch form) — the engine's time-series
+surface: tumbling windows, sessionization, latest-record dedup, as-of
+alignment, JSON prop extraction.
+
+These are the batch twins of the streaming operators in
+``mapreduce511_spark.streaming`` (SURVEY.md §2.9: the reference's
+monitor feed is an append-only sampler consumed post-hoc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce511_spark.queries import register
+from mapreduce511_spark.sources.tables import load_table
+
+SESSION_GAP_SECONDS = 1800
+
+
+@register(
+    "tumbling_event_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*)               AS n_events,
+           round(sum(value), 2)   AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling-window counts per event type — the batch twin of
+    the monitor's per-cycle cluster average (SURVEY.md §2.9)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts - lag(ts) OVER w) > {SESSION_GAP_SECONDS}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           count(*)                                   AS n_events,
+           round(count(*) * 1.0 / count(DISTINCT session_id), 2)
+                                                      AS avg_events_per_session
+    FROM sessions
+    GROUP BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity splits sessions):
+    lag → new-session flag → running sum = session id. One shuffle on
+    user_id; all windows reuse that partitioning."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    gap = F.col("ts").cast("double") - prev_ts.cast("double")
+    marked = events.withColumn(
+        "new_session",
+        F.when(prev_ts.isNull() | (gap > SESSION_GAP_SECONDS), 1).otherwise(0),
+    )
+    sessions = marked.withColumn("session_id", F.sum("new_session").over(run))
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+        F.round(
+            F.count("*") / F.countDistinct("session_id"), 2
+        ).alias("avg_events_per_session"),
+    )
+
+
+@register(
+    "json_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           round(avg(CAST(props->>'$.k' AS BIGINT)), 2)       AS avg_k,
+           max(CAST(props->>'$.k' AS BIGINT))                 AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``k`` out of the JSON props
+    column and aggregate. get_json_object stays JVM-side."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.round(F.avg("k"), 2).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@register(
+    "latest_event_per_user_type",
+    oracle="""
+    SELECT user_id, event_type, event_id, round(value, 2) AS value
+    FROM (
+        SELECT user_id, event_type, event_id, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record dedup (CDC-style compaction): keep the newest
+    event per (user, type). At scale this is the standard snapshot
+    compaction over a change stream."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.round("value", 2).alias("value"))
+    )
+
+
+@register(
+    "asof_last_signup",
+    oracle="""
+    SELECT p.event_id, p.user_id, max(s.ts) AS last_signup_ts
+    FROM events p
+    LEFT JOIN events s
+      ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase aligned to the user's most recent
+    signup at-or-before it. Implemented as the scalable union+window
+    form (last non-null over time order) — one shuffle on user_id, no
+    inequality-join fan-out."""
+    events = load_table(spark, sf_dir, "events")
+    evs = events.filter(F.col("event_type").isin("purchase", "signup"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    signup_ts = F.when(F.col("event_type") == "signup", F.col("ts"))
+    return (
+        evs.withColumn("last_signup_ts", F.last(signup_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "last_signup_ts")
+    )
+
+
+@register(
+    "event_value_quantiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 2) AS median_value,
+           round(quantile_cont(value, 0.9), 2) AS p90_value,
+           round(min(value), 2)                AS min_value,
+           round(max(value), 2)                AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per type. At 100 TB swap
+    ``percentile`` for ``percentile_approx`` (mergeable sketch) — kept
+    exact here to hash-match the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 2).alias("median_value"),
+        F.round(F.expr("percentile(value, 0.9)"), 2).alias("p90_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )

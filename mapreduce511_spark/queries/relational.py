@@ -1,0 +1,407 @@
+"""Relational queries over the TPC-H-ish tables.
+
+The reference performs no explicit relational joins (SURVEY.md §2.3) —
+pandas dicts keyed by experiment are its equi-join. Spark supplies the
+full join/agg/window/set-op algebra natively; this module exposes that
+surface as driver-checkable queries, each written the way it should
+execute at 100 TB: dimension joins broadcast, fact-fact joins shuffle
+on their keys with AQE skew handling, aggregations pre-combine
+map-side, top-k uses TakeOrderedAndProject instead of global sorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce511_spark.queries import register
+from mapreduce511_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                               AS sum_qty,
+           round(sum(l_extendedprice), 2)                          AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)       AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                                                                   AS sum_charge,
+           round(avg(l_quantity), 2)                               AS avg_qty,
+           round(avg(l_extendedprice), 2)                          AS avg_price,
+           round(avg(l_discount), 4)                               AS avg_disc,
+           count(*)                                                AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate; partial agg map-side
+    makes the shuffle 6 rows regardless of input size."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension (customer segment) joined
+    into facts. customer is broadcast (small side); orders⋈lineitem
+    shuffles on orderkey. Top-10 via limit → TakeOrderedAndProject."""
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cust = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ords = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = lineitem.filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "revenue",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join. region→nation→supplier are tiny
+    and broadcast; the only real shuffle is lineitem⋈orders."""
+    customer, orders, lineitem, supplier, nation, region = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    dims = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        lineitem.join(ords, lineitem.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(customer), ords.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(dims),
+            (lineitem.l_suppkey == dims.s_suppkey)
+            & (customer.c_nationkey == dims.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "top_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           round(sum(o.o_totalprice), 2) AS total_spent,
+           count(*)                      AS n_orders
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_spent DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agg-then-broadcast-join: aggregate the fact table first (15000→
+    1500 rows), then join customer names onto the small result —
+    never the other way around at scale."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        spend.join(F.broadcast(customer), spend.o_custkey == customer.c_custkey)
+        .select("c_custkey", "c_name", "total_spent", "n_orders")
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "semi_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with ≥1 finished order. Semi joins
+    never duplicate the left side — no post-join distinct needed."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return customer.join(
+        finished, customer.c_custkey == finished.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return customer.join(
+        orders.select("o_custkey"),
+        customer.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "window_order_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+    )
+    WHERE rk <= 3
+    """,
+)
+def window_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-3 orders by price (ranking window). One shuffle
+    on the partition key; deterministic tie-break on orderkey."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@register(
+    "running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+)
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer over time — the reference's W1
+    'running count over ordered rows' pattern, relationally."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+    )
+
+
+_STATUSES = ("F", "O", "P")
+
+
+@register(
+    "pivot_order_status",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide report) — the reference's result_*.csv shape
+    (Dataset × slowstart grid, SURVEY.md §2.1 S7) on order data.
+    Explicit value list so the plan is a single pass, no distinct."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(_STATUSES))
+        .count()
+        .na.fill(0, list(_STATUSES))
+    )
+
+
+@register(
+    "rollup_orders",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via rollup (priority → status → grand)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "distinct_part_types",
+    oracle="""
+    SELECT p_brand,
+           count(DISTINCT p_type) AS n_types,
+           count(DISTINCT p_size) AS n_sizes,
+           count(*)               AS n_parts
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def distinct_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation (expand-based plan in Spark)."""
+    (part,) = _t(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.countDistinct("p_type").alias("n_types"),
+        F.countDistinct("p_size").alias("n_sizes"),
+        F.count("*").alias("n_parts"),
+    )
+
+
+@register(
+    "set_ops_customers",
+    oracle="""
+    SELECT c_custkey FROM (
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra (INTERSECT / EXCEPT): customers with both finished
+    and open orders but no urgent ones."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    o = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return f.intersect(o).exceptAll(urgent.distinct())
+
+
+@register(
+    "part_revenue_topk",
+    oracle="""
+    SELECT p.p_partkey, p.p_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(sum(l.l_quantity) AS BIGINT)                     AS total_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey, p.p_name
+    ORDER BY revenue DESC, p_partkey
+    LIMIT 15
+    """,
+)
+def part_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim join + top-k: aggregate lineitem on partkey first,
+    then broadcast-join the part names onto the 2000-row result."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    rev = lineitem.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.sum("l_quantity").cast("long").alias("total_qty"),
+    )
+    return (
+        rev.join(F.broadcast(part), rev.l_partkey == part.p_partkey)
+        .select("p_partkey", "p_name", "revenue", "total_qty")
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(15)
+    )

@@ -1,0 +1,202 @@
+"""Similarity search & near-dup detection over embeddings/documents.
+
+The 100 TB design: brute-force cosine only against a *bounded* probe
+set (broadcast); all-pairs work goes through an inverted index
+(shared-shingle candidates) or LSH (MinHash bands / sign-random
+projections), never a raw cross join. Exact variants here are the
+correctness oracles for the approximate scale paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce511_spark.functions.text import tokenize, word_ngrams
+from mapreduce511_spark.functions.vectors import cosine_similarity
+from mapreduce511_spark.queries import register
+from mapreduce511_spark.sources.tables import load_table
+
+# DuckDB twin of functions.vectors.cosine_similarity — identical
+# formula/association so doubles match bit-for-bit.
+_SQL_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "similarity_topk",
+    oracle=f"""
+    WITH probe AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id, label,
+           round({_SQL_COS.format(a="CAST(embedding AS DOUBLE[])", b="p")}, 4) AS cos_sim
+    FROM embeddings, probe
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 20
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against one probe vector (the exact
+    baseline every ANN variant is judged against). The probe is a
+    1-row broadcast; the scan stays fully parallel."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_similarity(F.col("embedding"), F.col("p")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, CAST(p AS INTEGER) AS dim, round(avg(v), 4) AS centroid_v
+    FROM (
+        SELECT label,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               unnest(range(len(embedding)))       AS p
+        FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dim): posexplode +
+    groupBy — mergeable partial aggs, no driver collect."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("centroid_v"))
+    )
+
+
+@register(
+    "nearest_neighbor_sample",
+    oracle=f"""
+    WITH cand AS (
+        SELECT a.vec_id,
+               b.vec_id AS nn_id,
+               {_SQL_COS.format(a="CAST(a.embedding AS DOUBLE[])",
+                                b="CAST(b.embedding AS DOUBLE[])")} AS s
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 50
+    )
+    SELECT vec_id, nn_id, round(s, 4) AS cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY s DESC, nn_id) AS rn
+          FROM cand)
+    WHERE rn = 1
+    """,
+)
+def nearest_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-NN for a 50-probe sample: probes broadcast against the
+    full corpus, max_by per probe. This is the bounded-probe pattern —
+    full all-pairs NN at scale goes through LSH buckets instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("p")
+    )
+    sims = (
+        emb.join(F.broadcast(probes), F.col("vec_id") != F.col("pid"))
+        .select(
+            F.col("pid").alias("vec_id"),
+            F.col("vec_id").alias("nn_id"),
+            cosine_similarity(F.col("embedding"), F.col("p")).alias("s"),
+        )
+    )
+    best = sims.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct(F.round(F.col("s"), 4).alias("cos_sim"), F.col("nn_id")),
+            # order by (s, -nn_id) so ties pick the smallest nn_id,
+            # matching the oracle's ORDER BY s DESC, nn_id.
+            F.struct(F.col("s"), (-F.col("nn_id")).alias("neg")),
+        ).alias("best")
+    )
+    return best.select("vec_id", F.col("best.nn_id").alias("nn_id"), "best.cos_sim")
+
+
+_SHINGLE_WORDS = 3  # word-shingle width for near-dup detection
+_JACCARD_T = 0.5
+
+
+@register(
+    "near_dup_jaccard",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, unnest(tokens) AS w, unnest(range(len(tokens))) AS p
+        FROM toks
+    ), shingles AS (
+        SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        FROM pos a
+        JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        JOIN pos c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS both
+        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(i.both * 1.0 / (sa.sz + sb.sz - i.both), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE i.both * 1.0 / (sa.sz + sb.sz - i.both) >= {_JACCARD_T}
+    """,
+)
+def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via an inverted shingle
+    index: explode distinct word-trigram shingles → self-equi-join on
+    shingle → per-pair intersection counts → Jaccard filter. No cross
+    join; the candidate set is exactly the pairs sharing ≥1 shingle.
+    Shingle width trades selectivity against recall of the candidate
+    step (it stays exact for the threshold as long as any qualifying
+    pair shares ≥1 shingle, which Jaccard ≥ t guarantees for t > 0).
+    At scale, add prefix filtering / MinHash banding to thin skewed
+    high-document-frequency shingles."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = (
+        docs.select(
+            "doc_id",
+            F.explode(word_ngrams(tokenize("text"), _SHINGLE_WORDS)).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("both"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("both") / (F.col("sz_a") + F.col("sz_b") - F.col("both"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= _JACCARD_T)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )

@@ -1,0 +1,258 @@
+"""Text / WordCount queries (SURVEY.md §2: S1, F8, A1/A2, O5 + text
+extensions: token stats, fingerprints, quality scoring, language ID).
+
+All run on the ``documents`` table; the hot path is pure Column
+expressions (codegen), never Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce511_spark.functions.text import normalize_text, tokenize, word_ngrams
+from mapreduce511_spark.operators.wordcount import word_count
+from mapreduce511_spark.queries import register
+from mapreduce511_spark.sources.tables import load_table
+
+# DuckDB-side tokenization identical to tokenize(): whitespace split,
+# empties dropped.
+_SQL_TOKENS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+
+@register(
+    "wordcount",
+    oracle=f"""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest({_SQL_TOKENS}) AS word FROM documents)
+    GROUP BY word
+    """,
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full WordCount (map→combine→shuffle→reduce analog)."""
+    return word_count(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "wordcount_top20",
+    oracle=f"""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest({_SQL_TOKENS}) AS word FROM documents)
+    GROUP BY word
+    ORDER BY cnt DESC, word
+    LIMIT 20
+    """,
+)
+def wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k words — at scale this is TakeOrderedAndProject (no global
+    sort of the full counts table)."""
+    return word_count(load_table(spark, sf_dir, "documents")).orderBy(
+        F.desc("cnt"), F.asc("word")
+    ).limit(20)
+
+
+@register(
+    "token_stats_by_lang",
+    oracle=f"""
+    SELECT lang,
+           count(*)                                    AS n_docs,
+           CAST(sum(len({_SQL_TOKENS})) AS BIGINT)     AS total_tokens,
+           round(avg(len({_SQL_TOKENS})), 2)           AS avg_tokens,
+           round(avg(n_chars), 2)                      AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token statistics (text-analysis extension)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokenize("text"))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tokens).cast("long").alias("total_tokens"),
+        F.round(F.avg(n_tokens), 2).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           count(*)         AS n_docs,
+           min(doc_id)      AS keep_doc_id
+    FROM documents
+    GROUP BY fingerprint
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 over normalized text. The groupBy is
+    the exact-dedup primitive — ``keep_doc_id`` is the canonical
+    survivor per duplicate class."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(normalize_text("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+@register(
+    "exact_dedup",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (
+                   PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                   ORDER BY doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn = 1
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per content fingerprint.
+
+    Window-over-hash rather than ``dropDuplicates`` so the survivor is
+    deterministic; at scale this is one hash-partitioned shuffle on the
+    fingerprint (no skew: fingerprints are uniform)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        docs.withColumn("fingerprint", F.md5(normalize_text("text")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+    SELECT lang,
+           round(avg(CASE WHEN n_tok > 0 THEN char_len * 1.0 / n_tok ELSE 0 END), 3)
+               AS avg_token_len,
+           round(avg(punct * 1.0 / greatest(char_len, 1)), 4) AS avg_punct_ratio,
+           round(avg(least(n_tok / 50.0, 1.0)), 3)            AS avg_len_score
+    FROM (
+        SELECT lang,
+               length(text)                                   AS char_len,
+               len({_SQL_TOKENS})                             AS n_tok,
+               length(text) - length(regexp_replace(text, '[^[:alnum:][:space:]]', '', 'g'))
+                                                              AS punct
+        FROM documents
+    )
+    GROUP BY lang
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristics (length / punctuation ratios) —
+    the pre-training filter primitive, aggregated per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    char_len = F.length("text")
+    n_tok = F.size(tokenize("text"))
+    punct = char_len - F.length(
+        F.regexp_replace("text", r"[^\p{Alnum}\s]", "")
+    )
+    scored = docs.select(
+        "lang",
+        char_len.alias("char_len"),
+        n_tok.alias("n_tok"),
+        punct.alias("punct"),
+    )
+    return scored.groupBy("lang").agg(
+        F.round(
+            F.avg(
+                F.when(F.col("n_tok") > 0, F.col("char_len") / F.col("n_tok")).otherwise(
+                    0.0
+                )
+            ),
+            3,
+        ).alias("avg_token_len"),
+        F.round(F.avg(F.col("punct") / F.greatest(F.col("char_len"), F.lit(1))), 4).alias(
+            "avg_punct_ratio"
+        ),
+        F.round(F.avg(F.least(F.col("n_tok") / F.lit(50.0), F.lit(1.0))), 3).alias(
+            "avg_len_score"
+        ),
+    )
+
+
+@register(
+    "bigram_top20",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
+    ), pos AS (
+        SELECT doc_id, unnest(tokens) AS word, unnest(range(len(tokens))) AS p
+        FROM toks
+    )
+    SELECT a.word || ' ' || b.word AS bigram, count(*) AS cnt
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 20
+    """,
+)
+def bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram frequency via array expressions (no self-join, no
+    UDF): n-grams are built per-row then exploded — at 100 TB this
+    keeps the heavy lifting before the single count shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(word_ngrams(tokenize("text"), 2)).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+# English stopwords used by the n-gram language-ID heuristic.
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+
+@register(
+    "stopword_ratio",
+    oracle=f"""
+    SELECT lang,
+           round(avg(sw * 1.0 / greatest(n_tok, 1)), 4) AS avg_stopword_ratio
+    FROM (
+        SELECT lang,
+               len({_SQL_TOKENS}) AS n_tok,
+               len(list_filter({_SQL_TOKENS},
+                   t -> list_contains({list(_STOPWORDS)!r}, lower(t)))) AS sw
+        FROM documents
+    )
+    GROUP BY lang
+    """,
+)
+def stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID signal: fraction of tokens that are English
+    stopwords, averaged per labeled language."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    return (
+        docs.select(
+            "lang",
+            F.size(toks).alias("n_tok"),
+            n_sw.alias("sw"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.round(
+                F.avg(F.col("sw") / F.greatest(F.col("n_tok"), F.lit(1))), 4
+            ).alias("avg_stopword_ratio")
+        )
+    )
