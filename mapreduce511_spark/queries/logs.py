@@ -1,14 +1,133 @@
-"""Log-analytics queries (the reference's core analysis surface).
+"""Log-analytics queries (the reference's core analysis surface:
+SURVEY.md §3 E2/E3).
 
-These run the engine's monitor/progress/stage/report pipelines
-(``mapreduce511_spark.plans``) over the reference's real experiment
-logs when present, else over synthetic fixture logs generated per
-FIXTURES.md. Their inputs are raw text logs, not the parquet views the
-DuckDB oracle can see, so they register as rows-only checks; golden
-parity against ``Analysis_Results/result_raw.csv`` is asserted in
+Inputs are raw text logs — not the parquet views the DuckDB oracle can
+see — so these register as rows-only checks; golden parity against the
+reference's committed ``Analysis_Results/result_*.csv`` is asserted in
 ``tests/test_golden_replay.py`` instead.
 
-Populated alongside milestones M2–M4.
+The queries read the real reference tree at ``/root/reference/
+MapReduceLog`` when present (read-only), else a deterministic
+synthetic tree (``plans.fixtures``) in a temp dir.
 """
 
 from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce511_spark.plans import (
+    averaged_series,
+    config_metric_mean,
+    parse_counter_lines,
+    parse_monitor_lines,
+    parse_progress_lines,
+    result_raw,
+    stage_metrics,
+    stage_summary,
+    wide_report,
+)
+from mapreduce511_spark.plans.fixtures import build_fixture_tree
+from mapreduce511_spark.plans.runs import experiment_lines
+from mapreduce511_spark.queries import register
+
+_REFERENCE_TREE = "/root/reference/MapReduceLog"
+_fixture_root: str | None = None
+
+
+def _tree() -> str:
+    global _fixture_root
+    if os.path.isdir(_REFERENCE_TREE):
+        return _REFERENCE_TREE
+    if _fixture_root is None:
+        _fixture_root = build_fixture_tree(tempfile.mkdtemp(prefix="mr511_fixtures_"))
+    return _fixture_root
+
+
+def _strip_file(df: DataFrame) -> DataFrame:
+    return df.drop("file")
+
+
+@register("log_monitor_timeseries")
+def log_monitor_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsed per-sample monitor table (M2): order-dependent separator
+    numbering reconstructed with per-file windows."""
+    lines = experiment_lines(spark, _tree(), "monitor.log")
+    return _strip_file(parse_monitor_lines(lines))
+
+
+@register("log_averaged_cpu_series")
+def log_averaged_cpu_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run averaged CPU series per config (A3+A4 mean-of-means)."""
+    lines = experiment_lines(spark, _tree(), "monitor.log")
+    return averaged_series(parse_monitor_lines(lines), "cpu")
+
+
+@register("log_stage_metrics")
+def log_stage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-run stage metrics (M3) with all reference quirks."""
+    lines = experiment_lines(spark, _tree(), "job_output.log")
+    return _strip_file(stage_metrics(parse_progress_lines(lines)))
+
+
+@register("log_job_counters")
+def log_job_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long counter table (F4) with forward-filled group headers."""
+    lines = experiment_lines(spark, _tree(), "job_output.log")
+    return _strip_file(parse_counter_lines(lines))
+
+
+@register("log_result_raw")
+def log_result_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The long report table (result_raw.csv analog, M4)."""
+    mon = parse_monitor_lines(experiment_lines(spark, _tree(), "monitor.log"))
+    stg = stage_metrics(
+        parse_progress_lines(experiment_lines(spark, _tree(), "job_output.log"))
+    )
+    cpu = config_metric_mean(averaged_series(mon, "cpu"), "cpu")
+    return result_raw(stage_summary(stg), cpu)
+
+
+@register("log_report_time_wide")
+def log_report_time_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot of total time with Best_SlowStart (result_time.csv
+    analog, M4; ties comma-joined)."""
+    stg = stage_metrics(
+        parse_progress_lines(experiment_lines(spark, _tree(), "job_output.log"))
+    )
+    return wide_report(stage_summary(stg), "total_s", "min")
+
+
+@register("log_shuffle_invariants")
+def log_shuffle_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-derived I/O metrics per config (F9/A9): shuffle MB and
+    spilled records — the quantities the reference's README shows are
+    slowstart-invariant."""
+    counters = parse_counter_lines(
+        experiment_lines(spark, _tree(), "job_output.log")
+    )
+    wanted = {
+        "Reduce shuffle bytes": "shuffle_bytes",
+        "Spilled Records": "spilled_records",
+        "Map output records": "map_output_records",
+    }
+    longf = counters.filter(F.col("counter").isin(*wanted)).withColumn(
+        "metric",
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in wanted.items() for x in kv]
+            ),
+            F.col("counter"),
+        ),
+    )
+    return (
+        longf.groupBy("dataset", "slowstart")
+        .pivot("metric", list(wanted.values()))
+        .agg(F.avg("value"))
+        .withColumn(
+            "shuffle_mb", F.round(F.col("shuffle_bytes") / (1024.0 * 1024.0), 2)
+        )
+    )
