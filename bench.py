@@ -37,6 +37,12 @@ HEADLINE = [
     "near_dup_jaccard",
     "exact_dedup",
     "quality_score",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "ann_ivf_topk",
+    "language_id",
+    "token_count_bpe",
+    "multimodal_features",
 ]
 
 

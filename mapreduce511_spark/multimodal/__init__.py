@@ -1,0 +1,155 @@
+"""Multimodal column convention + Arrow-batched processing plumbing.
+
+Media assets ride through the engine as opaque ``binary`` columns with
+a typed metadata struct (north-star extension; nothing in the
+reference — ``/root/reference`` is text-only — but required for a
+100 TB training-data pipeline).
+
+Convention
+----------
+``content: binary`` + ``media: struct<kind, fmt, width, height,
+n_frames>``. Decode / feature-extraction runs in ``mapInPandas``
+(Arrow batches, never per-row Python). The real codec step is STUBBED:
+this container has no image/audio libraries, so ``decode_real`` raises
+``NotImplementedError`` and the tested path is a deterministic fake
+decoder (byte histogram over the binary payload) exercising the exact
+same schema / partitioning / batch shape the real one would use.
+
+Scale notes: binary payloads dominate row size — keep
+``spark.sql.files.maxPartitionBytes`` small enough that a batch of
+payloads fits executor memory, project metadata-only early when a
+query doesn't touch bytes (column pruning drops ``content`` at the
+Parquet scan), and never shuffle the binary column for joins that only
+need the key (semi-join first, fetch bytes after).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+N_HIST_BINS = 16
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("histogram", T.ArrayType(T.LongType())),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+_FRAME_BYTES = 64  # fake codec: fixed-size 'frames' inside the payload
+
+
+def attach_fake_media(docs: DataFrame) -> DataFrame:
+    """Deterministically synthesize the multimodal columns from the
+    ``documents`` table: payload = UTF-8 bytes of the text (stand-in
+    for an encoded image), metadata derived from doc fields. Pure
+    Column expressions — the payload never leaves the JVM here."""
+    return docs.select(
+        "doc_id",
+        "source",
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("fake/raw").alias("fmt"),
+            (F.lit(16) + (F.col("doc_id") % 64)).cast("int").alias("width"),
+            (F.lit(16) + ((F.col("doc_id") * 7) % 64)).cast("int").alias("height"),
+            F.greatest(
+                (F.length(F.encode("text", "UTF-8")) / _FRAME_BYTES).cast("int"),
+                F.lit(1),
+            ).alias("n_frames"),
+        ).alias("media"),
+    )
+
+
+def decode_real(payload: bytes, fmt: str) -> object:
+    """The real codec hook. Image/audio libraries are not available in
+    this container — implement with PIL/libav when they are."""
+    raise NotImplementedError(
+        "real media decoding is stubbed in this environment; "
+        "use extract_features() (deterministic fake decoder)"
+    )
+
+
+def extract_features(media_df: DataFrame) -> DataFrame:
+    """Per-asset features via ``mapInPandas``: byte count, mean byte
+    value, 16-bin byte histogram. This is the plumbing the real
+    decoder drops into — Arrow batches in, vectorized numpy per batch,
+    Arrow batches out; no driver collect, no per-row Python."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=N_HIST_BINS)
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(arr.size),
+                        float(arr.mean()) if arr.size else 0.0,
+                        hist.astype("int64").tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "mean_byte", "histogram"]
+            )
+
+    return media_df.select("doc_id", "content").mapInPandas(
+        batches, schema=FEATURE_SCHEMA
+    )
+
+
+def sample_frames(media_df: DataFrame, every_n: int = 4) -> DataFrame:
+    """Video-style frame sampling over the fake codec: split the
+    payload into fixed 64-byte 'frames', keep every ``every_n``-th.
+    Same mapInPandas shape a real demuxer would use."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: list[tuple[int, int, bytes]] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                n = max(len(payload) // _FRAME_BYTES, 1)
+                for idx in range(0, n, every_n):
+                    out.append(
+                        (
+                            int(doc_id),
+                            idx,
+                            bytes(
+                                payload[
+                                    idx * _FRAME_BYTES : (idx + 1) * _FRAME_BYTES
+                                ]
+                            ),
+                        )
+                    )
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame"])
+
+    return media_df.select("doc_id", "content").mapInPandas(
+        batches, schema=FRAME_SCHEMA
+    )

@@ -1,0 +1,238 @@
+"""Fuzzy-dedup operator family: MinHash + banded LSH, SimHash.
+
+These are the scale paths for near-duplicate detection over the
+``documents`` table (north-star extension, SURVEY.md §7 M7): the exact
+n-gram-Jaccard op (``queries/similarity.py:near_dup_jaccard``) is the
+correctness baseline; MinHash banding bounds the candidate set when
+all-pairs-sharing-a-shingle is itself too big (hot shingles at 100 TB).
+
+Everything is deterministic and JVM-side:
+
+- Shingle/token hashing uses the first 15 hex chars of ``md5`` (60
+  bits, fits a signed int64) so a SQL oracle (DuckDB) reproduces the
+  exact same integers.
+- MinHash permutations are ``(a_i * h + b_i) mod P`` with ``P =
+  2^31-1`` and fixed (a_i, b_i) generated below — inlined as literals
+  into both the Spark plan and the oracle SQL. ``a*h < 2^62`` so the
+  arithmetic never overflows int64 in either engine.
+- All signature computation is a single hash-partitioned groupBy with
+  mergeable partial aggregates (one shuffle per stage, no UDFs, no
+  driver collects).
+
+100 TB posture: the band-bucket self-join shuffles only (doc_id,
+band, sig) rows — 4 small rows per document — and hot buckets (all
+docs sharing a band signature) are real duplicates by construction, so
+bucket skew == duplicate skew; cap pathological buckets with a
+group-size limit before pairing if a corpus has thousand-way dup
+classes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce511_spark.functions.text import tokenize, word_ngrams
+
+# MinHash parameters. P is the classic Mersenne prime 2^31-1; the
+# permutation constants are fixed multiplicative-hash style values —
+# arbitrary but frozen, shared verbatim by the DuckDB oracles.
+MINHASH_P = 2_147_483_647
+N_PERMS = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERMS // N_BANDS
+PERMS: list[tuple[int, int]] = [
+    (
+        (2_654_435_761 * (i + 1)) % MINHASH_P or 1,
+        (40_503 * (i + 1) * (i + 1) + 17) % MINHASH_P,
+    )
+    for i in range(N_PERMS)
+]
+
+SHINGLE_WIDTH = 3  # word-trigram shingles, same as near_dup_jaccard
+SIMHASH_BITS = 60  # md5-prefix hash width (fits signed int64)
+SIMHASH_CHUNKS = 4  # 4 x 15-bit chunks for hamming-banded candidates
+SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
+SIMHASH_MAX_HAMMING = 3
+
+
+def hash60(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative int64 (oracle twin:
+    ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct word-trigram shingles per document: (doc_id, sh)."""
+    return docs.select(
+        "doc_id",
+        F.explode(word_ngrams(tokenize(text_col), SHINGLE_WIDTH)).alias("sh"),
+    ).distinct()
+
+
+def minhash_signatures_wide(shingles: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{K-1}): all K min-aggregates in ONE groupBy —
+    partial aggregation happens map-side, one shuffle total."""
+    h = (F.col("h60") % MINHASH_P).alias("h")
+    hashed = shingles.select("doc_id", hash60(F.col("sh")).alias("h60")).select(
+        "doc_id", h
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(PERMS)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_long(shingles: DataFrame) -> DataFrame:
+    """(doc_id, perm, minhash) — wide signatures unpivoted via stack
+    (post-aggregation, so the explode touches K rows per doc, not K
+    rows per shingle)."""
+    wide = minhash_signatures_wide(shingles)
+    stack = ", ".join(f"{i}, mh{i}" for i in range(N_PERMS))
+    return wide.selectExpr(
+        "doc_id", f"stack({N_PERMS}, {stack}) AS (perm, minhash)"
+    )
+
+
+def minhash_bands(signatures_wide: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): each band's signature is the '-'-joined
+    run of its ROWS_PER_BAND minhash values."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(f"mh{j * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("sig"),
+            )
+            for j in range(N_BANDS)
+        ]
+    )
+    return signatures_wide.select(
+        "doc_id", F.explode(bands).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def band_candidates(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs sharing >=1 band signature — the
+    LSH candidate set. Self-equi-join on (band, sig); never a cross
+    join."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def verify_jaccard(candidates: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs only: join each side's shingle
+    set, count intersections, divide by union. Cost is proportional to
+    the candidate set, not to all pairs."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("both"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("both") / (F.col("sz_a") + F.col("sz_b") - F.col("both"))
+    return (
+        inter.join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per document from term-frequency-weighted token
+    hashes: bit i is set iff sum over terms of cnt * (+-1 per hash
+    bit i) is positive.
+
+    Plan shape: tokenize/explode -> per-(doc, word) counts (shuffle 1)
+    -> explode 60 bit positions -> per-(doc, bit) signed sums (shuffle
+    2) -> per-doc bit reassembly (shuffle 3). All three shuffles carry
+    tiny fixed-width rows; everything is codegen'd expressions.
+    """
+    wc = (
+        docs.select("doc_id", F.explode(tokenize(text_col)).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+        .select("doc_id", "cnt", hash60(F.col("w")).alias("h"))
+    )
+    bits = wc.select(
+        "doc_id",
+        "cnt",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        F.when(F.expr("shiftright(h, i) % 2 = 1"), F.col("cnt"))
+        .otherwise(-F.col("cnt"))
+        .alias("contrib"),
+    )
+    sums = bits.groupBy("doc_id", "i").agg(F.sum("contrib").alias("s"))
+    return sums.groupBy("doc_id").agg(
+        F.sum(F.expr("shiftleft(CAST(s > 0 AS BIGINT), i)")).alias("simhash")
+    )
+
+
+def simhash_candidates(fingerprints: DataFrame) -> DataFrame:
+    """Near-dup pairs by hamming distance: band the 60-bit fingerprint
+    into 4 x 15-bit chunks (pigeonhole: hamming <= 3 => some chunk is
+    identical), equi-join on (chunk index, chunk value), verify with
+    bit_count(xor) <= 3."""
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("chunk"),
+                F.expr(
+                    f"shiftright(simhash, {j * SIMHASH_CHUNK_BITS}) % "
+                    f"{1 << SIMHASH_CHUNK_BITS}"
+                ).alias("cv"),
+            )
+            for j in range(SIMHASH_CHUNKS)
+        ]
+    )
+    banded = fingerprints.select(
+        "doc_id", "simhash", F.explode(chunks).alias("c")
+    ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sh_a ^ sh_b)")
+    return pairs.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)

@@ -51,8 +51,10 @@ def _load() -> None:
     if _LOADED:
         return
     from mapreduce511_spark.queries import (  # noqa: F401
+        dedup,
         events,
         logs,
+        multimodal,
         relational,
         similarity,
         text,

@@ -1,0 +1,216 @@
+"""Fuzzy-dedup queries: MinHash signatures / LSH candidates / verified
+near-dups, SimHash fingerprints / hamming near-dups.
+
+Every query here is fully deterministic (md5-derived integer hashes,
+frozen permutation constants) so each has an exact DuckDB oracle —
+the LSH *probabilistic* recall story is judged against the exact
+``near_dup_jaccard`` baseline in tests, while the driver gate checks
+these pipelines bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce511_spark.operators.dedup import (
+    MINHASH_P,
+    N_PERMS,
+    PERMS,
+    ROWS_PER_BAND,
+    SIMHASH_BITS,
+    SIMHASH_CHUNK_BITS,
+    SIMHASH_CHUNKS,
+    SIMHASH_MAX_HAMMING,
+    band_candidates,
+    doc_shingles,
+    minhash_bands,
+    minhash_signatures_long,
+    minhash_signatures_wide,
+    simhash_candidates,
+    simhash_fingerprints,
+    verify_jaccard,
+)
+from mapreduce511_spark.queries import register
+from mapreduce511_spark.sources.tables import load_table
+
+_JACCARD_T = 0.5
+
+# ---- shared DuckDB fragments (exact twins of operators/dedup.py) ----
+
+_PERM_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(PERMS))
+
+_SQL_SHINGLES = """
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, unnest(tokens) AS w, unnest(range(len(tokens))) AS p
+        FROM toks
+    ), shingles AS (
+        SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        FROM pos a
+        JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        JOIN pos c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+    )
+"""
+
+_SQL_MINHASH_LONG = f"""
+    WITH {_SQL_SHINGLES},
+    hashed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % {MINHASH_P} AS h
+        FROM shingles
+    ),
+    perms(i, a, b) AS (VALUES {_PERM_VALUES}),
+    mh AS (
+        SELECT doc_id, i AS perm, min((a * h + b) % {MINHASH_P}) AS minhash
+        FROM hashed, perms
+        GROUP BY doc_id, i
+    )
+"""
+
+_SQL_BANDS = f"""
+    {_SQL_MINHASH_LONG},
+    bands AS (
+        SELECT doc_id,
+               perm // {ROWS_PER_BAND} AS band,
+               string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY perm) AS sig
+        FROM mh
+        GROUP BY doc_id, band
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                     AND a.doc_id < b.doc_id
+    )
+"""
+
+_SQL_SIMHASH = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+        FROM documents
+    ), wc AS (
+        SELECT doc_id, w, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(tokens) AS w FROM toks)
+        GROUP BY doc_id, w
+    ), hashed AS (
+        SELECT doc_id, cnt,
+               CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+        FROM wc
+    ), bitsums AS (
+        SELECT doc_id, i,
+               sum(CASE WHEN (h >> i) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+        FROM hashed, generate_series(0, {SIMHASH_BITS - 1}) t(i)
+        GROUP BY doc_id, i
+    ), fp AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0
+                             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM bitsums
+        GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"{_SQL_MINHASH_LONG} SELECT doc_id, perm, minhash FROM mh",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature matrix, long form (doc_id, perm, minhash).
+
+    All {N_PERMS} permutations are computed in ONE groupBy pass with
+    map-side partial mins — a single shuffle of (doc_id, h) pairs; the
+    unpivot happens after aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures_long(doc_shingles(docs))
+
+
+@register(
+    "minhash_band_candidates",
+    oracle=f"{_SQL_BANDS} SELECT doc_a, doc_b FROM cand",
+)
+def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on >=1 of 4 bands of 4
+    minhash rows. The self-join key is (band, sig) — candidate
+    generation never materializes the all-pairs space."""
+    docs = load_table(spark, sf_dir, "documents")
+    return band_candidates(minhash_bands(minhash_signatures_wide(doc_shingles(docs))))
+
+
+@register(
+    "minhash_near_dup",
+    oracle=f"""
+    {_SQL_BANDS},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS both
+        FROM cand c
+        JOIN shingles a ON a.doc_id = c.doc_a
+        JOIN shingles b ON b.doc_id = c.doc_b AND b.sh = a.sh
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.both * 1.0 / (sa.sz + sb.sz - i.both), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE i.both * 1.0 / (sa.sz + sb.sz - i.both) >= {_JACCARD_T}
+    """,
+)
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pipeline end-to-end: candidates from band
+    buckets, then EXACT Jaccard verification on candidates only — the
+    100 TB shape (verification cost ~ candidates, not all pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = doc_shingles(docs)
+    cand = band_candidates(minhash_bands(minhash_signatures_wide(shingles)))
+    verified = verify_jaccard(cand, shingles)
+    return verified.filter(F.col("jaccard") >= _JACCARD_T).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+@register(
+    "simhash_fingerprint",
+    oracle=f"{_SQL_SIMHASH} SELECT doc_id, simhash FROM fp",
+)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit term-frequency SimHash per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs)
+
+
+@register(
+    "simhash_near_dup",
+    oracle=f"""
+    {_SQL_SIMHASH},
+    chunks AS (
+        SELECT doc_id, simhash, j AS chunk,
+               (simhash >> (j * {SIMHASH_CHUNK_BITS})) %
+                   {1 << SIMHASH_CHUNK_BITS} AS cv
+        FROM fp, generate_series(0, {SIMHASH_CHUNKS - 1}) t(j)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM chunks a
+        JOIN chunks b ON a.chunk = b.chunk AND a.cv = b.cv
+                      AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups: pigeonhole banding (hamming <= 3 over 60
+    bits => >=1 of 4 15-bit chunks identical) generates candidates via
+    equi-join; bit_count(xor) verifies exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidates(simhash_fingerprints(docs))

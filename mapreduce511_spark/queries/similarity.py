@@ -129,6 +129,140 @@ def nearest_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select("vec_id", F.col("best.nn_id").alias("nn_id"), "best.cos_sim")
 
 
+_COS_DUP_T = 0.45  # embedding near-dup threshold (testdata max cos ~0.5)
+_IVF_NPROBE = 2  # coarse cells searched per probe
+_IVF_TOPK = 5
+_N_PROBES = 10
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_SQL_COS.format(a="a.v", b="b.v")}, 4) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_SQL_COS.format(a="a.v", b="b.v")} >= {_COS_DUP_T}
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact). This is the
+    correctness baseline: all pairs with cos >= t via a self-join.
+    Quadratic by construction — at 100 TB this exact variant runs only
+    inside LSH/IVF buckets (see ``ann_ivf_topk`` for the coarse
+    quantizer shape); here it doubles as the oracle-checkable spec."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim_raw", cos)
+        .filter(F.col("cos_sim_raw") >= _COS_DUP_T)
+        .select("vec_a", "vec_b", F.round("cos_sim_raw", 4).alias("cos_sim"))
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent AS (
+        SELECT label, list(c ORDER BY dim) AS cv
+        FROM (
+            SELECT label, dim, avg(x) AS c
+            FROM (SELECT label,
+                         unnest(v) AS x,
+                         unnest(range(len(v))) AS dim
+                  FROM e)
+            GROUP BY label, dim
+        )
+        GROUP BY label
+    ), probes AS (
+        SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < {_N_PROBES}
+    ), cells AS (
+        SELECT pid, pv, label FROM (
+            SELECT p.pid, p.pv, c.label,
+                   row_number() OVER (
+                       PARTITION BY p.pid
+                       ORDER BY {_SQL_COS.format(a="p.pv", b="c.cv")} DESC,
+                                c.label
+                   ) AS rn
+            FROM probes p, cent c
+        ) WHERE rn <= {_IVF_NPROBE}
+    )
+    SELECT pid AS probe_id, rank, vec_id, cos_sim FROM (
+        SELECT s.pid, s.vec_id,
+               row_number() OVER (PARTITION BY s.pid
+                                  ORDER BY s.s DESC, s.vec_id) AS rank,
+               round(s.s, 4) AS cos_sim
+        FROM (
+            SELECT cl.pid, e.vec_id,
+                   {_SQL_COS.format(a="cl.pv", b="e.v")} AS s
+            FROM cells cl JOIN e ON e.label = cl.label
+            WHERE e.vec_id <> cl.pid
+        ) s
+    ) WHERE rank <= {_IVF_TOPK}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbors: coarse-quantize with
+    per-label centroids (the 'inverted file' cells), search only the
+    ``nprobe`` closest cells per probe, exact cosine within cells.
+
+    100 TB shape: centroids are a tiny broadcast table; the corpus is
+    scanned once with a broadcast hash join on cell id (partition
+    pruning if the corpus is written bucketed/partitioned by cell);
+    per-probe top-k is a windowed rank over candidates only — the full
+    corpus is never cross-joined against probes."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # centroids per label: posexplode -> per-dim mean -> re-assemble
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s.c,
+            ).alias("cv")
+        )
+    )
+    probes = emb.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
+    )
+    w_cell = Window.partitionBy("pid").orderBy(
+        F.desc("cell_sim"), F.asc("label")
+    )
+    cells = (
+        probes.join(F.broadcast(cent))
+        .withColumn("cell_sim", cosine_similarity(F.col("pv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("pid", "pv", "label")
+    )
+    w_rank = Window.partitionBy("pid").orderBy(F.desc("s"), F.asc("vec_id"))
+    return (
+        emb.join(F.broadcast(cells), "label")
+        .filter(F.col("vec_id") != F.col("pid"))
+        .withColumn("s", cosine_similarity(F.col("pv"), F.col("embedding")))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .select(
+            F.col("pid").alias("probe_id"),
+            "rank",
+            "vec_id",
+            F.round("s", 4).alias("cos_sim"),
+        )
+    )
+
+
 _SHINGLE_WORDS = 3  # word-shingle width for near-dup detection
 _JACCARD_T = 0.5
 

@@ -256,3 +256,126 @@ def stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_stopword_ratio")
         )
     )
+
+
+# Per-language stopword lists for the language-ID heuristic (tiny,
+# frozen, shared verbatim with the DuckDB oracle). Alphabetical lang
+# order (de, en, es, fr) doubles as the deterministic tie-break.
+_LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "en": ("the", "of", "and", "to", "in", "is", "that", "it", "was", "for"),
+    "es": ("el", "los", "las", "de", "y", "un", "una", "es", "del", "por"),
+    "fr": ("le", "la", "les", "des", "et", "est", "que", "une", "dans", "pour"),
+}
+_CJK_RANGE = "[一-鿿]"
+_CJK_T = 0.05  # CJK char fraction above which a doc is called 'zh'
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = list(_LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter(list_transform({_SQL_TOKENS}, t -> lower(t)), "
+        f"t -> list_contains({words!r}, t)))"
+    )
+
+
+@register(
+    "language_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               CASE
+                 WHEN length(text) > 0
+                      AND (length(text) -
+                           length(regexp_replace(text, '{_CJK_RANGE}', '', 'g')))
+                          * 1.0 / length(text) > {_CJK_T}
+                   THEN 'zh'
+                 WHEN greatest({_lang_hits_sql("de")}, {_lang_hits_sql("en")},
+                               {_lang_hits_sql("es")}, {_lang_hits_sql("fr")}) = 0
+                   THEN 'und'
+                 WHEN {_lang_hits_sql("de")} = greatest({_lang_hits_sql("de")},
+                       {_lang_hits_sql("en")}, {_lang_hits_sql("es")},
+                       {_lang_hits_sql("fr")}) THEN 'de'
+                 WHEN {_lang_hits_sql("en")} = greatest({_lang_hits_sql("de")},
+                       {_lang_hits_sql("en")}, {_lang_hits_sql("es")},
+                       {_lang_hits_sql("fr")}) THEN 'en'
+                 WHEN {_lang_hits_sql("es")} = greatest({_lang_hits_sql("de")},
+                       {_lang_hits_sql("en")}, {_lang_hits_sql("es")},
+                       {_lang_hits_sql("fr")}) THEN 'es'
+                 ELSE 'fr'
+               END AS pred_lang
+        FROM documents
+    )
+    SELECT lang, pred_lang, count(*) AS n_docs
+    FROM scored GROUP BY lang, pred_lang
+    """,
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic: CJK char-ratio gate for
+    'zh', else argmax of per-language stopword hits (alphabetical
+    tie-break, 'und' when no list matches). Output is the (true lang x
+    predicted lang) confusion matrix.
+
+    Note: the synthetic testdata's ``text`` is English-like for every
+    ``lang`` label, so predictions concentrate on 'en'/'und' — the
+    operator's contract is the deterministic heuristic itself (oracle-
+    checked), not label recovery. One scan, pure Column expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks_lower = F.transform(tokenize("text"), F.lower)
+
+    def _hits(words: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks_lower, lambda t: F.array_contains(arr, t)))
+
+    hits = {lang: _hits(_LANG_STOPWORDS[lang]) for lang in sorted(_LANG_STOPWORDS)}
+    best = F.greatest(*hits.values())
+    cjk_frac = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", _CJK_RANGE, ""))
+    ) / F.length("text")
+    pred = F.when(
+        (F.length("text") > 0) & (cjk_frac > _CJK_T), F.lit("zh")
+    ).when(best == 0, F.lit("und"))
+    for lang in sorted(_LANG_STOPWORDS):
+        pred = pred.when(hits[lang] == best, F.lit(lang))
+    return (
+        docs.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# BPE-style pre-tokenizer: letter runs, digit runs, single
+# non-alnum-non-space marks. Explicit ASCII classes so Java regex and
+# RE2 agree byte-for-byte.
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@register(
+    "token_count_bpe",
+    oracle=f"""
+    SELECT source,
+           count(*)                                       AS n_docs,
+           CAST(sum(len({_SQL_TOKENS})) AS BIGINT)        AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '{_BPE_PAT}'))) AS BIGINT)
+                                                          AS bpe_tokens,
+           round(avg(len(regexp_extract_all(text, '{_BPE_PAT}'))), 2)
+                                                          AS avg_bpe_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting with two tokenizers: whitespace (Hadoop
+    StringTokenizer contract) vs a BPE-ish pre-tokenizer regex —
+    the budget/billing primitive of a training-data pipeline,
+    aggregated per source. regexp_extract_all stays JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(tokenize("text"))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0)))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ws).cast("long").alias("ws_tokens"),
+        F.sum(bpe).cast("long").alias("bpe_tokens"),
+        F.round(F.avg(bpe), 2).alias("avg_bpe_tokens"),
+    )

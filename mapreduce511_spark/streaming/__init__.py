@@ -1,0 +1,148 @@
+"""Structured Streaming surface (SURVEY.md §2.9, milestone M6).
+
+The reference's monitor is a live append-only feed consumed post-hoc
+(`/root/reference/wheel/monitor_real.sh:33-63` appends one sample
+block per cycle; analysis reruns over the whole file). The streaming
+analog: a file source watched for new data, event-time tumbling
+windows with a watermark for late samples, and a stateful per-key
+operator for running aggregates the reference recomputes from scratch.
+
+Batch/stream parity: every transformation here is expressed so the
+same plan runs on a batch DataFrame (tests compare the availableNow
+stream result against the batch twin query bit-for-bit).
+
+Scale notes: file-source listing is the bottleneck for huge input
+trees — use ``maxFilesPerTrigger`` to bound batch size and a compact
+checkpoint location; watermark bounds state for the window aggs;
+``applyInPandasWithState`` state is per-key and spills via the state
+store, so key cardinality (users), not event volume, sizes memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from mapreduce511_spark.sources.tables import TABLES
+
+EVENTS_SCHEMA = TABLES["events"]
+
+
+def stream_events(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of events rows (µs-timestamp parquet written
+    by ``prepare_events_dir`` or any upstream job)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def prepare_events_dir(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Materialize the events table as a streamable parquet dir (the
+    testdata file is TIMESTAMP(NANOS), which the streaming source
+    can't read directly — normalize to µs once, batch-side)."""
+    from mapreduce511_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out_dir)
+    return out_dir
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked 1-hour tumbling counts per event type — the
+    streaming twin of the batch ``tumbling_event_counts`` query (same
+    output schema and values once the stream drains)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_USER_STATS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+_USER_STATS_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("vmax", T.DoubleType()),
+    ]
+)
+
+
+def user_running_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): running
+    per-user event count / value sum / value max, updated per
+    micro-batch. The reference recomputes such aggregates from the
+    full log each run; the stream keeps O(1) state per user."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total, vmax = (
+            state.get if state.exists else (0, 0.0, float("-inf"))
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                vmax = max(vmax, float(pdf["value"].max()))
+        state.update((n, total, vmax))
+        yield pd.DataFrame(
+            [(key[0], n, round(total, 2), vmax)],
+            columns=["user_id", "n_events", "total_value", "max_value"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_USER_STATS_OUT,
+        stateStructType=_USER_STATS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(stream_df: DataFrame, name: str, checkpoint: str) -> DataFrame:
+    """Drain a stream with the availableNow trigger into a memory sink
+    and return the materialized result (test/driver helper — real
+    deployments use a durable sink + continuous trigger)."""
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if not _is_update_only(stream_df) else "update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def _is_update_only(stream_df: DataFrame) -> bool:
+    """applyInPandasWithState plans only support update mode."""
+    plan = stream_df._jdf.queryExecution().logical().toString()
+    return "FlatMapGroupsInPandasWithState" in plan

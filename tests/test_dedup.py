@@ -1,0 +1,79 @@
+"""Fuzzy-dedup semantics beyond oracle parity: LSH recall against the
+exact Jaccard baseline, banding soundness, SimHash hamming bounds."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce511_spark.operators.dedup import (
+    SIMHASH_MAX_HAMMING,
+    band_candidates,
+    doc_shingles,
+    minhash_bands,
+    minhash_signatures_wide,
+    simhash_candidates,
+    simhash_fingerprints,
+)
+from mapreduce511_spark.sources.tables import load_table
+from tests.conftest import SF_CHECK
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_CHECK, "documents").cache()
+
+
+def _exact_pairs(spark, threshold: float) -> set[tuple[int, int]]:
+    from mapreduce511_spark.queries.similarity import near_dup_jaccard
+
+    rows = (
+        near_dup_jaccard(spark, SF_CHECK)
+        .filter(f"jaccard >= {threshold}")
+        .collect()
+    )
+    return {(r.doc_a, r.doc_b) for r in rows}
+
+
+def test_minhash_lsh_recall_on_strong_dups(spark, docs):
+    """Banded MinHash (4 bands x 4 rows) must catch essentially every
+    high-similarity pair: P[caught | s=0.8] ~ 0.985 per pair."""
+    strong = _exact_pairs(spark, 0.8)
+    cand = band_candidates(minhash_bands(minhash_signatures_wide(doc_shingles(docs))))
+    got = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    if strong:
+        recall = len(strong & got) / len(strong)
+        assert recall >= 0.9, f"LSH recall {recall} on {len(strong)} strong pairs"
+
+
+def test_minhash_candidates_share_a_shingle(spark, docs):
+    """Soundness: every band-bucket pair really collides on all 4
+    minhash rows of some band => both docs have shingles; spot-check
+    candidates are plausible (non-empty shingle sets both sides)."""
+    shingles = doc_shingles(docs)
+    with_sh = {r.doc_id for r in shingles.select("doc_id").distinct().collect()}
+    cand = band_candidates(minhash_bands(minhash_signatures_wide(shingles)))
+    for r in cand.collect():
+        assert r.doc_a in with_sh and r.doc_b in with_sh
+
+
+def test_simhash_near_dup_hamming_bound(spark, docs):
+    fps = simhash_fingerprints(docs)
+    pairs = simhash_candidates(fps).collect()
+    for r in pairs:
+        assert 0 <= r.hamming <= SIMHASH_MAX_HAMMING
+
+
+def test_simhash_identical_docs_identical_fingerprint(spark, docs):
+    """Docs with identical text must get identical SimHash (it's a
+    deterministic function of term frequencies)."""
+    from pyspark.sql import functions as F
+
+    fps = simhash_fingerprints(docs)
+    joined = docs.select("doc_id", "text").join(fps, "doc_id")
+    groups = (
+        joined.groupBy("text")
+        .agg(F.countDistinct("simhash").alias("n_fp"), F.count("*").alias("n"))
+        .filter("n > 1")
+    )
+    bad = groups.filter("n_fp > 1").count()
+    assert bad == 0

@@ -1,0 +1,65 @@
+"""Structured Streaming (M6): availableNow-drained streams must match
+their batch twins exactly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce511_spark.sources.tables import load_table
+from mapreduce511_spark.streaming import (
+    prepare_events_dir,
+    run_available_now,
+    stream_events,
+    tumbling_counts,
+    user_running_stats,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_stream") / "events")
+    return prepare_events_dir(spark, SF_SMOKE, out)
+
+
+def _as_sorted_rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_counts_stream_matches_batch(spark, events_dir, tmp_path):
+    stream = stream_events(spark, events_dir, max_files_per_trigger=1)
+    result = run_available_now(
+        tumbling_counts(stream), "tumbling_test", str(tmp_path / "ckpt")
+    )
+    from mapreduce511_spark.queries.events import tumbling_event_counts
+
+    batch = tumbling_event_counts(spark, SF_SMOKE)
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _as_sorted_rows(result, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_user_running_stats_matches_batch_groupby(spark, events_dir, tmp_path):
+    stream = stream_events(spark, events_dir)
+    result = run_available_now(
+        user_running_stats(stream), "user_stats_test", str(tmp_path / "ckpt2")
+    )
+    # update-mode memory sink may hold one row per update; keep the last
+    # (= final) state per user — with a single availableNow batch the
+    # counts are already final.
+    final = result.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    cols = ["user_id", "n_events", "total_value", "max_value"]
+    assert _as_sorted_rows(final, cols) == _as_sorted_rows(batch, cols)
