@@ -36,6 +36,13 @@ def word_ngrams(tokens: Column, n: int) -> Column:
 
     Pure array expressions: a transform over the first ``len-n+1``
     positions, joining each window — no shuffle, no UDF.
+
+    PERF: pass a *bound column* (project the token array first, e.g.
+    ``df.select(tokenize("text").alias("toks"))`` then
+    ``word_ngrams(F.col("toks"), n)``), not a raw expression like
+    ``word_ngrams(tokenize("text"), n)`` — the lambda below references
+    ``tokens`` once per position, and Spark re-evaluates a non-attribute
+    expression each time, turning the transform O(len²) per row.
     """
     if n < 1:
         raise ValueError("n must be >= 1")

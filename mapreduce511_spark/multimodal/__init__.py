@@ -95,34 +95,63 @@ def decode_real(payload: bytes, fmt: str) -> object:
     )
 
 
-def extract_features(media_df: DataFrame) -> DataFrame:
+def extract_features(
+    media_df: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-asset features via ``mapInPandas``: byte count, mean byte
     value, 16-bin byte histogram. This is the plumbing the real
     decoder drops into — Arrow batches in, vectorized numpy per batch,
-    Arrow batches out; no driver collect, no per-row Python."""
+    Arrow batches out; no driver collect, no per-row Python.
+
+    ``passthrough`` columns ride along through the Arrow batch so
+    downstream grouping doesn't need a join back to the media table
+    (which would re-shuffle the binary payloads' lineage)."""
+    out_schema = T.StructType(
+        [media_df.schema[c] for c in passthrough] + list(FEATURE_SCHEMA.fields)
+    )
+    cols = ["doc_id", "n_bytes", "mean_byte", "histogram"]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in it:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                hist = np.bincount(arr >> 4, minlength=N_HIST_BINS)
-                rows.append(
-                    (
-                        int(doc_id),
-                        int(arr.size),
-                        float(arr.mean()) if arr.size else 0.0,
-                        hist.astype("int64").tolist(),
-                    )
+            payloads = list(pdf["content"])
+            n = len(payloads)
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+            # one pass over the concatenated bytes of the whole Arrow
+            # batch: per-row histograms via a single bincount on
+            # (row_index * N_BINS + high_nibble), per-row means via
+            # reduceat — no per-row Python.
+            cat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            row_idx = np.repeat(np.arange(n), lens)
+            hist = np.bincount(
+                row_idx * N_HIST_BINS + (cat >> 4), minlength=n * N_HIST_BINS
+            ).reshape(n, N_HIST_BINS)
+            if n and lens.min() > 0:
+                offsets = np.zeros(n, dtype=np.int64)
+                np.cumsum(lens[:-1], out=offsets[1:])
+                sums = np.add.reduceat(cat.astype(np.int64), offsets)
+            else:  # reduceat can't express empty segments — rare path
+                sums = np.fromiter(
+                    (np.frombuffer(p, dtype=np.uint8).sum() for p in payloads),
+                    dtype=np.int64,
+                    count=n,
                 )
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "n_bytes", "mean_byte", "histogram"]
+            means = np.where(lens > 0, sums / np.maximum(lens, 1), 0.0)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": lens,
+                    "mean_byte": means,
+                    "histogram": list(hist.astype("int64")),
+                }
             )
+            for c in reversed(passthrough):
+                out.insert(0, c, list(pdf[c]))
+            yield out
 
-    return media_df.select("doc_id", "content").mapInPandas(
-        batches, schema=FEATURE_SCHEMA
+    return media_df.select(*passthrough, "doc_id", "content").mapInPandas(
+        batches, schema=out_schema
     )
 
 

@@ -63,10 +63,16 @@ def hash60(col: Column) -> Column:
 
 
 def doc_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Distinct word-trigram shingles per document: (doc_id, sh)."""
-    return docs.select(
+    """Distinct word-trigram shingles per document: (doc_id, sh).
+
+    Tokens are bound to a projected column BEFORE the n-gram transform:
+    a HOF lambda that references the raw ``tokenize()`` expression
+    would re-run the whole split per array position (O(len²) per doc);
+    against an attribute each slice is O(n)."""
+    toks = docs.select("doc_id", tokenize(text_col).alias("toks"))
+    return toks.select(
         "doc_id",
-        F.explode(word_ngrams(tokenize(text_col), SHINGLE_WIDTH)).alias("sh"),
+        F.explode(word_ngrams(F.col("toks"), SHINGLE_WIDTH)).alias("sh"),
     ).distinct()
 
 

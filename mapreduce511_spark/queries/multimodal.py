@@ -28,9 +28,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate leaving the executors."""
     docs = load_table(spark, sf_dir, "documents")
     media = attach_fake_media(docs)
-    feats = extract_features(media)
-    joined = feats.join(media.select("doc_id", "source"), "doc_id")
-    return joined.groupBy("source").agg(
+    feats = extract_features(media, passthrough=("source",))
+    return feats.groupBy("source").agg(
         F.count("*").alias("n_assets"),
         F.sum("n_bytes").alias("total_bytes"),
         F.round(F.avg("mean_byte"), 3).alias("avg_mean_byte"),

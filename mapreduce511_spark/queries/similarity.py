@@ -307,14 +307,10 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair shares ≥1 shingle, which Jaccard ≥ t guarantees for t > 0).
     At scale, add prefix filtering / MinHash banding to thin skewed
     high-document-frequency shingles."""
+    from mapreduce511_spark.operators.dedup import doc_shingles
+
     docs = load_table(spark, sf_dir, "documents")
-    shingles = (
-        docs.select(
-            "doc_id",
-            F.explode(word_ngrams(tokenize("text"), _SHINGLE_WORDS)).alias("sh"),
-        )
-        .distinct()
-    )
+    shingles = doc_shingles(docs)  # tokens bound pre-transform (perf)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = shingles.alias("a")
     b = shingles.alias("b")

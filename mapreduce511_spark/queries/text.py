@@ -207,9 +207,8 @@ def bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the heavy lifting before the single count shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(
-            F.explode(word_ngrams(tokenize("text"), 2)).alias("bigram")
-        )
+        docs.select(tokenize("text").alias("toks"))
+        .select(F.explode(word_ngrams(F.col("toks"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("bigram"))
@@ -321,14 +320,26 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator's contract is the deterministic heuristic itself (oracle-
     checked), not label recovery. One scan, pure Column expressions."""
     docs = load_table(spark, sf_dir, "documents")
-    toks_lower = F.transform(tokenize("text"), F.lower)
 
+    # Materialize tokens and per-language hit counts as projected
+    # columns FIRST: lambda-heavy expressions are not CSE'd by
+    # Catalyst, so referencing `hits` 3x inside the CASE chain would
+    # otherwise re-tokenize every document ~12 times.
     def _hits(words: tuple[str, ...]):
         arr = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(toks_lower, lambda t: F.array_contains(arr, t)))
+        return F.size(
+            F.filter(F.col("toks"), lambda t: F.array_contains(arr, t))
+        )
 
-    hits = {lang: _hits(_LANG_STOPWORDS[lang]) for lang in sorted(_LANG_STOPWORDS)}
-    best = F.greatest(*hits.values())
+    langs = sorted(_LANG_STOPWORDS)
+    scored = docs.select(
+        "lang", "text", F.transform(tokenize("text"), F.lower).alias("toks")
+    ).select(
+        "lang",
+        "text",
+        *[_hits(_LANG_STOPWORDS[lg]).alias(f"hits_{lg}") for lg in langs],
+    )
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
     cjk_frac = (
         F.length("text")
         - F.length(F.regexp_replace("text", _CJK_RANGE, ""))
@@ -336,10 +347,10 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = F.when(
         (F.length("text") > 0) & (cjk_frac > _CJK_T), F.lit("zh")
     ).when(best == 0, F.lit("und"))
-    for lang in sorted(_LANG_STOPWORDS):
-        pred = pred.when(hits[lang] == best, F.lit(lang))
+    for lg in langs:
+        pred = pred.when(F.col(f"hits_{lg}") == best, F.lit(lg))
     return (
-        docs.select("lang", pred.alias("pred_lang"))
+        scored.select("lang", pred.alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("n_docs"))
     )
