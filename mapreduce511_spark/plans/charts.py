@@ -113,3 +113,30 @@ def render_charts(
         plt.close()
         written.append(path)
     return written
+
+
+def truncated_series(series_df: DataFrame, metric: str = "cpu") -> DataFrame:
+    """Distributed twin of the O4+P6 chart prep: per-dataset x-axis
+    limit via the outlier-aware second-max rule, then truncation —
+    as DataFrame ops (the driver-side ``prepare_chart_series`` stays
+    for spline rendering; this feeds sinks/joins at scale).
+
+    Shape: per-series maxes (tiny) aggregate per dataset into the
+    limit, broadcast back onto the series rows."""
+    from pyspark.sql import functions as F
+
+    maxes = series_df.groupBy("dataset", "slowstart").agg(
+        F.max("time_step").alias("mx")
+    )
+    arr = F.reverse(F.array_sort(F.collect_list("mx")))
+    limits = maxes.groupBy("dataset").agg(
+        F.when(
+            (F.size(arr) > 1) & (arr[0] > arr[1] * 1.1), arr[1]
+        )
+        .otherwise(arr[0])
+        .cast("int")
+        .alias("x_limit")
+    )
+    return series_df.join(F.broadcast(limits), "dataset").filter(
+        F.col("time_step") <= F.col("x_limit")
+    )

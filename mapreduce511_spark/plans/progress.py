@@ -105,3 +105,49 @@ def stage_metrics(progress: DataFrame) -> DataFrame:
             F.round(overlap, 2).alias("overlap_pct"),
         )
     )
+
+
+def phase_windows(progress: DataFrame) -> DataFrame:
+    """Per-run phase time windows, long form: ``[file, (keys...),
+    phase, start_s, end_s]`` with phase ∈ {map, shuffle, reduce}.
+
+    Boundaries reuse the reference's stage-detection heuristics
+    (``common_utils.py:82-119``): map = [t0, t_map_done], shuffle =
+    [t_shuffle_start, t_shuffle_end] (absent when reduce never
+    reported progress), reduce = [t_shuffle_end, t_end]. Feeds the
+    monitor/phase range join (SURVEY.md §2.3) — the alignment the
+    reference only eyeballs from charts."""
+    keys = [c for c in _KEY_COLS if c in progress.columns]
+
+    w_desc = Window.partitionBy("file").orderBy(F.desc("ts"), F.desc("line_no"))
+    marked = progress.withColumn("rn_desc", F.row_number().over(w_desc))
+    sec = lambda c: c.cast("double")  # noqa: E731
+    agg = marked.groupBy("file", *keys).agg(
+        F.min(sec(F.col("ts"))).alias("t0"),
+        F.max(sec(F.col("ts"))).alias("t_end"),
+        F.min(F.when(F.col("map_pct") == 100, sec(F.col("ts")))).alias("t_map"),
+        F.min(F.when(F.col("red_pct") > 0, sec(F.col("ts")))).alias("t_ss"),
+        F.min(
+            F.when(
+                (F.col("map_pct") == 100) & (F.col("red_pct") >= 90),
+                sec(F.col("ts")),
+            )
+        ).alias("t_se_heur"),
+        F.max(F.when(F.col("rn_desc") == 2, sec(F.col("ts")))).alias("t_second_last"),
+        F.count("*").alias("n_rec"),
+    )
+    t_se = F.coalesce(
+        F.col("t_se_heur"),
+        F.when(F.col("n_rec") >= 2, F.col("t_second_last")).otherwise(F.col("t_end")),
+    )
+    phases = F.array(
+        F.struct(F.lit("map").alias("phase"), F.col("t0").alias("start_s"), F.col("t_map").alias("end_s")),
+        F.struct(F.lit("shuffle").alias("phase"), F.col("t_ss").alias("start_s"), t_se.alias("end_s")),
+        F.struct(F.lit("reduce").alias("phase"), t_se.alias("start_s"), F.col("t_end").alias("end_s")),
+    )
+    return (
+        agg.filter(F.col("t_map").isNotNull())
+        .select("file", *keys, F.explode(phases).alias("p"))
+        .select("file", *keys, "p.phase", "p.start_s", "p.end_s")
+        .filter(F.col("start_s").isNotNull() & F.col("end_s").isNotNull())
+    )

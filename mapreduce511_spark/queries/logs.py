@@ -131,3 +131,83 @@ def log_shuffle_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shuffle_mb", F.round(F.col("shuffle_bytes") / (1024.0 * 1024.0), 2)
         )
     )
+
+
+@register("log_progress_series")
+def log_progress_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw job-progress time series (P4/F2): one row per `map N%
+    reduce M%` line with parsed timestamp."""
+    lines = experiment_lines(spark, _tree(), "job_output.log")
+    return _strip_file(parse_progress_lines(lines)).drop("line_no")
+
+
+@register("log_averaged_mem_series")
+def log_averaged_mem_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run averaged MEM series (the analyze_mem_slowstart.py
+    twin — the reference duplicates the whole averager for MEM; here
+    it's the same plan parameterized by column)."""
+    lines = experiment_lines(spark, _tree(), "monitor.log")
+    return averaged_series(parse_monitor_lines(lines), "mem")
+
+
+@register("log_report_cpu_wide")
+def log_report_cpu_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide CPU pivot with Best_SlowStart by MAX (result_cpu.csv
+    analog — direction flips vs the time-like metrics)."""
+    mon = parse_monitor_lines(experiment_lines(spark, _tree(), "monitor.log"))
+    cpu = config_metric_mean(averaged_series(mon, "cpu"), "cpu")
+    return wide_report(cpu, "avg_cpu", "max")
+
+
+@register("log_chart_prep_cpu")
+def log_chart_prep_cpu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed chart prep (M5: O4 second-max x-limit + P6
+    truncation) over the averaged CPU series; the driver-side spline
+    (§2.10) consumes exactly this."""
+    from mapreduce511_spark.plans.charts import truncated_series
+
+    lines = experiment_lines(spark, _tree(), "monitor.log")
+    return truncated_series(averaged_series(parse_monitor_lines(lines), "cpu"), "cpu")
+
+
+_MONITOR_CYCLE_S = 3.5  # ≈ real seconds per sample cycle (SURVEY.md §0:
+# 1 s sleep x 3 nodes + SSH latency; README's "1-second" claim is off)
+
+
+@register("log_phase_cpu")
+def log_phase_cpu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (SURVEY.md §2.3): align monitor samples to job phase
+    windows and average CPU per (dataset, slowstart, phase) — the
+    map/shuffle/reduce CPU comparison the reference only eyeballs from
+    overlaid charts.
+
+    Sample wall-time is reconstructed as t0 + time_step *
+    {_MONITOR_CYCLE_S}s (the monitor log has no timestamps; SURVEY.md
+    §0 documents the cycle-index semantics). The join is
+    key-equi + interval containment: Spark plans key equality as the
+    shuffle key, the BETWEEN as a post-filter — no cross join."""
+    from mapreduce511_spark.plans.progress import phase_windows
+
+    mon = parse_monitor_lines(experiment_lines(spark, _tree(), "monitor.log"))
+    prog = parse_progress_lines(experiment_lines(spark, _tree(), "job_output.log"))
+    phases = phase_windows(prog).drop("file")
+    keys = ["dataset", "slowstart", "run_id"]
+    samples = mon.select(
+        *keys, "time_step", "cpu"
+    )
+    t0 = phases.filter(F.col("phase") == "map").select(
+        *keys, F.col("start_s").alias("t0")
+    )
+    stamped = samples.join(t0, keys).withColumn(
+        "ts_s", F.col("t0") + F.col("time_step") * _MONITOR_CYCLE_S
+    )
+    joined = stamped.join(phases, keys).filter(
+        (F.col("ts_s") >= F.col("start_s")) & (F.col("ts_s") < F.col("end_s"))
+    )
+    return (
+        joined.groupBy("dataset", "slowstart", "phase")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.round(F.avg("cpu"), 2).alias("avg_cpu"),
+        )
+    )
