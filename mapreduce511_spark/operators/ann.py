@@ -1,0 +1,126 @@
+"""IVF index construction with learned (k-means) centroids.
+
+``queries/similarity.py:ann_ivf_topk`` demonstrates the IVF plumbing
+with label cells (oracle-checkable, but the testdata's labels are not
+geometric clusters — only ~8% of true NNs share their probe's label).
+This module learns real coarse centroids with deterministic Lloyd
+iterations, which is how an IVF index is actually built at scale:
+
+- init: the k lowest-vec_id vectors (deterministic, no RNG);
+- assign step: one scan, centroids broadcast as plan literals;
+- update step: per-cell mean via posexplode + two-level groupBy;
+- the k x dim centroid table collects to the driver between
+  iterations (tiny — k*dim doubles — this is the standard pattern;
+  the corpus itself never leaves the executors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce511_spark.functions.vectors import cosine_similarity
+
+K_CELLS = 16
+KMEANS_ITERS = 3
+
+
+def _with_best_cell(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Adds ``cell`` = index of the highest-cosine centroid.
+
+    The k similarities are materialized as ONE array column first and
+    argmax reads that bound column — chaining when(sim > best) instead
+    would nest each step's expression into the next twice over,
+    exploding the plan exponentially in k."""
+    sims = F.array(
+        *[
+            cosine_similarity(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
+            for c in centroids
+        ]
+    )
+    return df.withColumn("_sims", sims).withColumn(
+        "cell",
+        (F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))) - 1).cast(
+            "int"
+        ),
+    ).drop("_sims")
+
+
+def train_centroids(
+    emb: DataFrame, k: int = K_CELLS, iters: int = KMEANS_ITERS
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means (cosine assignment, mean update).
+    Returns driver-side centroid lists (k x dim floats)."""
+    init = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [list(map(float, r.embedding)) for r in init]
+    for _ in range(iters):
+        assigned = _with_best_cell(
+            emb.select("embedding"), "embedding", centroids
+        ).select("cell", "embedding")
+        means = (
+            assigned.select("cell", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s.m,
+                ).alias("cv")
+            )
+            .collect()
+        )
+        updated = {r.cell: list(r.cv) for r in means}
+        # empty cells keep their previous centroid
+        centroids = [updated.get(i, centroids[i]) for i in range(k)]
+    return centroids
+
+
+def ivf_search(
+    emb: DataFrame,
+    probes: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    topk: int,
+) -> DataFrame:
+    """Search the nprobe best cells per probe with exact cosine.
+
+    ``probes`` must have columns (pid, pv). The corpus is scanned once
+    to tag cells (in a real deployment the cell id is precomputed and
+    the corpus parquet is partitioned by it -> partition pruning makes
+    this a fractional scan)."""
+    from pyspark.sql.window import Window
+
+    tagged = _with_best_cell(
+        emb.select("vec_id", "embedding"), "embedding", centroids
+    )
+    cent_rows = [(i, c) for i, c in enumerate(centroids)]
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(cent_rows, ["cell", "cv"])
+    w_cell = Window.partitionBy("pid").orderBy(F.desc("csim"), F.asc("cell"))
+    probe_cells = (
+        probes.join(F.broadcast(cent_df))
+        .withColumn("csim", cosine_similarity(F.col("pv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= nprobe)
+        .select("pid", "pv", "cell")
+    )
+    w_rank = Window.partitionBy("pid").orderBy(F.desc("s"), F.asc("vec_id"))
+    return (
+        tagged.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("vec_id") != F.col("pid"))
+        .withColumn("s", cosine_similarity(F.col("pv"), F.col("embedding")))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("pid").alias("probe_id"),
+            "rank",
+            "vec_id",
+            F.round("s", 4).alias("cos_sim"),
+        )
+    )

@@ -330,3 +330,107 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= _JACCARD_T)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+# --- sign-random-projection LSH (the ANN scale path) ---------------
+# Hyperplane components are fixed pseudo-random literals derived from
+# a frozen LCG so plans are deterministic across sessions/executors.
+_LSH_BITS = 16
+_LSH_BANDS = 4  # 4 bands x 4 bits: candidate = >=1 identical band
+_LSH_DIM = 64
+
+
+def _lsh_hyperplanes() -> list[list[float]]:
+    planes = []
+    for i in range(_LSH_BITS):
+        row = []
+        for d in range(_LSH_DIM):
+            v = (2_654_435_761 * (i * _LSH_DIM + d + 1) + 97) % 1_000_003
+            row.append(v / 500_001.5 - 1.0)  # uniform-ish in [-1, 1]
+        planes.append(row)
+    return planes
+
+
+def _lsh_code(vec_col: F.Column) -> F.Column:
+    """16-bit sign code: bit i = [dot(v, plane_i) > 0]."""
+    from mapreduce511_spark.functions.vectors import dot
+
+    bits = []
+    for i, plane in enumerate(_lsh_hyperplanes()):
+        p = F.array(*[F.lit(x) for x in plane])
+        bits.append(F.when(dot(vec_col, p) > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    code = bits[0]
+    for b in bits[1:]:
+        code = code + b
+    return code.cast("int")
+
+
+@register("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-random-projection LSH: every vector gets a 16-bit
+    hyperplane sign code; probes search only vectors agreeing on >=1
+    of 4 4-bit code bands; exact cosine ranks the candidates.
+
+    This is the embedding-side scale path (cf. ``ann_ivf_topk`` for
+    the coarse-quantizer variant): code assignment is one scan
+    (hyperplanes are literals in the plan — no broadcast needed), the
+    band join is an equi-join on (band, band-bits), and the quadratic
+    work is confined to candidate buckets. Rows-only for the driver
+    (the hyperplane constants make an unwieldy SQL twin);
+    ``tests/test_ann.py`` asserts recall against the exact baseline."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _lsh_code(F.col("embedding")).alias("code")
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(F.col("code"), j * 4).bitwiseAND(0xF).alias("bits"),
+            )
+            for j in range(_LSH_BANDS)
+        ]
+    )
+    banded = emb.select("vec_id", "embedding", F.explode(band_arr).alias("b")).select(
+        "vec_id", "embedding", F.col("b.band").alias("band"), F.col("b.bits").alias("bits")
+    )
+    probes = banded.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pv"), "band", "bits"
+    )
+    cand = (
+        banded.join(F.broadcast(probes), ["band", "bits"])
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select("pid", "pv", "vec_id", "embedding")
+        .distinct()
+    )
+    w = Window.partitionBy("pid").orderBy(F.desc("s"), F.asc("vec_id"))
+    return (
+        cand.withColumn("s", cosine_similarity(F.col("pv"), F.col("embedding")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .select(
+            F.col("pid").alias("probe_id"),
+            "rank",
+            "vec_id",
+            F.round("s", 4).alias("cos_sim"),
+        )
+    )
+
+
+@register("ann_ivf_kmeans_topk")
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with LEARNED coarse centroids (deterministic Lloyd
+    k-means, cosine metric) — the real index-build path, vs the
+    label-cell variant above whose cells the testdata makes
+    uninformative. nprobe=4 of k=16 cells => ~25% corpus scanned per
+    probe. Rows-only (iterative training has no SQL twin);
+    tests/test_ann.py bounds recall against the exact baseline."""
+    from mapreduce511_spark.operators.ann import ivf_search, train_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_centroids(emb)
+    probes = emb.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
+    )
+    return ivf_search(emb, probes, centroids, nprobe=4, topk=_IVF_TOPK)

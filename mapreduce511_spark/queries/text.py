@@ -390,3 +390,89 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(bpe).cast("long").alias("bpe_tokens"),
         F.round(F.avg(bpe), 2).alias("avg_bpe_tokens"),
     )
+
+
+_TFIDF_DOCS = 20  # probe sample: top terms for doc_id < 20
+_TFIDF_TOPN = 3
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
+    ), tf AS (
+        SELECT doc_id, w, count(*) AS tf
+        FROM (SELECT doc_id, unnest(tokens) AS w FROM toks)
+        GROUP BY doc_id, w
+    ), df AS (
+        SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tf)
+        GROUP BY w
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.w,
+               tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS score
+        FROM tf JOIN df USING (w) CROSS JOIN n
+        WHERE tf.doc_id < {_TFIDF_DOCS}
+    )
+    SELECT doc_id, rank, term, round(score, 4) AS tfidf
+    FROM (
+        SELECT doc_id, w AS term, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, w) AS rank
+        FROM scored
+    )
+    WHERE rank <= {_TFIDF_TOPN}
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF (sklearn-style idf = ln((N+1)/(df+1)) + 1), top
+    terms per probe document.
+
+    Plan: one tokenize scan feeds both TF (groupBy doc,term) and DF
+    (distinct + groupBy term); N is a 1-row broadcast; probe filter is
+    pushed below the TF aggregation so the per-doc ranking only sees
+    the sample. DF/IDF stay corpus-wide (that's the semantics)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(tokenize("text")).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))  # tf rows are distinct (doc,w)
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") < _TFIDF_DOCS)
+        .join(df, "w")
+        .join(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_TOPN)
+        .select(
+            "doc_id", "rank", F.col("w").alias("term"),
+            F.round("score", 4).alias("tfidf"),
+        )
+    )
+
+
+@register("approx_distinct_tokens")
+def approx_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token cardinality, exact vs HyperLogLog++ — the 100 TB
+    path for vocabulary counting (the reference's 781,397 distinct
+    words at 100MB would be billions at 100 TB; approx_count_distinct
+    needs no giant shuffle of the full vocabulary). Rows-only: DuckDB's
+    approx sketch differs by construction; tests/test_text_extra.py
+    bounds the relative error instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokenize("text")).alias("w"))
+    return words.agg(
+        F.count("*").alias("total_tokens"),
+        F.countDistinct("w").alias("exact_distinct"),
+        F.approx_count_distinct("w", 0.01).alias("approx_distinct"),
+    )

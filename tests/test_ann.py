@@ -1,0 +1,113 @@
+"""ANN quality: approximate methods vs the exact cosine baseline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce511_spark.functions.vectors import cosine_similarity
+from mapreduce511_spark.sources.tables import load_table
+from tests.conftest import SF_CHECK
+
+TOPK = 5
+N_PROBES = 10
+
+
+@pytest.fixture(scope="module")
+def exact_topk(spark):
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
+    )
+    w = Window.partitionBy("pid").orderBy(F.desc("s"), F.asc("vec_id"))
+    rows = (
+        emb.join(F.broadcast(probes), F.col("vec_id") != F.col("pid"))
+        .withColumn("s", cosine_similarity(F.col("pv"), F.col("embedding")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("pid", "vec_id")
+        .collect()
+    )
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r.pid, set()).add(r.vec_id)
+    return out
+
+
+def _recall(got_rows, exact):
+    got: dict[int, set[int]] = {}
+    for r in got_rows:
+        got.setdefault(r.probe_id, set()).add(r.vec_id)
+    per_probe = [
+        len(got.get(pid, set()) & found) / len(found)
+        for pid, found in exact.items()
+    ]
+    return sum(per_probe) / len(per_probe)
+
+
+def test_ann_lsh_recall(spark, exact_topk):
+    from mapreduce511_spark.queries.similarity import ann_lsh_topk
+
+    recall = _recall(ann_lsh_topk(spark, SF_CHECK).collect(), exact_topk)
+    assert recall >= 0.3, f"sign-LSH recall@{TOPK} = {recall}"
+
+
+def test_ann_ivf_label_cells_beat_random_scan(spark, exact_topk):
+    """The label-cell IVF demo scans nprobe/k of the corpus; the
+    testdata's labels are NOT geometric clusters (~8% of true NNs
+    share their probe's label), so absolute recall is bounded — the
+    meaningful assertion is that it still beats a random same-size
+    subset scan (recall = fraction scanned)."""
+    from mapreduce511_spark.queries.similarity import _IVF_NPROBE, ann_ivf_topk
+    from mapreduce511_spark.sources.tables import load_table
+
+    k_cells = (
+        load_table(spark, SF_CHECK, "embeddings").select("label").distinct().count()
+    )
+    recall = _recall(ann_ivf_topk(spark, SF_CHECK).collect(), exact_topk)
+    assert recall >= _IVF_NPROBE / k_cells, f"label-IVF recall@{TOPK} = {recall}"
+
+
+def test_ann_ivf_kmeans_recall(spark, exact_topk):
+    """Learned centroids (the real IVF build) must recover most true
+    neighbors while scanning ~nprobe/k of the corpus (measured 0.88
+    at nprobe=4, k=16 on this data)."""
+    from mapreduce511_spark.queries.similarity import ann_ivf_kmeans_topk
+
+    recall = _recall(ann_ivf_kmeans_topk(spark, SF_CHECK).collect(), exact_topk)
+    assert recall >= 0.6, f"kmeans-IVF recall@{TOPK} = {recall}"
+
+
+def test_ann_lsh_is_sublinear_candidates(spark):
+    """The LSH candidate set must be well below probes x corpus."""
+    from mapreduce511_spark.queries import similarity as S
+
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    n = emb.count()
+    emb2 = emb.select(
+        "vec_id", "embedding", S._lsh_code(F.col("embedding")).alias("code")
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(F.col("code"), j * 4).bitwiseAND(0xF).alias("bits"),
+            )
+            for j in range(S._LSH_BANDS)
+        ]
+    )
+    banded = emb2.select("vec_id", F.explode(band_arr).alias("b")).select(
+        "vec_id", F.col("b.band").alias("band"), F.col("b.bits").alias("bits")
+    )
+    probes = banded.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("pid"), "band", "bits"
+    )
+    cand = (
+        banded.join(probes, ["band", "bits"])
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select("pid", "vec_id")
+        .distinct()
+        .count()
+    )
+    assert cand < 0.8 * N_PROBES * n, f"{cand} candidates of {N_PROBES * n} possible"
