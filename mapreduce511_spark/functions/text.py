@@ -25,10 +25,16 @@ def tokenize(text: Column | str) -> Column:
 
 
 def normalize_text(text: Column | str) -> Column:
-    """Canonical form for exact-dup fingerprinting: lowercase, trim,
-    collapse internal whitespace runs to single spaces."""
+    """Canonical form for exact-dup fingerprinting: lowercase,
+    collapse whitespace runs to single spaces, trim.
+
+    Collapse-then-trim (not trim-then-collapse): Spark's ``trim``
+    strips only ' ', so a leading "\\r" would survive trimming, become
+    a leading space after collapsing, and make the function
+    non-idempotent (caught by hypothesis in tests/test_properties.py).
+    """
     col = F.col(text) if isinstance(text, str) else text
-    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
 def word_ngrams(tokens: Column, n: int) -> Column:

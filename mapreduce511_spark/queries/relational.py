@@ -405,3 +405,68 @@ def part_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("p_partkey"))
         .limit(15)
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate <  TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate — every predicate
+    pushes to the parquet reader (PushedFilters on l_shipdate,
+    l_discount, l_quantity), the aggregate is a single global row."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "cube_order_stats",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*)                          AS n_orders,
+           round(sum(o_totalprice), 2)       AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in one pass —
+    Spark expands grouping sets before the single shuffle (SURVEY §2.4
+    notes cube/rollup absent in the reference; free in Spark)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )

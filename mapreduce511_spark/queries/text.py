@@ -78,7 +78,7 @@ def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_fingerprint",
     oracle="""
-    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
            count(*)         AS n_docs,
            min(doc_id)      AS keep_doc_id
     FROM documents
@@ -107,7 +107,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT doc_id, lang, source,
                row_number() OVER (
-                   PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                   PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                    ORDER BY doc_id
                ) AS rn
         FROM documents
