@@ -122,3 +122,15 @@ def wide_report(
         )
     )
     return wide.join(ties, "dataset")
+
+
+def write_report_csv(report: DataFrame, path: str) -> None:
+    """S7 CSV report sink: report tables are <= datasets x slowstarts
+    rows, so a single output file (coalesce(1)) is correct at any
+    scale (SURVEY §4.4)."""
+    (
+        report.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(path)
+    )

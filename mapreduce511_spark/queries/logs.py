@@ -211,3 +211,27 @@ def log_phase_cpu(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("cpu"), 2).alias("avg_cpu"),
         )
     )
+
+
+@register("log_run_inventory")
+def log_run_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan summary (A10, ``common_utils.py:233-240``): runs found per
+    (dataset, slowstart) for both log kinds — the reference prints
+    'Monitor=N次, Stage=N次' per config."""
+    mon = (
+        experiment_lines(spark, _tree(), "monitor.log")
+        .select("dataset", "slowstart", "file")
+        .distinct()
+        .groupBy("dataset", "slowstart")
+        .agg(F.count("*").alias("monitor_runs"))
+    )
+    stg = (
+        experiment_lines(spark, _tree(), "job_output.log")
+        .select("dataset", "slowstart", "file")
+        .distinct()
+        .groupBy("dataset", "slowstart")
+        .agg(F.count("*").alias("stage_runs"))
+    )
+    return mon.join(stg, ["dataset", "slowstart"], "full").fillna(
+        0, ["monitor_runs", "stage_runs"]
+    )

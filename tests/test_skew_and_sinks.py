@@ -68,3 +68,23 @@ def test_wordcount_sorted_tsv_sink_roundtrip(spark, tmp_path):
         "sep", "\t"
     ).csv(out)
     assert spark.read.option("sep", "\t").csv(out).count() == 5
+
+
+def test_report_csv_sink_roundtrip(spark, tmp_path):
+    """S7: wide report -> single-file CSV with header, re-readable."""
+    from mapreduce511_spark.plans.report import write_report_csv
+
+    import pyspark.sql.functions as F
+
+    rep = spark.createDataFrame(
+        [("100MB", 1.0, 2.0), ("1G", 3.0, 4.0)], ["dataset", "0.2", "0.5"]
+    )
+    out = str(tmp_path / "report")
+    write_report_csv(rep, out)
+    import glob
+
+    files = glob.glob(out + "/part-*.csv")
+    assert len(files) == 1  # coalesce(1): one report file
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 2
+    assert set(back.columns) == {"dataset", "0.2", "0.5"}
