@@ -146,3 +146,41 @@ def _is_update_only(stream_df: DataFrame) -> bool:
     """applyInPandasWithState plans only support update mode."""
     plan = stream_df._jdf.queryExecution().logical().toString()
     return "FlatMapGroupsInPandasWithState" in plan
+
+
+def stream_monitor_lines(spark: SparkSession, watch_dir: str) -> DataFrame:
+    """Live-monitor ingestion (the reference's ``monitor_real.sh``
+    append loop as a file-source stream, SURVEY §2.9): text lines of
+    monitor logs as they appear under ``watch_dir``."""
+    return spark.readStream.text(watch_dir)
+
+
+def monitor_node_stats(lines: DataFrame) -> DataFrame:
+    """Streaming per-node cluster stats from raw monitor lines: parse
+    with the SAME regex as the batch path (plans/monitor), aggregate
+    running count/avg per node.
+
+    Cycle numbering (W1) is order-dependent and meaningless on an
+    unordered stream; a live dashboard needs per-node running
+    aggregates and the latest sample — both order-free. Complete-mode
+    output; state is O(nodes)."""
+    from mapreduce511_spark.plans.monitor import SAMPLE_PATTERN
+
+    node = F.regexp_extract("value", SAMPLE_PATTERN, 1)
+    cpu = F.regexp_extract("value", SAMPLE_PATTERN, 2)
+    mem = F.regexp_extract("value", SAMPLE_PATTERN, 3)
+    samples = (
+        lines.select(
+            node.alias("node"),
+            cpu.cast("double").alias("cpu"),
+            mem.cast("int").alias("mem"),
+        )
+        .filter(F.col("node") != "")
+    )
+    return samples.groupBy("node").agg(
+        F.count("*").alias("n_samples"),
+        F.round(F.avg("cpu"), 2).alias("avg_cpu"),
+        F.round(F.avg("mem"), 2).alias("avg_mem"),
+        F.max("cpu").alias("max_cpu"),
+        F.max("mem").alias("max_mem"),
+    )

@@ -63,3 +63,31 @@ def test_user_running_stats_matches_batch_groupby(spark, events_dir, tmp_path):
     )
     cols = ["user_id", "n_events", "total_value", "max_value"]
     assert _as_sorted_rows(final, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_monitor_stream_matches_batch(spark, tmp_path):
+    """Live-monitor analog: stream-parse real reference monitor lines,
+    compare per-node aggregates against the batch computation."""
+    import os
+    import shutil
+
+    from mapreduce511_spark.streaming import monitor_node_stats, stream_monitor_lines
+
+    src = "/root/reference/MapReduceLog/_100mb_slowstart_0.5"
+    if not os.path.isdir(src):
+        pytest.skip("reference tree not available")
+    watch = tmp_path / "monitor_feed"
+    watch.mkdir()
+    runs = sorted(p for p in os.listdir(src) if os.path.isdir(f"{src}/{p}"))
+    for i, run in enumerate(runs):
+        shutil.copy(f"{src}/{run}/monitor.log", watch / f"cycle_{i}.log")
+
+    stream = stream_monitor_lines(spark, str(watch))
+    result = run_available_now(
+        monitor_node_stats(stream), "monitor_live", str(tmp_path / "ckpt3")
+    )
+    # same transformation over a batch read — stream/batch parity
+    batch = monitor_node_stats(spark.read.text(str(watch)))
+    cols = ["node", "n_samples", "avg_cpu", "avg_mem", "max_cpu", "max_mem"]
+    assert _as_sorted_rows(result, cols) == _as_sorted_rows(batch, cols)
+    assert result.count() == 3  # 3 worker nodes in the reference cluster
