@@ -40,9 +40,14 @@ HEADLINE = [
     "minhash_near_dup",
     "simhash_near_dup",
     "ann_ivf_topk",
+    "ann_lsh_topk",
     "language_id",
     "token_count_bpe",
+    "tfidf_top_terms",
     "multimodal_features",
+    "q6_forecast_revenue",
+    "cube_order_stats",
+    "log_result_raw",
 ]
 
 
@@ -54,6 +59,13 @@ def main() -> None:
     spark = get_spark("mapreduce511-bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = suite.all_queries()
+
+    # JVM/codegen warmup so per-query numbers reflect steady state,
+    # not first-stage JIT + session bring-up.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from mapreduce511_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "documents").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
