@@ -202,3 +202,52 @@ def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),
     )
+
+
+@register(
+    "session_window_stats",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts - lag(ts) OVER w) > {SESSION_GAP_SECONDS}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts)              AS session_start,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session stats via Spark's native ``session_window`` (the
+    merging-interval session operator Structured Streaming uses).
+    The oracle derives identical sessions independently with the
+    lag/running-sum formulation — cross-validating Spark's built-in
+    session semantics against first-principles SQL.
+
+    Session identity: window start == min event ts in the session
+    (both formulations agree because a session's first event opens
+    it). One shuffle on (user_id, session_window)."""
+    events = load_table(spark, sf_dir, "events")
+    gap = f"{SESSION_GAP_SECONDS} seconds"
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("sw"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "session_value")
+    )
