@@ -470,3 +470,47 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1993-10-01'
+      AND o_orderdate <  TIMESTAMP '1994-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-way join (fact-fact on orderkey, dims
+    broadcast), filtered quarter + returned lines, revenue top-20.
+    Date + returnflag predicates push to both fact scans; only the
+    lineitem⋈orders join shuffles — customer/nation broadcast."""
+    cust, orders, li, nation = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1993-10-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1994-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
