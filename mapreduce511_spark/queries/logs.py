@@ -235,3 +235,36 @@ def log_run_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mon.join(stg, ["dataset", "slowstart"], "full").fillna(
         0, ["monitor_runs", "stage_runs"]
     )
+
+
+@register("log_shuffle_rate")
+def log_shuffle_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-derived throughput (F9, README.md:324-337): shuffle MB
+    and MB/s = shuffle volume / shuffle-phase seconds per config —
+    joining the counters table with the stage metrics (J1 shape:
+    config-key equi-join of two tiny aggregates)."""
+    counters = parse_counter_lines(
+        experiment_lines(spark, _tree(), "job_output.log")
+    )
+    shuffle_mb = (
+        counters.filter(F.col("counter") == "Reduce shuffle bytes")
+        .groupBy("dataset", "slowstart")
+        .agg((F.avg("value") / (1024.0 * 1024.0)).alias("mb"))
+    )
+    stg = stage_metrics(
+        parse_progress_lines(experiment_lines(spark, _tree(), "job_output.log"))
+    )
+    shuffle_s = stg.groupBy("dataset", "slowstart").agg(
+        F.avg("shuffle_s").alias("s")
+    )
+    return (
+        shuffle_mb.join(shuffle_s, ["dataset", "slowstart"])
+        .select(
+            "dataset",
+            "slowstart",
+            F.round("mb", 2).alias("shuffle_mb"),
+            F.round(
+                F.when(F.col("s") > 0, F.col("mb") / F.col("s")).otherwise(0.0), 3
+            ).alias("shuffle_mb_per_s"),
+        )
+    )

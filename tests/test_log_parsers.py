@@ -122,3 +122,31 @@ def test_overlap_bounds(stages):
     for r in stages.collect():
         assert 0.0 <= r["overlap_pct"] <= 100.0
         assert r["total_s"] >= r["map_s"] >= 0
+
+
+def test_fixture_tree_end_to_end(spark, tmp_path):
+    """The synthetic fixture tree (the fallback input when the
+    reference is absent) must flow through the full pipeline: parse ->
+    stage metrics -> averaged series -> wide report."""
+    from mapreduce511_spark.plans import (
+        averaged_series,
+        parse_monitor_lines,
+        parse_progress_lines,
+        stage_metrics,
+        stage_summary,
+        wide_report,
+    )
+    from mapreduce511_spark.plans.fixtures import build_fixture_tree
+    from mapreduce511_spark.plans.runs import experiment_lines
+
+    root = build_fixture_tree(str(tmp_path / "tree"))
+    mon = parse_monitor_lines(experiment_lines(spark, root, "monitor.log"))
+    assert mon.count() > 0
+    series = averaged_series(mon, "cpu")
+    assert series.count() > 0
+    stg = stage_metrics(
+        parse_progress_lines(experiment_lines(spark, root, "job_output.log"))
+    )
+    assert stg.count() > 0
+    wide = wide_report(stage_summary(stg), "total_s", "min").collect()
+    assert wide and "best_slowstart" in wide[0].asDict()
