@@ -150,3 +150,23 @@ def test_fixture_tree_end_to_end(spark, tmp_path):
     assert stg.count() > 0
     wide = wide_report(stage_summary(stg), "total_s", "min").collect()
     assert wide and "best_slowstart" in wide[0].asDict()
+
+
+def test_sweep_harness_wordcount(spark):
+    """E1 analog: sweep shuffle partitions over the WordCount job,
+    report per-value means with a best flag."""
+    from mapreduce511_spark.operators.wordcount import word_count
+    from mapreduce511_spark.sources.tables import load_table
+    from mapreduce511_spark.sweep import run_sweep, sweep_report
+    from tests.conftest import SF_SMOKE
+
+    def job(s):
+        return word_count(load_table(s, SF_SMOKE, "documents"))
+
+    results = run_sweep(spark, job, values=[4, 16], runs_per_value=2)
+    assert results.count() == 4
+    distinct_rows = results.select("out_rows").distinct().collect()
+    assert len(distinct_rows) == 1  # same answer under every config
+    rep = sweep_report(results).collect()
+    assert len(rep) == 2
+    assert sum(1 for r in rep if r["is_best"]) >= 1
