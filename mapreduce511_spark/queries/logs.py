@@ -268,3 +268,18 @@ def log_shuffle_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shuffle_mb_per_s"),
         )
     )
+
+
+@register("sweep_shuffle_partitions")
+def sweep_shuffle_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 sweep analog as a driver-visible query: WordCount under two
+    shuffle-partition settings, per-value mean wall time + best flag
+    (the reference's result_time.csv shape for a Spark knob)."""
+    from mapreduce511_spark.operators.wordcount import word_count
+    from mapreduce511_spark.sources.tables import load_table
+    from mapreduce511_spark.sweep import run_sweep, sweep_report
+
+    def job(s: SparkSession) -> DataFrame:
+        return word_count(load_table(s, sf_dir, "documents"))
+
+    return sweep_report(run_sweep(spark, job, values=[8, 32], runs_per_value=1))
