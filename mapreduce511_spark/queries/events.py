@@ -53,7 +53,7 @@ def tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_events",
     oracle=f"""
     WITH marked AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR epoch(ts - lag(ts) OVER w) > {SESSION_GAP_SECONDS}
                     THEN 1 ELSE 0 END AS new_session
@@ -61,14 +61,14 @@ def tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
         SELECT user_id,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id
         FROM marked
     )
     SELECT user_id,
            CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
            count(*)                                   AS n_events,
-           round(count(*) * 1.0 / count(DISTINCT session_id), 2)
+           round(count(*) * 100.0 / count(DISTINCT session_id)) / 100
                                                       AS avg_events_per_session
     FROM sessions
     GROUP BY user_id
@@ -91,9 +91,12 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.groupBy("user_id").agg(
         F.countDistinct("session_id").alias("n_sessions"),
         F.count("*").alias("n_events"),
-        F.round(
-            F.count("*") / F.countDistinct("session_id"), 2
-        ).alias("avg_events_per_session"),
+        # scale-before-divide: 82/80=1.025 has no exact double, and
+        # Spark (decimal-string HALF_UP) and DuckDB (binary) round the
+        # approximation differently; n*100/m keeps exact halves exact.
+        (F.round(F.count("*") * 100.0 / F.countDistinct("session_id")) / 100).alias(
+            "avg_events_per_session"
+        ),
     )
 
 
@@ -208,7 +211,7 @@ def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_stats",
     oracle=f"""
     WITH marked AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR epoch(ts - lag(ts) OVER w) > {SESSION_GAP_SECONDS}
                     THEN 1 ELSE 0 END AS new_session
@@ -216,7 +219,7 @@ def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
         SELECT user_id, ts, value,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id
         FROM marked
     )
