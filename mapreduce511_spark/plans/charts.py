@@ -140,3 +140,59 @@ def truncated_series(series_df: DataFrame, metric: str = "cpu") -> DataFrame:
     return series_df.join(F.broadcast(limits), "dataset").filter(
         F.col("time_step") <= F.col("x_limit")
     )
+
+
+SMOOTH_SCHEMA = (
+    "dataset string, slowstart double, x double, y double, smoothed boolean"
+)
+
+
+def smooth_series_distributed(series_df: DataFrame, metric: str = "cpu") -> DataFrame:
+    """Distributed smoothing fallback (SURVEY §2.10): one grouped-map
+    ``applyInPandas`` per (dataset, slowstart) series. Uses the same
+    cubic spline as the driver path when scipy exists, else a centered
+    3-point moving average — deterministic either way. Each group is
+    one chart series (<= a few thousand points), so group memory is
+    trivial; the win over the driver path is N series smoothed in
+    parallel with no collect."""
+    import pandas as pd
+
+    value_col = f"avg_{metric}"
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("time_step")
+        xs = pdf["time_step"].to_numpy(dtype=float)
+        ys = pdf[value_col].to_numpy(dtype=float)
+        ds = pdf["dataset"].iloc[0]
+        ss = float(pdf["slowstart"].iloc[0])
+        if len(xs) > 10:
+            try:
+                import numpy as np
+                from scipy.interpolate import make_interp_spline
+
+                x_s = np.linspace(xs.min(), xs.max(), 300)
+                y_s = np.clip(make_interp_spline(xs, ys, k=3)(x_s), 0, 100)
+                return pd.DataFrame(
+                    {"dataset": ds, "slowstart": ss, "x": x_s, "y": y_s,
+                     "smoothed": True}
+                )
+            except Exception:
+                pass
+        if len(ys) >= 3:
+            import numpy as np
+
+            kernel = np.array([0.25, 0.5, 0.25])
+            mid = np.convolve(ys, kernel, mode="valid")
+            ys = np.concatenate([[ys[0]], mid, [ys[-1]]])
+            ys = np.clip(ys, 0, 100)
+            return pd.DataFrame(
+                {"dataset": ds, "slowstart": ss, "x": xs, "y": ys,
+                 "smoothed": True}
+            )
+        return pd.DataFrame(
+            {"dataset": ds, "slowstart": ss, "x": xs, "y": ys, "smoothed": False}
+        )
+
+    return series_df.groupBy("dataset", "slowstart").applyInPandas(
+        smooth, schema=SMOOTH_SCHEMA
+    )

@@ -283,3 +283,18 @@ def sweep_shuffle_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         return word_count(load_table(s, sf_dir, "documents"))
 
     return sweep_report(run_sweep(spark, job, values=[8, 32], runs_per_value=1))
+
+
+@register("log_chart_smoothed_cpu")
+def log_chart_smoothed_cpu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed chart smoothing (grouped-map applyInPandas per
+    series) over the truncated averaged CPU series — the scale path
+    for §2.10's driver-side spline."""
+    from mapreduce511_spark.plans.charts import (
+        smooth_series_distributed,
+        truncated_series,
+    )
+
+    lines = experiment_lines(spark, _tree(), "monitor.log")
+    series = truncated_series(averaged_series(parse_monitor_lines(lines), "cpu"))
+    return smooth_series_distributed(series.drop("x_limit"), "cpu")

@@ -184,3 +184,13 @@ def monitor_node_stats(lines: DataFrame) -> DataFrame:
         F.max("cpu").alias("max_cpu"),
         F.max("mem").alias("max_mem"),
     )
+
+
+def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id: at-least-once upstream
+    delivery becomes effectively-once downstream. The watermark bounds
+    the dedup state — ids older than the watermark are evicted, so
+    state is O(events per watermark window), not O(stream history)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -68,3 +68,16 @@ def test_log_phase_cpu_sane(spark):
     phases = {r["phase"] for r in df.select("phase").distinct().collect()}
     assert phases <= {"map", "shuffle", "reduce"}
     assert "map" in phases
+
+
+def test_smooth_series_distributed(spark, series):
+    from mapreduce511_spark.plans.charts import smooth_series_distributed
+
+    out = smooth_series_distributed(series, "cpu").cache()
+    # every (dataset, slowstart) series survives; values clipped
+    assert out.select("dataset", "slowstart").distinct().count() == 4
+    assert out.filter((F.col("y") < 0) | (F.col("y") > 100)).count() == 0
+    # moving average preserves endpoints
+    first = out.filter((F.col("dataset") == "A") & (F.col("slowstart") == 0.2)) \
+        .orderBy("x").first()
+    assert first["y"] == 50.0

@@ -91,3 +91,26 @@ def test_monitor_stream_matches_batch(spark, tmp_path):
     cols = ["node", "n_samples", "avg_cpu", "avg_mem", "max_cpu", "max_mem"]
     assert _as_sorted_rows(result, cols) == _as_sorted_rows(batch, cols)
     assert result.count() == 3  # 3 worker nodes in the reference cluster
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """Duplicate source files -> dropDuplicatesWithinWatermark restores
+    exactly the distinct event set."""
+    import shutil
+
+    from mapreduce511_spark.streaming import dedup_events
+
+    src = tmp_path / "dup_events"
+    prepare_events_dir(spark, SF_SMOKE, str(src / "a"))
+    shutil.copytree(src / "a", src / "b")  # exact duplicate batch
+    stream = spark.readStream.schema(
+        load_table(spark, SF_SMOKE, "events").schema
+    ).parquet(str(src / "*"))
+    result = run_available_now(
+        dedup_events(stream).groupBy("event_type").count(),
+        "dedup_test",
+        str(tmp_path / "ckpt4"),
+    )
+    batch = load_table(spark, SF_SMOKE, "events").groupBy("event_type").count()
+    cols = ["event_type", "count"]
+    assert _as_sorted_rows(result, cols) == _as_sorted_rows(batch, cols)
