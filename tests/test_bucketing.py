@@ -92,3 +92,20 @@ def test_unbucketed_join_does_shuffle(spark):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioning (the experiment-tree analog, SURVEY
+    §1.1): writing documents partitioned by lang lets a lang filter
+    prune directories at planning time — PartitionFilters, zero data
+    read from other partitions."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "lang" in pf, pf
+    en = docs.filter(F.col("lang") == "en").count()
+    assert back.count() == en
