@@ -124,3 +124,54 @@ def ivf_search(
             F.round("s", 4).alias("cos_sim"),
         )
     )
+
+
+def cosine_pairs_blocked(emb: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs cosine >= threshold via block-parallel numpy GEMM:
+    each Arrow batch of rows (a block of A) multiplies against the
+    broadcast corpus matrix (B) in one matmul — hundreds of times
+    faster than per-pair expression evaluation.
+
+    Here B is the whole corpus (collected once; fine to ~1M x 64 =
+    256 MB float32). At 100 TB both sides are blocked: cross-join the
+    two block-id sets, ship (block_a, block_b) pairs, matmul per pair
+    — the classic block nested loop with GEMM inner kernel.
+
+    Emits only the i < j upper triangle. Float association differs
+    from the sequential zip_with path, so boundary pairs within ~1e-12
+    of the threshold may differ from the exact variant — callers
+    needing oracle-exactness use ``embedding_near_dup``."""
+    import numpy as np
+    import pandas as pd
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    sc = emb.sparkSession.sparkContext
+    b_ids = sc.broadcast(ids)
+    b_unit = sc.broadcast(unit)
+
+    out_schema = "vec_a long, vec_b long, cos_sim double"
+
+    def block(it):
+        B_ids, B = b_ids.value, b_unit.value
+        for pdf in it:
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            A = np.array(list(pdf["embedding"]), dtype=np.float64)
+            a_norms = np.linalg.norm(A, axis=1)
+            a_norms[a_norms == 0] = 1.0
+            sims = (A / a_norms[:, None]) @ B.T  # block GEMM
+            ai, bj = np.nonzero(sims >= threshold)
+            keep = a_ids[ai] < B_ids[bj]  # upper triangle only
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai][keep],
+                    "vec_b": B_ids[bj][keep],
+                    "cos_sim": np.round(sims[ai, bj][keep], 4),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(block, schema=out_schema)

@@ -153,10 +153,23 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Quadratic by construction — at 100 TB this exact variant runs only
     inside LSH/IVF buckets (see ``ann_ivf_topk`` for the coarse
     quantizer shape); here it doubles as the oracle-checkable spec."""
+    from mapreduce511_spark.functions.vectors import dot, l2_norm
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    # precompute each vector's norm ONCE before pairing: the naive
+    # cosine-per-pair recomputes both norms for every pair (3 array
+    # passes/pair); with norms attached it's 1 dot per pair. Same
+    # doubles (norm is the same expression either way).
+    with_norm = emb.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+    a = with_norm.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = with_norm.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_sim_raw", cos)
@@ -434,3 +447,17 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
     )
     return ivf_search(emb, probes, centroids, nprobe=4, topk=_IVF_TOPK)
+
+
+@register("embedding_near_dup_blocked")
+def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-GEMM variant of embedding_near_dup (the compute scale
+    path: one numpy matmul per Arrow batch instead of per-pair
+    expression trees). Rows-only — float association near the
+    threshold can differ from the sequential oracle by 1 ulp;
+    tests/test_ann.py asserts set-equality against the exact query
+    away from the boundary."""
+    from mapreduce511_spark.operators.ann import cosine_pairs_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_blocked(emb, _COS_DUP_T)

@@ -111,3 +111,25 @@ def test_ann_lsh_is_sublinear_candidates(spark):
         .count()
     )
     assert cand < 0.8 * N_PROBES * n, f"{cand} candidates of {N_PROBES * n} possible"
+
+
+def test_blocked_pairs_match_exact(spark):
+    """GEMM-blocked all-pairs == expression-based exact pairs (modulo
+    pairs within 1e-9 of the threshold, where float association may
+    differ — none exist in this data)."""
+    from mapreduce511_spark.queries.similarity import (
+        embedding_near_dup,
+        embedding_near_dup_blocked,
+    )
+
+    exact = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in embedding_near_dup(spark, SF_CHECK).collect()
+    }
+    blocked = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in embedding_near_dup_blocked(spark, SF_CHECK).collect()
+    }
+    assert set(exact) == set(blocked)
+    for k in exact:
+        assert abs(exact[k] - blocked[k]) <= 1e-4, k
