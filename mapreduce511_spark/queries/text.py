@@ -476,3 +476,101 @@ def approx_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("w").alias("exact_distinct"),
         F.approx_count_distinct("w", 0.01).alias("approx_distinct"),
     )
+
+
+@register(
+    "repetition_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
+    ), pos AS (
+        SELECT doc_id, unnest(tokens) AS w, unnest(range(len(tokens))) AS p
+        FROM toks
+    ), tri AS (
+        SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+        FROM pos a
+        JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        JOIN pos c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+    ), stats AS (
+        SELECT doc_id, count(*) AS n_tri, count(DISTINCT g) AS n_uniq
+        FROM tri GROUP BY doc_id
+    )
+    SELECT doc_id,
+           round((n_tri - n_uniq) * 10000.0 / n_tri) / 10000
+               AS dup_trigram_frac
+    FROM stats
+    WHERE n_tri > 0
+    """,
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: fraction of word
+    trigrams that are duplicates within the document. Per-doc array
+    expressions only (n-grams built in-row, distinct via
+    array_distinct) — zero shuffles before the final projection.
+    Scale-before-divide rounding (see sessionize_events)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("toks"))
+    grams = toks.select(
+        "doc_id", word_ngrams(F.col("toks"), 3).alias("grams")
+    ).select(
+        "doc_id",
+        F.size("grams").alias("n_tri"),
+        F.size(F.array_distinct("grams")).alias("n_uniq"),
+    )
+    return grams.filter(F.col("n_tri") > 0).select(
+        "doc_id",
+        (
+            F.round((F.col("n_tri") - F.col("n_uniq")) * 10000.0 / F.col("n_tri"))
+            / 10000
+        ).alias("dup_trigram_frac"),
+    )
+
+
+# Probe n-grams for contamination screening (stand-ins for benchmark
+# strings; frozen, shared with the oracle).
+_CONTAMINATION_PROBES = (
+    "the small table",
+    "spark join stream",
+    "window merge spark",
+    "batch window vector",
+)
+
+
+@register(
+    "contamination_screen",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
+    ), pos AS (
+        SELECT doc_id, unnest(tokens) AS w, unnest(range(len(tokens))) AS p
+        FROM toks
+    ), tri AS (
+        SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+        FROM pos a
+        JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        JOIN pos c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+    )
+    SELECT g AS probe, count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM tri
+    WHERE g IN {_CONTAMINATION_PROBES!r}
+    GROUP BY g
+    """,
+)
+def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screening: which probe n-grams (e.g.
+    eval-set strings) appear in the corpus, in how many documents.
+    The probe set is a broadcast IN-filter applied right after the
+    in-row n-gram build — the corpus is scanned once, nothing but
+    matches shuffles. At 100 TB with millions of probes this becomes
+    a broadcast hash semi-join against a probe table."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col("toks"), 3))).alias("g"),
+    )
+    return (
+        grams.filter(F.col("g").isin(*_CONTAMINATION_PROBES))
+        .groupBy(F.col("g").alias("probe"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
