@@ -57,6 +57,7 @@ def _load() -> None:
         multimodal,
         relational,
         similarity,
+        sqlapi,
         text,
     )
 
