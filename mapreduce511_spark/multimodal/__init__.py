@@ -182,3 +182,36 @@ def sample_frames(media_df: DataFrame, every_n: int = 4) -> DataFrame:
     return media_df.select("doc_id", "content").mapInPandas(
         batches, schema=FRAME_SCHEMA
     )
+
+
+def resize_assets(media_df: DataFrame, factor: int = 2) -> DataFrame:
+    """Resize stub (the image-resize slot of the pipeline): the fake
+    codec downsamples payload bytes by ``factor`` and halves the
+    metadata dimensions accordingly — same mapInPandas shape a real
+    resampler (PIL/cv2) drops into, with metadata kept consistent."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("media", MEDIA_META),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload, media in zip(
+                pdf["doc_id"], pdf["content"], pdf["media"]
+            ):
+                arr = np.frombuffer(payload, dtype=np.uint8)[::factor]
+                meta = dict(media)
+                meta["width"] = max(int(meta["width"]) // factor, 1)
+                meta["height"] = max(int(meta["height"]) // factor, 1)
+                rows.append((int(doc_id), arr.tobytes(), meta))
+            yield pd.DataFrame(rows, columns=["doc_id", "content", "media"])
+
+    return media_df.select("doc_id", "content", "media").mapInPandas(
+        batches, schema=out_schema
+    )

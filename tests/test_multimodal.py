@@ -55,3 +55,23 @@ def test_frame_sampling_shape(spark, media):
     assert frames.select("doc_id").distinct().count() == media.count()
     assert frames.filter(F.col("frame_idx") % 4 != 0).count() == 0
     assert frames.filter(F.length("frame") > 64).count() == 0
+
+
+def test_resize_halves_bytes_and_dims(spark, media):
+    from mapreduce511_spark.multimodal import resize_assets
+
+    small = resize_assets(media, factor=2)
+    j = (
+        media.select("doc_id", F.length("content").alias("n0"),
+                     F.col("media.width").alias("w0"))
+        .join(
+            small.select("doc_id", F.length("content").alias("n1"),
+                         F.col("media.width").alias("w1")),
+            "doc_id",
+        )
+    )
+    # ceil(n0/2) bytes after [::2]
+    assert j.filter(F.col("n1") != F.ceil(F.col("n0") / 2)).count() == 0
+    assert j.filter(
+        (F.col("w1") != F.greatest(F.floor(F.col("w0") / 2), F.lit(1)))
+    ).count() == 0
