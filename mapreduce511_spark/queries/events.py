@@ -254,3 +254,33 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "n_events", "session_value")
     )
+
+
+@register(
+    "sliding_event_counts",
+    oracle="""
+    SELECT window_start, event_type, count(*) AS n_events
+    FROM (
+        SELECT unnest([date_trunc('hour', ts),
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+               event_type
+        FROM events
+    )
+    GROUP BY window_start, event_type
+    """,
+)
+def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h duration, 1h slide): each event lands in two
+    overlapping windows. The oracle derives the same assignment from
+    first principles (every event's two covering window starts) —
+    cross-validating Spark's sliding ``F.window`` expansion."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
