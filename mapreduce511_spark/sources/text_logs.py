@@ -6,13 +6,18 @@ count of ``----`` separator lines assigns each sample its cycle index:
 does not expose a line number and parallel reads do not promise order,
 so we attach a per-file line number explicitly:
 
-- ``monotonically_increasing_id()`` is strictly ascending *within* a
-  partition, and the text source emits each file split's lines in file
-  order — so ordering by it inside a per-file window reconstructs line
-  numbers exactly **while each file is a single split**.
-- Log files here are KB-sized; we still enforce the single-split
-  assumption by reading with a ``maxPartitionBytes`` large enough that
-  no log file is split, and tests cover multi-file globs.
+- ``monotonically_increasing_id()`` is ``(partition_index << 33) +
+  row_in_partition`` — strictly ascending within a partition, and the
+  text source emits a file split's lines in file order, so ordering by
+  it inside a per-file window reconstructs line numbers exactly
+  **while each file is a single split**.
+- That holds iff every file fits ``spark.sql.files.maxPartitionBytes``
+  (files smaller than the threshold are never split; several small
+  files packed into one partition keep their internal order). This is
+  a SESSION conf — it cannot be set per-read — so instead of
+  pretending to override it we CHECK it: when concrete paths are
+  given, any file larger than the threshold raises with remediation
+  instead of silently mis-numbering lines.
 
 This is the only place the engine needs order-sensitive input; all
 downstream operators consume the explicit ``line_no`` column.
@@ -20,14 +25,24 @@ downstream operators consume the explicit ``line_no`` column.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-# 1 GiB: far above any log file in the experiment tree, so each file is
-# one split and intra-file order is preserved. For truly huge ordered
-# files, switch to a byte-offset-aware source instead of raising this.
-_ONE_SPLIT_BYTES = str(1024 * 1024 * 1024)
+_DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    raw = spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", str(_DEFAULT_MAX_PARTITION_BYTES)
+    )
+    digits = "".join(ch for ch in str(raw) if ch.isdigit())
+    scale = {"k": 1024, "m": 1024**2, "g": 1024**3}.get(
+        str(raw).rstrip("bB")[-1:].lower(), 1
+    )
+    return int(digits) * scale if digits else _DEFAULT_MAX_PARTITION_BYTES
 
 
 def read_text_ordered(
@@ -39,10 +54,29 @@ def read_text_ordered(
 
     ``line_no`` is 0-based within each file, reconstructing the
     sequential read the reference performs single-threaded. Scales to
-    many files (one task per file), not to one giant file — the
+    many files (parallel across files), not to one giant file — the
     experiment tree is many small logs (SURVEY.md §4.3 option 1).
+
+    Raises for any concrete input file bigger than
+    ``spark.sql.files.maxPartitionBytes`` (it would be split and its
+    line numbering silently corrupted; raise the conf or pre-chunk the
+    file at line boundaries instead).
     """
-    reader = spark.read.option("maxPartitionBytes", _ONE_SPLIT_BYTES)
+    if isinstance(path, list):
+        limit = _max_partition_bytes(spark)
+        for p in path:
+            try:
+                size = os.path.getsize(p)
+            except OSError:
+                continue  # non-local path (hdfs/s3) — caller's contract
+            if size > limit:
+                raise ValueError(
+                    f"{p} is {size} bytes > spark.sql.files.maxPartitionBytes"
+                    f"={limit}: the file would be split and ordered line "
+                    "numbering breaks. Raise the conf for this session or "
+                    "pre-chunk the log at line boundaries."
+                )
+    reader = spark.read
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
     df = reader.text(path)

@@ -170,3 +170,30 @@ def test_sweep_harness_wordcount(spark):
     rep = sweep_report(results).collect()
     assert len(rep) == 2
     assert sum(1 for r in rep if r["is_best"]) >= 1
+
+
+def test_read_text_ordered_rejects_oversized_file(spark, tmp_path, monkeypatch):
+    """A file larger than maxPartitionBytes would be split and its
+    line numbering silently corrupted — must raise instead."""
+    import pytest
+
+    from mapreduce511_spark.sources import text_logs
+
+    big = tmp_path / "big.log"
+    big.write_text("x\n" * 10)
+    monkeypatch.setattr(text_logs, "_max_partition_bytes", lambda s: 5)
+    with pytest.raises(ValueError, match="maxPartitionBytes"):
+        text_logs.read_text_ordered(spark, [str(big)])
+
+
+def test_read_text_ordered_line_numbers(spark, tmp_path):
+    a = tmp_path / "a.log"; a.write_text("l0\nl1\nl2\n")
+    b = tmp_path / "b.log"; b.write_text("m0\nm1\n")
+    from mapreduce511_spark.sources.text_logs import read_text_ordered
+
+    rows = read_text_ordered(spark, [str(a), str(b)]).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.file.rsplit("/", 1)[-1], []).append((r.line_no, r.value))
+    assert sorted(by_file["a.log"]) == [(0, "l0"), (1, "l1"), (2, "l2")]
+    assert sorted(by_file["b.log"]) == [(0, "m0"), (1, "m1")]
