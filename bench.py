@@ -76,6 +76,31 @@ def main() -> None:
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - start, 3)
 
+    # derived throughput for the BASELINE.md comparison: the reference
+    # does 16.2M tokens in 129.39 s (~125k tokens/s cluster-wide,
+    # README.md:270-272 + job_output.log:98) — report ours on the same
+    # axis using the measured wordcount wall time.
+    import pyspark.sql.functions as F
+
+    from mapreduce511_spark.functions.text import tokenize
+
+    n_tokens = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.sum(F.size(tokenize("text"))))
+        .first()[0]
+    )
+    # steady-state wordcount run (the suite's first-run number carries
+    # one-off codegen/Python-worker spin-up that dwarfs tiny corpora)
+    start = time.perf_counter()
+    registry["wordcount"](spark, sf_dir).count()
+    steady = time.perf_counter() - start
+    derived = {
+        "corpus_tokens": int(n_tokens),
+        "wordcount_steady_s": round(steady, 3),
+        "wordcount_tokens_per_s": int(n_tokens / steady),
+        "reference_tokens_per_s": 125_000,
+    }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -84,6 +109,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "derived": derived,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
