@@ -48,6 +48,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Broadcast joins for dimension tables up to 64 MB.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Runtime bloom-filter join pruning (big-big joins where one
+        # side filters heavily — complements broadcast + AQE).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Keep scan partitions bounded so one file split fits memory.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
