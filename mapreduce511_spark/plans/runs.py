@@ -76,3 +76,23 @@ def experiment_lines(
         .withColumn("run_id", F.regexp_extract("file", _RUN_DIR, 1))
         .filter(F.col("dataset") != "")  # P5: skip non-standard folders
     )
+
+
+def write_partitioned_lines(lines: DataFrame, out_dir: str) -> None:
+    """100 TB posture for the experiment tree (SURVEY.md §7.4):
+    persist parsed log lines Hive-partitioned by (dataset, slowstart)
+    so per-config queries prune directories instead of scanning the
+    world. run_id stays a regular column (high cardinality; partition
+    dirs should stay coarse)."""
+    (
+        lines.write.mode("overwrite")
+        .partitionBy("dataset", "slowstart")
+        .parquet(out_dir)
+    )
+
+
+def read_partitioned_lines(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read back the partitioned tree; dataset/slowstart come from
+    directory names (partition discovery), enabling partition pruning
+    on config filters."""
+    return spark.read.parquet(out_dir)

@@ -298,3 +298,29 @@ def log_chart_smoothed_cpu(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = experiment_lines(spark, _tree(), "monitor.log")
     series = truncated_series(averaged_series(parse_monitor_lines(lines), "cpu"))
     return smooth_series_distributed(series.drop("x_limit"), "cpu")
+
+
+def _register_stage_wide(metric: str, direction: str) -> None:
+    name = f"log_report_{metric.split('_')[0]}_wide"
+
+    @register(name)
+    def _q(spark: SparkSession, sf_dir: str, _m=metric, _d=direction) -> DataFrame:
+        stg = stage_metrics(
+            parse_progress_lines(experiment_lines(spark, _tree(), "job_output.log"))
+        )
+        return wide_report(stage_summary(stg), _m, _d)
+
+    _q.__doc__ = (
+        f"Wide pivot of {metric} with Best_SlowStart by {direction} "
+        f"(result_{metric.split('_')[0]}.csv analog; golden-compared in "
+        "tests/test_golden_replay.py)."
+    )
+
+
+for _metric, _direction in [
+    ("map_s", "min"),
+    ("shuffle_s", "min"),
+    ("reduce_s", "min"),
+    ("overlap_pct", "max"),
+]:
+    _register_stage_wide(_metric, _direction)

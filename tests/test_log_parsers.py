@@ -197,3 +197,29 @@ def test_read_text_ordered_line_numbers(spark, tmp_path):
         by_file.setdefault(r.file.rsplit("/", 1)[-1], []).append((r.line_no, r.value))
     assert sorted(by_file["a.log"]) == [(0, "l0"), (1, "l1"), (2, "l2")]
     assert sorted(by_file["b.log"]) == [(0, "m0"), (1, "m1")]
+
+
+def test_partitioned_experiment_tree_roundtrip(spark, tmp_path):
+    """Hive-partitioned persistence of the experiment tree: config
+    filters become PartitionFilters (pruned scan), data survives the
+    round trip."""
+    import pyspark.sql.functions as F
+
+    from mapreduce511_spark.plans.fixtures import build_fixture_tree
+    from mapreduce511_spark.plans.runs import (
+        experiment_lines,
+        read_partitioned_lines,
+        write_partitioned_lines,
+    )
+
+    tree = build_fixture_tree(str(tmp_path / "tree"))
+    lines = experiment_lines(spark, tree, "monitor.log")
+    out = str(tmp_path / "partitioned")
+    write_partitioned_lines(lines, out)
+    back = read_partitioned_lines(spark, out)
+    assert back.count() == lines.count()
+    one = back.filter(F.col("slowstart") == 0.2)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "slowstart" in pf, pf
+    assert one.count() == lines.filter(F.col("slowstart") == 0.2).count()
