@@ -126,14 +126,20 @@ def user_running_stats(events: DataFrame) -> DataFrame:
     )
 
 
-def run_available_now(stream_df: DataFrame, name: str, checkpoint: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, name: str, checkpoint: str, mode: str | None = None
+) -> DataFrame:
     """Drain a stream with the availableNow trigger into a memory sink
     and return the materialized result (test/driver helper — real
-    deployments use a durable sink + continuous trigger)."""
+    deployments use a durable sink + continuous trigger). ``mode``
+    overrides the sink output mode (needed for append-mode stateful
+    operators, whose mode can't be sniffed from the plan)."""
+    if mode is None:
+        mode = "update" if _is_update_only(stream_df) else "complete"
     query = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if not _is_update_only(stream_df) else "update")
+        .outputMode(mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
@@ -193,4 +199,94 @@ def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     state is O(events per watermark window), not O(stream history)."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
+    )
+
+
+_SESSION_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+SESSION_GAP_SECONDS = 1800
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming gap-sessionization with event-time timeouts: a
+    session CLOSES (and is emitted exactly once) when the watermark
+    passes its last event + gap. Open sessions live in per-user state;
+    closed state is freed by the timeout — the streaming twin of the
+    batch ``sessionize_events`` lag/running-sum query, with bounded
+    memory.
+
+    Within a micro-batch, gaps larger than the threshold close
+    sessions immediately; the trailing open session parks in state
+    with ``setTimeoutTimestamp(last_ts + gap)``."""
+    import datetime as dt
+
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    (
+                        key[0],
+                        dt.datetime.utcfromtimestamp(start_us / 1e6),
+                        dt.datetime.utcfromtimestamp(end_us / 1e6),
+                        n,
+                    )
+                ],
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+            return
+
+        ts_list: list[int] = []
+        for pdf in pdfs:
+            ts_list.extend(int(v.value) // 1000 for v in pdf["ts"])  # ns -> µs
+        ts_list.sort()
+        if state.exists:
+            start_us, end_us, n = state.get
+        else:
+            start_us, end_us, n = ts_list[0], ts_list[0], 0
+
+        closed: list[tuple] = []
+        for t in ts_list:
+            if t - end_us > gap_us:
+                closed.append((key[0],
+                               dt.datetime.utcfromtimestamp(start_us / 1e6),
+                               dt.datetime.utcfromtimestamp(end_us / 1e6), n))
+                start_us, n = t, 0
+            end_us = t
+            n += 1
+        state.update((start_us, end_us, n))
+        state.setTimeoutTimestamp((end_us + gap_us) // 1000)  # ms
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

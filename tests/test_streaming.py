@@ -114,3 +114,53 @@ def test_streaming_dedup(spark, tmp_path):
     batch = load_table(spark, SF_SMOKE, "events").groupBy("event_type").count()
     cols = ["event_type", "count"]
     assert _as_sorted_rows(result, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_sessionize_stream_emits_closed_sessions(spark, tmp_path):
+    """Event-time-timeout sessionization: in-batch gap closures must
+    match the batch sessionizer's sessions exactly for every emitted
+    session (the trailing open session per user stays in state)."""
+    from mapreduce511_spark.streaming import sessionize_stream
+
+    src = str(tmp_path / "sess_events")
+    prepare_events_dir(spark, SF_SMOKE, src)
+    stream = spark.readStream.schema(
+        load_table(spark, SF_SMOKE, "events").schema
+    ).parquet(src)
+    result = run_available_now(
+        sessionize_stream(stream),
+        "sessions_stream",
+        str(tmp_path / "ckpt5"),
+        mode="append",
+    ).collect()
+
+    # batch truth: same gap rule via lag/running-sum
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    gap = F.col("ts").cast("double") - prev.cast("double")
+    sessions = (
+        ev.withColumn(
+            "new_s", F.when(prev.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .withColumn("sid", F.sum("new_s").over(run))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    )
+    truth = {
+        (r.user_id, r.session_start, r.session_end, r.n_events) for r in sessions
+    }
+    emitted = {
+        (r.user_id, r.session_start, r.session_end, r.n_events) for r in result
+    }
+    assert emitted, "no sessions closed in-batch (data should have gaps)"
+    missing = emitted - truth
+    assert not missing, f"stream emitted sessions not in batch truth: {list(missing)[:3]}"
