@@ -46,7 +46,11 @@ HEADLINE = [
     "tfidf_top_terms",
     "multimodal_features",
     "q6_forecast_revenue",
+    "q10_returned_items",
     "cube_order_stats",
+    "session_window_stats",
+    "sliding_event_counts",
+    "sql_q1_passthrough",
     "log_result_raw",
 ]
 
