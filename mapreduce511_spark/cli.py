@@ -147,7 +147,10 @@ def main(argv: list[str] | None = None) -> int:
     wc.add_argument("--output", required=True)
     wc.add_argument("--format", choices=["text", "parquet"], default="text")
     wc.add_argument("--text-column", default="text")
-    wc.add_argument("--sorted", action="store_true", default=True)
+    wc.add_argument(
+        "--sorted", action=argparse.BooleanOptionalAction, default=True,
+        help="key-sort output like the reference reducer (--no-sorted to skip)",
+    )
     wc.add_argument("--output-files", type=int, default=1)
     wc.set_defaults(fn=cmd_wordcount)
 
