@@ -574,3 +574,42 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("g").alias("probe"))
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
     )
+
+
+@register(
+    "deterministic_split",
+    oracle="""
+    WITH h AS (
+        SELECT lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM h
+    GROUP BY lang, split
+    """,
+)
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test assignment from a content-
+    independent hash of the stable id (md5 % 100 buckets) — the
+    training-pipeline split primitive. Unlike randomSplit/sampleBy,
+    re-running on new hardware, a different partition layout, or a
+    grown corpus keeps every existing doc's assignment stable. Output
+    is the per-(lang, split) census."""
+    from mapreduce511_spark.operators.dedup import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash60(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
