@@ -48,11 +48,18 @@ def cmd_wordcount(args: argparse.Namespace) -> int:
         ).withColumnRenamed("value", "text")
     counts = word_count(docs)
     out = counts.orderBy("word") if args.sorted else counts
+    # Emit raw `word\tcount` lines like the reference reducer's
+    # TextOutputFormat — the text sink never CSV-quotes/escapes tokens
+    # containing quotes, unlike the csv writer with sep='\t'.
     (
-        out.coalesce(args.output_files)
+        out.select(
+            F.concat_ws("\t", F.col("word"), F.col("cnt").cast("string")).alias(
+                "value"
+            )
+        )
+        .coalesce(args.output_files)
         .write.mode("overwrite")
-        .option("sep", "\t")
-        .csv(args.output)
+        .text(args.output)
     )
     total = counts.agg(F.sum("cnt")).first()[0]
     print(f"wordcount: {counts.count()} distinct words, {total} tokens -> {args.output}")

@@ -42,10 +42,14 @@ def salted_join(
     are internal). Supported ``how``: inner / left."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
+    salt_col = "_salt"
+    taken = set(big.columns) | set(small.columns)
+    while salt_col in taken:  # never clobber a user column
+        salt_col += "_"
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salts))
-    big_s = big.withColumn("_salt", salt.cast("int"))
+    big_s = big.withColumn(salt_col, salt.cast("int"))
     small_s = small.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+        salt_col, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
-    joined = big_s.join(small_s, [on, "_salt"], how)
-    return joined.drop("_salt")
+    joined = big_s.join(small_s, [on, salt_col], how)
+    return joined.drop(salt_col)

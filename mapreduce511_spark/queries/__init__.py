@@ -32,14 +32,67 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# Names the per-round correctness driver should enumerate first.  The
+# round-1 driver sampled the first 50 dict entries, leaving the 30
+# below (incl. the flagship wordcount) without a CORRECTNESS row, so
+# rounds 2+ front-load previously-unchecked and newly-added queries;
+# already-green round-1 rows re-verify last.  Registration order is
+# otherwise preserved, and the set of names is identical either way.
+_ENUMERATE_FIRST: list[str] = [
+    # round-1 unchecked (tail of the r01 dict)
+    "wordcount",
+    "wordcount_top20",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q12_shipmode_priority",
+    "similarity_topk",
+    "embedding_centroids",
+    "nearest_neighbor_sample",
+    "embedding_near_dup",
+    "ann_ivf_topk",
+    "near_dup_jaccard",
+    "ann_lsh_topk",
+    "ann_ivf_kmeans_topk",
+    "embedding_near_dup_blocked",
+    "sql_q1_passthrough",
+    "sql_top_nations",
+    "sql_event_hours",
+    "token_stats_by_lang",
+    "doc_fingerprint",
+    "exact_dedup",
+    "quality_score",
+    "bigram_top20",
+    "stopword_ratio",
+    "language_id",
+    "token_count_bpe",
+    "tfidf_top_terms",
+    "approx_distinct_tokens",
+    "repetition_score",
+    "contamination_screen",
+    "deterministic_split",
+    # new in round 2
+    "q2_min_cost_supplier",
+    "q16_parts_supplier_counts",
+    "log_chart_smoothed_cpu",
+    "multimodal_decode_stats",
+    "wordcount_skewed",
+]
+
+
+def _ordered(d: dict) -> dict:
+    first = {n: d[n] for n in _ENUMERATE_FIRST if n in d}
+    rest = {n: v for n, v in d.items() if n not in first}
+    return {**first, **rest}
+
+
 def all_queries() -> dict[str, SparkQuery]:
     _load()
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
     _load()
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)
 
 
 _LOADED = False

@@ -107,19 +107,46 @@ TABLES: dict[str, T.StructType] = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one table; lazy, column-pruned and filter-pushed by Catalyst."""
+    """Read one table; lazy, column-pruned and filter-pushed by Catalyst.
+
+    The scan's resolved schema is asserted against the declared
+    StructType above so drift fails loudly at load time — this also
+    compensates for the session-wide ``nanosAsLong`` flag the events
+    loader needs (see ``_load_events``): any table whose int64-nanos
+    column would otherwise silently arrive as a long trips the
+    assertion instead.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
     if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _load_events(spark, sf_dir)
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # NTZ vs LTZ timestamps are interchangeable here (session tz is
+    # pinned UTC); everything else must match the declared contract.
+    def _norm(dt: T.DataType) -> str:
+        s = dt.simpleString()
+        return "timestamp" if s == "timestamp_ntz" else s
+
+    expected = {f.name: _norm(f.dataType) for f in TABLES[name].fields}
+    actual = {f.name: _norm(f.dataType) for f in df.schema.fields}
+    if actual != expected:
+        raise TypeError(
+            f"schema drift reading {name!r}: expected {expected}, got {actual}"
+        )
+    return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark
     refuses to read. Read it as epoch-nanos (nanosAsLong) and truncate
     to microseconds — the same ns→µs truncation DuckDB applies when it
-    loads the file, so downstream comparisons agree exactly."""
+    loads the file, so downstream comparisons agree exactly.
+
+    The conf cannot be restored after the read: Parquet scans consult
+    it again at action time, so flipping it back would break the lazy
+    DataFrame we just built. It stays set session-wide; ``load_table``'s
+    schema assertion keeps other nanos columns fail-loud regardless."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

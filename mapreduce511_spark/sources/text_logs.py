@@ -45,6 +45,33 @@ def _max_partition_bytes(spark: SparkSession) -> int:
     return int(digits) * scale if digits else _DEFAULT_MAX_PARTITION_BYTES
 
 
+def _concrete_local_files(path: str | list[str], recursive: bool) -> list[str]:
+    """Expand the reader input to concrete local files so the
+    one-split-per-file size guard covers every shape of input —
+    explicit lists, a single file path, and directory scans (with or
+    without recursiveFileLookup). Non-local URIs (hdfs://, s3a://…)
+    are returned as-is and skipped by the caller's getsize probe."""
+    paths = path if isinstance(path, list) else [path]
+    out: list[str] = []
+    for p in paths:
+        local = p[7:] if p.startswith("file://") else p
+        if "://" in local:
+            out.append(p)  # remote scheme — caller's contract
+        elif os.path.isdir(local):
+            if recursive:
+                for root, _dirs, files in os.walk(local):
+                    out.extend(os.path.join(root, f) for f in files)
+            else:
+                out.extend(
+                    fp
+                    for f in os.listdir(local)
+                    if os.path.isfile(fp := os.path.join(local, f))
+                )
+        else:
+            out.append(local)
+    return out
+
+
 def read_text_ordered(
     spark: SparkSession,
     path: str | list[str],
@@ -62,20 +89,19 @@ def read_text_ordered(
     line numbering silently corrupted; raise the conf or pre-chunk the
     file at line boundaries instead).
     """
-    if isinstance(path, list):
-        limit = _max_partition_bytes(spark)
-        for p in path:
-            try:
-                size = os.path.getsize(p)
-            except OSError:
-                continue  # non-local path (hdfs/s3) — caller's contract
-            if size > limit:
-                raise ValueError(
-                    f"{p} is {size} bytes > spark.sql.files.maxPartitionBytes"
-                    f"={limit}: the file would be split and ordered line "
-                    "numbering breaks. Raise the conf for this session or "
-                    "pre-chunk the log at line boundaries."
-                )
+    limit = _max_partition_bytes(spark)
+    for p in _concrete_local_files(path, recursive):
+        try:
+            size = os.path.getsize(p)
+        except OSError:
+            continue  # non-local path (hdfs/s3) — caller's contract
+        if size > limit:
+            raise ValueError(
+                f"{p} is {size} bytes > spark.sql.files.maxPartitionBytes"
+                f"={limit}: the file would be split and ordered line "
+                "numbering breaks. Raise the conf for this session or "
+                "pre-chunk the log at line boundaries."
+            )
     reader = spark.read
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
