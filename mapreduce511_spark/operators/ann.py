@@ -126,21 +126,93 @@ def ivf_search(
     )
 
 
-def cosine_pairs_blocked(emb: DataFrame, threshold: float) -> DataFrame:
-    """All-pairs cosine >= threshold via block-parallel numpy GEMM:
-    each Arrow batch of rows (a block of A) multiplies against the
-    broadcast corpus matrix (B) in one matmul — hundreds of times
-    faster than per-pair expression evaluation.
+def cosine_pairs_blocked(
+    emb: DataFrame, threshold: float, n_blocks: int = 8
+) -> DataFrame:
+    """All-pairs cosine >= threshold via both-sides-blocked numpy GEMM
+    — the 100 TB-shaped path; nothing ever collects to the driver.
 
-    Here B is the whole corpus (collected once; fine to ~1M x 64 =
-    256 MB float32). At 100 TB both sides are blocked: cross-join the
-    two block-id sets, ship (block_a, block_b) pairs, matmul per pair
-    — the classic block nested loop with GEMM inner kernel.
+    Rows are hashed into ``n_blocks`` blocks; a tiny broadcast partner
+    table replicates each row into every unordered block pair it
+    belongs to (n_blocks copies per row); one shuffle co-locates each
+    (block_a, block_b) group, whose task builds the two sub-matrices
+    and runs one matmul. Per-task memory is O(2·(N/n_blocks)·dim) —
+    size ``n_blocks`` ≈ sqrt(N·dim·8 / task_budget_bytes) so a block
+    pair fits an executor; shuffle volume is n_blocks× the corpus,
+    the classic block-nested-loop trade.
 
-    Emits only the i < j upper triangle. Float association differs
-    from the sequential zip_with path, so boundary pairs within ~1e-12
-    of the threshold may differ from the exact variant — callers
-    needing oracle-exactness use ``embedding_near_dup``."""
+    Emits each qualifying unordered pair once as (vec_a < vec_b).
+    Float association differs from the sequential zip_with path, so
+    boundary pairs within ~1e-12 of the threshold may differ from the
+    exact variant — callers needing oracle-exactness use
+    ``embedding_near_dup``."""
+    import pandas as pd
+
+    spark = emb.sparkSession
+    partners = spark.createDataFrame(
+        [
+            (b, min(b, x), max(b, x))
+            for b in range(n_blocks)
+            for x in range(n_blocks)
+        ],
+        ["blk", "pa", "pb"],
+    ).dropDuplicates()
+    tagged = emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    grouped = tagged.join(F.broadcast(partners), "blk")
+
+    out_schema = "vec_a long, vec_b long, cos_sim double"
+
+    def gemm_pair(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pa, pb = key
+        a_pdf = pdf[pdf["blk"] == pa]
+        b_pdf = pdf[pdf["blk"] == pb]
+
+        def unit(frame):
+            ids = frame["vec_id"].to_numpy(dtype=np.int64)
+            m = np.array(list(frame["embedding"]), dtype=np.float64)
+            if m.size == 0:
+                return ids, m.reshape(0, 0)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            return ids, m / norms[:, None]
+
+        a_ids, A = unit(a_pdf)
+        b_ids, B = unit(b_pdf)
+        if len(a_ids) == 0 or len(b_ids) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+        sims = A @ B.T
+        ai, bj = np.nonzero(sims >= threshold)
+        lo = np.minimum(a_ids[ai], b_ids[bj])
+        hi = np.maximum(a_ids[ai], b_ids[bj])
+        # pa == pb: the full matrix holds both orientations (and the
+        # diagonal) — keep the strict upper triangle only. pa < pb:
+        # every cross pair appears exactly once; keep them all and
+        # orient as (lo, hi).
+        keep = (a_ids[ai] < b_ids[bj]) if pa == pb else (a_ids[ai] != b_ids[bj])
+        return pd.DataFrame(
+            {
+                "vec_a": lo[keep],
+                "vec_b": hi[keep],
+                "cos_sim": np.round(sims[ai, bj][keep], 4),
+            }
+        )
+
+    return grouped.groupBy("pa", "pb").applyInPandas(gemm_pair, schema=out_schema)
+
+
+def cosine_pairs_broadcast(emb: DataFrame, threshold: float) -> DataFrame:
+    """corpus_fits_driver fast path of :func:`cosine_pairs_blocked`:
+    collect + broadcast the whole corpus as matrix B, then each Arrow
+    batch of A-rows is one GEMM against it. One scan, zero shuffle —
+    the right plan while B fits comfortably on the driver and
+    executors (~1M x 64 float64 = 512 MB). Beyond that, use
+    ``cosine_pairs_blocked``."""
     import numpy as np
     import pandas as pd
 

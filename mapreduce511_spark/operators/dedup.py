@@ -22,9 +22,11 @@ Everything is deterministic and JVM-side:
 100 TB posture: the band-bucket self-join shuffles only (doc_id,
 band, sig) rows — 4 small rows per document — and hot buckets (all
 docs sharing a band signature) are real duplicates by construction, so
-bucket skew == duplicate skew; cap pathological buckets with a
-group-size limit before pairing if a corpus has thousand-way dup
-classes.
+bucket skew == duplicate skew. Pathological thousand-way duplicate
+classes are handled by ``band_candidates(max_bucket=...)``: each
+bucket keeps its ``max_bucket`` lowest doc_ids before pairing
+(O(cap²) pairs per bucket), with ``band_bucket_stats`` reporting how
+many buckets were capped.
 """
 
 from __future__ import annotations
@@ -124,10 +126,40 @@ def minhash_bands(signatures_wide: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 
-def band_candidates(bands: DataFrame) -> DataFrame:
+def band_bucket_stats(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """Per-(band, sig) bucket sizes with a ``capped`` flag — the
+    observability companion to ``band_candidates(max_bucket=...)``:
+    ``df.filter("capped").count()`` is the capped-buckets metric, and
+    the size histogram tells you whether a corpus has pathological
+    duplicate classes before you pay for pairing."""
+    return bands.groupBy("band", "sig").agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*") > max_bucket).alias("capped"),
+    )
+
+
+def band_candidates(bands: DataFrame, max_bucket: int | None = None) -> DataFrame:
     """Distinct (doc_a, doc_b) pairs sharing >=1 band signature — the
     LSH candidate set. Self-equi-join on (band, sig); never a cross
-    join."""
+    join.
+
+    ``max_bucket`` caps hot buckets: every bucket keeps only its
+    ``max_bucket`` lowest doc_ids (deterministic survivors) before
+    pairing, so a thousand-way duplicate class costs O(max_bucket²)
+    candidate pairs instead of O(n²). Docs in one bucket are near-dups
+    of each other by construction, so the capped clique still
+    represents the class (connected-component dedup recovers the rest
+    transitively); buckets at or under the cap are untouched. Use
+    ``band_bucket_stats`` for the capped-buckets metric."""
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "sig").orderBy("doc_id")
+        bands = (
+            bands.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (

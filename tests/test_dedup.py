@@ -77,3 +77,50 @@ def test_simhash_identical_docs_identical_fingerprint(spark, docs):
     )
     bad = groups.filter("n_fp > 1").count()
     assert bad == 0
+
+
+def test_hot_bucket_cap_bounds_candidates(spark, docs):
+    """A synthetic 1000-way duplicate class: uncapped banding would
+    emit C(1000,2) ≈ 500k pairs; with max_bucket=20 the class costs
+    at most C(20,2) per band, while pairs among normal (sub-cap)
+    buckets are exactly the pairs the uncapped path finds."""
+    from pyspark.sql import functions as F
+
+    from mapreduce511_spark.operators.dedup import (
+        band_bucket_stats,
+        band_candidates,
+        doc_shingles,
+        minhash_bands,
+        minhash_signatures_wide,
+    )
+
+    clones = spark.range(1000).select(
+        (F.col("id") + 5_000_000).alias("doc_id"),
+        F.lit(
+            "the quick brown fox jumps over the lazy dog again and again "
+            "every single day of the verification week"
+        ).alias("text"),
+    )
+    base = docs.select("doc_id", "text")
+    bands = minhash_bands(
+        minhash_signatures_wide(doc_shingles(base.unionByName(clones)))
+    )
+
+    cap = 20
+    capped = band_candidates(bands, max_bucket=cap)
+    clone_pairs = capped.filter(F.col("doc_a") >= 5_000_000)
+    n_bands = 4
+    assert clone_pairs.count() <= n_bands * cap * (cap - 1) // 2
+    # normal pairs (both below the synthetic range) are unchanged:
+    # every uncapped pair among sub-cap buckets survives capping
+    uncapped_normal = {
+        (r.doc_a, r.doc_b)
+        for r in band_candidates(bands).filter(F.col("doc_b") < 5_000_000).collect()
+    }
+    capped_normal = {
+        (r.doc_a, r.doc_b)
+        for r in capped.filter(F.col("doc_b") < 5_000_000).collect()
+    }
+    assert uncapped_normal == capped_normal
+    stats = band_bucket_stats(bands, cap)
+    assert stats.filter("capped").count() >= n_bands  # the clone bucket per band
