@@ -5,8 +5,10 @@ milestone M5). Reference: ``analyze_cpu_slowstart.py:22-38,41-121``
 Everything distributed happens upstream (the averaged series is a few
 thousand rows); this module is deliberately driver-side on the
 collected aggregate, exactly like the reference (SURVEY.md §2.10).
-scipy/matplotlib are optional — prep degrades to raw points without
-scipy, rendering is skipped without matplotlib.
+No required plotting deps: spline smoothing is the pure-numpy
+not-a-knot solver (functions/spline.py, scipy-parity), and rendering
+falls back to a deterministic pure-Python SVG sink when matplotlib is
+absent — ``figure_spec`` is the shared contract both renderers draw.
 """
 
 from __future__ import annotations
@@ -63,18 +65,52 @@ def prepare_chart_series(series_df: DataFrame, metric: str = "cpu") -> dict[str,
 
 
 def _smooth(ds: str, ss: float, xs: list[float], ys: list[float]) -> Series:
+    """P7: cubic-spline 300-pt resample + clip when >10 points — the
+    reference's ``make_interp_spline(k=3)`` recipe, reproduced by the
+    pure-numpy not-a-knot solver (no scipy needed; values match scipy
+    to float round-off, see tests/test_spline.py)."""
     if len(xs) > 10:
         try:
-            import numpy as np
-            from scipy.interpolate import make_interp_spline
+            from mapreduce511_spark.functions.spline import smooth_resample
 
-            x_smooth = np.linspace(min(xs), max(xs), 300)
-            spline = make_interp_spline(np.array(xs), np.array(ys), k=3)
-            y_smooth = np.clip(spline(x_smooth), 0, 100)
+            x_smooth, y_smooth = smooth_resample(xs, ys)
             return Series(ds, ss, x_smooth.tolist(), y_smooth.tolist(), True)
         except Exception:
             pass
     return Series(ds, ss, xs, ys, False)
+
+
+SERIES_COLORS = ["#4C72B0", "#DD8452", "#55A868", "#C44E52"]
+
+
+def figure_spec(
+    prepared: dict[str, list[Series]], metric: str = "cpu"
+) -> dict[str, dict]:
+    """The complete figure description both renderers draw from — one
+    dict per dataset with title/axis labels, y-limits, and per-series
+    label/color/points. Testable without any plotting library, this is
+    the S8 contract: a render is correct iff it draws exactly this
+    spec (tests/test_chart_phase_ops.py asserts the spec itself; the
+    SVG sink below materializes it deterministically)."""
+    out: dict[str, dict] = {}
+    for ds, series_list in prepared.items():
+        out[ds] = {
+            "title": f"{ds} cluster {metric.upper()} (multi-run average)",
+            "xlabel": "cycle index",
+            "ylabel": f"avg {metric.upper()} (%)",
+            "ylim": (0.0, 105.0),
+            "series": [
+                {
+                    "label": f"slowstart={s.slowstart}",
+                    "color": SERIES_COLORS[i % len(SERIES_COLORS)],
+                    "x": list(s.x),
+                    "y": list(s.y),
+                    "smoothed": s.smoothed,
+                }
+                for i, s in enumerate(series_list)
+            ],
+        }
+    return out
 
 
 def render_charts(
@@ -82,35 +118,139 @@ def render_charts(
     output_dir: str,
     metric: str = "cpu",
 ) -> list[str]:
-    """PNG per dataset (S8). Shape parity with the reference's
-    ``Averaged_*_Charts`` (300 dpi, per-ss lines); pixel parity is a
-    non-goal (SURVEY.md §7)."""
+    """PNG per dataset (S8) via matplotlib when available, else the
+    dependency-free SVG sink — one chart file per dataset is produced
+    either way. Shape parity with the reference's
+    ``Averaged_*_Charts`` (per-ss lines); pixel parity is a non-goal
+    (SURVEY.md §7)."""
+    specs = figure_spec(prepared, metric)
     try:
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
     except Exception:
-        return []
+        return render_charts_svg(prepared, output_dir, metric)
 
     os.makedirs(output_dir, exist_ok=True)
-    colors = ["#4C72B0", "#DD8452", "#55A868", "#C44E52"]
     written = []
-    for ds, series_list in prepared.items():
+    for ds, spec in specs.items():
         plt.figure(figsize=(12, 7), dpi=150)
-        for i, s in enumerate(series_list):
-            plt.plot(
-                s.x, s.y, label=f"slowstart={s.slowstart}", color=colors[i % 4]
-            )
-            plt.fill_between(s.x, s.y, alpha=0.12, color=colors[i % 4])
-        plt.title(f"{ds} cluster {metric.upper()} (multi-run average)")
-        plt.xlabel("cycle index")
-        plt.ylabel(f"avg {metric.upper()} (%)")
+        for s in spec["series"]:
+            plt.plot(s["x"], s["y"], label=s["label"], color=s["color"])
+            plt.fill_between(s["x"], s["y"], alpha=0.12, color=s["color"])
+        plt.title(spec["title"])
+        plt.xlabel(spec["xlabel"])
+        plt.ylabel(spec["ylabel"])
         plt.legend()
-        plt.ylim(0, 105)
+        plt.ylim(*spec["ylim"])
         path = os.path.join(output_dir, f"averaged_{metric}_{ds}.png")
         plt.savefig(path, bbox_inches="tight")
         plt.close()
+        written.append(path)
+    return written
+
+
+_SVG_W, _SVG_H = 960, 560
+_MARGIN_L, _MARGIN_R, _MARGIN_T, _MARGIN_B = 70, 30, 50, 60
+
+
+def render_charts_svg(
+    prepared: dict[str, list[Series]],
+    output_dir: str,
+    metric: str = "cpu",
+) -> list[str]:
+    """Dependency-free SVG chart sink (S8 proof path): materializes
+    ``figure_spec`` as deterministic, byte-stable SVG — axes, ticks,
+    one polyline + translucent area fill per slowstart series, legend.
+    Good enough to read the same story as the reference's PNGs, and
+    runnable in any environment."""
+    specs = figure_spec(prepared, metric)
+    os.makedirs(output_dir, exist_ok=True)
+    plot_w = _SVG_W - _MARGIN_L - _MARGIN_R
+    plot_h = _SVG_H - _MARGIN_T - _MARGIN_B
+    written = []
+    for ds, spec in specs.items():
+        xs_all = [x for s in spec["series"] for x in s["x"]]
+        if not xs_all:
+            continue
+        x_min, x_max = min(xs_all), max(xs_all)
+        x_span = (x_max - x_min) or 1.0
+        y_lo, y_hi = spec["ylim"]
+
+        def sx(x: float) -> float:
+            return _MARGIN_L + (x - x_min) / x_span * plot_w
+
+        def sy(y: float) -> float:
+            return _MARGIN_T + (y_hi - y) / (y_hi - y_lo) * plot_h
+
+        parts = [
+            f'<svg xmlns="http://www.w3.org/2000/svg" width="{_SVG_W}" '
+            f'height="{_SVG_H}" viewBox="0 0 {_SVG_W} {_SVG_H}">',
+            f'<rect width="{_SVG_W}" height="{_SVG_H}" fill="white"/>',
+            f'<text x="{_SVG_W / 2:.1f}" y="28" text-anchor="middle" '
+            f'font-size="18" font-family="sans-serif">{spec["title"]}</text>',
+            # axes
+            f'<line x1="{_MARGIN_L}" y1="{_MARGIN_T}" x2="{_MARGIN_L}" '
+            f'y2="{_MARGIN_T + plot_h}" stroke="black"/>',
+            f'<line x1="{_MARGIN_L}" y1="{_MARGIN_T + plot_h}" '
+            f'x2="{_MARGIN_L + plot_w}" y2="{_MARGIN_T + plot_h}" stroke="black"/>',
+            f'<text x="{_MARGIN_L + plot_w / 2:.1f}" y="{_SVG_H - 14}" '
+            f'text-anchor="middle" font-size="13" font-family="sans-serif">'
+            f'{spec["xlabel"]}</text>',
+            f'<text x="18" y="{_MARGIN_T + plot_h / 2:.1f}" text-anchor="middle" '
+            f'font-size="13" font-family="sans-serif" '
+            f'transform="rotate(-90 18 {_MARGIN_T + plot_h / 2:.1f})">'
+            f'{spec["ylabel"]}</text>',
+        ]
+        for tick in range(0, 101, 20):  # y ticks at 0..100
+            ty = sy(float(tick))
+            parts.append(
+                f'<line x1="{_MARGIN_L - 4}" y1="{ty:.2f}" x2="{_MARGIN_L}" '
+                f'y2="{ty:.2f}" stroke="black"/>'
+                f'<text x="{_MARGIN_L - 8}" y="{ty + 4:.2f}" text-anchor="end" '
+                f'font-size="11" font-family="sans-serif">{tick}</text>'
+            )
+        n_xticks = 6
+        for i in range(n_xticks):
+            xv = x_min + x_span * i / (n_xticks - 1)
+            tx = sx(xv)
+            parts.append(
+                f'<line x1="{tx:.2f}" y1="{_MARGIN_T + plot_h}" x2="{tx:.2f}" '
+                f'y2="{_MARGIN_T + plot_h + 4}" stroke="black"/>'
+                f'<text x="{tx:.2f}" y="{_MARGIN_T + plot_h + 18}" '
+                f'text-anchor="middle" font-size="11" font-family="sans-serif">'
+                f"{xv:.0f}</text>"
+            )
+        base_y = sy(y_lo)
+        for s in spec["series"]:
+            pts = " ".join(
+                f"{sx(x):.2f},{sy(min(max(y, y_lo), y_hi)):.2f}"
+                for x, y in zip(s["x"], s["y"])
+            )
+            first_x, last_x = sx(s["x"][0]), sx(s["x"][-1])
+            parts.append(
+                f'<polygon points="{first_x:.2f},{base_y:.2f} {pts} '
+                f'{last_x:.2f},{base_y:.2f}" fill="{s["color"]}" '
+                'fill-opacity="0.12" stroke="none"/>'
+            )
+            parts.append(
+                f'<polyline points="{pts}" fill="none" stroke="{s["color"]}" '
+                'stroke-width="2"/>'
+            )
+        for i, s in enumerate(spec["series"]):  # legend
+            ly = _MARGIN_T + 12 + i * 18
+            lx = _MARGIN_L + plot_w - 150
+            parts.append(
+                f'<line x1="{lx}" y1="{ly}" x2="{lx + 24}" y2="{ly}" '
+                f'stroke="{s["color"]}" stroke-width="2"/>'
+                f'<text x="{lx + 30}" y="{ly + 4}" font-size="12" '
+                f'font-family="sans-serif">{s["label"]}</text>'
+            )
+        parts.append("</svg>")
+        path = os.path.join(output_dir, f"averaged_{metric}_{ds}.svg")
+        with open(path, "w") as fh:
+            fh.write("\n".join(parts))
         written.append(path)
     return written
 
@@ -148,13 +288,12 @@ SMOOTH_SCHEMA = (
 
 
 def smooth_series_distributed(series_df: DataFrame, metric: str = "cpu") -> DataFrame:
-    """Distributed smoothing fallback (SURVEY §2.10): one grouped-map
-    ``applyInPandas`` per (dataset, slowstart) series. Uses the same
-    cubic spline as the driver path when scipy exists, else a centered
-    3-point moving average — deterministic either way. Each group is
-    one chart series (<= a few thousand points), so group memory is
-    trivial; the win over the driver path is N series smoothed in
-    parallel with no collect."""
+    """Distributed smoothing (SURVEY §2.10): one grouped-map
+    ``applyInPandas`` per (dataset, slowstart) series, running the
+    same pure-numpy not-a-knot spline as the driver path (P7 parity,
+    no scipy). Each group is one chart series (<= a few thousand
+    points), so group memory is trivial; the win over the driver path
+    is N series smoothed in parallel with no collect."""
     import pandas as pd
 
     value_col = f"avg_{metric}"
@@ -166,27 +305,11 @@ def smooth_series_distributed(series_df: DataFrame, metric: str = "cpu") -> Data
         ds = pdf["dataset"].iloc[0]
         ss = float(pdf["slowstart"].iloc[0])
         if len(xs) > 10:
-            try:
-                import numpy as np
-                from scipy.interpolate import make_interp_spline
+            from mapreduce511_spark.functions.spline import smooth_resample
 
-                x_s = np.linspace(xs.min(), xs.max(), 300)
-                y_s = np.clip(make_interp_spline(xs, ys, k=3)(x_s), 0, 100)
-                return pd.DataFrame(
-                    {"dataset": ds, "slowstart": ss, "x": x_s, "y": y_s,
-                     "smoothed": True}
-                )
-            except Exception:
-                pass
-        if len(ys) >= 3:
-            import numpy as np
-
-            kernel = np.array([0.25, 0.5, 0.25])
-            mid = np.convolve(ys, kernel, mode="valid")
-            ys = np.concatenate([[ys[0]], mid, [ys[-1]]])
-            ys = np.clip(ys, 0, 100)
+            x_s, y_s = smooth_resample(xs, ys)
             return pd.DataFrame(
-                {"dataset": ds, "slowstart": ss, "x": xs, "y": ys,
+                {"dataset": ds, "slowstart": ss, "x": x_s, "y": y_s,
                  "smoothed": True}
             )
         return pd.DataFrame(

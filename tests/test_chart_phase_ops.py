@@ -81,3 +81,92 @@ def test_smooth_series_distributed(spark, series):
     first = out.filter((F.col("dataset") == "A") & (F.col("slowstart") == 0.2)) \
         .orderBy("x").first()
     assert first["y"] == 50.0
+
+
+def test_figure_spec_contract(spark):
+    """S8: the figure spec carries every visual element the reference
+    chart has — title/labels/ylim, one series per slowstart with the
+    fixed palette, truncation applied, 300-pt smoothing when >10 pts."""
+    from mapreduce511_spark.plans.charts import (
+        SERIES_COLORS,
+        figure_spec,
+        prepare_chart_series,
+    )
+    from mapreduce511_spark.plans.report import averaged_series
+    from mapreduce511_spark.plans.monitor import parse_monitor_lines
+    from mapreduce511_spark.plans.runs import experiment_lines
+
+    import os
+
+    tree = "/root/reference/MapReduceLog"
+    if not os.path.isdir(tree):
+        pytest.skip("reference tree not available")
+    avg = averaged_series(
+        parse_monitor_lines(experiment_lines(spark, tree, "monitor.log")), "cpu"
+    )
+    prepared = prepare_chart_series(avg, "cpu")
+    specs = figure_spec(prepared, "cpu")
+    assert specs  # at least one dataset
+    for ds, spec in specs.items():
+        assert spec["title"] == f"{ds} cluster CPU (multi-run average)"
+        assert spec["ylabel"] == "avg CPU (%)"
+        assert spec["ylim"] == (0.0, 105.0)
+        assert len(spec["series"]) >= 1
+        for i, s in enumerate(spec["series"]):
+            assert s["color"] == SERIES_COLORS[i % len(SERIES_COLORS)]
+            assert s["label"].startswith("slowstart=")
+            if s["smoothed"]:
+                assert len(s["x"]) == 300
+                assert min(s["y"]) >= 0.0 and max(s["y"]) <= 100.0
+            # truncation: no x beyond the series max (O4-limited upstream)
+            assert s["x"] == sorted(s["x"])
+
+
+def test_svg_sink_renders_spec(tmp_path, spark, series):
+    """The SVG sink produces well-formed, byte-deterministic files with
+    one polyline + one fill polygon per series and the legend/axis
+    text from the spec."""
+    import os
+    import xml.etree.ElementTree as ET
+
+    from mapreduce511_spark.plans.charts import (
+        prepare_chart_series,
+        render_charts_svg,
+    )
+
+    prepared = prepare_chart_series(series, "cpu")
+    out1 = render_charts_svg(prepared, str(tmp_path / "a"), "cpu")
+    out2 = render_charts_svg(prepared, str(tmp_path / "b"), "cpu")
+    assert {os.path.basename(p) for p in out1} == {
+        "averaged_cpu_A.svg",
+        "averaged_cpu_B.svg",
+    }
+    for p1, p2 in zip(sorted(out1), sorted(out2)):
+        b1, b2 = open(p1, "rb").read(), open(p2, "rb").read()
+        assert b1 == b2  # deterministic render
+    ns = "{http://www.w3.org/2000/svg}"
+    for path in out1:
+        root = ET.parse(path).getroot()  # well-formed XML
+        ds = os.path.basename(path).split("_")[-1].split(".")[0]
+        n_series = len(prepared[ds])
+        assert len(root.findall(f"{ns}polyline")) == n_series
+        assert len(root.findall(f"{ns}polygon")) == n_series
+        texts = [t.text for t in root.iter(f"{ns}text")]
+        assert f"{ds} cluster CPU (multi-run average)" in texts
+        assert "cycle index" in texts
+        labels = {t for t in texts if t and t.startswith("slowstart=")}
+        assert len(labels) == n_series
+
+
+def test_render_charts_falls_back_to_svg(tmp_path, series):
+    """Without matplotlib in the env, render_charts still writes one
+    chart file per dataset (the SVG proof path)."""
+    import os
+
+    from mapreduce511_spark.plans.charts import prepare_chart_series, render_charts
+
+    prepared = prepare_chart_series(series, "cpu")
+    written = render_charts(prepared, str(tmp_path), "cpu")
+    assert len(written) == len(prepared)
+    for p in written:
+        assert os.path.exists(p) and os.path.getsize(p) > 0
