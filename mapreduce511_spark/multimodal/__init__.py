@@ -9,11 +9,13 @@ Convention
 ----------
 ``content: binary`` + ``media: struct<kind, fmt, width, height,
 n_frames>``. Decode / feature-extraction runs in ``mapInPandas``
-(Arrow batches, never per-row Python). The real codec step is STUBBED:
-this container has no image/audio libraries, so ``decode_real`` raises
-``NotImplementedError`` and the tested path is a deterministic fake
-decoder (byte histogram over the binary payload) exercising the exact
-same schema / partitioning / batch shape the real one would use.
+(Arrow batches, never per-row Python). The decode step is REAL for
+uncompressed BMP and 16-bit PCM WAV (``multimodal/codecs.py`` —
+dependency-free struct parsing, oracle-verified round-trips via
+``extract_decoded_features``); compressed formats (JPEG/PNG/MP3/…)
+remain behind an honest ``NotImplementedError`` gate until codec
+libraries exist here, with the deterministic fake byte-histogram
+decoder exercising the same schema / partitioning / batch shape.
 
 Scale notes: binary payloads dominate row size — keep
 ``spark.sql.files.maxPartitionBytes`` small enough that a batch of
@@ -87,11 +89,132 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
 
 
 def decode_real(payload: bytes, fmt: str) -> object:
-    """The real codec hook. Image/audio libraries are not available in
-    this container — implement with PIL/libav when they are."""
-    raise NotImplementedError(
-        "real media decoding is stubbed in this environment; "
-        "use extract_features() (deterministic fake decoder)"
+    """The real codec hook: uncompressed BMP and PCM WAV decode
+    natively (``multimodal.codecs``, dependency-free struct parsing);
+    compressed formats still raise until codec libraries exist."""
+    from mapreduce511_spark.multimodal import codecs
+
+    return codecs.decode_real(payload, fmt)
+
+
+# -- deterministic synthetic media with REAL encodings -----------------
+#
+# Payload contents are closed-form functions of doc_id, so an external
+# oracle can compute the decoded statistics analytically while the
+# Spark path actually round-trips real BMP/WAV bytes — any parsing bug
+# (row padding, bottom-up order, chunk walk) breaks the match.
+
+SYNTH_DOC_LIMIT = 400  # docs 0..399: even -> BMP image, odd -> WAV audio
+
+
+def _synth_payload(doc_id: int) -> tuple[bytes, str, int, int]:
+    """(payload, fmt, width, height) for one doc. Image channel bytes
+    are v(i) = (doc_id*31 + i*7) % 256 over w*h*3 positions; audio
+    samples are s(i) = ((doc_id*13 + i*5) % 4096) - 2048 over
+    256 + doc_id%64 positions."""
+    import numpy as np
+
+    from mapreduce511_spark.multimodal import codecs
+
+    if doc_id % 2 == 0:
+        w = 8 + doc_id % 9
+        h = 8 + (doc_id * 3) % 9
+        vals = (doc_id * 31 + np.arange(w * h * 3, dtype=np.int64) * 7) % 256
+        payload = codecs.encode_bmp(vals.astype(np.uint8).reshape(h, w, 3))
+        return payload, codecs.BMP_FMT, w, h
+    n = 256 + doc_id % 64
+    s = ((doc_id * 13 + np.arange(n, dtype=np.int64) * 5) % 4096) - 2048
+    payload = codecs.encode_wav(s.astype(np.int16))
+    return payload, codecs.WAV_FMT, 0, 0
+
+
+def synth_codec_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, content, fmt) with real BMP/WAV payloads for doc_id <
+    SYNTH_DOC_LIMIT — built in mapInPandas (encode runs where the data
+    lives, same as a production transcode step)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (int(d), *(_synth_payload(int(d))[:2]))
+                for d in pdf["doc_id"]
+                if int(d) < SYNTH_DOC_LIMIT
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "content", "fmt"])
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, content binary, fmt string"
+    )
+
+
+DECODED_SCHEMA = (
+    "doc_id long, kind string, width int, height int, n_vals long, "
+    "sum_val long, min_val long, max_val long, hist_sum long"
+)
+
+
+def extract_decoded_features(media_df: DataFrame) -> DataFrame:
+    """REAL decode + per-asset statistics via mapInPandas: BMP payloads
+    are parsed to pixel channel bytes (padding stripped, row order
+    normalized), WAV payloads to int16 samples; stats are integers so
+    external oracles compare exactly. Histogram is folded to a single
+    checksum (sum of 1-based 16-level bin ids) to stay scalar.
+
+    Input needs (doc_id, content, fmt). Per-payload decode is a loop
+    over the Arrow batch — the parse itself is numpy-vectorized, which
+    is the same batch shape a real codec binding uses."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mapreduce511_spark.multimodal import codecs
+
+        for pdf in it:
+            out = []
+            for doc_id, payload, fmt in zip(
+                pdf["doc_id"], pdf["content"], pdf["fmt"]
+            ):
+                if fmt == codecs.BMP_FMT:
+                    w, h, px = codecs.decode_bmp(bytes(payload))
+                    vals = px.reshape(-1).astype(np.int64)
+                    kind, bins = "image", vals >> 4
+                elif fmt == codecs.WAV_FMT:
+                    _rate, _ch, samples = codecs.decode_wav(bytes(payload))
+                    vals = samples.astype(np.int64)
+                    w = h = 0
+                    kind, bins = "audio", (vals + 2048) >> 8
+                else:
+                    raise NotImplementedError(f"no decoder for {fmt!r}")
+                out.append(
+                    (
+                        int(doc_id),
+                        kind,
+                        int(w),
+                        int(h),
+                        int(vals.size),
+                        int(vals.sum()),
+                        int(vals.min()),
+                        int(vals.max()),
+                        int((bins + 1).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "kind",
+                    "width",
+                    "height",
+                    "n_vals",
+                    "sum_val",
+                    "min_val",
+                    "max_val",
+                    "hist_sum",
+                ],
+            )
+
+    return media_df.select("doc_id", "content", "fmt").mapInPandas(
+        batches, schema=DECODED_SCHEMA
     )
 
 

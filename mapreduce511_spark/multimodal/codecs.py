@@ -1,0 +1,124 @@
+"""Dependency-free real codecs: uncompressed 24-bit BMP and 16-bit
+PCM WAV (struct-parsed, numpy payloads).
+
+These make the multimodal path's decode step REAL — no image/audio
+libraries exist in this container, but both formats are fully
+specified byte layouts a pure-Python parser handles: BMP's
+BITMAPFILEHEADER/BITMAPINFOHEADER with 4-byte-aligned bottom-up rows,
+WAV's RIFF chunk walk to a PCM ``data`` chunk. Compressed formats
+(JPEG/PNG/MP3/H.264) stay behind the honest ``NotImplementedError``
+gate in ``decode_real`` — plumbing identical, codec genuinely absent.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+BMP_FMT = "image/bmp"
+WAV_FMT = "audio/wav"
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as an uncompressed 24-bit BMP
+    (BGR byte order, 4-byte-aligned rows stored bottom-up)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("pixels must be (h, w, 3)")
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+    data = b"".join(
+        pixels[r].astype(np.uint8).tobytes() + pad for r in range(h - 1, -1, -1)
+    )
+    offset = 14 + 40
+    file_header = struct.pack("<2sIHHI", b"BM", offset + len(data), 0, 0, offset)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + data
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse an uncompressed 24-bit BMP → (width, height, channel
+    bytes as a (h, w, 3) uint8 array in top-down row order). Row
+    padding is stripped; bottom-up storage (positive biHeight) is
+    flipped back."""
+    magic, _fsize, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp}, compression={comp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = raw.reshape(h, stride)[:, : w * 3]
+    if not top_down:
+        rows = rows[::-1]
+    return w, h, rows.reshape(h, w, 3).copy()
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode int16 mono samples as a canonical 44-byte-header PCM
+    WAV."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    return b"".join(
+        [
+            b"RIFF",
+            struct.pack("<I", 36 + len(data)),
+            b"WAVE",
+            b"fmt ",
+            struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16),
+            b"data",
+            struct.pack("<I", len(data)),
+            data,
+        ]
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Walk the RIFF chunk list → (sample_rate, n_channels, int16
+    samples). Handles extra chunks (LIST, fact, …) before ``data``;
+    requires PCM 16-bit."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    sample_rate = n_channels = bits = None
+    samples = None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt, n_channels, sample_rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", payload, body
+            )
+            if audio_fmt != 1:
+                raise ValueError(f"only PCM WAV supported (fmt tag {audio_fmt})")
+        elif cid == b"data":
+            if bits is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            if bits != 16:
+                raise ValueError(f"only 16-bit PCM supported (got {bits})")
+            samples = np.frombuffer(payload, dtype="<i2", count=size // 2, offset=body)
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if samples is None or sample_rate is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return int(sample_rate), int(n_channels), samples
+
+
+def decode_real(payload: bytes, fmt: str):
+    """Real decode dispatch. BMP and WAV are implemented natively;
+    compressed formats remain honestly stubbed until real codec
+    libraries exist in the environment."""
+    if fmt in (BMP_FMT, "bmp"):
+        return decode_bmp(payload)
+    if fmt in (WAV_FMT, "wav"):
+        return decode_wav(payload)
+    raise NotImplementedError(
+        f"no native decoder for {fmt!r}: this environment has no "
+        "image/audio codec libraries; BMP and WAV decode natively"
+    )

