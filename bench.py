@@ -52,6 +52,8 @@ HEADLINE = [
     "sliding_event_counts",
     "sql_q1_passthrough",
     "log_result_raw",
+    "wordcount_skewed",
+    "multimodal_decode_stats",
 ]
 
 
@@ -98,11 +100,26 @@ def main() -> None:
     start = time.perf_counter()
     registry["wordcount"](spark, sf_dir).count()
     steady = time.perf_counter() - start
+    # skew resilience: same measurement over the Zipf-amplified corpus
+    # (one token ~99x hotter than anything organic). Map-side combine
+    # should keep tokens/s in the same ballpark — the reference's hot
+    # reducer is the number this exists to contrast with.
+    skew_extra = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.sum(F.col("doc_id") % 199 + 7))
+        .first()[0]
+    )
+    start = time.perf_counter()
+    registry["wordcount_skewed"](spark, sf_dir).count()
+    skew_steady = time.perf_counter() - start
     derived = {
         "corpus_tokens": int(n_tokens),
         "wordcount_steady_s": round(steady, 3),
         "wordcount_tokens_per_s": int(n_tokens / steady),
         "reference_tokens_per_s": 125_000,
+        "skewed_corpus_tokens": int(n_tokens + skew_extra),
+        "wordcount_skewed_steady_s": round(skew_steady, 3),
+        "wordcount_skewed_tokens_per_s": int((n_tokens + skew_extra) / skew_steady),
     }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

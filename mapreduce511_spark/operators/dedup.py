@@ -31,6 +31,8 @@ many buckets were capped.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -205,9 +207,13 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     bit i) is positive.
 
     Plan shape: tokenize/explode -> per-(doc, word) counts (shuffle 1)
-    -> explode 60 bit positions -> per-(doc, bit) signed sums (shuffle
-    2) -> per-doc bit reassembly (shuffle 3). All three shuffles carry
-    tiny fixed-width rows; everything is codegen'd expressions.
+    -> ONE groupBy(doc_id) computing all 60 signed bit sums as
+    separate conditional-sum aggregates (shuffle 2), then the 60-bit
+    reassembly as a row-local expression. No bit-position explode: the
+    old shape shipped 60 rows per (doc, word) through an extra
+    shuffle; here the shuffle rows are fixed-width (60 longs per doc,
+    map-side partially aggregated) — the same single-shuffle trick as
+    ``minhash_signatures_wide``.
     """
     wc = (
         docs.select("doc_id", F.explode(tokenize(text_col)).alias("w"))
@@ -215,22 +221,21 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .select("doc_id", "cnt", hash60(F.col("w")).alias("h"))
     )
-    bits = wc.select(
-        "doc_id",
-        "cnt",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i"),
-    ).select(
-        "doc_id",
-        "i",
-        F.when(F.expr("shiftright(h, i) % 2 = 1"), F.col("cnt"))
-        .otherwise(-F.col("cnt"))
-        .alias("contrib"),
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"shiftright(h, {i}) % 2 = 1"), F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sums_wide = wc.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = reduce(
+        lambda acc, i: acc + F.expr(f"shiftleft(CAST(s{i} > 0 AS BIGINT), {i})"),
+        range(1, SIMHASH_BITS),
+        F.expr("CAST(s0 > 0 AS BIGINT)"),
     )
-    sums = bits.groupBy("doc_id", "i").agg(F.sum("contrib").alias("s"))
-    return sums.groupBy("doc_id").agg(
-        F.sum(F.expr("shiftleft(CAST(s > 0 AS BIGINT), i)")).alias("simhash")
-    )
+    return sums_wide.select("doc_id", fingerprint.alias("simhash"))
 
 
 def simhash_candidates(fingerprints: DataFrame) -> DataFrame:

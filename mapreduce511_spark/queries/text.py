@@ -52,6 +52,46 @@ def wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wordcount_skewed",
+    oracle="""
+    SELECT word, count(*) AS cnt
+    FROM (
+        SELECT unnest(list_filter(string_split_regex(
+            text || ' ' || repeat('zipfhot ', CAST(doc_id % 199 AS INT)) ||
+            repeat('zipfmid' || CAST(doc_id % 13 AS VARCHAR) || ' ', 7),
+            '\\s+'), t -> t <> '')) AS word
+        FROM documents
+    )
+    GROUP BY word
+    """,
+)
+def wordcount_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount over a synthetically Zipf-skewed corpus — the Spark
+    answer to the reference's defining bottleneck (its single hot
+    reducer processing the 'the' key, job_output.log:86).
+
+    'zipfhot' is injected ~doc_count*99 times (one key dominating the
+    corpus) plus a 13-key warm tier. The plan stays the same
+    partial→final HashAggregate as plain wordcount: map-side combine
+    collapses the hot key to ONE row per task before the shuffle, so
+    the reduce side never sees the skew a Hadoop reducer chokes on
+    (asserted in tests/test_plan_quality.py; AQE coalescing sizes the
+    post-shuffle partitions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    amplified = docs.select(
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.expr("repeat('zipfhot ', CAST(doc_id % 199 AS INT))"),
+            F.expr(
+                "repeat(concat('zipfmid', CAST(doc_id % 13 AS STRING), ' '), 7)"
+            ),
+        ).alias("text")
+    )
+    return word_count(amplified)
+
+
+@register(
     "token_stats_by_lang",
     oracle=f"""
     SELECT lang,

@@ -67,3 +67,21 @@ def test_partial_aggregation_before_shuffle(spark):
     combiner analog (SURVEY §4.2) — must be present."""
     plan = _plan(spark, "wordcount")
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_simhash_has_no_bit_position_explode(spark):
+    """simhash_fingerprint must compute its 60 signed bit sums as one
+    wide aggregate, not by exploding 60 rows per (doc, word): exactly
+    one Generate (the token explode) and no sequence(0, 59) in the
+    plan."""
+    plan = _plan(spark, "simhash_fingerprint")
+    assert plan.count("Generate") - plan.count("CodeGenerate") <= 1, plan[:2000]
+    assert "sequence(0, 59" not in plan
+
+
+def test_skewed_wordcount_partial_aggregation(spark):
+    """The Zipf-skewed corpus must still plan partial -> final
+    HashAggregate: map-side combine is what keeps the hot key from
+    recreating the reference's single-hot-reducer bottleneck."""
+    plan = _plan(spark, "wordcount_skewed")
+    assert plan.count("HashAggregate") >= 2, plan
