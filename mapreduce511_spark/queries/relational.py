@@ -212,14 +212,21 @@ def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
     """,
 )
 def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers with no orders at all."""
+    """Left-anti join: customers with no orders since 2000 (lapsed
+    accounts). The window keeps the result non-trivial on the
+    testdata, where every customer has at least one lifetime order."""
     customer, orders = _t(spark, sf_dir, "customer", "orders")
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     return customer.join(
-        orders.select("o_custkey"),
+        recent.select("o_custkey"),
         customer.c_custkey == F.col("o_custkey"),
         "left_anti",
     ).select("c_custkey", "c_name")
@@ -413,8 +420,8 @@ def part_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
            count(*) AS n_lines
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-      AND l_shipdate <  TIMESTAMP '1995-01-01'
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
@@ -426,8 +433,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -481,8 +488,8 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
     JOIN nation   ON c_nationkey = n_nationkey
-    WHERE o_orderdate >= TIMESTAMP '1993-10-01'
-      AND o_orderdate <  TIMESTAMP '1994-01-01'
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
       AND l_returnflag = 'R'
     GROUP BY c_custkey, c_name, n_name
     ORDER BY revenue DESC, c_custkey
@@ -502,8 +509,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_returnflag") == "R")
         .join(
             orders.filter(
-                (F.col("o_orderdate") >= F.lit("1993-10-01").cast("timestamp"))
-                & (F.col("o_orderdate") < F.lit("1994-01-01").cast("timestamp"))
+                (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
@@ -521,8 +528,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority, count(*) AS order_count
     FROM orders o
-    WHERE o_orderdate >= TIMESTAMP '1993-07-01'
-      AND o_orderdate <  TIMESTAMP '1993-10-01'
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
       AND EXISTS (SELECT 1 FROM lineitem l
                   WHERE l.l_orderkey = o.o_orderkey
                     AND l.l_shipdate > o.o_orderdate)
@@ -535,8 +542,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join condition), then priority counts."""
     orders, li = _t(spark, sf_dir, "orders", "lineitem")
     quarter = orders.filter(
-        (F.col("o_orderdate") >= F.lit("1993-07-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1993-10-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
     )
     late = li.select("l_orderkey", "l_shipdate")
     return (
@@ -560,8 +567,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
                          THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-      AND l_shipdate <  TIMESTAMP '1995-01-01'
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
     GROUP BY l_linestatus
     """,
 )
@@ -572,8 +579,8 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_linestatus")
@@ -581,4 +588,105 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
+    )
+
+
+# The testdata carries no partsupp table; the part-supplier cost
+# relation is derived from lineitem (min extendedprice per (part,
+# supplier) — no float arithmetic, so cross-engine equality is exact).
+_PS_SQL = """
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(l_extendedprice) AS ps_supplycost
+        FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _partsupp(li: DataFrame) -> DataFrame:
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min("l_extendedprice").alias("ps_supplycost"))
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT p_partkey, p_name, s_name, n_name, ps_supplycost AS min_cost
+    FROM part, ps, supplier, nation
+    WHERE p_partkey = ps_partkey
+      AND s_suppkey = ps_suppkey
+      AND s_nationkey = n_nationkey
+      AND p_size <= 15
+      AND ps_supplycost = (SELECT MIN(ps2.ps_supplycost) FROM ps ps2
+                           WHERE ps2.ps_partkey = p_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part via a correlated
+    scalar subquery. Spark plans the correlation as a min-window over
+    the part key — one shuffle of the derived partsupp relation, then
+    a row-local filter; supplier/nation broadcast. Ties (several
+    suppliers at the min cost) keep all rows, same as the subquery
+    semantics."""
+    part, supplier, nation, li = _t(
+        spark, sf_dir, "part", "supplier", "nation", "lineitem"
+    )
+    ps = _partsupp(li)
+    w = Window.partitionBy("ps_partkey")
+    cheapest = (
+        ps.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .drop("ps_supplycost")
+    )
+    return (
+        cheapest.join(
+            F.broadcast(part.filter(F.col("p_size") <= 15)),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(supplier), F.col("ps_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "min_cost")
+    )
+
+
+@register(
+    "q16_parts_supplier_counts",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                             WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT-IN anti-join (suppliers in bad standing
+    excluded — s_suppkey is non-null so left_anti is exactly NOT IN),
+    multi-predicate dimension filter, COUNT(DISTINCT) per part
+    attribute group. The distinct-aggregate expands to a two-stage
+    plan (dedupe on the full key, then count) — both stages map-side
+    partial."""
+    part, supplier, li = _t(spark, sf_dir, "part", "supplier", "lineitem")
+    ps = _partsupp(li).select("ps_partkey", "ps_suppkey")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    keep_part = part.filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").startswith("MEDIUM"))
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    return (
+        ps.join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(
+            F.broadcast(keep_part), F.col("ps_partkey") == F.col("p_partkey")
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
     )
