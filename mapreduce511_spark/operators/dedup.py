@@ -221,12 +221,11 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .select("doc_id", "cnt", hash60(F.col("w")).alias("h"))
     )
+    # branch-free contribution: (2*bit - 1) * cnt — generates far less
+    # bytecode than a CASE per aggregate (60 of these compile in one
+    # whole-stage-codegen method; keeping each tiny matters)
     bit_sums = [
-        F.sum(
-            F.when(F.expr(f"shiftright(h, {i}) % 2 = 1"), F.col("cnt")).otherwise(
-                -F.col("cnt")
-            )
-        ).alias(f"s{i}")
+        F.sum(F.expr(f"(shiftright(h, {i}) % 2 * 2 - 1) * cnt")).alias(f"s{i}")
         for i in range(SIMHASH_BITS)
     ]
     sums_wide = wc.groupBy("doc_id").agg(*bit_sums)

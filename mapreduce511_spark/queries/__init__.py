@@ -73,6 +73,7 @@ _ENUMERATE_FIRST: list[str] = [
     # new in round 2
     "q2_min_cost_supplier",
     "q16_parts_supplier_counts",
+    "near_dup_jaccard_capped",
     "log_chart_smoothed_cpu",
     "multimodal_decode_stats",
     "wordcount_skewed",

@@ -468,3 +468,85 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs_blocked(emb, _COS_DUP_T)
+
+
+_DF_CAP = 25  # shingles appearing in more docs than this skip candidate gen
+
+
+@register(
+    "near_dup_jaccard_capped",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, unnest(tokens) AS w, unnest(range(len(tokens))) AS p
+        FROM toks
+    ), shingles AS (
+        SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        FROM pos a
+        JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        JOIN pos c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+    ), dfreq AS (
+        SELECT sh, count(*) AS dfc FROM shingles GROUP BY sh
+    ), rare AS (
+        SELECT s.doc_id, s.sh FROM shingles s JOIN dfreq USING (sh)
+        WHERE dfc <= {{cap}}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id
+    ), inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS both
+        FROM cand c
+        JOIN shingles a ON a.doc_id = c.doc_a
+        JOIN shingles b ON b.doc_id = c.doc_b AND b.sh = a.sh
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.both * 1.0 / (sa.sz + sb.sz - i.both), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE i.both * 1.0 / (sa.sz + sb.sz - i.both) >= {_JACCARD_T}
+    """.replace("{cap}", "25"),
+)
+def near_dup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """near_dup_jaccard with hot-shingle capping — the 100 TB shape of
+    the inverted-index candidate step. Shingles whose document
+    frequency exceeds _DF_CAP are excluded from candidate generation
+    (a df-K shingle alone contributes O(K²) candidate pairs; boiler-
+    plate shingles at corpus scale make that quadratic), then the
+    surviving candidate pairs are verified with EXACT Jaccard over the
+    FULL shingle sets. A qualifying pair is missed only if every
+    shingle it shares is above the cap — the standard
+    prefix-filtering trade, and the oracle reproduces the identical
+    semantics so parity is exact, not approximate."""
+    from mapreduce511_spark.operators.dedup import doc_shingles, verify_jaccard
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = doc_shingles(docs)
+    dfreq = shingles.groupBy("sh").agg(F.count("*").alias("dfc"))
+    rare = shingles.join(dfreq.filter(F.col("dfc") <= _DF_CAP), "sh").select(
+        "doc_id", "sh"
+    )
+    a = rare.alias("a")
+    b = rare.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return (
+        verify_jaccard(cand, shingles)
+        .filter(F.col("jaccard") >= _JACCARD_T)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )

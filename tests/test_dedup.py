@@ -124,3 +124,56 @@ def test_hot_bucket_cap_bounds_candidates(spark, docs):
     assert uncapped_normal == capped_normal
     stats = band_bucket_stats(bands, cap)
     assert stats.filter("capped").count() >= n_bands  # the clone bucket per band
+
+
+def test_df_cap_bounds_candidate_generation(spark, docs):
+    """A boilerplate shingle shared by 200 docs: uncapped candidate
+    gen pays O(200²) pairs for it; the DF-capped path skips it while
+    still finding genuinely similar pairs via their rare shingles."""
+    from pyspark.sql import functions as F
+
+    from mapreduce511_spark.operators.dedup import doc_shingles
+
+    # 200 docs sharing one boilerplate trigram + a unique tail
+    boiler = spark.range(200).select(
+        (F.col("id") + 7_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("all rights reserved "),
+            F.col("id").cast("string"),
+            F.lit(" unique"),
+            F.col("id").cast("string"),
+            F.lit(" tail"),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    shingles = doc_shingles(boiler)
+    dfreq = shingles.groupBy("sh").agg(F.count("*").alias("dfc"))
+    hot = dfreq.filter(F.col("dfc") > 25).count()
+    assert hot >= 1  # 'all rights reserved' is shared by all 200
+    rare = shingles.join(dfreq.filter(F.col("dfc") <= 25), "sh")
+    a, b = rare.alias("a"), rare.alias("b")
+    capped_pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert capped_pairs == 0  # unique tails share nothing rare
+    # uncapped would have paid C(200,2) pairs for the boilerplate alone
+    full = doc_shingles(boiler)
+    fa, fb = full.alias("a"), full.alias("b")
+    uncapped_pairs = (
+        fa.join(
+            fb,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert uncapped_pairs == 200 * 199 // 2
