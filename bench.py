@@ -54,6 +54,8 @@ HEADLINE = [
     "log_result_raw",
     "wordcount_skewed",
     "multimodal_decode_stats",
+    "pipeline_clean_corpus",
+    "ann_quantized_topk",
 ]
 
 

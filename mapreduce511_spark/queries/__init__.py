@@ -74,6 +74,8 @@ _ENUMERATE_FIRST: list[str] = [
     "q2_min_cost_supplier",
     "q16_parts_supplier_counts",
     "near_dup_jaccard_capped",
+    "pipeline_clean_corpus",
+    "ann_quantized_topk",
     "log_chart_smoothed_cpu",
     "multimodal_decode_stats",
     "wordcount_skewed",

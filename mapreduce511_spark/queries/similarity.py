@@ -550,3 +550,63 @@ def near_dup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _JACCARD_T)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+@register(
+    "ann_quantized_topk",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id,
+               list_transform(
+                   v,
+                   x -> round(x * (127.0 / greatest(
+                       list_max(list_transform(v, y -> abs(y))), 1e-12)))
+               ) AS qv
+        FROM e
+    ), p AS (
+        SELECT qv AS pv FROM q WHERE vec_id = 0
+    )
+    SELECT vec_id, CAST(list_dot_product(qv, pv) AS BIGINT) AS qdot
+    FROM q, p
+    WHERE vec_id <> 0
+    ORDER BY qdot DESC, vec_id
+    LIMIT 20
+    """,
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8-style) quantization search: each vector scales to
+    max-abs 127 and rounds to integers; ranking uses the INTEGER dot
+    product against the quantized probe. At scale this is the memory
+    play — 8-bit codes cut the scanned bytes 4-8x and the integer GEMM
+    runs wider SIMD; rank quality vs exact cosine is bounded in
+    tests/test_ann.py. Integer scores make the oracle comparison exact
+    (products are < 2^21, far inside double's exact-integer range).
+
+    Quantized arrays are bound to projected columns before the HOF dot
+    (an unbound outer expression would re-evaluate per element —
+    O(dim²) per row)."""
+    from mapreduce511_spark.functions.vectors import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vd = emb.select("vec_id", v.alias("v"))
+    max_abs = F.greatest(
+        F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    scaled = vd.select("vec_id", "v", (F.lit(127.0) / max_abs).alias("scale"))
+    q = scaled.select(
+        "vec_id",
+        F.transform(F.col("v"), lambda x: F.round(x * F.col("scale"), 0)).alias(
+            "qv"
+        ),
+    )
+    probe = q.filter(F.col("vec_id") == 0).select(F.col("qv").alias("pv"))
+    return (
+        q.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe))
+        .select("vec_id", dot(F.col("qv"), F.col("pv")).cast("long").alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc("vec_id"))
+        .limit(20)
+    )

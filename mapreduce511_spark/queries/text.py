@@ -653,3 +653,73 @@ def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle="""
+    WITH survivors AS (
+        SELECT doc_id, lang, text
+        FROM (
+            SELECT doc_id, lang, text,
+                   row_number() OVER (
+                       PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       ORDER BY doc_id
+                   ) AS rn
+            FROM documents
+        )
+        WHERE rn = 1
+    ), gated AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tok
+        FROM survivors
+    ), assigned AS (
+        SELECT lang, n_tok,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 100 AS bucket
+        FROM gated
+        WHERE n_tok >= 30
+    )
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM assigned
+    GROUP BY lang, split
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data cleaning pipeline in ONE lazy plan:
+    exact dedup (deterministic survivor per content fingerprint) →
+    quality gate (>= 30 tokens) → reproducible hash split → per-(lang,
+    split) census with token budgets. This is the composition the
+    individual queries exist for; Catalyst fuses the whole thing into
+    two shuffles (fingerprint window, final census aggregate) with the
+    tokenize cost paid once."""
+    from pyspark.sql.window import Window
+
+    from mapreduce511_spark.operators.dedup import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    survivors = (
+        docs.withColumn("fingerprint", F.md5(normalize_text("text")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.size(tokenize("text")).alias("n_tok"))
+    )
+    bucket = hash60(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        survivors.filter(F.col("n_tok") >= 30)
+        .select("lang", split.alias("split"), "n_tok")
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )

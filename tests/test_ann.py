@@ -176,3 +176,20 @@ def test_blocked_pairs_scale_10x_no_collect(spark):
     # every original vector yields C(10,2)=45 self-pairs (plus any
     # true distinct near-identical vectors, which this data lacks)
     assert pairs.filter(F.col("cos_sim") >= 0.9999).count() >= 45 * n
+
+
+def test_quantized_topk_rank_quality(spark):
+    """int8-style quantized ranking must largely agree with exact
+    cosine: >= 70% overlap between quantized top-20 and exact top-20
+    for the same probe (scalar quantization distorts but preserves
+    neighborhoods)."""
+    from mapreduce511_spark.queries.similarity import (
+        ann_quantized_topk,
+        similarity_topk,
+    )
+
+    exact = {r.vec_id for r in similarity_topk(spark, SF_CHECK).collect()}
+    quant = {r.vec_id for r in ann_quantized_topk(spark, SF_CHECK).collect()}
+    assert len(quant) == 20
+    overlap = len(exact & quant) / len(exact)
+    assert overlap >= 0.7, f"quantized/exact top-20 overlap {overlap}"
