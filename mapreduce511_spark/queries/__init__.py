@@ -76,6 +76,11 @@ _ENUMERATE_FIRST: list[str] = [
     "near_dup_jaccard_capped",
     "pipeline_clean_corpus",
     "ann_quantized_topk",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "pivot_event_type_counts",
+    "event_value_band_join",
     "log_chart_smoothed_cpu",
     "multimodal_decode_stats",
     "wordcount_skewed",

@@ -284,3 +284,79 @@ def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n_events"
         )
     )
+
+
+@register(
+    "pivot_event_type_counts",
+    oracle="""
+    SELECT user_id % 10 AS cohort,
+           CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS view,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+           CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS error
+    FROM events
+    GROUP BY cohort
+    """,
+)
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot operator: per-cohort event-type counts as columns via
+    ``groupBy().pivot(values=...)``. The explicit value list keeps the
+    plan single-pass (no extra distinct-values job) and stable-schema
+    — the production form of pivot at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        ev.select((F.col("user_id") % 10).alias("cohort"), "event_type")
+        .groupBy("cohort")
+        .pivot("event_type", types)
+        .count()
+    )
+    # pivot leaves null for absent combos; the oracle's FILTER counts 0
+    return out.select(
+        "cohort", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@register(
+    "event_value_band_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('micro', 0.0, 10.0), ('small', 10.0, 50.0),
+               ('mid', 50.0, 200.0), ('large', 200.0, 1000.0)
+    )
+    SELECT band, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY band, event_type
+    """,
+)
+def event_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: each event lands in the value band whose
+    [lo, hi) interval contains it. The band table is tiny and
+    broadcast, so the non-equi condition is a BroadcastNestedLoopJoin
+    over 4 rows per event — the correct plan for interval lookup
+    tables (an O(n·bands) scan, never a shuffle; for thousands of
+    bands you'd bucketize with width_bucket-style math instead)."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = ev.sparkSession.createDataFrame(
+        [
+            ("micro", 0.0, 10.0),
+            ("small", 10.0, 50.0),
+            ("mid", 50.0, 200.0),
+            ("large", 200.0, 1000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -690,3 +690,121 @@ def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT CAST(round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)
+               AS promo_bp,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share. The promo share is
+    emitted as integer basis points via round(x*10000) — both engines
+    round the same double, sidestepping the decimal-vs-binary rounding
+    divergence of round(x, n) on rationals. part is broadcast; the
+    only shuffle is the single-row global aggregate."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    month = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    return (
+        month.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev)
+                * 10000
+            )
+            .cast("long")
+            .alias("promo_bp"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           sum(l_quantity) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered semi-join back into the fact
+    table. The qualifying-orderkey set aggregates FIRST (tiny), rides
+    a left-semi join, and only then do the wide joins run — the
+    agg-before-join ordering that matters at scale. Quantities are
+    small integers in doubles, so sums are exact in both engines."""
+    customer, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "bk"),
+                F.col("l_orderkey") == F.col("bk"), "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of multi-table conjunctions. The
+    common p_partkey = l_partkey conjunct stays an equi-join key (the
+    planner must not degrade to a nested loop over the OR); per-branch
+    predicates evaluate post-join. Plan asserted cartesian-free like
+    every query."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    def branch(brand: str, size_hi: int, q_lo: int, q_hi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+    cond = branch("Brand#12", 15, 1, 11) | branch("Brand#23", 25, 10, 20) | branch(
+        "Brand#34", 35, 20, 30
+    )
+    return joined.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
