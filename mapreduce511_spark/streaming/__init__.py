@@ -290,3 +290,44 @@ def sessionize_stream(events: DataFrame, watermark: str = "30 minutes") -> DataF
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def click_purchase_join(
+    clicks: DataFrame, purchases: DataFrame, within: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's click events in the preceding ``within`` interval —
+    attribution, the canonical stream-stream use case.
+
+    Both sides carry watermarks and the join condition bounds
+    purchase_ts in [click_ts, click_ts + within], so Spark can expire
+    buffered rows: state per side is O(events inside the watermark +
+    interval horizon), not unbounded. The same expression tree runs
+    batch-side for the parity test."""
+    c = clicks.withWatermark("ts", within).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", within).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {within}")
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

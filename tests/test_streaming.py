@@ -164,3 +164,36 @@ def test_sessionize_stream_emits_closed_sessions(spark, tmp_path):
     assert emitted, "no sessions closed in-batch (data should have gaps)"
     missing = emitted - truth
     assert not missing, f"stream emitted sessions not in batch truth: {list(missing)[:3]}"
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir, tmp_path):
+    """Stream-stream attribution join (watermarked, interval-bounded)
+    drains to exactly the batch join's row set."""
+    from mapreduce511_spark.streaming import click_purchase_join
+
+    stream = stream_events(spark, events_dir)
+    clicks_s = stream.filter(F.col("event_type") == "click")
+    purch_s = stream.filter(F.col("event_type") == "purchase")
+    result = run_available_now(
+        click_purchase_join(clicks_s, purch_s),
+        "ss_join_test",
+        str(tmp_path / "ckpt_ssj"),
+        mode="append",  # stream-stream joins emit append-only
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = click_purchase_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    cols = [
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    ]
+    rows_s = _as_sorted_rows(result, cols)
+    rows_b = _as_sorted_rows(batch, cols)
+    assert rows_s == rows_b
+    assert len(rows_s) > 0  # the corpus must actually exercise the join
