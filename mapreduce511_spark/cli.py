@@ -144,6 +144,43 @@ def cmd_sweep(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_clean(args: argparse.Namespace) -> int:
+    """Training-data cleaning job: dedup -> quality gate -> split, the
+    cleaned corpus written as split-partitioned parquet (plus the
+    census printed). The sink partitioning means downstream training
+    readers prune to their split at the scan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mapreduce511_spark.functions.text import normalize_text, tokenize
+    from mapreduce511_spark.operators.dedup import hash60
+    from mapreduce511_spark.sources.tables import load_table
+
+    spark = _spark(args.cpus)
+    docs = load_table(spark, args.sf_dir, "documents")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    survivors = (
+        docs.withColumn("fingerprint", F.md5(normalize_text("text")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("fingerprint", "rn")
+        .withColumn("n_tok", F.size(tokenize("text")))
+        .filter(F.col("n_tok") >= args.min_tokens)
+    )
+    bucket = hash60(F.col("doc_id").cast("string")) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    cleaned = survivors.withColumn("split", split)
+    cleaned.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    for r in (
+        cleaned.groupBy("split")
+        .agg(F.count("*").alias("docs"), F.sum("n_tok").alias("tokens"))
+        .orderBy("split")
+        .collect()
+    ):
+        print(f"{r['split']}: {r['docs']} docs, {r['tokens']} tokens")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="mapreduce511_spark")
     p.add_argument("--cpus", type=int, default=None)
@@ -171,6 +208,14 @@ def main(argv: list[str] | None = None) -> int:
     sw.add_argument("--values", type=int, nargs="+", default=[8, 32])
     sw.add_argument("--runs", type=int, default=1)
     sw.set_defaults(fn=cmd_sweep)
+
+    cl = sub.add_parser(
+        "clean", help="dedup+quality+split -> split-partitioned parquet"
+    )
+    cl.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    cl.add_argument("--output", required=True)
+    cl.add_argument("--min-tokens", type=int, default=30)
+    cl.set_defaults(fn=cmd_clean)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -81,6 +81,8 @@ _ENUMERATE_FIRST: list[str] = [
     "q19_disjunctive_revenue",
     "pivot_event_type_counts",
     "event_value_band_join",
+    "sql_grouping_sets",
+    "sql_window_lag",
     "log_chart_smoothed_cpu",
     "multimodal_decode_stats",
     "wordcount_skewed",

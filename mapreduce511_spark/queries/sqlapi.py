@@ -56,3 +56,44 @@ def sql_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_event_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamp truncation + ordering as literal shared SQL."""
     return run_sql(spark, sf_dir, _SQL_EVENT_HOURS)
+
+
+_SQL_GROUPING_SETS = """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY returnflag, linestatus
+"""
+
+_SQL_WINDOW_LAG = """
+    SELECT user_id, event_id, prev_id
+    FROM (
+        SELECT user_id, event_id,
+               lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn
+        FROM events
+    )
+    WHERE rn <= 3 AND user_id < 100
+    ORDER BY user_id, rn
+"""
+
+
+@register("sql_grouping_sets", oracle=_SQL_GROUPING_SETS)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (subtotal lattice) as literal shared SQL — one
+    scan expands to the three grouping combinations; partial
+    aggregation still applies per set."""
+    return run_sql(spark, sf_dir, _SQL_GROUPING_SETS)
+
+
+@register("sql_window_lag", oracle=_SQL_WINDOW_LAG)
+def sql_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() navigation window with a unique tie-broken ordering
+    (ts, event_id) — cross-engine window parity needs the total order
+    (round-1 lesson: ties first appear at larger SFs)."""
+    return run_sql(spark, sf_dir, _SQL_WINDOW_LAG)

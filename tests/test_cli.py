@@ -51,3 +51,36 @@ def test_cli_sweep(spark, capsys):
     out = capsys.readouterr().out
     assert out.count("shuffle.partitions=") == 2
     assert "<- best" in out
+
+
+def test_cli_clean_writes_partitioned_parquet(spark, tmp_path, capsys):
+    """`clean` materializes the dedup+quality+split pipeline as
+    split-partitioned parquet whose census equals the oracled
+    pipeline_clean_corpus query."""
+    out = str(tmp_path / "clean")
+    rc = main(["clean", "--sf-dir", SF_SMOKE, "--output", out])
+    assert rc == 0
+    assert {os.path.basename(p) for p in glob.glob(out + "/split=*")} <= {
+        "split=train",
+        "split=val",
+        "split=test",
+    }
+    printed = capsys.readouterr().out
+    assert "train:" in printed
+    # read back; census must match the registered query's totals
+    from pyspark.sql import functions as F
+
+    from mapreduce511_spark.queries.text import pipeline_clean_corpus
+
+    back = spark.read.parquet(out)
+    got = {
+        (r.split,): (r.docs, r.toks)
+        for r in back.groupBy("split")
+        .agg(F.count("*").alias("docs"), F.sum("n_tok").alias("toks"))
+        .collect()
+    }
+    want = {}
+    for r in pipeline_clean_corpus(spark, SF_SMOKE).collect():
+        d, t = want.get((r.split,), (0, 0))
+        want[(r.split,)] = (d + r.n_docs, t + r.n_tokens)
+    assert got == want
