@@ -247,3 +247,62 @@ def cosine_pairs_broadcast(emb: DataFrame, threshold: float) -> DataFrame:
             )
 
     return emb.select("vec_id", "embedding").mapInPandas(block, schema=out_schema)
+
+
+def ivf_write_partitioned(
+    emb: DataFrame, centroids: list[list[float]], path: str
+) -> None:
+    """Materialize the IVF index as cell-partitioned parquet: each
+    vector stored under ``cell=<id>/``. This is the deployment shape
+    the ivf_search docstring promises — at query time only the nprobe
+    probed cells are READ (Spark partition pruning), so the scan cost
+    is nprobe/k of the corpus instead of a full pass."""
+    tagged = _with_best_cell(
+        emb.select("vec_id", "embedding"), "embedding", centroids
+    )
+    tagged.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_search_pruned(
+    spark, index_path: str, probes: DataFrame, centroids: list[list[float]],
+    nprobe: int, topk: int,
+) -> DataFrame:
+    """Search a cell-partitioned IVF index with partition pruning: the
+    probed cell ids become an IN-filter on the partition column, which
+    Spark turns into PartitionFilters (only those directories are
+    listed/read — assert via plan in tests). Scoring is the same exact
+    cosine over candidates as ``ivf_search``."""
+    from pyspark.sql.window import Window
+
+    from mapreduce511_spark.functions.vectors import cosine_similarity
+
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], ["cell", "cv"]
+    )
+    w_cell = Window.partitionBy("pid").orderBy(F.desc("csim"), F.asc("cell"))
+    probe_cells = (
+        probes.join(F.broadcast(cent_df))
+        .withColumn("csim", cosine_similarity(F.col("pv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= nprobe)
+        .select("pid", "pv", "cell")
+    )
+    # partition-pruning filter: the distinct probed cells (collected —
+    # nprobe * |probes| ints, trivially driver-sized; at scale this is
+    # the metadata-only step every vector DB performs per query batch)
+    cells = [r.cell for r in probe_cells.select("cell").distinct().collect()]
+    corpus = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    w_rank = Window.partitionBy("pid").orderBy(F.desc("s"), F.asc("vec_id"))
+    return (
+        corpus.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("vec_id") != F.col("pid"))
+        .withColumn("s", cosine_similarity(F.col("pv"), F.col("embedding")))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("pid").alias("probe_id"),
+            "rank",
+            "vec_id",
+            F.round("s", 4).alias("cos_sim"),
+        )
+    )

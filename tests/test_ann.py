@@ -193,3 +193,40 @@ def test_quantized_topk_rank_quality(spark):
     assert len(quant) == 20
     overlap = len(exact & quant) / len(exact)
     assert overlap >= 0.7, f"quantized/exact top-20 overlap {overlap}"
+
+
+def test_ivf_partitioned_index_prunes_and_matches(spark, tmp_path):
+    """The cell-partitioned IVF index must (a) partition-prune the
+    scan to the probed cells — PartitionFilters with cell IN (...) and
+    fewer partition dirs read than exist — and (b) return exactly the
+    in-memory ivf_search result."""
+    from mapreduce511_spark.operators.ann import (
+        ivf_search,
+        ivf_search_pruned,
+        ivf_write_partitioned,
+        train_centroids,
+    )
+
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    centroids = train_centroids(emb)
+    path = str(tmp_path / "ivf_index")
+    ivf_write_partitioned(emb, centroids, path)
+
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
+    )
+    pruned = ivf_search_pruned(
+        spark, path, probes, centroids, nprobe=2, topk=5
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+    mem = {
+        (r.probe_id, r.rank): (r.vec_id, r.cos_sim)
+        for r in ivf_search(emb, probes, centroids, nprobe=2, topk=5).collect()
+    }
+    got = {
+        (r.probe_id, r.rank): (r.vec_id, r.cos_sim) for r in pruned.collect()
+    }
+    assert got == mem and got
