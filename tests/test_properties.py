@@ -1,103 +1,88 @@
-"""Property-based tests (hypothesis) for the expression libraries —
-the SURVEY §5.2 invariants, generalized beyond fixture inputs."""
+"""Property-based tests (hypothesis) for the pure-Python kernels:
+codec round-trips and spline invariants hold for ARBITRARY inputs,
+not just the fixtures the example-based suites use."""
 
 from __future__ import annotations
 
-import math
+import numpy as np
+import pytest
 
-from hypothesis import HealthCheck, given, settings
-from hypothesis import strategies as st
-from pyspark.sql import functions as F
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
 
-from mapreduce511_spark.functions.text import normalize_text, tokenize, word_ngrams
-from mapreduce511_spark.functions.vectors import cosine_similarity, dot
+from mapreduce511_spark.functions.spline import notaknot_moments, spline_eval
+from mapreduce511_spark.multimodal import codecs
 
-_SETTINGS = dict(
-    max_examples=20,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=21),
+    h=st.integers(min_value=1, max_value=17),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
 )
+def test_bmp_round_trip_any_shape(w, h, seed):
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    w2, h2, out = codecs.decode_bmp(codecs.encode_bmp(px))
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(out, px)
 
-texts = st.text(
-    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
-    max_size=200,
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=5000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
 )
+def test_wav_round_trip_any_samples(n, rate, seed):
+    rng = np.random.RandomState(seed)
+    s = rng.randint(-32768, 32768, size=n).astype(np.int16)
+    rate2, ch, out = codecs.decode_wav(codecs.encode_wav(s, sample_rate=rate))
+    assert (rate2, ch) == (rate, 1)
+    assert np.array_equal(out, s)
 
 
-@given(st.lists(texts, min_size=1, max_size=8))
-@settings(**_SETTINGS)
-def test_tokenize_matches_ascii_whitespace_split(spark, rows):
-    """The tokenize contract is Java-regex \\s (ASCII whitespace, same
-    as RE2/DuckDB) — NOT Python str.split(), which also breaks on
-    Unicode whitespace like U+0085."""
-    import re
-
-    df = spark.createDataFrame([(t,) for t in rows], ["text"])
-    got = [r[0] for r in df.select(tokenize("text")).collect()]
-    for t, toks in zip(rows, got):
-        expect = [w for w in re.split("[ \\t\\n\\x0b\\f\\r]+", t) if w]
-        assert toks == expect, repr(t)
-
-
-@given(st.lists(texts, min_size=1, max_size=8), st.integers(2, 4))
-@settings(**_SETTINGS)
-def test_ngram_count_invariant(spark, rows, n):
-    """#ngrams == max(len(tokens) - n + 1, 0) for every row."""
-    df = spark.createDataFrame([(t,) for t in rows], ["text"])
-    out = df.select(tokenize("text").alias("toks")).select(
-        F.size("toks").alias("n_tok"),
-        F.size(word_ngrams(F.col("toks"), n)).alias("n_gram"),
-    )
-    for r in out.collect():
-        assert r.n_gram == max(r.n_tok - n + 1, 0)
-
-
-@given(st.lists(texts, min_size=1, max_size=8))
-@settings(**_SETTINGS)
-def test_normalize_idempotent(spark, rows):
-    df = spark.createDataFrame([(t,) for t in rows], ["text"])
-    out = df.select(
-        normalize_text("text").alias("a"),
-        normalize_text(normalize_text("text")).alias("b"),
-    )
-    for r in out.collect():
-        assert r.a == r.b
-
-
-vecs = st.lists(
-    st.floats(-10, 10, allow_nan=False, width=32), min_size=2, max_size=16
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=4, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
 )
+def test_spline_interpolates_and_stays_c2(n, seed):
+    rng = np.random.RandomState(seed)
+    x = np.cumsum(rng.uniform(0.1, 3.0, n))
+    y = rng.uniform(-100.0, 100.0, n)
+    M = notaknot_moments(x, y)
+    # knot interpolation (relative tolerance scaled to data magnitude)
+    vals = spline_eval(x, y, x, M)
+    np.testing.assert_allclose(vals, y, rtol=1e-7, atol=1e-7 * np.abs(y).max())
+    # third-derivative continuity at the not-a-knot joints
+    h = np.diff(x)
+    d3 = np.diff(M) / h
+    scale = max(1.0, np.abs(d3).max())
+    assert abs(d3[0] - d3[1]) < 1e-6 * scale
+    assert abs(d3[-1] - d3[-2]) < 1e-6 * scale
 
 
-@given(st.tuples(vecs, vecs).filter(lambda ab: len(ab[0]) == len(ab[1])))
-@settings(**_SETTINGS)
-def test_dot_matches_python(spark, ab):
-    a, b = ab
-    df = spark.createDataFrame([(a, b)], ["a", "b"])
-    got = df.select(dot(F.col("a"), F.col("b"))).first()[0]
-    import numpy as np
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    c3=st.floats(min_value=-5, max_value=5, allow_nan=False),
+    c2=st.floats(min_value=-5, max_value=5, allow_nan=False),
+)
+def test_spline_reproduces_random_cubics(seed, c3, c2):
+    """Cubic-polynomial reproduction for random cubics — the property
+    that uniquely pins not-a-knot (scipy-default) behavior."""
+    rng = np.random.RandomState(seed)
+    x = np.cumsum(rng.uniform(0.2, 1.5, 12))
 
-    expect = float(np.dot(np.array(a, dtype=np.float32).astype(float),
-                          np.array(b, dtype=np.float32).astype(float)))
-    assert math.isclose(got, expect, rel_tol=1e-9, abs_tol=1e-9)
+    def p(t):
+        return c3 * t**3 + c2 * t**2 - 3.0 * t + 1.0
 
-
-@given(vecs.filter(lambda v: any(x != 0 for x in v)))
-@settings(**_SETTINGS)
-def test_cosine_self_is_one(spark, v):
-    df = spark.createDataFrame([(v, v)], ["a", "b"])
-    got = df.select(cosine_similarity(F.col("a"), F.col("b"))).first()[0]
-    assert math.isclose(got, 1.0, rel_tol=1e-9)
-
-
-def test_wordcount_total_equals_token_count(spark):
-    """sum(counts) == total tokens (SURVEY §5.2 invariant; the
-    reference's Combine in/out counter identity)."""
-    from mapreduce511_spark.operators.wordcount import word_count
-    from mapreduce511_spark.sources.tables import load_table
-    from tests.conftest import SF_SMOKE
-
-    docs = load_table(spark, SF_SMOKE, "documents")
-    total = word_count(docs).agg(F.sum("cnt")).first()[0]
-    tokens = docs.select(F.explode(tokenize("text"))).count()
-    assert total == tokens
+    t = np.linspace(x.min(), x.max(), 100)
+    expect = p(t)
+    got = spline_eval(x, p(x), t)
+    tol = 1e-8 * max(1.0, np.abs(expect).max())
+    np.testing.assert_allclose(got, expect, atol=tol)
