@@ -382,7 +382,44 @@ def _lsh_code(vec_col: F.Column) -> F.Column:
     return code.cast("int")
 
 
-@register("ann_lsh_topk")
+def _lsh_oracle_sql() -> str:
+    """DuckDB twin of the full LSH pipeline. The hyperplane doubles
+    print via repr (exact round-trip) so both engines hash identical
+    sign codes; everything downstream is the same banding/top-k the
+    Spark plan runs."""
+    code_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {plane!r}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(_lsh_hyperplanes())
+    )
+    cos = _SQL_COS.format(a="c.v", b="c.pv")
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), coded AS (
+        SELECT vec_id, v, {code_terms} AS code FROM e
+    ), banded AS (
+        SELECT vec_id, v, t.band, (code >> (t.band * 4)) & 15 AS bits
+        FROM coded, (VALUES (0), (1), (2), (3)) AS t(band)
+    ), probes AS (
+        SELECT vec_id AS pid, v AS pv, band, bits
+        FROM banded WHERE vec_id < {_N_PROBES}
+    ), cand AS (
+        SELECT DISTINCT b.vec_id, b.v, p.pid, p.pv
+        FROM banded b JOIN probes p USING (band, bits)
+        WHERE b.vec_id <> p.pid
+    )
+    SELECT pid AS probe_id, rank, vec_id, cos_sim FROM (
+        SELECT pid, vec_id,
+               row_number() OVER (PARTITION BY pid
+                                  ORDER BY s DESC, vec_id) AS rank,
+               round(s, 4) AS cos_sim
+        FROM (SELECT c.pid, c.vec_id, {cos} AS s FROM cand c)
+    ) WHERE rank <= {_IVF_TOPK}
+    """
+
+
+@register("ann_lsh_topk", oracle=_lsh_oracle_sql())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via sign-random-projection LSH: every vector gets a 16-bit
     hyperplane sign code; probes search only vectors agreeing on >=1
@@ -392,9 +429,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the coarse-quantizer variant): code assignment is one scan
     (hyperplanes are literals in the plan — no broadcast needed), the
     band join is an equi-join on (band, band-bits), and the quadratic
-    work is confined to candidate buckets. Rows-only for the driver
-    (the hyperplane constants make an unwieldy SQL twin);
-    ``tests/test_ann.py`` asserts recall against the exact baseline."""
+    work is confined to candidate buckets. Fully oracled: the
+    hyperplane doubles round-trip exactly through their decimal repr,
+    so DuckDB reproduces the identical sign codes and band buckets;
+    ``tests/test_ann.py`` additionally bounds recall vs the exact
+    baseline."""
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings").select(
