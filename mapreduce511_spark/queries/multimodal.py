@@ -36,10 +36,31 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample")
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, octet_length(encode(text)) AS len FROM documents
+    ), f AS (
+        SELECT doc_id, len, greatest(len // 64, 1) AS n FROM d
+    ), idx AS (
+        SELECT doc_id, len,
+               unnest(generate_series(0, CAST(n - 1 AS BIGINT), 4)) AS i
+        FROM f
+    )
+    SELECT doc_id,
+           count(*) AS n_sampled_frames,
+           CAST(sum(least(64, greatest(len - i * 64, 0))) AS BIGINT)
+               AS sampled_bytes
+    FROM idx GROUP BY doc_id
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (video-style demux stub): every 4th 64-byte
-    frame per asset, then per-asset frame counts + byte totals."""
+    frame per asset, then per-asset frame counts + byte totals. The
+    oracle reproduces the frame geometry arithmetically from the
+    UTF-8 payload length (the demux itself runs only Spark-side), so
+    the driver hash-checks the sampling schedule and slice sizes."""
     docs = load_table(spark, sf_dir, "documents")
     frames = sample_frames(attach_fake_media(docs), every_n=4)
     return frames.groupBy("doc_id").agg(
