@@ -181,6 +181,23 @@ def cmd_clean(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Small-file compaction job (streaming/skew-split litter -> files
+    near the target size)."""
+    from mapreduce511_spark.operators.maintenance import compact_parquet
+
+    spark = _spark(args.cpus)
+    n = compact_parquet(
+        spark,
+        args.input,
+        args.output,
+        target_file_bytes=args.target_mb * 1024 * 1024,
+        partition_by=args.partition_by,
+    )
+    print(f"compacted {args.input} -> {args.output} ({n} file(s) requested)")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="mapreduce511_spark")
     p.add_argument("--cpus", type=int, default=None)
@@ -216,6 +233,13 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--output", required=True)
     cl.add_argument("--min-tokens", type=int, default=30)
     cl.set_defaults(fn=cmd_clean)
+
+    cp = sub.add_parser("compact", help="rewrite parquet into ~target-size files")
+    cp.add_argument("--input", required=True)
+    cp.add_argument("--output", required=True)
+    cp.add_argument("--target-mb", type=int, default=128)
+    cp.add_argument("--partition-by", nargs="*", default=None)
+    cp.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,64 @@
+"""Table maintenance: small-file compaction.
+
+At 100 TB the silent killer is not one big file but millions of tiny
+ones — every streaming micro-batch, skew-split task, or over-
+partitioned write multiplies scan/listing overhead (one task + one
+footer-read per file). Compaction rewrites a parquet dataset into
+files near a target size; downstream scans then get
+``maxPartitionBytes``-sized splits instead of per-file scheduling.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def dataset_bytes(path: str) -> int:
+    """Total bytes of parquet data files under ``path`` (local FS; on
+    a real cluster this comes from the FileSystem listing the planner
+    already performs)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Rewrite ``in_path`` into ``out_path`` with ~target-sized files.
+
+    File count = ceil(input_bytes / target): one wide repartition (a
+    round-robin shuffle — no key skew by construction), then a single
+    write. For hive-partitioned datasets pass ``partition_by`` so the
+    layout (and downstream partition pruning) is preserved; the
+    repartition then hashes on those columns so each output partition
+    directory is written by as few tasks as possible.
+
+    Returns the number of output files requested."""
+    df = spark.read.parquet(in_path)
+    n_files = max(1, math.ceil(dataset_bytes(in_path) / target_file_bytes))
+    if partition_by:
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c) for c in partition_by]
+        compacted = df.repartition(n_files, *cols)
+        writer = compacted.write.partitionBy(*partition_by)
+    else:
+        compacted = df.repartition(n_files)
+        writer = compacted.write
+    writer.mode("overwrite").parquet(out_path)
+    return n_files
