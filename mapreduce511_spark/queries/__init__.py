@@ -83,6 +83,7 @@ _ENUMERATE_FIRST: list[str] = [
     "event_value_band_join",
     "sql_grouping_sets",
     "sql_window_lag",
+    "ensemble_near_dup",
     "log_chart_smoothed_cpu",
     "multimodal_decode_stats",
     "wordcount_skewed",

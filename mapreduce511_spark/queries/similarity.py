@@ -649,3 +649,84 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("qdot"), F.asc("vec_id"))
         .limit(20)
     )
+
+
+@register(
+    "ensemble_near_dup",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cand AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               {_SQL_COS.format(a="a.v", b="b.v")} AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {_SQL_COS.format(a="a.v", b="b.v")} >= {_COS_DUP_T}
+    ), toks AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                         t -> t <> '')) AS tk
+        FROM documents
+    )
+    SELECT c.doc_a, c.doc_b, round(c.cos, 4) AS cos_sim,
+           CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS n_common,
+           CAST(len(list_distinct(a.tk || b.tk)) AS BIGINT) AS n_union
+    FROM cand c
+    JOIN toks a ON a.doc_id = c.doc_a
+    JOIN toks b ON b.doc_id = c.doc_b
+    WHERE len(list_intersect(a.tk, b.tk)) * 10
+          >= len(list_distinct(a.tk || b.tk)) * 3
+    """,
+)
+def ensemble_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal near-dup: a pair counts only if BOTH the embedding
+    space (cos >= t) and the token space (set-Jaccard >= 0.3) agree —
+    the production pattern for high-precision dedup (each signal alone
+    false-positives differently). The Jaccard threshold compares
+    10*|∩| >= 3*|∪| in integers, so no float boundary can diverge
+    between engines. vec_id and doc_id share the testdata's id space
+    (row i's embedding encodes document i).
+
+    Scale shape: candidates come from the embedding side first
+    (at 100 TB: LSH bands or the blocked GEMM, not this exact
+    self-join), then ONE hash join per side attaches token sets only
+    for candidate ids — the text of non-candidates is never read."""
+    from mapreduce511_spark.functions.vectors import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    with_norm = emb.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    a = with_norm.select(
+        F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = with_norm.select(
+        F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cand = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= _COS_DUP_T)
+        .select("doc_a", "doc_b", "cos")
+    )
+    toks = docs.select(
+        "doc_id", F.array_distinct(tokenize("text")).alias("tk")
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("tka"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tkb"))
+    n_common = F.size(F.array_intersect(F.col("tka"), F.col("tkb")))
+    n_union = F.size(F.array_distinct(F.concat(F.col("tka"), F.col("tkb"))))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("n_common", n_common.cast("long"))
+        .withColumn("n_union", n_union.cast("long"))
+        .filter(F.col("n_common") * 10 >= F.col("n_union") * 3)
+        .select(
+            "doc_a", "doc_b", F.round("cos", 4).alias("cos_sim"),
+            "n_common", "n_union",
+        )
+    )
