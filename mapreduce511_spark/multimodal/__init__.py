@@ -308,10 +308,12 @@ def sample_frames(media_df: DataFrame, every_n: int = 4) -> DataFrame:
 
 
 def resize_assets(media_df: DataFrame, factor: int = 2) -> DataFrame:
-    """Resize stub (the image-resize slot of the pipeline): the fake
-    codec downsamples payload bytes by ``factor`` and halves the
-    metadata dimensions accordingly — same mapInPandas shape a real
-    resampler (PIL/cv2) drops into, with metadata kept consistent."""
+    """Image-resize slot of the pipeline. BMP payloads get a REAL
+    nearest-neighbor resize (decode → every factor-th pixel →
+    re-encode, ``codecs.resize_bmp``) with metadata updated from the
+    actual output dims; other formats keep the deterministic
+    byte-downsample fake with the same mapInPandas shape a PIL/cv2
+    resampler drops into."""
     import numpy as np
 
     out_schema = T.StructType(
@@ -323,13 +325,21 @@ def resize_assets(media_df: DataFrame, factor: int = 2) -> DataFrame:
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapreduce511_spark.multimodal import codecs
+
         for pdf in it:
             rows = []
             for doc_id, payload, media in zip(
                 pdf["doc_id"], pdf["content"], pdf["media"]
             ):
-                arr = np.frombuffer(payload, dtype=np.uint8)[::factor]
                 meta = dict(media)
+                if meta.get("fmt") == codecs.BMP_FMT:
+                    out = codecs.resize_bmp(bytes(payload), factor)
+                    w2, h2, _px = codecs.decode_bmp(out)
+                    meta["width"], meta["height"] = w2, h2
+                    rows.append((int(doc_id), out, meta))
+                    continue
+                arr = np.frombuffer(payload, dtype=np.uint8)[::factor]
                 meta["width"] = max(int(meta["width"]) // factor, 1)
                 meta["height"] = max(int(meta["height"]) // factor, 1)
                 rows.append((int(doc_id), arr.tobytes(), meta))

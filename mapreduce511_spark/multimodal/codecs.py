@@ -122,3 +122,15 @@ def decode_real(payload: bytes, fmt: str):
         f"no native decoder for {fmt!r}: this environment has no "
         "image/audio codec libraries; BMP and WAV decode natively"
     )
+
+
+def resize_bmp(payload: bytes, factor: int = 2) -> bytes:
+    """REAL image resize for BMP payloads: decode, nearest-neighbor
+    downsample by ``factor`` (every factor-th pixel in both axes),
+    re-encode. Deterministic, dependency-free — the genuine article
+    for the pipeline's resize slot, not a byte-skipping fake."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    _w, _h, px = decode_bmp(payload)
+    small = px[::factor, ::factor]
+    return encode_bmp(small)

@@ -175,3 +175,36 @@ class TestNativeCodecs:
             assert r.sum_val == int(vals.sum())
             assert (r.min_val, r.max_val) == (int(vals.min()), int(vals.max()))
             assert r.hist_sum == int((bins + 1).sum())
+
+
+def test_real_bmp_resize_through_spark(spark):
+    """resize_assets on real BMP payloads: decode the output and check
+    it is exactly the nearest-neighbor downsample of the input pixels,
+    with metadata matching the true output geometry."""
+    import numpy as np
+
+    from mapreduce511_spark.multimodal import codecs, resize_assets, synth_codec_media
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    media = synth_codec_media(docs).filter("fmt = 'image/bmp'").limit(20)
+    with_meta = media.select(
+        "doc_id",
+        "content",
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.col("fmt").alias("fmt"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.lit(1).alias("n_frames"),
+        ).alias("media"),
+    )
+    resized = {r.doc_id: r for r in resize_assets(with_meta, factor=2).collect()}
+    originals = {r.doc_id: bytes(r.content) for r in media.collect()}
+    assert resized
+    for doc_id, r in resized.items():
+        _w0, _h0, px0 = codecs.decode_bmp(originals[doc_id])
+        w2, h2, px2 = codecs.decode_bmp(bytes(r.content))
+        expect = px0[::2, ::2]
+        assert (h2, w2) == expect.shape[:2]
+        assert (r.media["width"], r.media["height"]) == (w2, h2)
+        assert np.array_equal(px2, expect)
