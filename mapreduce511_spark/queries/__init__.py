@@ -84,6 +84,8 @@ _ENUMERATE_FIRST: list[str] = [
     "sql_grouping_sets",
     "sql_window_lag",
     "ensemble_near_dup",
+    "rolling_value_sum",
+    "order_value_ntile",
     "log_chart_smoothed_cpu",
     "multimodal_decode_stats",
     "wordcount_skewed",

@@ -360,3 +360,75 @@ def event_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "rolling_value_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(sum(cents) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS window_cents,
+           rn
+    FROM (
+        SELECT user_id, event_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    WHERE user_id < 200
+    """,
+)
+def rolling_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-bounded rolling aggregate: per-user 5-event sliding sum.
+    Values convert to integer cents FIRST (round(value*100) is the
+    same double op in both engines), so the windowed sum is exact
+    integer arithmetic — sliding-frame float summation differs between
+    engines (Spark re-sums the frame; DuckDB uses segment trees), and
+    integers make that difference unobservable. Unique (ts, event_id)
+    ordering per the round-1 tie lesson."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = order.rowsBetween(-4, 0)
+    return (
+        ev.select("user_id", "event_id", "ts", cents.alias("cents"))
+        .withColumn("window_cents", F.sum("cents").over(frame))
+        .withColumn("rn", F.row_number().over(order))
+        .filter(F.col("user_id") < 200)
+        .select("user_id", "event_id", "window_cents", "rn")
+    )
+
+
+@register(
+    "order_value_ntile",
+    oracle="""
+    SELECT tile,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS tile_revenue
+    FROM (
+        SELECT o_totalprice,
+               ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS tile
+        FROM orders
+    )
+    GROUP BY tile
+    """,
+)
+def order_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing via ntile over a total order (price desc,
+    orderkey tie-break), aggregated per tile. The single-partition
+    window is intentional spec for the oracle; at scale the same
+    result comes from approx quantile boundaries + bucket tagging (no
+    global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select("o_totalprice", F.ntile(4).over(w).alias("tile"))
+        .groupBy("tile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("tile_revenue"),
+        )
+    )
