@@ -331,3 +331,51 @@ def click_purchase_join(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def exactly_once_parquet_sink(
+    stream_df: DataFrame, out_dir: str, checkpoint: str
+):
+    """foreachBatch parquet sink with idempotent per-batch commits —
+    exactly-once FILE output on top of Structured Streaming's
+    at-least-once batch redelivery.
+
+    Each micro-batch writes to ``out_dir/batch=<id>`` and drops a
+    ``_COMMIT`` marker after a successful write; a redelivered batchId
+    (failure between write and checkpoint advance) sees the marker and
+    skips, so no batch's rows can land twice. Readers take only
+    committed batch dirs (``read_committed``). This is the pattern for
+    sinks without transactional append; the overwrite keeps a torn
+    half-written batch dir from double-counting."""
+    import os
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        target = os.path.join(out_dir, f"batch={batch_id}")
+        marker = os.path.join(target, "_COMMIT")
+        if os.path.exists(marker):
+            return  # redelivered batch — already durable
+        df.write.mode("overwrite").parquet(target)
+        with open(marker, "w") as fh:
+            fh.write("")
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read only the committed batch directories of an
+    ``exactly_once_parquet_sink`` output."""
+    import glob
+    import os
+
+    dirs = [
+        os.path.dirname(m)
+        for m in glob.glob(os.path.join(out_dir, "batch=*", "_COMMIT"))
+    ]
+    if not dirs:
+        raise FileNotFoundError(f"no committed batches under {out_dir}")
+    return spark.read.parquet(*dirs)

@@ -197,3 +197,42 @@ def test_stream_stream_join_matches_batch(spark, events_dir, tmp_path):
     rows_b = _as_sorted_rows(batch, cols)
     assert rows_s == rows_b
     assert len(rows_s) > 0  # the corpus must actually exercise the join
+
+
+def test_exactly_once_sink_idempotent_on_replay(spark, events_dir, tmp_path):
+    """The foreachBatch sink must (a) land every input row exactly
+    once across a full drain and (b) be a no-op when a batch is
+    redelivered (simulated by re-invoking the batch writer with the
+    same id)."""
+    import os
+
+    from mapreduce511_spark.streaming import (
+        exactly_once_parquet_sink,
+        read_committed,
+    )
+
+    out = str(tmp_path / "once_out")
+    q = exactly_once_parquet_sink(
+        stream_events(spark, events_dir),
+        out,
+        str(tmp_path / "ckpt_once"),
+    )
+    q.awaitTermination()
+    ev = load_table(spark, SF_SMOKE, "events")
+    got = read_committed(spark, out)
+    assert got.count() == ev.count()
+    assert sorted(r.event_id for r in got.select("event_id").collect()) == sorted(
+        r.event_id for r in ev.select("event_id").collect()
+    )
+    # simulate at-least-once redelivery of an already-committed batch:
+    # a second write of batch id 0 must not change the committed data
+    batch_dirs = [d for d in os.listdir(out) if d.startswith("batch=")]
+    assert batch_dirs
+    before = got.count()
+    q2 = exactly_once_parquet_sink(
+        stream_events(spark, events_dir),
+        out,
+        str(tmp_path / "ckpt_once_replay"),  # fresh checkpoint => batch 0 replays
+    )
+    q2.awaitTermination()
+    assert read_committed(spark, out).count() == before
