@@ -62,3 +62,21 @@ def compact_parquet(
         writer = compacted.write
     writer.mode("overwrite").parquet(out_path)
     return n_files
+
+
+def merge_upsert(base, updates, key: str):
+    """MERGE (upsert) as a DataFrame op: rows in ``updates`` replace
+    same-key rows in ``base``; new keys append. Columns must match.
+
+    Plan shape: one left-anti join (base rows not being updated)
+    unioned with updates — both sides shuffle once on the key; with
+    bucketed tables the anti-join is co-located and shuffle-free. This
+    is the engine-level primitive a Delta/Iceberg MERGE compiles to
+    when every update row wins wholesale (no per-column conditions)."""
+    from pyspark.sql import functions as F
+
+    upd_keys = updates.select(F.col(key).alias("__merge_key"))
+    keep = base.join(
+        upd_keys, on=base[key] == F.col("__merge_key"), how="left_anti"
+    )
+    return keep.unionByName(updates)

@@ -86,6 +86,7 @@ _ENUMERATE_FIRST: list[str] = [
     "ensemble_near_dup",
     "rolling_value_sum",
     "order_value_ntile",
+    "merge_upsert_orders",
     "log_chart_smoothed_cpu",
     "multimodal_decode_stats",
     "wordcount_skewed",

@@ -808,3 +808,64 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count("*").alias("n_lines"),
     )
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'N',
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 97 = 0
+    ), merged AS (
+        SELECT * FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM updates u
+                          WHERE u.o_orderkey = o.o_orderkey)
+        UNION ALL
+        SELECT * FROM updates
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM merged
+    GROUP BY o_orderstatus
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE shape: a deterministic change set (10% price bump for
+    every 7th order; brand-new rows for every 97th) upserts into
+    orders via operators.maintenance.merge_upsert (anti-join + union —
+    the primitive a lakehouse MERGE compiles to), then a census per
+    status. Prices reduce to integer cents before summing so the
+    cross-engine comparison is exact."""
+    from mapreduce511_spark.operators.maintenance import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    bumped = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    fresh = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    updates = bumped.unionByName(fresh)
+    merged = merge_upsert(orders, updates, "o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        merged.select("o_orderstatus", cents.alias("cents"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
