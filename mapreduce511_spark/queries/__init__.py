@@ -87,6 +87,10 @@ _ENUMERATE_FIRST: list[str] = [
     "rolling_value_sum",
     "order_value_ntile",
     "merge_upsert_orders",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q21_waiting_supplier",
+    "q22_lapsed_rich_customers",
     "log_chart_smoothed_cpu",
     "multimodal_decode_stats",
     "wordcount_skewed",

@@ -869,3 +869,175 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("total_cents"),
         )
     )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join that must PRESERVE customers with
+    zero qualifying orders (count(o_orderkey) counts non-null only),
+    then a second aggregation over the counts — the two-level
+    histogram. The join predicate rides the outer join condition, not
+    a post-filter (which would silently drop the zero bucket)."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    keep = orders.filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        customer.join(
+            keep, customer.c_custkey == keep.o_custkey, "left_outer"
+        )
+        .groupBy(customer.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < (
+          SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar AVG subquery — planned as a
+    per-part average aggregated ONCE and joined back (never a
+    re-aggregation per probe row). The brand filter prunes parts
+    before the join; the per-part averages cover all parts (the
+    correlation is on partkey alone, matching the subquery exactly)."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    avg_q = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.avg("l_quantity") * 0.2).alias("q_lim")
+    )
+    brand = part.filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    return (
+        li.join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_q, F.col("l_partkey") == F.col("ap"))
+        .filter(F.col("l_quantity") < F.col("q_lim"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to this schema: 'late' = shipped >60
+    days after order date on a finished order): the only-late-supplier
+    pattern — one EXISTS (other suppliers shared the order) and one
+    NOT EXISTS (none of the others were late). Both compile to
+    semi/anti joins on orderkey with the supplier-inequality and
+    lateness predicates riding the join conditions."""
+    supplier, li, orders = _t(spark, sf_dir, "supplier", "lineitem", "orders")
+    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    l1 = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > late_cut)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+        F.col("l_shipdate").alias("x_shipdate"),
+    )
+    with_others = l1.join(
+        others,
+        (F.col("x_orderkey") == F.col("l_orderkey"))
+        & (F.col("x_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    none_late = with_others.join(
+        others,
+        (F.col("x_orderkey") == F.col("l_orderkey"))
+        & (F.col("x_suppkey") != F.col("l_suppkey"))
+        & (F.col("x_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_anti",
+    )
+    return (
+        none_late.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "q22_lapsed_rich_customers",
+    oracle="""
+    WITH cutoff AS (
+        SELECT avg(c_acctbal) AS lim FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey,
+           count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c, cutoff
+    WHERE c.c_acctbal > cutoff.lim
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_lapsed_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (country code → nationkey): global scalar AVG
+    subquery (computed once, broadcast as a 1-row cross join) gates an
+    anti-join against recent orders — above-average balances with no
+    order since 2000, grouped per nation."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    cutoff = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("lim")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        customer.join(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("lim"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
