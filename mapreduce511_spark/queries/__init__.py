@@ -91,6 +91,11 @@ _ENUMERATE_FIRST: list[str] = [
     "q17_small_quantity_revenue",
     "q21_waiting_supplier",
     "q22_lapsed_rich_customers",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_value_concentration",
+    "q15_top_supplier",
     "log_chart_smoothed_cpu",
     "multimodal_decode_stats",
     "wordcount_skewed",

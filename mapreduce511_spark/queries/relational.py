@@ -1041,3 +1041,267 @@ def q22_lapsed_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               year(l.l_shipdate) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                               AND TIMESTAMP '1997-12-31'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume. nation joins twice
+    under different roles (supplier's vs customer's nation) — both
+    broadcast; the symmetric country-pair disjunction evaluates
+    post-join on the tiny dimension columns."""
+    supplier, li, orders, customer, nation = _t(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.filter(
+            F.col("l_shipdate").between("1996-01-01", "1997-12-31 00:00:00")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                      / sum(volume) * 10000) AS BIGINT) AS share_bp
+    FROM (
+        SELECT year(o.o_orderdate) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n1.n_name AS nation
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        JOIN region r   ON n2.n_regionkey = r.r_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        WHERE r.r_name = 'AMERICA'
+          AND p.p_type = 'ECONOMY'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's yearly volume,
+    emitted as integer basis points (round(x*10000) on the identical
+    double) — conditional-sum ratio over a snowflake join with nation
+    again in two roles."""
+    li, part, orders, customer, nation, region, supplier = _t(
+        spark, sf_dir,
+        "lineitem", "part", "orders", "customer", "nation", "region", "supplier",
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_regionkey").alias("rk2")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(
+            F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+            F.col("rk2") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "nation",
+        )
+    )
+    return base.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+            / F.sum("volume")
+            * 10000
+        )
+        .cast("long")
+        .alias("share_bp")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation,
+               year(o.o_orderdate) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount)
+                   - ps.ps_supplycost * l.l_quantity * 0.0001 AS amount
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN ps         ON ps.ps_partkey = l.l_partkey
+                       AND ps.ps_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%red%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-nation yearly profit with the cost side
+    coming from the derived partsupp relation (same lineitem-derived
+    ps as Q2/Q16; the 0.0001 factor keeps cost subdominant like the
+    original's supplycost scale). partsupp joins on the composite
+    (partkey, suppkey) — a fact-fact shuffle join on a two-column
+    key."""
+    li, part, supplier, orders, nation = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation"
+    )
+    ps = _partsupp(li)
+    green = part.filter(F.col("p_name").contains("red")).select("p_partkey")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity") * 0.0001
+    return (
+        li.join(F.broadcast(green), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_value_concentration",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    val AS (
+        SELECT ps_partkey, sum(ps_supplycost) AS v FROM ps GROUP BY ps_partkey
+    ), total AS (
+        SELECT sum(v) AS tv FROM val
+    )
+    SELECT ps_partkey, round(v, 2) AS part_value
+    FROM val, total
+    WHERE v > tv * 0.0005
+    """,
+)
+def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose aggregate value exceeds a fraction
+    of the GLOBAL total — the global scalar joins back as a 1-row
+    broadcast; no second scan of the aggregate (Spark reuses the
+    shuffle via the self-referencing subplan)."""
+    li, = _t(spark, sf_dir, "lineitem")
+    val = _partsupp(li).groupBy("ps_partkey").agg(
+        F.sum("ps_supplycost").alias("v")
+    )
+    total = val.agg(F.sum("v").alias("tv"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("v") > F.col("tv") * 0.0005)
+        .select("ps_partkey", F.round("v", 2).alias("part_value"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue view, then equality with its
+    own MAX — the classic re-used subplan (Spark computes rev once;
+    the scalar max broadcasts back). Ties (several suppliers at the
+    max) all surface, same as the subquery semantics."""
+    li, supplier = _t(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
