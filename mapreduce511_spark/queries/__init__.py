@@ -39,7 +39,8 @@ def register(name: str, oracle: str | None = None):
 # already-green round-1 rows re-verify last.  Registration order is
 # otherwise preserved, and the set of names is identical either way.
 _ENUMERATE_FIRST: list[str] = [
-    # round-1 unchecked (tail of the r01 dict)
+    # --- round-1 unchecked (the r01 driver sampled only the first 50
+    # dict entries; these 30 had no CORRECTNESS row) ---
     "wordcount",
     "wordcount_top20",
     "q4_order_priority",
@@ -70,23 +71,18 @@ _ENUMERATE_FIRST: list[str] = [
     "repetition_score",
     "contamination_screen",
     "deterministic_split",
-    # new in round 2
-    "q2_min_cost_supplier",
-    "q16_parts_supplier_counts",
-    "near_dup_jaccard_capped",
+    # --- new in round 2, highest-value first (slots 31-50 if the
+    # driver caps at 50) ---
+    "multimodal_decode_stats",
+    "wordcount_skewed",
+    "log_chart_smoothed_cpu",
     "pipeline_clean_corpus",
     "ann_quantized_topk",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "pivot_event_type_counts",
-    "event_value_band_join",
-    "sql_grouping_sets",
-    "sql_window_lag",
+    "near_dup_jaccard_capped",
     "ensemble_near_dup",
-    "rolling_value_sum",
-    "order_value_ntile",
     "merge_upsert_orders",
+    "q2_min_cost_supplier",
+    "q16_parts_supplier_counts",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q21_waiting_supplier",
@@ -96,9 +92,17 @@ _ENUMERATE_FIRST: list[str] = [
     "q9_product_profit",
     "q11_value_concentration",
     "q15_top_supplier",
-    "log_chart_smoothed_cpu",
-    "multimodal_decode_stats",
-    "wordcount_skewed",
+    "q14_promo_revenue",
+    # --- round-2 shapes similar to already-green r01 queries (fine to
+    # overflow into the next round's sample) ---
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "pivot_event_type_counts",
+    "event_value_band_join",
+    "sql_grouping_sets",
+    "sql_window_lag",
+    "rolling_value_sum",
+    "order_value_ntile",
 ]
 
 
