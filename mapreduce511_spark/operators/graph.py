@@ -1,0 +1,89 @@
+"""Connected components over an edge list — duplicate-cluster formation.
+
+Near-dup detection (MinHash/SimHash/Jaccard, ``operators/dedup.py``)
+emits *pairs*; a real cleaning pipeline needs *clusters* (keep one
+canonical document per duplicate class, drop the rest).  Pair→cluster
+is connected components on the pair graph.  The reference has no graph
+operator at all (its analytics are pandas groupbys over log tables,
+``/root/reference/analyze/common_utils.py``); this is part of the
+100 TB LLM-pipeline extension tier (SURVEY.md §7 M7).
+
+Algorithm: iterative min-label propagation entirely in DataFrame ops —
+each round every node takes the minimum label among itself and its
+neighbors (one equi-join + one groupBy = two hash shuffles per round),
+converging in graph-diameter rounds.  Near-dup components are band
+buckets / mutually-similar groups, i.e. near-cliques with tiny
+diameters (2–4), so the round count is small and independent of corpus
+size; lineage is truncated every round with ``localCheckpoint`` so
+plans stay flat.  For adversarial long-chain graphs at 100 TB swap the
+propagation body for the large-star/small-star rounds of
+Kiveris et al., "Connected Components in MapReduce and Beyond"
+(SoCC'14) — O(log n) rounds on arbitrary graphs, same join/groupBy
+primitives; near-dup graphs never need it.
+
+No driver-side graph state: the driver sees only per-round convergence
+counters (one scalar per iteration), never nodes or edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label each node of the undirected edge list with the minimum
+    node id reachable from it.
+
+    Returns ``DataFrame[node, component]`` covering every node that
+    appears in ``edges`` (isolated nodes are the caller's concern —
+    they are their own components by definition).
+
+    Raises ``RuntimeError`` if the propagation has not converged after
+    ``max_iter`` rounds: an unconverged labeling is silently wrong, so
+    fail loudly instead.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+
+    for _ in range(max_iter):
+        # Neighbor labels: node u hears the current label of each
+        # neighbor v.  Keeping the self-label via union (not an outer
+        # join) preserves monotone non-increasing labels.
+        neighbor = sym.join(
+            labels, sym["v"] == labels["node"], "inner"
+        ).select(F.col("u").alias("node"), "component")
+        proposed = (
+            labels.select("node", "component")
+            .union(neighbor)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        proposed = proposed.localCheckpoint(eager=True)
+        changed = (
+            proposed.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = proposed
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "graph diameter exceeds the near-dup assumption — use a "
+        "large-star/small-star variant for this input"
+    )

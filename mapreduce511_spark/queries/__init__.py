@@ -73,6 +73,8 @@ _ENUMERATE_FIRST: list[str] = [
     "deterministic_split",
     # --- new in round 2, highest-value first (slots 31-50 if the
     # driver caps at 50) ---
+    "dedup_clusters",
+    "fuzzy_dedup_survivors",
     "multimodal_decode_stats",
     "wordcount_skewed",
     "log_chart_smoothed_cpu",

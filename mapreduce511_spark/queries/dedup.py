@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce511_spark.operators.graph import connected_components
 from mapreduce511_spark.operators.dedup import (
     MINHASH_P,
     N_PERMS,
@@ -214,3 +215,108 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join; bit_count(xor) verifies exactly."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_candidates(simhash_fingerprints(docs))
+
+
+# ---- pair -> cluster formation (connected components) ----
+
+# Verified near-dup pairs + connected components, as shared oracle
+# CTEs.  The recursive `reach` CTE computes min-reachable-id labels —
+# the SQL twin of operators/graph.connected_components.
+_SQL_COMPONENTS = (
+    f"""
+    {_SQL_BANDS},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS both
+        FROM cand c
+        JOIN shingles a ON a.doc_id = c.doc_a
+        JOIN shingles b ON b.doc_id = c.doc_b AND b.sh = a.sh
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE i.both * 1.0 / (sa.sz + sb.sz - i.both) >= {_JACCARD_T}
+    ),
+    cedges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, r) AS (
+        SELECT u, u AS r FROM (SELECT DISTINCT u FROM cedges)
+        UNION
+        SELECT e.u, w.r FROM cedges e JOIN reach w ON w.u = e.v
+    ),
+    comp AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u)
+"""
+    # the WITH chain must carry RECURSIVE for the `reach` CTE
+).replace("WITH", "WITH RECURSIVE", 1)
+
+
+def _near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Spark body: verified MinHash pairs -> (node, component)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = doc_shingles(docs)
+    cand = band_candidates(minhash_bands(minhash_signatures_wide(shingles)))
+    pairs = verify_jaccard(cand, shingles).filter(F.col("jaccard") >= _JACCARD_T)
+    return connected_components(pairs, src="doc_a", dst="doc_b")
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    {_SQL_COMPONENTS}
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: verified near-dup PAIRS (MinHash
+    LSH + exact-Jaccard verify) -> duplicate CLASSES via connected
+    components (min-label propagation, operators/graph.py), labeling
+    every clustered doc with its canonical (minimum) doc_id and the
+    class size.  The pair->cluster step is what an actual cleaning
+    pipeline runs before dropping non-canonical members; the reference
+    has no graph stage at all (extension tier, SURVEY.md §7 M7)."""
+    cc = _near_dup_components(spark, sf_dir)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+@register(
+    "fuzzy_dedup_survivors",
+    oracle=f"""
+    {_SQL_COMPONENTS}
+    SELECT d.lang,
+           count(*) AS kept_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+    FROM documents d
+    LEFT JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    GROUP BY d.lang
+    """,
+)
+def fuzzy_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus after fuzzy dedup: keep every unclustered doc plus the
+    canonical (min doc_id) member of each duplicate cluster; report
+    surviving volume per language.  The cluster map joins back to the
+    corpus on doc_id — a plain hash join (the map is proportional to
+    the *duplicated* subset, not the corpus, but is not guaranteed
+    broadcast-small at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cc = _near_dup_components(spark, sf_dir)
+    keep = docs.join(cc, docs["doc_id"] == cc["node"], "left").filter(
+        F.col("node").isNull() | (F.col("component") == F.col("doc_id"))
+    )
+    return keep.groupBy("lang").agg(
+        F.count("*").alias("kept_docs"),
+        F.sum("n_chars").alias("kept_chars"),
+    )

@@ -177,3 +177,66 @@ def test_df_cap_bounds_candidate_generation(spark, docs):
         .count()
     )
     assert uncapped_pairs == 200 * 199 // 2
+
+
+# ---- connected components (pair -> cluster) ----
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain, a 2-node edge, and a triangle resolve to three
+    components labeled by their minimum node ids."""
+    from mapreduce511_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20)],
+        ["src", "dst"],
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_connected_components_unconverged_raises(spark):
+    """A chain longer than max_iter rounds must fail loudly, never
+    return a partial labeling."""
+    import pytest
+
+    from mapreduce511_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+
+
+def test_dedup_clusters_cover_near_dup_pairs(spark):
+    """Every verified near-dup pair lands in the same cluster, and
+    every cluster_id is the minimum doc_id of its members."""
+    from mapreduce511_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    q = all_queries()
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in q["minhash_near_dup"](spark, sf).collect()
+    }
+    clusters = q["dedup_clusters"](spark, sf).collect()
+    label = {r["doc_id"]: r["cluster_id"] for r in clusters}
+    for a, b in pairs:
+        assert label[a] == label[b]
+    by_cluster: dict[int, list[int]] = {}
+    for r in clusters:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+        sizes = {
+            r["cluster_size"] for r in clusters if r["cluster_id"] == cid
+        }
+        assert sizes == {len(members)}
