@@ -75,6 +75,9 @@ _ENUMERATE_FIRST: list[str] = [
     # driver caps at 50) ---
     "dedup_clusters",
     "fuzzy_dedup_survivors",
+    "stratified_sample",
+    "repeated_span_screen",
+    "event_rollup_multires",
     "multimodal_decode_stats",
     "wordcount_skewed",
     "log_chart_smoothed_cpu",

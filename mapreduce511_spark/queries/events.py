@@ -432,3 +432,70 @@ def order_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("tile_revenue"),
         )
     )
+
+
+@register(
+    "event_rollup_multires",
+    oracle="""
+    WITH cents AS (
+        SELECT event_type, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), hourly AS (
+        SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+               count(*) AS n_events, sum(cents) AS total_cents
+        FROM cents
+        GROUP BY 1, 2
+    ), daily AS (
+        SELECT date_trunc('day', bucket_ts) AS bucket_ts, event_type,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               sum(total_cents) AS total_cents
+        FROM hourly
+        GROUP BY 1, 2
+    )
+    SELECT 'hour' AS grain, bucket_ts, event_type, n_events,
+           CAST(total_cents AS BIGINT) AS total_cents
+    FROM hourly
+    UNION ALL
+    SELECT 'day' AS grain, bucket_ts, event_type, n_events,
+           CAST(total_cents AS BIGINT) AS total_cents
+    FROM daily
+    """,
+)
+def event_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (continuous-aggregate
+    pattern): hour and day grains of per-type event counts and value
+    sums in one result. The day grain re-aggregates the HOURLY
+    aggregate, not the raw table — one scan of the fact table, then a
+    tiny second-stage groupBy over ~24x fewer rows, which is how
+    cascading rollups stay cheap at 100 TB. Values become integer
+    cents before any sum, so cross-engine float order is unobservable."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = (
+        ev.select(
+            F.date_trunc("hour", "ts").alias("bucket_ts"),
+            "event_type",
+            cents.alias("cents"),
+        )
+        .groupBy("bucket_ts", "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("cents").alias("total_cents"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", "bucket_ts").alias("bucket_ts"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_cents").alias("total_cents"),
+        )
+    )
+    return hourly.select(
+        F.lit("hour").alias("grain"), "bucket_ts", "event_type",
+        "n_events", "total_cents",
+    ).unionByName(
+        daily.select(
+            F.lit("day").alias("grain"), "bucket_ts", "event_type",
+            "n_events", "total_cents",
+        )
+    )

@@ -723,3 +723,112 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    t AS (SELECT min(n) AS target FROM n),
+    r AS (SELECT lang, CAST(target * 10000 // n AS BIGINT) AS rate_bp FROM n, t),
+    h AS (
+        SELECT lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 10000 AS bucket
+        FROM documents
+    )
+    SELECT h.lang, r.rate_bp, count(*) AS sampled_docs
+    FROM h JOIN r ON h.lang = r.lang
+    WHERE h.bucket < r.rate_bp
+    GROUP BY h.lang, r.rate_bp
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: equalize language
+    representation by sampling each stratum at rate target/n (target =
+    rarest language's count), with membership decided by a stable
+    content-independent hash (md5(doc_id) % 10000 < rate basis
+    points), NOT rand()/sampleBy — re-runs, cluster moves, and corpus
+    growth keep every doc's in/out decision. One corpus pass; the
+    per-stratum rate table is an aggregate-then-broadcast join (rows =
+    #languages). Integer basis-point rates keep both engines exact."""
+    from mapreduce511_spark.operators.dedup import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    target = counts.agg(F.min("n").alias("target"))
+    rates = counts.crossJoin(F.broadcast(target)).select(
+        "lang",
+        F.expr("CAST(target * 10000 DIV n AS BIGINT)").alias("rate_bp"),
+    )
+    bucket = hash60(F.col("doc_id").cast("string")) % 10000
+    return (
+        docs.select("lang", bucket.alias("bucket"))
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("bucket") < F.col("rate_bp"))
+        .groupBy("lang", "rate_bp")
+        .agg(F.count("*").alias("sampled_docs"))
+    )
+
+
+@register(
+    "repeated_span_screen",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_SQL_TOKENS} AS tokens FROM documents
+    ), doc_spans AS (
+        SELECT DISTINCT doc_id, lang,
+               CAST(('0x' || substr(md5(
+                   array_to_string(tokens[p+1:p+8], ' ')), 1, 15))
+                    AS BIGINT) AS h
+        FROM toks, unnest(range(len(tokens) - 8 + 1)) t(p)
+        WHERE len(tokens) >= 8
+    ), shared AS (
+        SELECT h FROM doc_spans GROUP BY h HAVING count(*) >= 2
+    )
+    SELECT d.lang,
+           count(DISTINCT d.doc_id) AS flagged_docs,
+           count(*) AS shared_span_instances
+    FROM doc_spans d JOIN shared s ON d.h = s.h
+    GROUP BY d.lang
+    """,
+)
+def repeated_span_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detection (boilerplate / template
+    screening): sliding 8-token windows, flag spans appearing in >=2
+    distinct documents. The 100 TB trick: spans are md5-hashed to
+    60-bit ints BEFORE the shuffle, so the distinct/groupBy moves
+    (doc_id, int64) pairs — ~fixed 16 bytes per span instead of the
+    ~8-word span text (an order-of-magnitude shuffle-volume cut);
+    collisions are negligible at 2^60 and identical in the oracle, so
+    parity is unaffected."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", tokenize("text").alias("tokens"))
+    from mapreduce511_spark.operators.dedup import hash60
+
+    spans = (
+        toks.filter(F.size("tokens") >= 8)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tokens) - 8),"
+                    " p -> array_join(slice(tokens, p + 1, 8), ' '))"
+                )
+            ).alias("span"),
+        )
+        .select("doc_id", "lang", hash60(F.col("span")).alias("h"))
+        .distinct()
+    )
+    shared = spans.groupBy("h").agg(F.count("*").alias("ndocs")).filter(
+        F.col("ndocs") >= 2
+    )
+    return (
+        spans.join(shared.select("h"), "h")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("flagged_docs"),
+            F.count("*").alias("shared_span_instances"),
+        )
+    )
