@@ -78,6 +78,7 @@ _ENUMERATE_FIRST: list[str] = [
     "stratified_sample",
     "repeated_span_screen",
     "event_rollup_multires",
+    "context_pack_stats",
     "multimodal_decode_stats",
     "wordcount_skewed",
     "log_chart_smoothed_cpu",

@@ -821,14 +821,70 @@ def repeated_span_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", hash60(F.col("span")).alias("h"))
         .distinct()
     )
-    shared = spans.groupBy("h").agg(F.count("*").alias("ndocs")).filter(
-        F.col("ndocs") >= 2
+    # sharing count via a window over h, not a groupBy+self-join: the
+    # join formulation scans (and explodes) the corpus TWICE; this is
+    # one scan, one distinct shuffle, one window shuffle
+    from pyspark.sql import Window
+
+    shared = spans.withColumn(
+        "ndocs", F.count("*").over(Window.partitionBy("h"))
+    ).filter(F.col("ndocs") >= 2)
+    return shared.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("flagged_docs"),
+        F.count("*").alias("shared_span_instances"),
     )
-    return (
-        spans.join(shared.select("h"), "h")
-        .groupBy("lang")
-        .agg(
-            F.countDistinct("doc_id").alias("flagged_docs"),
-            F.count("*").alias("shared_span_instances"),
-        )
+
+
+@register(
+    "context_pack_stats",
+    oracle=f"""
+    WITH lens AS (
+        SELECT doc_id, lang,
+               len({_SQL_TOKENS}) AS n_tok
+        FROM documents
+    ), packed AS (
+        SELECT lang, n_tok,
+               CAST((sum(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) - n_tok) // 2048 AS BIGINT) AS pack_id
+        FROM lens
+    )
+    SELECT lang, pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM packed
+    GROUP BY lang, pack_id
+    """,
+)
+def context_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length packing for training-sequence assembly: stream
+    documents in stable doc_id order per language, assign each doc to
+    the 2048-token pack its start offset falls in (pack_id = previous
+    cumulative tokens // 2048), and report per-pack document and token
+    counts. Deterministic integer arithmetic on both engines. The
+    running sum is windowed PER LANGUAGE, not globally — a global
+    order-by window serializes onto one task at 100 TB, while
+    per-stratum prefix sums parallelize across strata (for a single
+    giant stratum, split on a coarse hash prefix and offset by
+    per-split totals — same two-phase prefix-sum shape)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", "lang", F.size(tokenize("text")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # integer DIV, not float division: cumulative token offsets pass
+    # 2^53 long before 100 TB does
+    packed = lens.withColumn(
+        "cum_prev", F.sum("n_tok").over(w) - F.col("n_tok")
+    ).withColumn("pack_id", F.expr("CAST(cum_prev DIV 2048 AS BIGINT)"))
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
     )
