@@ -56,6 +56,10 @@ HEADLINE = [
     "multimodal_decode_stats",
     "pipeline_clean_corpus",
     "ann_quantized_topk",
+    "dedup_clusters",
+    "repeated_span_screen",
+    "context_pack_stats",
+    "event_rollup_multires",
 ]
 
 

@@ -198,6 +198,18 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_export(args: argparse.Namespace) -> int:
+    """Export a table to JSONL shards (trainer-interchange format)."""
+    from mapreduce511_spark.sources.jsonl import write_jsonl
+    from mapreduce511_spark.sources.tables import load_table
+
+    spark = _spark(args.cpus)
+    df = load_table(spark, args.sf_dir, args.table)
+    write_jsonl(df, args.output, num_shards=args.shards)
+    print(f"exported {args.table} -> {args.output} ({args.shards} shard(s))")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="mapreduce511_spark")
     p.add_argument("--cpus", type=int, default=None)
@@ -233,6 +245,13 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--output", required=True)
     cl.add_argument("--min-tokens", type=int, default=30)
     cl.set_defaults(fn=cmd_clean)
+
+    ex = sub.add_parser("export", help="table -> JSONL shards")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ex.add_argument("--table", default="documents")
+    ex.add_argument("--shards", type=int, default=8)
+    ex.add_argument("output")
+    ex.set_defaults(fn=cmd_export)
 
     cp = sub.add_parser("compact", help="rewrite parquet into ~target-size files")
     cp.add_argument("--input", required=True)

@@ -48,16 +48,29 @@ def connected_components(
     ``max_iter`` rounds: an unconverged labeling is silently wrong, so
     fail loudly instead.
     """
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-    )
-    sym = sym.localCheckpoint(eager=True)
+    # Checkpoint the raw edges FIRST: the symmetric union below reads
+    # its input twice, and without this the (possibly expensive)
+    # upstream plan that produced the pairs would execute once per
+    # union branch.
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e0 = e0.localCheckpoint(eager=True)
+    n_edges = e0.count()  # free: counts the checkpointed blocks
+    sym = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # Near-dup pair sets are usually tiny relative to the corpus;
+    # collapse small graphs to few partitions so each propagation
+    # round pays a handful of tasks, not a full shuffle fan-out.
+    # Large edge lists keep their parallelism.
+    target_parts = min(sym.rdd.getNumPartitions(), n_edges // 100_000 + 1)
+    sym = sym.coalesce(max(1, target_parts)).localCheckpoint(eager=True)
 
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
+    # Labels are monotone non-increasing per node, so sum(component)
+    # strictly decreases iff any label changed — convergence costs one
+    # tiny aggregate per round instead of a join against the previous
+    # labeling.
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
 
     for _ in range(max_iter):
         # Neighbor labels: node u hears the current label of each
@@ -72,16 +85,14 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        proposed = proposed.localCheckpoint(eager=True)
-        changed = (
-            proposed.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        # non-eager: the sum aggregate below materializes the
+        # checkpoint and computes convergence in ONE job per round
+        proposed = proposed.localCheckpoint(eager=False)
+        new_sum = proposed.agg(F.sum("component")).collect()[0][0]
         labels = proposed
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "graph diameter exceeds the near-dup assumption — use a "

@@ -80,3 +80,24 @@ def merge_upsert(base, updates, key: str):
         upd_keys, on=base[key] == F.col("__merge_key"), how="left_anti"
     )
     return keep.unionByName(updates)
+
+
+def backfill_partitions(df, out_path: str, partition_col: str) -> None:
+    """Idempotent partition backfill: overwrite ONLY the hive
+    partitions present in ``df``, leaving sibling partitions untouched
+    (``partitionOverwriteMode=dynamic``, scoped to this write and
+    restored after).
+
+    This is the reprocessing primitive of an incremental pipeline: a
+    late-data or bug-fix rerun for one day/hour replaces exactly that
+    partition, and reruns are idempotent (same input -> same files, no
+    duplicate appends). Static overwrite mode — the Spark default —
+    would silently DELETE every other partition of the table, which is
+    the classic backfill footgun this wrapper exists to avoid."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(out_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

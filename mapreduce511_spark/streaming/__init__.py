@@ -379,3 +379,18 @@ def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
     if not dirs:
         raise FileNotFoundError(f"no committed batches under {out_dir}")
     return spark.read.parquet(*dirs)
+
+
+def enrich_with_users(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the event
+    stream hash-joins against a static dimension snapshot (re-read per
+    batch by Spark, so a refreshed snapshot table is picked up without
+    restarting the query). The static side carries no watermark and no
+    state — unlike a stream-stream join there is nothing to buffer, so
+    this is THE scale-safe way to attach dimensions to a stream; with
+    a small dim the per-batch join is a broadcast.
+
+    Here the "dimension" is a per-user segment derived from customer:
+    user_id -> segment/nation — any static DataFrame keyed by user_id
+    works."""
+    return events.join(user_dim, "user_id", "left")

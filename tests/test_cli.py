@@ -84,3 +84,16 @@ def test_cli_clean_writes_partitioned_parquet(spark, tmp_path, capsys):
         d, t = want.get((r.split,), (0, 0))
         want[(r.split,)] = (d + r.n_docs, t + r.n_tokens)
     assert got == want
+
+
+def test_cli_export_jsonl_round_trip(spark, tmp_path, capsys):
+    out = str(tmp_path / "jsonl")
+    rc = main(["export", "--sf-dir", SF_SMOKE, "--shards", "3", out])
+    assert rc == 0
+    assert "exported documents" in capsys.readouterr().out
+
+    from mapreduce511_spark.sources.jsonl import read_jsonl
+    from mapreduce511_spark.sources.tables import load_table
+
+    n_orig = load_table(spark, SF_SMOKE, "documents").count()
+    assert read_jsonl(spark, out, "documents").count() == n_orig

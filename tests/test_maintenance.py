@@ -52,3 +52,45 @@ def test_compaction_preserves_hive_partitioning(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert pruned.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_backfill_overwrites_only_target_partition(spark, tmp_path):
+    """Dynamic-partition backfill replaces the reprocessed day and
+    leaves every other day byte-identical; a static overwrite of the
+    same frame would have dropped them."""
+    from pyspark.sql import functions as F
+
+    from mapreduce511_spark.operators.maintenance import backfill_partitions
+    from mapreduce511_spark.sources.tables import load_table
+
+    out = str(tmp_path / "events_by_day")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    backfill_partitions(ev, out, "day")
+    days = spark.read.parquet(out).select("day").distinct().count()
+    before = {
+        r["day"]: r["n"]
+        for r in spark.read.parquet(out).groupBy("day").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert days > 1
+
+    # reprocess one day: double that day's value column rows (same count)
+    target = sorted(before)[0]
+    one_day = ev.filter(F.col("day") == F.lit(target)).withColumn(
+        "value", F.col("value") * 2
+    )
+    backfill_partitions(one_day, out, "day")
+
+    after_df = spark.read.parquet(out)
+    after = {
+        r["day"]: r["n"]
+        for r in after_df.groupBy("day").agg(F.count("*").alias("n")).collect()
+    }
+    assert after == before  # no partition lost, no duplicate appends
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+    )

@@ -86,3 +86,45 @@ def test_spline_reproduces_random_cubics(seed, c3, c2):
     got = spline_eval(x, p(x), t)
     tol = 1e-8 * max(1.0, np.abs(expect).max())
     np.testing.assert_allclose(got, expect, atol=tol)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(edges):
+    """connected_components agrees with a driver-side union-find on
+    arbitrary small graphs (self-loops and duplicate edges included)."""
+    from mapreduce511_spark.operators.graph import connected_components
+    from mapreduce511_spark.session import get_spark
+
+    spark = get_spark()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expected = {}
+    nodes = {n for e in edges for n in e}
+    roots: dict[int, int] = {}
+    for n in sorted(nodes):
+        r = find(n)
+        roots.setdefault(r, n)  # min member per root, by sorted order
+        expected[n] = roots[r]
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iter=40).collect()
+    }
+    assert got == expected

@@ -138,3 +138,38 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_jsonl_round_trip_documents(spark, tmp_path):
+    """documents -> JSONL shards -> read-back is lossless (schema and
+    values), shard count is as requested, and corrupt lines fail loudly."""
+    from pyspark.sql import functions as F
+
+    from mapreduce511_spark.sources.jsonl import read_jsonl, write_jsonl
+    from mapreduce511_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "corpus_jsonl")
+    write_jsonl(docs, out, num_shards=4)
+
+    import glob
+
+    shards = glob.glob(out + "/part-*")
+    assert len(shards) == 4
+
+    back = read_jsonl(spark, out, "documents")
+    assert back.schema == docs.schema
+    orig = {r["doc_id"]: r for r in docs.collect()}
+    got = {r["doc_id"]: r for r in back.collect()}
+    assert got == orig
+
+    # corrupt line -> loud failure, not silent nulls
+    import pytest
+
+    bad = str(tmp_path / "bad_jsonl")
+    write_jsonl(docs.limit(5), bad, num_shards=1)
+    shard = glob.glob(bad + "/part-*")[0]
+    with open(shard, "a") as f:
+        f.write('{"doc_id": "not-a-number", "text": 12\n')
+    with pytest.raises(Exception, match="Malformed|FAILFAST|FAILED_READ_FILE"):
+        read_jsonl(spark, bad, "documents").collect()

@@ -236,3 +236,35 @@ def test_exactly_once_sink_idempotent_on_replay(spark, events_dir, tmp_path):
     )
     q2.awaitTermination()
     assert read_committed(spark, out).count() == before
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir, tmp_path):
+    """Stream-static dimension join == the same join done in batch."""
+    from pyspark.sql import functions as F
+
+    from mapreduce511_spark.sources.tables import load_table
+    from mapreduce511_spark.streaming import enrich_with_users
+
+    # static dim: synthetic user segments keyed off customer ids
+    dim = (
+        load_table(spark, SF_SMOKE, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            (F.col("c_custkey") % 5).alias("segment"),
+        )
+    )
+    stream = stream_events(spark, events_dir, max_files_per_trigger=1)
+    enriched = enrich_with_users(stream, dim).groupBy("segment").agg(
+        F.count("*").alias("n_events")
+    )
+    result = run_available_now(
+        enriched, "enrich_test", str(tmp_path / "ckpt"), mode="complete"
+    )
+
+    batch = (
+        enrich_with_users(load_table(spark, SF_SMOKE, "events"), dim)
+        .groupBy("segment")
+        .agg(F.count("*").alias("n_events"))
+    )
+    cols = ["segment", "n_events"]
+    assert _as_sorted_rows(result, cols) == _as_sorted_rows(batch, cols)
