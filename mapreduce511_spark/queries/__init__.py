@@ -79,6 +79,9 @@ _ENUMERATE_FIRST: list[str] = [
     "repeated_span_screen",
     "event_rollup_multires",
     "context_pack_stats",
+    "stream_tumbling_event_counts",
+    "stream_dedup_census",
+    "stream_closed_sessions",
     "multimodal_decode_stats",
     "wordcount_skewed",
     "log_chart_smoothed_cpu",
@@ -144,6 +147,7 @@ def _load() -> None:
         relational,
         similarity,
         sqlapi,
+        streaming_queries,
         text,
     )
 

@@ -1,0 +1,139 @@
+"""Streaming queries with DuckDB oracles.
+
+Structured Streaming pipelines drained with the ``availableNow``
+trigger are deterministic functions of the input files, so the same
+driver gate that checks batch queries can check streaming operators
+bit-for-bit: each query below materializes a real stream (file-source
+micro-batches, watermarks, state) into a memory sink and returns the
+result; the oracle states the equivalent batch semantics in SQL.
+
+Each invocation builds its own scratch source/checkpoint dirs (tmpdir)
+and a fresh memory-sink name, so repeated calls in one session (driver
++ bench + tests) never collide.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce511_spark.queries import register
+from mapreduce511_spark.sources.tables import load_table
+from mapreduce511_spark.streaming import (
+    dedup_events,
+    prepare_events_dir,
+    run_available_now,
+    sessionize_stream,
+    stream_events,
+    tumbling_counts,
+)
+
+_SEQ = itertools.count()
+
+
+def _scratch(prefix: str) -> tuple[str, str, str]:
+    """(source_dir, checkpoint_dir, unique sink name) for one run."""
+    n = next(_SEQ)
+    base = tempfile.mkdtemp(prefix=f"mr511_{prefix}_")
+    return f"{base}/src", f"{base}/ckpt", f"{prefix}_{n}"
+
+
+@register(
+    "stream_tumbling_event_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*)               AS n_events,
+           round(sum(value), 2)   AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling windows computed BY THE STREAMING
+    ENGINE (file-source micro-batches, event-time watermark, windowed
+    state), drained with availableNow — must equal the batch GROUP BY
+    exactly. This is §2.9's S9/stream surface under the driver's
+    oracle gate, not just a test."""
+    src, ckpt, name = _scratch("tumble")
+    prepare_events_dir(spark, sf_dir, src)
+    stream = stream_events(spark, src, max_files_per_trigger=4)
+    return run_available_now(tumbling_counts(stream), name, ckpt)
+
+
+@register(
+    "stream_dedup_census",
+    oracle="""
+    SELECT event_type, count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup under at-least-once replay: the source
+    dir holds TWO full copies of the events table (a simulated
+    upstream redelivery, some copies arriving micro-batches later);
+    ``dropDuplicatesWithinWatermark`` state must collapse them so the
+    drained census equals the batch census of ONE copy. Watermark is
+    set past the data's span so nothing is dropped as late — the test
+    isolates dedup-state behavior, not lateness."""
+    src, ckpt, name = _scratch("dedup")
+    prepare_events_dir(spark, sf_dir, src)
+    # second full copy, arriving as separate files (-> later batches)
+    load_table(spark, sf_dir, "events").write.mode("append").parquet(src)
+    stream = stream_events(spark, src, max_files_per_trigger=4)
+    deduped = dedup_events(stream, watermark="400 days")
+    drained = run_available_now(deduped, name, ckpt, mode="append")
+    return drained.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+@register(
+    "stream_closed_sessions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM ordered
+    ), sess AS (
+        SELECT user_id, sid,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               count(*) AS n_events,
+               max(sid) OVER (PARTITION BY user_id) AS last_sid
+        FROM numbered
+        GROUP BY user_id, sid
+    ), wm AS (
+        SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM sess, wm
+    WHERE sid < last_sid
+       OR session_end + INTERVAL 1800 SECOND < w
+    """,
+)
+def stream_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-sessionization (applyInPandasWithState, 30-min
+    gap, event-time timeouts) drained with availableNow. A session is
+    EMITTED when (a) a later event of the same user closes it by gap
+    inside the data batch, or (b) the drain's final watermark-advance
+    batch fires its event-time timeout — i.e. its end + gap is older
+    than the final watermark (max event time - 30 min delay). Each
+    user's trailing session younger than that stays parked in state.
+    Both rules are stated exactly in the oracle and checked
+    bit-for-bit — stateful streaming under the driver gate, not just
+    a stream-vs-batch test."""
+    src, ckpt, name = _scratch("sess")
+    prepare_events_dir(spark, sf_dir, src)
+    stream = stream_events(spark, src)
+    return run_available_now(sessionize_stream(stream), name, ckpt, mode="append")
