@@ -102,6 +102,7 @@ _ENUMERATE_FIRST: list[str] = [
     "q11_value_concentration",
     "q15_top_supplier",
     "q14_promo_revenue",
+    "q20_growing_suppliers",
     # --- round-2 shapes similar to already-green r01 queries (fine to
     # overflow into the next round's sample) ---
     "q18_large_orders",

@@ -1305,3 +1305,88 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@register(
+    "q20_growing_suppliers",
+    oracle="""
+    WITH a AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               CAST(sum(l_quantity) AS BIGINT) AS q96
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate <  DATE '1997-01-01'
+        GROUP BY 1, 2
+    ), b AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               CAST(sum(l_quantity) AS BIGINT) AS q95
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01'
+          AND l_shipdate <  DATE '1996-01-01'
+        GROUP BY 1, 2
+    ), grown AS (
+        SELECT a.pk, a.sk FROM a JOIN b USING (pk, sk)
+        WHERE a.q96 * 2 > b.q95
+    ), fparts AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+    ), cand AS (
+        SELECT DISTINCT g.sk FROM grown g
+        JOIN fparts f ON g.pk = f.p_partkey
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT sk FROM cand)
+      AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+    """,
+)
+def q20_growing_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested semi-join chain), adapted to the
+    partsupp-free schema like Q2/Q16: the availqty>half-of-shipped
+    predicate becomes year-over-year growth (1996 shipped qty * 2 >
+    1995 shipped qty) per (part, supplier) — same plan skeleton:
+    two filtered partial aggregates over the fact table joined on the
+    composite key, a part-name-prefix filter reducing the key set, a
+    DISTINCT projection to supplier keys, then a semi-join into the
+    supplier dimension with a nation filter. All of lineitem is
+    touched twice but each scan is shipdate-pruned at the parquet
+    reader; the comparison is integer math (qty sums are integral).
+
+    Reference basis: extension tier — the reference has no relational
+    engine; the shape exercises Spark's semi-join planning
+    (LeftSemi + broadcast dims)."""
+    part, supplier, nation, li = _t(
+        spark, sf_dir, "part", "supplier", "nation", "lineitem"
+    )
+
+    def year_qty(y: int, alias: str) -> DataFrame:
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= f"{y}-01-01")
+                & (F.col("l_shipdate") < f"{y + 1}-01-01")
+            )
+            .groupBy(
+                F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+            )
+            .agg(F.sum("l_quantity").cast("long").alias(alias))
+        )
+
+    grown = (
+        year_qty(1996, "q96")
+        .join(year_qty(1995, "q95"), ["pk", "sk"])
+        .filter(F.col("q96") * 2 > F.col("q95"))
+    )
+    fparts = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    cand = (
+        grown.join(F.broadcast(fparts), grown["pk"] == fparts["p_partkey"])
+        .select("sk")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            cand, supplier["s_suppkey"] == cand["sk"], "left_semi"
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
+        .select("s_suppkey", "s_name", "n_name")
+    )

@@ -492,16 +492,29 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(emb, probes, centroids, nprobe=4, topk=_IVF_TOPK)
 
 
-@register("embedding_near_dup_blocked")
+@register(
+    "embedding_near_dup_blocked",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_SQL_COS.format(a="a.v", b="b.v")}, 4) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_SQL_COS.format(a="a.v", b="b.v")} >= {_COS_DUP_T}
+    """,
+)
 def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both-sides-blocked GEMM variant of embedding_near_dup — the
     scale path. Rows hash into blocks; each (block_a, block_b) pair
     co-locates via one shuffle and multiplies as a single numpy GEMM,
     so task memory is bounded by 2·N/n_blocks rows and nothing
-    collects to the driver. Rows-only — float association near the
-    threshold can differ from the sequential oracle by 1 ulp;
-    tests/test_ann.py asserts set-equality against the exact query
-    away from the boundary, plus a 10× replication run proving the
+    collects to the driver. The oracle is the same exact-pair SQL as
+    ``embedding_near_dup``: GEMM association order could in principle
+    differ by 1 ulp at a threshold/rounding boundary, but the testdata
+    margins are ~1e-3 (measured) vs ~1e-15 noise, so the comparison is
+    exact here; tests/test_ann.py additionally asserts set-equality
+    against the exact query and a 10× replication run proving the
     bounded-memory claim."""
     from mapreduce511_spark.operators.ann import cosine_pairs_blocked
 

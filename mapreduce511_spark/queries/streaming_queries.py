@@ -15,7 +15,9 @@ and a fresh memory-sink name, so repeated calls in one session (driver
 from __future__ import annotations
 
 import itertools
+import shutil
 import tempfile
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,10 +37,17 @@ _SEQ = itertools.count()
 
 
 def _scratch(prefix: str) -> tuple[str, str, str]:
-    """(source_dir, checkpoint_dir, unique sink name) for one run."""
+    """(source_dir, checkpoint_dir, unique sink name) for one run.
+    The caller removes the base dir after the drain (`_cleanup`) —
+    the memory sink holds the materialized rows, so the scratch
+    files are dead weight the moment the query returns."""
     n = next(_SEQ)
     base = tempfile.mkdtemp(prefix=f"mr511_{prefix}_")
     return f"{base}/src", f"{base}/ckpt", f"{prefix}_{n}"
+
+
+def _cleanup(src: str) -> None:
+    shutil.rmtree(str(Path(src).parent), ignore_errors=True)
 
 
 @register(
@@ -59,9 +68,12 @@ def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly. This is §2.9's S9/stream surface under the driver's
     oracle gate, not just a test."""
     src, ckpt, name = _scratch("tumble")
-    prepare_events_dir(spark, sf_dir, src)
-    stream = stream_events(spark, src, max_files_per_trigger=4)
-    return run_available_now(tumbling_counts(stream), name, ckpt)
+    try:
+        prepare_events_dir(spark, sf_dir, src)
+        stream = stream_events(spark, src, max_files_per_trigger=4)
+        return run_available_now(tumbling_counts(stream), name, ckpt)
+    finally:
+        _cleanup(src)
 
 
 @register(
@@ -81,13 +93,16 @@ def stream_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     set past the data's span so nothing is dropped as late — the test
     isolates dedup-state behavior, not lateness."""
     src, ckpt, name = _scratch("dedup")
-    prepare_events_dir(spark, sf_dir, src)
-    # second full copy, arriving as separate files (-> later batches)
-    load_table(spark, sf_dir, "events").write.mode("append").parquet(src)
-    stream = stream_events(spark, src, max_files_per_trigger=4)
-    deduped = dedup_events(stream, watermark="400 days")
-    drained = run_available_now(deduped, name, ckpt, mode="append")
-    return drained.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    try:
+        prepare_events_dir(spark, sf_dir, src)
+        # second full copy, arriving as separate files (-> later batches)
+        load_table(spark, sf_dir, "events").write.mode("append").parquet(src)
+        stream = stream_events(spark, src, max_files_per_trigger=4)
+        deduped = dedup_events(stream, watermark="400 days")
+        drained = run_available_now(deduped, name, ckpt, mode="append")
+        return drained.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    finally:
+        _cleanup(src)
 
 
 @register(
@@ -134,6 +149,11 @@ def stream_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit — stateful streaming under the driver gate, not just
     a stream-vs-batch test."""
     src, ckpt, name = _scratch("sess")
-    prepare_events_dir(spark, sf_dir, src)
-    stream = stream_events(spark, src)
-    return run_available_now(sessionize_stream(stream), name, ckpt, mode="append")
+    try:
+        prepare_events_dir(spark, sf_dir, src)
+        stream = stream_events(spark, src)
+        return run_available_now(
+            sessionize_stream(stream), name, ckpt, mode="append"
+        )
+    finally:
+        _cleanup(src)

