@@ -79,6 +79,7 @@ _ENUMERATE_FIRST: list[str] = [
     "repeated_span_screen",
     "event_rollup_multires",
     "context_pack_stats",
+    "incremental_dedup_admit",
     "stream_tumbling_event_counts",
     "stream_dedup_census",
     "stream_closed_sessions",

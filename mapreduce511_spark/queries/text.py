@@ -922,3 +922,86 @@ def context_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
     )
+
+
+@register(
+    "incremental_dedup_admit",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, lang,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        FROM documents
+    ), corpus AS (
+        SELECT * FROM fp WHERE doc_id % 10 <> 0
+    ), batch AS (
+        SELECT * FROM fp WHERE doc_id % 10 = 0
+    ), vs_corpus AS (
+        SELECT b.* FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.f = b.f)
+    ), admitted AS (
+        SELECT * FROM (
+            SELECT v.*, row_number() OVER (
+                PARTITION BY f ORDER BY doc_id) AS rn
+            FROM vs_corpus v
+        ) WHERE rn = 1
+    )
+    SELECT b.lang,
+           count(*) AS batch_docs,
+           count(*) - (SELECT count(*) FROM vs_corpus v WHERE v.lang = b.lang)
+               AS dropped_vs_corpus,
+           (SELECT count(*) FROM vs_corpus v WHERE v.lang = b.lang)
+             - (SELECT count(*) FROM admitted a WHERE a.lang = b.lang)
+               AS dropped_within_batch,
+           (SELECT count(*) FROM admitted a WHERE a.lang = b.lang)
+               AS admitted_docs
+    FROM batch b
+    GROUP BY b.lang
+    """,
+)
+def incremental_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: a new batch of documents (here:
+    doc_id % 10 == 0, simulating an arriving crawl shard) is admitted
+    against the STANDING corpus — (1) an anti-join on content
+    fingerprint drops docs already in the corpus, (2) a window dedup
+    collapses within-batch duplicates, (3) the census reports the
+    funnel per language. This is the production shape for a corpus
+    that grows continuously: the corpus side is a fingerprint INDEX
+    (one narrow md5 column, hash-partitioned), the anti-join is one
+    hash shuffle per side, and nothing rescans old text. At 100 TB
+    the fingerprint index would be a bucketed table so arriving
+    batches join with zero corpus-side shuffle."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "lang", F.md5(normalize_text("text")).alias("f")
+    )
+    corpus = fp.filter(F.col("doc_id") % 10 != 0)
+    batch = fp.filter(F.col("doc_id") % 10 == 0)
+    vs_corpus = batch.join(corpus, "f", "left_anti")
+    admitted = (
+        vs_corpus.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("f").orderBy("doc_id")),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    b = batch.groupBy("lang").agg(F.count("*").alias("batch_docs"))
+    v = vs_corpus.groupBy("lang").agg(F.count("*").alias("n_vs"))
+    a = admitted.groupBy("lang").agg(F.count("*").alias("admitted_docs"))
+    return (
+        b.join(v, "lang", "left")
+        .join(a, "lang", "left")
+        .select(
+            "lang",
+            "batch_docs",
+            (F.col("batch_docs") - F.coalesce("n_vs", F.lit(0))).alias(
+                "dropped_vs_corpus"
+            ),
+            (
+                F.coalesce("n_vs", F.lit(0))
+                - F.coalesce("admitted_docs", F.lit(0))
+            ).alias("dropped_within_batch"),
+            F.coalesce("admitted_docs", F.lit(0)).alias("admitted_docs"),
+        )
+    )
