@@ -144,10 +144,11 @@ def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return band_candidates(minhash_bands(minhash_signatures_wide(doc_shingles(docs))))
 
 
-@register(
-    "minhash_near_dup",
-    oracle=f"""
-    {_SQL_BANDS},
+# Exact-Jaccard verification of banded candidates, as shared CTE text:
+# used verbatim by the minhash_near_dup oracle AND the
+# connected-components oracles below so the duplicate-pair definition
+# can never drift between them.
+_SQL_VERIFY = f"""
     sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
     inter AS (
         SELECT c.doc_a, c.doc_b, count(*) AS both
@@ -156,12 +157,22 @@ def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN shingles b ON b.doc_id = c.doc_b AND b.sh = a.sh
         GROUP BY c.doc_a, c.doc_b
     )
+"""
+
+_SQL_JACCARD = "i.both * 1.0 / (sa.sz + sb.sz - i.both)"
+
+
+@register(
+    "minhash_near_dup",
+    oracle=f"""
+    {_SQL_BANDS},
+    {_SQL_VERIFY}
     SELECT i.doc_a, i.doc_b,
-           round(i.both * 1.0 / (sa.sz + sb.sz - i.both), 4) AS jaccard
+           round({_SQL_JACCARD}, 4) AS jaccard
     FROM inter i
     JOIN sizes sa ON i.doc_a = sa.doc_id
     JOIN sizes sb ON i.doc_b = sb.doc_id
-    WHERE i.both * 1.0 / (sa.sz + sb.sz - i.both) >= {_JACCARD_T}
+    WHERE {_SQL_JACCARD} >= {_JACCARD_T}
     """,
 )
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,20 +236,13 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_COMPONENTS = (
     f"""
     {_SQL_BANDS},
-    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
-    inter AS (
-        SELECT c.doc_a, c.doc_b, count(*) AS both
-        FROM cand c
-        JOIN shingles a ON a.doc_id = c.doc_a
-        JOIN shingles b ON b.doc_id = c.doc_b AND b.sh = a.sh
-        GROUP BY c.doc_a, c.doc_b
-    ),
+    {_SQL_VERIFY},
     pairs AS (
         SELECT i.doc_a, i.doc_b
         FROM inter i
         JOIN sizes sa ON i.doc_a = sa.doc_id
         JOIN sizes sb ON i.doc_b = sb.doc_id
-        WHERE i.both * 1.0 / (sa.sz + sb.sz - i.both) >= {_JACCARD_T}
+        WHERE {_SQL_JACCARD} >= {_JACCARD_T}
     ),
     cedges AS (
         SELECT doc_a AS u, doc_b AS v FROM pairs

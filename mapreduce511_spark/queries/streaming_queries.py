@@ -50,6 +50,18 @@ def _cleanup(src: str) -> None:
     shutil.rmtree(str(Path(src).parent), ignore_errors=True)
 
 
+def _detach(df: DataFrame, name: str) -> DataFrame:
+    """Copy a memory-sink result into a local-relation DataFrame and
+    drop the sink's temp view: without this every invocation leaves
+    its full materialized output pinned in the driver catalog for the
+    session lifetime (the results here are small — drained aggregates
+    or closed sessions — so the copy is cheap)."""
+    spark = df.sparkSession
+    rows = df.collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, df.schema)
+
+
 @register(
     "stream_tumbling_event_counts",
     oracle="""
@@ -71,7 +83,9 @@ def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         prepare_events_dir(spark, sf_dir, src)
         stream = stream_events(spark, src, max_files_per_trigger=4)
-        return run_available_now(tumbling_counts(stream), name, ckpt)
+        return _detach(
+            run_available_now(tumbling_counts(stream), name, ckpt), name
+        )
     finally:
         _cleanup(src)
 
@@ -100,7 +114,10 @@ def stream_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream_events(spark, src, max_files_per_trigger=4)
         deduped = dedup_events(stream, watermark="400 days")
         drained = run_available_now(deduped, name, ckpt, mode="append")
-        return drained.groupBy("event_type").agg(F.count("*").alias("n_events"))
+        census = drained.groupBy("event_type").agg(
+            F.count("*").alias("n_events")
+        )
+        return _detach(census, name)
     finally:
         _cleanup(src)
 
@@ -129,12 +146,17 @@ def stream_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM numbered
         GROUP BY user_id, sid
     ), wm AS (
-        SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events
+        -- Spark's event-time watermark and state timeouts are
+        -- MILLISECOND-granular: watermark_ms = floor(max event time
+        -- to ms) - delay_ms; a timeout set at (end_us + gap_us)//1000
+        -- fires when watermark_ms exceeds it. Stating the same
+        -- truncation here keeps the boundary exact at any SF.
+        SELECT epoch_us(max(ts)) // 1000 - 1800000 AS wm_ms FROM events
     )
     SELECT user_id, session_start, session_end, n_events
     FROM sess, wm
     WHERE sid < last_sid
-       OR session_end + INTERVAL 1800 SECOND < w
+       OR (epoch_us(session_end) + 1800000000) // 1000 < wm_ms
     """,
 )
 def stream_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,9 +173,19 @@ def stream_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, ckpt, name = _scratch("sess")
     try:
         prepare_events_dir(spark, sf_dir, src)
+        # NO max_files_per_trigger: all files MUST land in one data
+        # batch. sessionize_stream consumes events in arrival order
+        # within a batch but has no cross-batch reordering, so a
+        # multi-batch split (files are not ts-ordered) would regress
+        # session ends. availableNow + no trigger cap = one data batch
+        # + one final watermark-advance batch, which the oracle states
+        # exactly.
         stream = stream_events(spark, src)
-        return run_available_now(
-            sessionize_stream(stream), name, ckpt, mode="append"
+        return _detach(
+            run_available_now(
+                sessionize_stream(stream), name, ckpt, mode="append"
+            ),
+            name,
         )
     finally:
         _cleanup(src)

@@ -831,14 +831,9 @@ def repeated_span_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.posexplode(tokenize("text")).alias("p", "w")
     )
-    th = toks.select(
-        "doc_id",
-        "lang",
-        "p",
-        F.expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)").alias(
-            "h0"
-        ),
-    )
+    from mapreduce511_spark.operators.dedup import hash60
+
+    th = toks.select("doc_id", "lang", "p", hash60(F.col("w")).alias("h0"))
     wdoc = Window.partitionBy("doc_id").orderBy("p")
     acc = F.col("h0")
     for i in range(1, 8):
