@@ -80,6 +80,8 @@ _ENUMERATE_FIRST: list[str] = [
     "event_rollup_multires",
     "context_pack_stats",
     "incremental_dedup_admit",
+    "funnel_view_to_purchase",
+    "unpivot_type_hour_matrix",
     "stream_tumbling_event_counts",
     "stream_dedup_census",
     "stream_closed_sessions",

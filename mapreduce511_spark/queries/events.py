@@ -499,3 +499,98 @@ def event_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events", "total_cents",
         )
     )
+
+
+@register(
+    "unpivot_type_hour_matrix",
+    oracle="""
+    WITH wide AS (
+        SELECT extract(hour FROM ts) AS hr,
+               count(*) FILTER (event_type = 'click')    AS click,
+               count(*) FILTER (event_type = 'view')     AS view,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'error')    AS error
+        FROM events
+        GROUP BY hr
+    )
+    SELECT hr, event_type, n_events
+    FROM wide
+    UNPIVOT (n_events FOR event_type IN (click, view, purchase, error))
+    """,
+)
+def unpivot_type_hour_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot then UNPIVOT (melt): the hour x event-type count matrix
+    goes wide (conditional aggregation) and back to long via
+    ``DataFrame.unpivot`` — the wide->long reshaping primitive
+    (pandas ``melt``) for feeding fixed-schema matrices into long-form
+    consumers. Unpivot is a zero-shuffle projection (each wide row
+    expands to 4 long rows map-side)."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy(F.hour("ts").cast("long").alias("hr")).agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+            for t in ("click", "view", "purchase", "error")
+        ]
+    )
+    return wide.unpivot(
+        ids=["hr"],
+        values=["click", "view", "purchase", "error"],
+        variableColumnName="event_type",
+        valueColumnName="n_events",
+    )
+
+
+@register(
+    "funnel_view_to_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS first_view
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS first_purchase
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > v.first_view
+        GROUP BY e.user_id
+    )
+    SELECT count(*) AS viewers,
+           count(p.user_id) AS converted,
+           CAST(round(count(p.user_id) * 10000.0 / count(*)) AS BIGINT)
+               AS conversion_bp,
+           CAST(round(avg(epoch(p.first_purchase) - epoch(v.first_view)))
+                AS BIGINT) AS avg_seconds_to_convert
+    FROM v LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral funnel: users whose first 'view' is later followed by
+    a 'purchase', with conversion rate (basis points — integer on both
+    engines) and mean time-to-convert. Two per-user min-aggregates and
+    one join, all hash-partitioned on user_id — at scale this is the
+    canonical one-shuffle-per-stage funnel, not a window over the full
+    event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    joined = v.join(p, "user_id", "left")
+    secs = F.col("first_purchase").cast("double") - F.col(
+        "first_view"
+    ).cast("double")
+    return joined.agg(
+        F.count("*").alias("viewers"),
+        F.count("first_purchase").alias("converted"),
+        F.round(F.count("first_purchase") * 10000.0 / F.count("*"))
+        .cast("long")
+        .alias("conversion_bp"),
+        F.round(F.avg(secs)).cast("long").alias("avg_seconds_to_convert"),
+    )
