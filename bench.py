@@ -21,6 +21,20 @@ REPO = str(Path(__file__).resolve().parent)
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+# the 30 queries BENCH_r01.json timed — kept for a comparable subtotal
+_R01_HEADLINE = frozenset([
+    "wordcount", "wordcount_top20", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume", "top_customers",
+    "window_order_rank", "sessionize_events", "tumbling_event_counts",
+    "asof_last_signup", "similarity_topk", "nearest_neighbor_sample",
+    "near_dup_jaccard", "exact_dedup", "quality_score",
+    "minhash_near_dup", "simhash_near_dup", "ann_ivf_topk",
+    "ann_lsh_topk", "language_id", "token_count_bpe", "tfidf_top_terms",
+    "multimodal_features", "q6_forecast_revenue", "q10_returned_items",
+    "cube_order_stats", "session_window_stats", "sliding_event_counts",
+    "sql_q1_passthrough", "log_result_raw",
+])
+
 HEADLINE = [
     "wordcount",
     "wordcount_top20",
@@ -126,6 +140,12 @@ def main() -> None:
         "skewed_corpus_tokens": int(n_tokens + skew_extra),
         "wordcount_skewed_steady_s": round(skew_steady, 3),
         "wordcount_skewed_tokens_per_s": int((n_tokens + skew_extra) / skew_steady),
+        # round-over-round comparability: the sum over the EXACT query
+        # set BENCH_r01.json timed (30 names), so the per-round totals
+        # compare apples-to-apples as the headline list grows.
+        "r01_subset_total_s": round(
+            sum(t for n, t in timings.items() if n in _R01_HEADLINE), 3
+        ),
     }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
