@@ -85,6 +85,7 @@ _ENUMERATE_FIRST: list[str] = [
     "stream_tumbling_event_counts",
     "stream_dedup_census",
     "stream_closed_sessions",
+    "stream_enriched_census",
     "multimodal_decode_stats",
     "wordcount_skewed",
     "log_chart_smoothed_cpu",

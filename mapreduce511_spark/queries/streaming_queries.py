@@ -189,3 +189,46 @@ def stream_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _cleanup(src)
+
+
+@register(
+    "stream_enriched_census",
+    oracle="""
+    SELECT e.user_id % 5 AS segment,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events e
+    GROUP BY segment
+    """,
+)
+def stream_enriched_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment under the oracle gate: the event
+    stream joins a static user-segment dimension per micro-batch
+    (``enrich_with_users`` — no stream state, dim re-read each batch)
+    and the drained per-segment census must equal the batch twin. The
+    dimension derives segment = user_id % 5 so DuckDB can state the
+    join's effect without the dim table itself."""
+    from mapreduce511_spark.streaming import enrich_with_users
+
+    src, ckpt, name = _scratch("enrich")
+    try:
+        prepare_events_dir(spark, sf_dir, src)
+        dim = (
+            load_table(spark, sf_dir, "events")
+            .select("user_id")
+            .distinct()
+            .withColumn("segment", F.col("user_id") % 5)
+        )
+        stream = stream_events(spark, src, max_files_per_trigger=4)
+        cents = F.round(F.col("value") * 100).cast("long")
+        enriched = enrich_with_users(
+            stream.withColumn("cents", cents), dim
+        )
+        agg = enriched.groupBy("segment").agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+        )
+        return _detach(run_available_now(agg, name, ckpt), name)
+    finally:
+        _cleanup(src)
