@@ -240,3 +240,43 @@ def test_dedup_clusters_cover_near_dup_pairs(spark):
             r["cluster_size"] for r in clusters if r["cluster_id"] == cid
         }
         assert sizes == {len(members)}
+
+
+def test_connected_components_random_graph_at_scale(spark):
+    """30k random edges over 20k nodes (giant component + islands):
+    distributed min-label propagation must agree with a driver-side
+    union-find exactly, across the multi-round convergence path."""
+    import numpy as np
+
+    from mapreduce511_spark.operators.graph import connected_components
+
+    rng = np.random.default_rng(0)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 20_000, size=(30_000, 2))
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    roots: dict[int, int] = {}
+    expected: dict[int, int] = {}
+    nodes = {n for e in edges for n in e}
+    for n in sorted(nodes):
+        r = find(n)
+        roots.setdefault(r, n)
+        expected[n] = roots[r]
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iter=60).collect()
+    }
+    assert got == expected
