@@ -11,3 +11,42 @@ def test_approx_distinct_within_tolerance(spark):
     rel_err = abs(row.approx_distinct - row.exact_distinct) / row.exact_distinct
     assert rel_err < 0.05, f"HLL rel err {rel_err}"
     assert row.total_tokens >= row.exact_distinct
+
+
+def test_context_pack_invariants(spark):
+    """Packing semantics beyond oracle parity: per language, pack ids
+    are contiguous from 0, every pack except possibly the last spans
+    at least the 2048-token budget when the next pack exists (a doc
+    starts a new pack only because the budget boundary was crossed),
+    and total tokens are conserved."""
+    from pyspark.sql import functions as F
+
+    from mapreduce511_spark.functions.text import tokenize
+    from mapreduce511_spark.queries import all_queries
+    from mapreduce511_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["context_pack_stats"](spark, sf).collect()
+    docs = load_table(spark, sf, "documents")
+    totals = {
+        r["lang"]: r["t"]
+        for r in docs.groupBy("lang")
+        .agg(F.sum(F.size(tokenize("text"))).alias("t"))
+        .collect()
+    }
+
+    by_lang: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["pack_id"]] = r["n_tokens"]
+    assert set(by_lang) == set(totals)
+    for lang, packs in by_lang.items():
+        ids = sorted(packs)
+        assert ids == list(range(len(ids))), lang  # contiguous from 0
+        assert sum(packs.values()) == totals[lang], lang  # conservation
+        # cumulative token count must cross each successive pack
+        # boundary: pack k exists only if cum tokens exceed 2048*k
+        cum = 0
+        for k in ids:
+            if k > 0:
+                assert cum > 2048 * k - max(packs.values()), lang
+            cum += packs[k]
