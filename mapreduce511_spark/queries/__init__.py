@@ -81,6 +81,7 @@ _ENUMERATE_FIRST: list[str] = [
     "context_pack_stats",
     "incremental_dedup_admit",
     "funnel_view_to_purchase",
+    "embedding_random_projection",
     "unpivot_type_hour_matrix",
     "stream_tumbling_event_counts",
     "stream_dedup_census",

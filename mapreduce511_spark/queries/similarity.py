@@ -743,3 +743,56 @@ def ensemble_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_common", "n_union",
         )
     )
+
+
+# Frozen ±1 projection matrix (64 input dims × 16 output dims),
+# multiplicative-hash signs — identical literals on both engines.
+_RP_OUT = 16
+_RP_SIGNS: list[tuple[int, int, int]] = [
+    (i, j, 1 if ((2_654_435_761 * (i * _RP_OUT + j + 1)) >> 7) & 1 else -1)
+    for i in range(64)
+    for j in range(_RP_OUT)
+]
+_RP_VALUES = ", ".join(f"({i}, {j}, {s})" for i, j, s in _RP_SIGNS)
+
+
+@register(
+    "embedding_random_projection",
+    oracle=f"""
+    WITH signs(i, j, s) AS (VALUES {_RP_VALUES}),
+    comp AS (
+        SELECT vec_id, unnest(embedding) AS val,
+               unnest(range(len(embedding))) AS i
+        FROM embeddings
+    )
+    SELECT c.vec_id, g.j,
+           CAST(sum(CAST(round(c.val * 1000) AS BIGINT) * g.s) AS BIGINT)
+               AS proj_milli
+    FROM comp c JOIN signs g ON c.i = g.i
+    GROUP BY c.vec_id, g.j
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection (Achlioptas/JL): reduce 64-dim
+    embeddings to 16 dims with a frozen ±1 matrix — the cheap
+    preprocessing step before ANN indexing at scale (4× smaller
+    vectors, distances preserved within JL bounds).
+
+    Formulated as posexplode → broadcast join against the 1024-row
+    sign table → groupBy(vec_id, j) sum: every step is codegen'd
+    columnar work (no interpreted array lambdas), the shuffle carries
+    (vec_id, j, partial-sum) with map-side combine, and components are
+    quantized to integer millis BEFORE summation so both engines'
+    sums are exact in any order."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    signs = F.broadcast(
+        spark.createDataFrame(_RP_SIGNS, ["i", "j", "s"])
+    )
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "val")
+    ).withColumn("val_milli", F.round(F.col("val") * 1000).cast("long"))
+    return (
+        comp.join(signs, "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("val_milli") * F.col("s")).alias("proj_milli"))
+    )
