@@ -80,6 +80,7 @@ _ENUMERATE_FIRST: list[str] = [
     "event_rollup_multires",
     "context_pack_stats",
     "incremental_dedup_admit",
+    "dup_class_histogram",
     "funnel_view_to_purchase",
     "embedding_random_projection",
     "unpivot_type_hour_matrix",

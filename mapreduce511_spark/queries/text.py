@@ -1000,3 +1000,35 @@ def incremental_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("admitted_docs", F.lit(0)).alias("admitted_docs"),
         )
     )
+
+
+@register(
+    "dup_class_histogram",
+    oracle="""
+    SELECT class_size, count(*) AS n_classes,
+           CAST(class_size * count(*) AS BIGINT) AS docs_in_bucket
+    FROM (
+        SELECT count(*) AS class_size
+        FROM documents
+        GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    )
+    GROUP BY class_size
+    """,
+)
+def dup_class_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-class size histogram — the corpus-health metric that
+    decides the dedup strategy: a long tail of small classes is normal
+    crawl noise (LSH handles it); heavy buckets at high class sizes
+    mean exact-dup replication that must be collapsed BEFORE fuzzy
+    matching (see SCALING.md's duplication stress). Two cheap
+    aggregations: fingerprint groupBy (one hash shuffle over uniform
+    md5 keys), then a count-of-counts over one row per class."""
+    docs = load_table(spark, sf_dir, "documents")
+    classes = (
+        docs.groupBy(F.md5(normalize_text("text")).alias("f"))
+        .agg(F.count("*").alias("class_size"))
+    )
+    return classes.groupBy("class_size").agg(
+        F.count("*").alias("n_classes"),
+        (F.col("class_size") * F.count("*")).alias("docs_in_bucket"),
+    )
