@@ -81,6 +81,7 @@ _ENUMERATE_FIRST: list[str] = [
     "context_pack_stats",
     "incremental_dedup_admit",
     "dup_class_histogram",
+    "source_mixture_weights",
     "funnel_view_to_purchase",
     "embedding_random_projection",
     "unpivot_type_hour_matrix",

@@ -1032,3 +1032,46 @@ def dup_class_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_classes"),
         (F.col("class_size") * F.count("*")).alias("docs_in_bucket"),
     )
+
+
+@register(
+    "source_mixture_weights",
+    oracle="""
+    WITH n AS (
+        SELECT lang, source, count(*) AS n_ls
+        FROM documents GROUP BY lang, source
+    ), tot AS (
+        SELECT lang, CAST(sum(n_ls) AS BIGINT) AS total_l,
+               count(*) AS n_sources
+        FROM n GROUP BY lang
+    )
+    SELECT n.lang, n.source, n.n_ls,
+           CAST(round(t.total_l * 10000.0 / (t.n_sources * n.n_ls))
+                AS BIGINT) AS weight_bp
+    FROM n JOIN tot t ON n.lang = t.lang
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting: per-(lang, source) resampling weight (in
+    basis points) that equalizes SOURCE shares within each language —
+    weight = target_share / actual_share with a uniform target. The
+    complement of ``stratified_sample`` (which equalizes languages):
+    together they implement the two-level corpus-mixture control a
+    training pipeline applies before packing. Two tiny aggregations;
+    the weight table is dimension-sized and broadcasts into whatever
+    sampler consumes it."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("lang", "source").agg(F.count("*").alias("n_ls"))
+    tot = n.groupBy("lang").agg(
+        F.sum("n_ls").alias("total_l"), F.count("*").alias("n_sources")
+    )
+    return n.join(tot, "lang").select(
+        "lang",
+        "source",
+        "n_ls",
+        F.round(
+            F.col("total_l") * 10000.0 / (F.col("n_sources") * F.col("n_ls"))
+        )
+        .cast("long")
+        .alias("weight_bp"),
+    )
