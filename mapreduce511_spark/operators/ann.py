@@ -25,6 +25,17 @@ K_CELLS = 16
 KMEANS_ITERS = 3
 
 
+def _round_half_away(x, decimals: int = 4):
+    """Round half away from zero (the F.round / DuckDB mode), unlike
+    np.round's banker's half-to-even — keeps the GEMM paths'
+    similarities bit-identical to the exact Spark/DuckDB variants even
+    when a value lands exactly on a 5e-5 midpoint."""
+    import numpy as np
+
+    scale = 10.0**decimals
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
 def _with_best_cell(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
     """Adds ``cell`` = index of the highest-cosine centroid.
 
@@ -199,7 +210,7 @@ def cosine_pairs_blocked(
             {
                 "vec_a": lo[keep],
                 "vec_b": hi[keep],
-                "cos_sim": np.round(sims[ai, bj][keep], 4),
+                "cos_sim": _round_half_away(sims[ai, bj][keep], 4),
             }
         )
 
@@ -242,7 +253,7 @@ def cosine_pairs_broadcast(emb: DataFrame, threshold: float) -> DataFrame:
                 {
                     "vec_a": a_ids[ai][keep],
                     "vec_b": B_ids[bj][keep],
-                    "cos_sim": np.round(sims[ai, bj][keep], 4),
+                    "cos_sim": _round_half_away(sims[ai, bj][keep], 4),
                 }
             )
 
@@ -291,7 +302,9 @@ def ivf_search_pruned(
     # nprobe * |probes| ints, trivially driver-sized; at scale this is
     # the metadata-only step every vector DB performs per query batch)
     cells = [r.cell for r in probe_cells.select("cell").distinct().collect()]
-    corpus = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    from mapreduce511_spark.sources.tables import read_parquet_checked
+
+    corpus = read_parquet_checked(spark, index_path).filter(F.col("cell").isin(cells))
     w_rank = Window.partitionBy("pid").orderBy(F.desc("s"), F.asc("vec_id"))
     return (
         corpus.join(F.broadcast(probe_cells), "cell")

@@ -148,11 +148,16 @@ def band_candidates(bands: DataFrame, max_bucket: int | None = None) -> DataFram
     ``max_bucket`` caps hot buckets: every bucket keeps only its
     ``max_bucket`` lowest doc_ids (deterministic survivors) before
     pairing, so a thousand-way duplicate class costs O(max_bucket²)
-    candidate pairs instead of O(n²). Docs in one bucket are near-dups
-    of each other by construction, so the capped clique still
-    represents the class (connected-component dedup recovers the rest
-    transitively); buckets at or under the cap are untouched. Use
-    ``band_bucket_stats`` for the capped-buckets metric."""
+    candidate pairs instead of O(n²). The cost is RECALL, not just
+    precision: a doc dropped from a bucket forms no pairs from that
+    bucket, and exact/near-exact duplicate classes share ALL their
+    band signatures, so over-cap members are capped identically in
+    every band and vanish from the candidate graph entirely —
+    connected components cannot recover what never appears as a pair
+    (see tools/stress_dup.py, which measures exactly this). Run exact
+    dedup FIRST to collapse verbatim classes below the cap, then LSH
+    for the fuzzy tail; buckets at or under the cap are untouched.
+    Use ``band_bucket_stats`` for the capped-buckets metric."""
     if max_bucket is not None:
         from pyspark.sql.window import Window
 

@@ -49,7 +49,9 @@ def compact_parquet(
     directory is written by as few tasks as possible.
 
     Returns the number of output files requested."""
-    df = spark.read.parquet(in_path)
+    from mapreduce511_spark.sources.tables import read_parquet_checked
+
+    df = read_parquet_checked(spark, in_path)
     n_files = max(1, math.ceil(dataset_bytes(in_path) / target_file_bytes))
     if partition_by:
         from pyspark.sql import functions as F

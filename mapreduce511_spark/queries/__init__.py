@@ -33,66 +33,14 @@ def register(name: str, oracle: str | None = None):
 
 
 # Names the per-round correctness driver should enumerate first.  The
-# round-1 driver sampled the first 50 dict entries, leaving the 30
-# below (incl. the flagship wordcount) without a CORRECTNESS row, so
-# rounds 2+ front-load previously-unchecked and newly-added queries;
-# already-green round-1 rows re-verify last.  Registration order is
-# otherwise preserved, and the set of names is identical either way.
+# driver samples the first 50 dict entries each round, so rounds 2+
+# front-load queries with no CORRECTNESS row in ANY prior round, then
+# queries newly added this round; already-green rows re-verify last.
+# Registration order is otherwise preserved, and the set of names is
+# identical either way.
 _ENUMERATE_FIRST: list[str] = [
-    # --- round-1 unchecked (the r01 driver sampled only the first 50
-    # dict entries; these 30 had no CORRECTNESS row) ---
-    "wordcount",
-    "wordcount_top20",
-    "q4_order_priority",
-    "q10_returned_items",
-    "q12_shipmode_priority",
-    "similarity_topk",
-    "embedding_centroids",
-    "nearest_neighbor_sample",
-    "embedding_near_dup",
-    "ann_ivf_topk",
-    "near_dup_jaccard",
-    "ann_lsh_topk",
-    "ann_ivf_kmeans_topk",
-    "embedding_near_dup_blocked",
-    "sql_q1_passthrough",
-    "sql_top_nations",
-    "sql_event_hours",
-    "token_stats_by_lang",
-    "doc_fingerprint",
-    "exact_dedup",
-    "quality_score",
-    "bigram_top20",
-    "stopword_ratio",
-    "language_id",
-    "token_count_bpe",
-    "tfidf_top_terms",
-    "approx_distinct_tokens",
-    "repetition_score",
-    "contamination_screen",
-    "deterministic_split",
-    # --- new in round 2, highest-value first (slots 31-50 if the
-    # driver caps at 50) ---
-    "dedup_clusters",
-    "fuzzy_dedup_survivors",
-    "stratified_sample",
-    "repeated_span_screen",
-    "event_rollup_multires",
-    "context_pack_stats",
-    "incremental_dedup_admit",
-    "dup_class_histogram",
-    "source_mixture_weights",
-    "funnel_view_to_purchase",
-    "embedding_random_projection",
-    "unpivot_type_hour_matrix",
-    "stream_tumbling_event_counts",
-    "stream_dedup_census",
-    "stream_closed_sessions",
-    "stream_enriched_census",
-    "multimodal_decode_stats",
-    "wordcount_skewed",
-    "log_chart_smoothed_cpu",
-    "pipeline_clean_corpus",
+    # --- never driver-checked through r02 (absent from both
+    # CORRECTNESS_r01.json and CORRECTNESS_r02.json) ---
     "ann_quantized_topk",
     "near_dup_jaccard_capped",
     "ensemble_near_dup",
@@ -110,8 +58,6 @@ _ENUMERATE_FIRST: list[str] = [
     "q15_top_supplier",
     "q14_promo_revenue",
     "q20_growing_suppliers",
-    # --- round-2 shapes similar to already-green r01 queries (fine to
-    # overflow into the next round's sample) ---
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "pivot_event_type_counts",
@@ -120,6 +66,18 @@ _ENUMERATE_FIRST: list[str] = [
     "sql_window_lag",
     "rolling_value_sum",
     "order_value_ntile",
+    # --- new in round 3 (slots 26-50 if the driver caps at 50) ---
+    "median_price_by_flag",
+    "order_percentile_bands",
+    "copurchase_part_pairs",
+    "salted_join_revenue",
+    "rollup_region_nation_sales",
+    "heavy_hitter_tokens",
+    "token_freq_histogram",
+    "bigram_novelty_rate",
+    "cohort_hourly_retention",
+    "embedding_norm_census",
+    # --- checked green in r01/r02; re-verify in registration order ---
 ]
 
 

@@ -594,3 +594,68 @@ def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("conversion_bp"),
         F.round(F.avg(secs)).cast("long").alias("avg_seconds_to_convert"),
     )
+
+
+@register(
+    "cohort_hourly_retention",
+    oracle="""
+    WITH hourly AS (
+        SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
+    ),
+    ret AS (
+        SELECT a.h, count(*) AS active,
+               CAST(sum(CAST(b.user_id IS NOT NULL AS BIGINT)) AS BIGINT)
+                   AS retained
+        FROM hourly a
+        LEFT JOIN hourly b
+          ON a.user_id = b.user_id AND b.h = a.h + INTERVAL 1 HOUR
+        GROUP BY a.h
+    )
+    SELECT h, active, retained,
+           CAST(round(retained * 10000.0 / active) AS BIGINT) AS retention_bp
+    FROM ret
+    WHERE active >= 5
+    """,
+)
+def cohort_hourly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-over-hour user retention: of the users active in hour h,
+    the share also active in h+1 (basis points; hours with <5 active
+    users suppressed). One distinct over (user, hour) — map-side
+    combinable — then a self-join keyed on (user, hour): co-located
+    by the same hash partitioning, no skew (a user's hours are
+    bounded by the calendar). This is the activity-cohort shape every
+    event pipeline runs; day/week grains are the same plan with a
+    coarser trunc.
+
+    Reference basis: extension tier — temporal self-alignment beyond
+    the reference's per-run series (SURVEY.md §2.3 J2 analog on event
+    streams)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.select(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).distinct()
+    nxt = hourly.select(
+        F.col("user_id").alias("u2"),
+        (F.col("h") - F.expr("INTERVAL 1 HOUR")).alias("h2"),
+    )
+    joined = hourly.join(
+        nxt,
+        (F.col("user_id") == F.col("u2")) & (F.col("h") == F.col("h2")),
+        "left",
+    )
+    return (
+        joined.groupBy("h")
+        .agg(
+            F.count("*").alias("active"),
+            F.sum(F.col("u2").isNotNull().cast("long")).alias("retained"),
+        )
+        .filter(F.col("active") >= 5)
+        .select(
+            "h",
+            "active",
+            "retained",
+            F.round(F.col("retained") * 10000.0 / F.col("active"))
+            .cast("long")
+            .alias("retention_bp"),
+        )
+    )

@@ -1390,3 +1390,232 @@ def q20_growing_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+@register(
+    "median_price_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+           round(quantile_cont(l_quantity, 0.50), 4)      AS median_qty,
+           count(*)                                       AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped percentiles (p25/median/p75) over lineitem.
+
+    ``F.percentile`` is the exact linear-interpolation aggregate —
+    the same definition as DuckDB's ``quantile_cont`` — so the oracle
+    match is exact, unlike ``approx_percentile``. Exact percentiles
+    shuffle every group's values to one reducer; that is the honest
+    cost of the operator, and the group count here (3 return flags)
+    bounds the reducers. At 100 TB with high-cardinality groups you'd
+    reach for ``approx_percentile`` (t-digest, map-side combinable)
+    and accept the error bound — both surfaces exist; this query
+    pins the exact one to the oracle.
+
+    Reference basis: extension tier (SURVEY.md §2.4) — the reference
+    has mean aggregation only (analyze/report.py), no order
+    statistics."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75_price"),
+        F.round(F.percentile("l_quantity", F.lit(0.50)), 4).alias("median_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "order_percentile_bands",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist()    OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    QUALIFY cd >= 0.99
+    """,
+)
+def order_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist window shapes: the top percentile band
+    of orders by price within each priority class. The orderBy
+    includes the key as a tiebreaker so both engines rank identical
+    total orders deterministically; only the top 1% band is emitted
+    (bounded output regardless of input size).
+
+    Reference basis: extension tier — rank-within-group is absent
+    from the reference's aggregation set (SURVEY.md §2.4)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .filter(F.col("cd") >= 0.99)
+    )
+
+
+@register(
+    "copurchase_part_pairs",
+    oracle="""
+    WITH parts_per_order AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM parts_per_order a
+    JOIN parts_per_order b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING count(*) >= 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: part pairs co-occurring in >=2
+    orders, top 20. The self-join is keyed on l_orderkey, so the pair
+    blow-up is bounded by (parts per order choose 2) — TPC-H orders
+    hold <=7 lines, so the join output is ~21x lineitem at worst,
+    never quadratic in the corpus. At 100 TB the same plan holds
+    because the per-key fan-out is a data invariant, not a scale
+    accident; a pathological basket (one order with 1e5 parts) is the
+    LSH-hot-bucket problem again and gets the same cap treatment.
+    Top-20 is TakeOrderedAndProject — no global sort.
+
+    Reference basis: extension tier — co-occurrence mining is a
+    standard corpus/statistics workload the reference lacks."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    ppo = li.select("l_orderkey", "l_partkey").distinct()
+    a = ppo.alias("a")
+    b = ppo.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "salted_join_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join, proven equivalent to the plain join.
+
+    The build side (orders) is exploded into SALT replicas with a salt
+    column; the probe side (lineitem) tags each row with a random-free
+    DETERMINISTIC salt (hash of line number mod SALT) — every probe
+    row matches exactly one replica, so the join result is identical
+    to the unsalted join (the oracle is the plain SQL join), while a
+    hot orderkey's probe rows now spread over SALT reducers instead of
+    one. This is the manual fallback when AQE skew-join can't kick in
+    (e.g. a skewed key feeding a subsequent aggregation); with AQE on,
+    prefer the plain join and let the runtime split oversized
+    partitions — both are demonstrated in tests/test_plan_quality.py.
+
+    Reference basis: the reference's defining bottleneck is one hot
+    reducer (job_output.log:86); this is the general-purpose Spark
+    answer for joins."""
+    SALT = 8
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    salted_orders = orders.select(
+        "o_orderkey", "o_orderpriority", F.explode(F.array(*[F.lit(i) for i in range(SALT)])).alias("salt")
+    )
+    salted_li = li.select(
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+        F.pmod(F.xxhash64("l_linenumber", "l_partkey"), F.lit(SALT)).cast("int").alias("salt"),
+    )
+    return (
+        salted_orders.join(
+            salted_li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (salted_orders["salt"] == salted_li["salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "rollup_region_nation_sales",
+    oracle="""
+    SELECT coalesce(r.r_name, '(all)') AS region,
+           coalesce(n.n_name, '(all)') AS nation,
+           round(sum(o.o_totalprice), 2) AS sales,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_region_nation_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region -> nation -> grand total) in
+    one pass — Spark expands the grouping sets inside a single
+    aggregate, so the fact table is scanned once, not three times.
+    Dimensions broadcast; NULL grouping placeholders are coalesced to
+    '(all)' in both engines so the hash compare is label-stable.
+
+    Reference basis: extension tier — complements cube_order_stats
+    (§2.4 extension) with the ordered-hierarchy variant."""
+    orders, customer, nation, region = _t(
+        spark, sf_dir, "orders", "customer", "nation", "region"
+    )
+    joined = (
+        # customer is a growing dimension (not broadcast-safe at 100 TB);
+        # shuffle-join it on the key, then broadcast the fixed-size
+        # nation/region dims
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sales"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation"),
+            "sales",
+            "n_orders",
+        )
+    )

@@ -796,3 +796,55 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "j")
         .agg(F.sum(F.col("val_milli") * F.col("s")).alias("proj_milli"))
     )
+
+
+@register(
+    "embedding_norm_census",
+    oracle="""
+    WITH comp AS (
+        SELECT vec_id, label, unnest(embedding) AS val FROM embeddings
+    ),
+    sq AS (
+        SELECT vec_id, label,
+               sum(CAST(round(val * 1000) AS BIGINT)
+                   * CAST(round(val * 1000) AS BIGINT)) AS sq_milli
+        FROM comp GROUP BY vec_id, label
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           CAST(sum(sq_milli) AS BIGINT) AS total_sq_milli,
+           CAST(round(avg(sqrt(CAST(sq_milli AS DOUBLE)))) AS BIGINT)
+               AS avg_norm_milli
+    FROM sq GROUP BY label
+    """,
+)
+def embedding_norm_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding L2-norm census — the sanity profile run
+    before any cosine machinery (un-normalized or zero vectors break
+    ANN silently). Components are quantized to integer millis BEFORE
+    squaring/summation (the ``embedding_random_projection`` trick) so
+    the per-vector sum-of-squares is exact integer math in both
+    engines; the norm then comes from sqrt of identical integers.
+    One posexplode-free ``aggregate`` HOF per row (no shuffle for the
+    per-vector step), then a label-keyed aggregation of ~|labels|
+    rows.
+
+    Reference basis: extension tier — embeddings table profile
+    (SURVEY.md §2 extensions, similarity family)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq_milli = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda v: F.round(v * 1000).cast("long") * F.round(v * 1000).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    per_vec = emb.select("label", sq_milli.alias("sq_milli"))
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("sq_milli").alias("total_sq_milli"),
+        F.round(F.avg(F.sqrt(F.col("sq_milli").cast("double"))))
+        .cast("long")
+        .alias("avg_norm_milli"),
+    )

@@ -1075,3 +1075,172 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("weight_bp"),
     )
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest({_SQL_TOKENS}) AS word FROM documents
+    ),
+    counted AS (
+        SELECT lang, word, count(*) AS cnt FROM tok GROUP BY lang, word
+    ),
+    totals AS (
+        SELECT lang, sum(cnt) AS total FROM counted GROUP BY lang
+    )
+    SELECT c.lang, c.word, c.cnt,
+           CAST(round(c.cnt * 1000000.0 / t.total) AS BIGINT) AS share_ppm
+    FROM counted c JOIN totals t ON c.lang = t.lang
+    WHERE c.cnt * 100 >= t.total
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: tokens holding >=1% of a language's token
+    mass, with parts-per-million share. Two aggregations over the
+    token stream — both map-side combinable — then a broadcast join of
+    the per-language totals (dimension-sized). The >=1% predicate
+    bounds the output to <=100 rows per language regardless of corpus
+    size; at 100 TB the same plan holds because the heavy-hitter set
+    can't grow past the threshold's pigeonhole bound. The approximate
+    cousin at scale is a count-min sketch; this exact form is the
+    oracle-checkable spec.
+
+    Reference basis: extension tier — WordCount (§2 A1/A2) upgraded
+    with relative-mass thresholding."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = (
+        docs.select("lang", F.explode(tokenize("text")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = counted.groupBy("lang").agg(F.sum("cnt").alias("total"))
+    return (
+        counted.join(F.broadcast(totals), "lang")
+        .filter(F.col("cnt") * 100 >= F.col("total"))
+        .select(
+            "lang",
+            "word",
+            "cnt",
+            F.round(F.col("cnt") * 1000000.0 / F.col("total"))
+            .cast("long")
+            .alias("share_ppm"),
+        )
+    )
+
+
+@register(
+    "token_freq_histogram",
+    oracle=f"""
+    WITH counted AS (
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest({_SQL_TOKENS}) AS word FROM documents)
+        GROUP BY word
+    )
+    SELECT CAST(floor(log2(cnt)) AS BIGINT) AS freq_bucket,
+           count(*)  AS n_types,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens
+    FROM counted
+    GROUP BY 1
+    """,
+)
+def token_freq_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf diagnostic: log2-bucketed token-frequency histogram
+    (bucket k holds types occurring [2^k, 2^(k+1)) times), with type
+    and token mass per bucket. Two exact aggregations; the second's
+    key space is ~40 buckets, so the final shuffle is constant-size.
+    This is the corpus-health profile a data pipeline prints before
+    choosing vocab / min-frequency cuts.
+
+    Reference basis: extension tier — WordCount output folded into a
+    distributional summary."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = (
+        docs.select(F.explode(tokenize("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counted.select(
+            F.floor(F.log2("cnt")).cast("long").alias("freq_bucket"), "cnt"
+        )
+        .groupBy("freq_bucket")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum("cnt").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "bigram_novelty_rate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_SQL_TOKENS} AS tokens FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, lang, unnest(tokens) AS w,
+               unnest(range(len(tokens))) AS p
+        FROM toks
+    ),
+    bigrams AS (
+        SELECT a.doc_id, a.lang, a.w || ' ' || b.w AS bg
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    ),
+    per_doc AS (SELECT DISTINCT doc_id, lang, bg FROM bigrams),
+    df AS (
+        SELECT bg, count(*) AS docfreq FROM per_doc GROUP BY bg
+    )
+    SELECT p.lang,
+           count(*) AS n_bigrams,
+           CAST(sum(CAST(d.docfreq = 1 AS BIGINT)) AS BIGINT)
+               AS unique_bigrams,
+           CAST(round(sum(CAST(d.docfreq = 1 AS BIGINT)) * 10000.0
+                / count(*)) AS BIGINT) AS novelty_bp
+    FROM per_doc p JOIN df d ON p.bg = d.bg
+    GROUP BY p.lang
+    """,
+)
+def bigram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc novelty: per language, the share (basis points) of
+    distinct per-doc bigrams that occur in exactly ONE document —
+    high novelty means fresh text, low novelty means boilerplate or
+    duplication. Bigrams form with one self-join-free window-less
+    ``transform`` over the token array (no positional self-join on
+    the Spark side — the SQL oracle's join is DuckDB's way to express
+    the same zip), then one distinct and two aggregations, all keyed
+    on the bigram hash — uniform by construction.
+
+    Reference basis: extension tier — sits between repetition_score
+    (intra-doc) and near-dup screens (whole-doc) in the text-quality
+    family (SURVEY.md §2 extensions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", tokenize("text").alias("t"))
+    bigrams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(slice(t, 1, size(t)-1), (w, i) ->"
+                    " concat(w, ' ', t[i+1]))"
+                ),
+            ).otherwise(F.array())
+        ).alias("bg"),
+    )
+    per_doc = bigrams.distinct()
+    docfreq = per_doc.groupBy("bg").agg(F.count("*").alias("docfreq"))
+    uniq = F.sum((F.col("docfreq") == 1).cast("long"))
+    return (
+        per_doc.join(docfreq, "bg")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            uniq.alias("unique_bigrams"),
+            F.round(uniq * 10000.0 / F.count("*"))
+            .cast("long")
+            .alias("novelty_bp"),
+        )
+    )

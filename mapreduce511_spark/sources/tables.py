@@ -138,19 +138,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark
-    refuses to read. Read it as epoch-nanos (nanosAsLong) and truncate
-    to microseconds — the same ns→µs truncation DuckDB applies when it
-    loads the file, so downstream comparisons agree exactly.
+    """events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+    vanilla Spark refuses to read) and plain TIMESTAMP(MICROS)
+    depending on the generator run, so peek the footer and adapt:
 
-    The conf cannot be restored after the read: Parquet scans consult
-    it again at action time, so flipping it back would break the lazy
-    DataFrame we just built. It stays set session-wide; ``load_table``'s
-    schema assertion keeps other nanos columns fail-loud regardless."""
+    - micros/millis: plain read, no session conf touched;
+    - nanos: read as epoch-nanos (``nanosAsLong``) and truncate to
+      microseconds — the same ns→µs truncation DuckDB applies when it
+      loads the file, so downstream comparisons agree exactly. That
+      conf cannot be restored after the read (parquet scans consult it
+      again at action time), so it stays set session-wide;
+      ``load_table``'s schema assertion keeps other nanos columns
+      fail-loud regardless."""
+    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
+    path = f"{sf_dir}/events.parquet"
+    ts_type = str(pq.read_schema(path).field("ts").type)
+    if not ts_type.startswith("timestamp[ns"):
+        # cast NTZ -> LTZ (session tz is pinned UTC, so values are
+        # unchanged) to keep the loader's historical column contract:
+        # downstream code casts ts to double for epoch arithmetic,
+        # which TIMESTAMP_NTZ disallows
+        raw = spark.read.parquet(path)
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = spark.read.parquet(path)
     return raw.select(
         "event_id",
         F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
@@ -163,3 +176,51 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in names or TABLES}
+
+
+def read_parquet_checked(spark: SparkSession, path: str) -> DataFrame:
+    """Ad-hoc parquet reader with the same fail-loud nanos protection
+    ``load_table`` gives declared tables.
+
+    ``_load_events`` sets ``spark.sql.legacy.parquet.nanosAsLong``
+    session-wide (it cannot be restored — parquet scans consult it at
+    action time), so a direct ``spark.read.parquet`` on a file with a
+    TIMESTAMP(NANOS) column would silently yield a long column.
+    Declared tables are covered by the schema assertion; engine-written
+    artifacts (IVF index, committed-sink output, compaction output)
+    have no declared schema, so this helper peeks one parquet footer
+    per leaf with pyarrow and raises on any nanos-typed column.
+    Footer listing is driver-local (os.walk) — fine for the local
+    paths these artifacts use; an object-store deployment would list
+    via the Hadoop FileSystem API instead."""
+    assert_no_nanos_columns(path)
+    return spark.read.parquet(path)
+
+
+def assert_no_nanos_columns(path: str) -> None:
+    """Raise if any parquet footer under ``path`` declares a
+    TIMESTAMP(NANOS) column (one footer checked per leaf directory —
+    schemas within a Spark write are uniform)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        footers = [path]
+    else:
+        footers = []
+        seen_dirs: set[str] = set()
+        for root, _dirs, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                if f.endswith(".parquet") and root not in seen_dirs:
+                    seen_dirs.add(root)
+                    footers.append(os.path.join(root, f))
+    for fp in footers:
+        schema = pq.read_schema(fp)
+        for field in schema:
+            if "timestamp[ns" in str(field.type):
+                raise TypeError(
+                    f"{fp}: column {field.name!r} is {field.type} — with "
+                    "nanosAsLong set session-wide this would silently read "
+                    "as long; truncate to micros at write time instead"
+                )

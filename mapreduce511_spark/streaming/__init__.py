@@ -344,9 +344,17 @@ def exactly_once_parquet_sink(
     ``_COMMIT`` marker after a successful write; a redelivered batchId
     (failure between write and checkpoint advance) sees the marker and
     skips, so no batch's rows can land twice. Readers take only
-    committed batch dirs (``read_committed``). This is the pattern for
-    sinks without transactional append; the overwrite keeps a torn
-    half-written batch dir from double-counting."""
+    committed batch dirs (``read_committed``); the overwrite keeps a
+    torn half-written batch dir from double-counting.
+
+    SCOPE: the marker is written with driver-local ``os.path``/``open``
+    and is not atomic with the parquet job, so the idempotence
+    guarantee holds for a POSIX local/NFS filesystem where the marker
+    create is atomic-enough after the write returns. On an object
+    store (S3/GCS) this exact code does not apply — use the Hadoop
+    FileSystem API with ``create(..., overwrite=false)`` for the
+    marker, or a transactional table format (Delta/Iceberg), which is
+    the production answer to exactly-once parquet."""
     import os
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
@@ -378,6 +386,10 @@ def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
     ]
     if not dirs:
         raise FileNotFoundError(f"no committed batches under {out_dir}")
+    from mapreduce511_spark.sources.tables import assert_no_nanos_columns
+
+    for d in dirs:
+        assert_no_nanos_columns(d)
     return spark.read.parquet(*dirs)
 
 
