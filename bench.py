@@ -74,6 +74,15 @@ HEADLINE = [
     "repeated_span_screen",
     "context_pack_stats",
     "event_rollup_multires",
+    # round 3
+    "median_price_by_flag",
+    "copurchase_part_pairs",
+    "salted_join_revenue",
+    "rollup_region_nation_sales",
+    "heavy_hitter_tokens",
+    "bigram_novelty_rate",
+    "cohort_hourly_retention",
+    "embedding_norm_census",
 ]
 
 

@@ -77,6 +77,8 @@ _ENUMERATE_FIRST: list[str] = [
     "bigram_novelty_rate",
     "cohort_hourly_retention",
     "embedding_norm_census",
+    "unigram_logprob_score",
+    "shuffle_shard_census",
     # --- checked green in r01/r02; re-verify in registration order ---
 ]
 

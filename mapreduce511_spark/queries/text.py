@@ -1244,3 +1244,111 @@ def bigram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_bp"),
         )
     )
+
+
+@register(
+    "unigram_logprob_score",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS w FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+    total AS (SELECT count(*) AS n FROM tok),
+    scored AS (
+        SELECT t.doc_id, t.lang,
+               avg(-ln(f.cnt * 1.0 / total.n)) AS nll
+        FROM tok t JOIN freq f ON t.w = f.w CROSS JOIN total
+        GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(nll), 4) AS mean_nll,
+           round(min(nll), 4) AS min_nll,
+           round(max(nll), 4) AS max_nll
+    FROM scored GROUP BY lang
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model surprisal per document — the cheapest
+    perplexity proxy a data pipeline runs to flag gibberish (high NLL)
+    and boilerplate (low NLL) before spending real model inference.
+    Token frequencies come from one aggregation; the corpus total is a
+    1-row broadcast; each doc's mean negative log-likelihood then
+    reduces per (doc, lang) and rolls up per language. All shuffles
+    are keyed on token or doc id — uniform; the token→frequency join
+    broadcasts only if the vocabulary is small, else it's a hash join
+    on the token key (Zipf-headed but AQE-splittable; the same
+    hot-key profile wordcount_skewed demonstrates).
+
+    Reference basis: extension tier — text-quality family
+    (SURVEY.md §2 extensions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokenize("text")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = tok.count()
+    scored = (
+        tok.join(freq, "w")
+        .groupBy("doc_id", "lang")
+        .agg(F.avg(-F.log(F.col("cnt") / F.lit(float(total)))).alias("nll"))
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("nll"), 4).alias("mean_nll"),
+        F.round(F.min("nll"), 4).alias("min_nll"),
+        F.round(F.max("nll"), 4).alias("max_nll"),
+    )
+
+
+@register(
+    "shuffle_shard_census",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                   AS n_tok,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 16 AS shard
+        FROM documents
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM h GROUP BY shard
+    """,
+)
+def shuffle_shard_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 16 training shards: each doc
+    lands in shard md5(doc_id) % 16 — content-independent, stable
+    under corpus growth and partition layout, and (unlike
+    ``repartition``'s round-robin) reproducible across runs, which is
+    what makes training-data order auditable. The census reports
+    per-shard doc/token mass so balance is checkable: md5 uniformity
+    bounds shard skew regardless of how doc_ids cluster. At scale the
+    shard column becomes the write partition
+    (``df.write.partitionBy('shard')``) and readers stream shards in
+    any order.
+
+    Reference basis: extension tier — the training-pipeline
+    counterpart of deterministic_split (same hash primitive, §2
+    extensions)."""
+    from mapreduce511_spark.operators.dedup import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(tokenize("text")).alias("n_tok"),
+            (hash60(F.col("doc_id").cast("string")) % 16).alias("shard"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -198,9 +198,14 @@ def read_parquet_checked(spark: SparkSession, path: str) -> DataFrame:
 
 
 def assert_no_nanos_columns(path: str) -> None:
-    """Raise if any parquet footer under ``path`` declares a
+    """Raise if any parquet footer under ``path`` declares an INT64
     TIMESTAMP(NANOS) column (one footer checked per leaf directory —
-    schemas within a Spark write are uniform)."""
+    schemas within a Spark write are uniform).
+
+    The check reads the PARQUET schema, not the Arrow one: pyarrow
+    maps legacy INT96 timestamps (Spark's default writer output) to
+    ``timestamp[ns]`` too, and those read back fine — only genuine
+    INT64-nanos columns are affected by the ``nanosAsLong`` flag."""
     import os
 
     import pyarrow.parquet as pq
@@ -216,11 +221,17 @@ def assert_no_nanos_columns(path: str) -> None:
                     seen_dirs.add(root)
                     footers.append(os.path.join(root, f))
     for fp in footers:
-        schema = pq.read_schema(fp)
-        for field in schema:
-            if "timestamp[ns" in str(field.type):
+        schema = pq.read_metadata(fp).schema
+        for i in range(len(schema)):
+            col = schema.column(i)
+            if (
+                col.physical_type == "INT64"
+                and "isAdjustedToUTC" in str(col.logical_type)
+                and "nanos" in str(col.logical_type).lower()
+            ):
                 raise TypeError(
-                    f"{fp}: column {field.name!r} is {field.type} — with "
-                    "nanosAsLong set session-wide this would silently read "
-                    "as long; truncate to micros at write time instead"
+                    f"{fp}: column {col.name!r} is INT64 "
+                    f"{col.logical_type} — with nanosAsLong set "
+                    "session-wide this would silently read as long; "
+                    "truncate to micros at write time instead"
                 )

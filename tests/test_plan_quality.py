@@ -85,3 +85,32 @@ def test_skewed_wordcount_partial_aggregation(spark):
     recreating the reference's single-hot-reducer bottleneck."""
     plan = _plan(spark, "wordcount_skewed")
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_rollup_is_single_scan_with_expand(spark):
+    """ROLLUP must expand grouping sets inside ONE aggregate over ONE
+    fact scan — not a union of three scans."""
+    plan = _plan(spark, "rollup_region_nation_sales")
+    assert "Expand" in plan
+    assert plan.count("orders.parquet") == 1, plan.count("orders.parquet")
+
+
+def test_copurchase_topk_avoids_global_sort(spark):
+    """Top-20 co-purchase pairs must plan TakeOrderedAndProject (heap
+    per partition + driver merge), never a full global Sort."""
+    assert "TakeOrderedAndProject" in _plan(spark, "copurchase_part_pairs")
+
+
+def test_median_uses_exact_percentile_aggregate(spark):
+    """The exact-percentile query must plan the exact `percentile`
+    aggregate, not approx_percentile — that distinction is the
+    query's contract with its oracle."""
+    plan = _plan(spark, "median_price_by_flag")
+    assert "percentile" in plan and "approx_percentile" not in plan
+
+
+def test_heavy_hitters_partial_aggregation(spark):
+    """Token counting must partially aggregate map-side before the
+    shuffle (partial -> final HashAggregate pair)."""
+    plan = _plan(spark, "heavy_hitter_tokens")
+    assert plan.count("HashAggregate") >= 2
