@@ -79,6 +79,9 @@ _ENUMERATE_FIRST: list[str] = [
     "embedding_norm_census",
     "unigram_logprob_score",
     "shuffle_shard_census",
+    "funnel_ordered_steps",
+    "snapshot_diff_census",
+    "top_customers_concat_by_nation",
     # --- checked green in r01/r02; re-verify in registration order ---
 ]
 

@@ -659,3 +659,73 @@ def cohort_hourly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("retention_bp"),
         )
     )
+
+
+@register(
+    "funnel_ordered_steps",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT 'view' AS step, 1 AS step_ord, count(*) AS n_users FROM v
+    UNION ALL
+    SELECT 'view>click', 2, count(*) FROM c
+    UNION ALL
+    SELECT 'view>click>purchase', 3, count(*) FROM p
+    """,
+)
+def funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel (sequence detection): users who viewed, then
+    clicked strictly after their first view, then purchased strictly
+    after that click — the event-pattern query MATCH_RECOGNIZE
+    engines run, expressed as cascaded earliest-qualifying-event
+    joins. Each stage is a per-user min aggregate joined to the next
+    event scan on the user key; all shuffles hash on user_id, and
+    each stage's survivor set only shrinks, so the heaviest join is
+    the first. Unlike ``funnel_view_to_purchase`` (any-order), the
+    strict ts ordering here is the sequence constraint.
+
+    Reference basis: extension tier — event-sequence analytics
+    (SURVEY.md §2 extensions, events family)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    spark_steps = [
+        v.agg(F.lit("view").alias("step"), F.lit(1).alias("step_ord"), F.count("*").alias("n_users")),
+        c.agg(F.lit("view>click").alias("step"), F.lit(2).alias("step_ord"), F.count("*").alias("n_users")),
+        p.agg(F.lit("view>click>purchase").alias("step"), F.lit(3).alias("step_ord"), F.count("*").alias("n_users")),
+    ]
+    out = spark_steps[0]
+    for s in spark_steps[1:]:
+        out = out.unionByName(s)
+    return out

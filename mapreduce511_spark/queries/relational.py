@@ -1619,3 +1619,62 @@ def rollup_region_nation_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@register(
+    "top_customers_concat_by_nation",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_nationkey, c.c_name, sum(o.o_totalprice) AS total
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey, c.c_name
+    ),
+    ranked AS (
+        SELECT c_nationkey, c_name, total,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY total DESC, c_name) AS rn
+        FROM spend
+    )
+    SELECT n.n_name,
+           string_agg(r.c_name, ',' ORDER BY r.rn) AS top3,
+           CAST(round(sum(r.total), 0) AS BIGINT) AS top3_total
+    FROM ranked r JOIN nation n ON r.c_nationkey = n.n_nationkey
+    WHERE r.rn <= 3
+    GROUP BY n.n_name
+    """,
+)
+def top_customers_concat_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: each nation's top-3 customers by
+    lifetime spend, concatenated rank-ordered — the listagg /
+    string_agg surface. Spark has no ordered string_agg aggregate, so
+    the deterministic route is sort_array over collected (rank, name)
+    structs then array_join: the sort happens per group on <=3
+    elements, not as a global ordering guarantee on collect_list
+    (which Spark does not provide). Ranking is tie-broken on name so
+    both engines pick identical top-3 sets.
+
+    Reference basis: extension tier — the reference's comma-joined
+    Best_SlowStart ties (analyze/report wide tables) are this same
+    ordered-concat idea; here it's a first-class aggregate."""
+    customer, orders, nation = _t(spark, sf_dir, "customer", "orders", "nation")
+    spend = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_nationkey", "c_name")
+        .agg(F.sum("o_totalprice").alias("total"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("total"), "c_name")
+    ranked = spend.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    return (
+        ranked.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rn", "c_name"))),
+                    lambda s: s.c_name,
+                ),
+                ",",
+            ).alias("top3"),
+            F.round(F.sum("total"), 0).cast("long").alias("top3_total"),
+        )
+    )

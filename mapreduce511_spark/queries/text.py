@@ -1352,3 +1352,59 @@ def shuffle_shard_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@register(
+    "snapshot_diff_census",
+    oracle="""
+    WITH v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 89 = 0 THEN text || ' [rev2]'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 97 <> 0
+    ),
+    d AS (
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+               CASE WHEN b.doc_id IS NULL THEN 'removed'
+                    WHEN a.text = b.text THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+    )
+    SELECT status, count(*) AS n_docs FROM d GROUP BY status
+    """,
+)
+def snapshot_diff_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff: classify every doc as removed, changed,
+    or unchanged between version 1 (the documents table) and a
+    deterministically derived version 2 (docs with id % 97 dropped,
+    text revised for id % 89). One full outer join on the stable id
+    with a content equality check — the audit a versioned corpus
+    store runs between ingests to quantify churn before retraining.
+    At scale the equality test runs on content fingerprints
+    (md5/xxhash both sides) instead of raw text so the shuffle
+    carries 16-byte digests, not documents; the id join key is
+    uniform by construction.
+
+    Reference basis: extension tier — corpus lifecycle family
+    (SURVEY.md §2 extensions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select("doc_id", "text")
+    b = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 89 == 0, F.concat("text", F.lit(" [rev2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text2"),
+    )
+    joined = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("text2").isNull(), "removed")
+        .when(F.col("text") == F.col("text2"), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_docs"))
+    )
