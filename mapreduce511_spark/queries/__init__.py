@@ -82,6 +82,7 @@ _ENUMERATE_FIRST: list[str] = [
     "funnel_ordered_steps",
     "snapshot_diff_census",
     "top_customers_concat_by_nation",
+    "data_quality_audit",
     # --- checked green in r01/r02; re-verify in registration order ---
 ]
 

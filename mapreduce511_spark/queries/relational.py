@@ -1678,3 +1678,85 @@ def top_customers_concat_by_nation(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("total"), 0).cast("long").alias("top3_total"),
         )
     )
+
+
+@register(
+    "data_quality_audit",
+    oracle="""
+    SELECT 'orders_orphan_custkey' AS check_name,
+           count(*) AS n_violations
+    FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           count(*)
+    FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           count(*) FROM lineitem WHERE l_quantity <= 0
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+    UNION ALL
+    SELECT 'orders_negative_total',
+           count(*) FROM orders WHERE o_totalprice < 0
+    UNION ALL
+    SELECT 'documents_empty_text',
+           count(*) FROM documents
+    WHERE text IS NULL OR length(trim(text)) = 0
+    UNION ALL
+    SELECT 'events_null_user',
+           count(*) FROM events WHERE user_id IS NULL
+    """,
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit across the star schema: referential integrity
+    (orphan foreign keys via anti-joins), range checks, and
+    null/empty checks, one violation count per named rule. The two
+    anti-joins are LeftAnti hash joins on the key (the dimension side
+    builds); the scalar rules fold into per-table scans — Catalyst
+    collapses same-table counts into shared scans where possible.
+    This is the data-contract gate a pipeline runs on every ingest
+    batch before publishing a snapshot; rules emitting >0 on trusted
+    data mean upstream drift.
+
+    Reference basis: extension tier — corpus lifecycle family
+    (SURVEY.md §2 extensions); complements snapshot_diff_census."""
+    orders, customer, li, ev = _t(
+        spark, sf_dir, "orders", "customer", "lineitem", "events"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+
+    def rule(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"), F.count("*").alias("n_violations")
+        )
+
+    checks = [
+        rule(
+            "orders_orphan_custkey",
+            orders.join(
+                customer, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+            ),
+        ),
+        rule(
+            "lineitem_orphan_orderkey",
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti"),
+        ),
+        rule("lineitem_nonpositive_qty", li.filter(F.col("l_quantity") <= 0)),
+        rule(
+            "lineitem_discount_range",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        ),
+        rule("orders_negative_total", orders.filter(F.col("o_totalprice") < 0)),
+        rule(
+            "documents_empty_text",
+            docs.filter(
+                F.col("text").isNull() | (F.length(F.trim("text")) == 0)
+            ),
+        ),
+        rule("events_null_user", ev.filter(F.col("user_id").isNull())),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

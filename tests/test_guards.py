@@ -1,0 +1,80 @@
+"""Unit tests for round-3 guard/helper functions: the parquet nanos
+footer detector and the half-away-from-zero rounding helper."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mapreduce511_spark.operators.ann import _round_half_away
+from mapreduce511_spark.sources.tables import assert_no_nanos_columns
+
+
+def test_round_half_away_matches_sql_round_on_midpoints():
+    # np.round would give 0.1234 for 0.12345 (half-to-even); SQL/DuckDB
+    # round half away from zero gives 0.1235
+    vals = np.array([0.12345, -0.12345, 0.12355, 1.00005])
+    got = _round_half_away(vals, 4)
+    assert got.tolist() == [0.1235, -0.1235, 0.1236, 1.0001]
+    # sanity: differs from banker's rounding exactly where expected
+    # (0.12345 * 1e4 is exactly 1234.5; half-to-even rounds DOWN to
+    # the even 1234, half-away rounds UP)
+    assert np.round(0.12345, 4) == 0.1234  # numpy half-to-even artifact
+
+
+def test_round_half_away_non_midpoints_agree_with_np_round():
+    rng = np.random.default_rng(7)
+    vals = rng.uniform(-1, 1, 1000)
+    # away-from-midpoint values round identically under either mode
+    safe = vals[np.abs((vals * 1e4) % 1 - 0.5) > 1e-6]
+    assert np.allclose(_round_half_away(safe, 4), np.round(safe, 4))
+
+
+def test_nanos_footer_guard_accepts_micros_and_int96(tmp_path):
+    import pandas as pd
+
+    # micros file (what engine artifacts should contain)
+    t = pa.table(
+        {"ts": pa.array(pd.date_range("2024-01-01", periods=3, freq="s")).cast(
+            pa.timestamp("us")
+        )}
+    )
+    p = str(tmp_path / "us.parquet")
+    pq.write_table(t, p)
+    assert_no_nanos_columns(p)  # must not raise
+
+    # INT96 (Spark's default writer output) also maps to arrow ns but
+    # reads back fine — the guard must not flag it
+    p96 = str(tmp_path / "int96.parquet")
+    t96 = pa.table(
+        {"ts": pa.array(pd.date_range("2024-01-01", periods=3, freq="s"))}
+    )
+    pq.write_table(t96, p96, use_deprecated_int96_timestamps=True)
+    assert_no_nanos_columns(p96)  # must not raise
+
+
+def test_nanos_footer_guard_rejects_int64_nanos(tmp_path):
+    import pandas as pd
+
+    t = pa.table(
+        {"ts": pa.array(pd.date_range("2024-01-01", periods=3, freq="s"))}
+    )  # defaults to timestamp[ns] -> INT64 TIMESTAMP(NANOS)
+    p = str(tmp_path / "ns.parquet")
+    pq.write_table(t, p, coerce_timestamps=None, store_schema=False)
+    with pytest.raises(TypeError, match="nanos"):
+        assert_no_nanos_columns(p)
+
+
+def test_nanos_footer_guard_walks_directories(tmp_path):
+    import pandas as pd
+
+    sub = tmp_path / "part=0"
+    sub.mkdir()
+    t = pa.table(
+        {"ts": pa.array(pd.date_range("2024-01-01", periods=3, freq="s"))}
+    )
+    pq.write_table(t, str(sub / "f.parquet"), coerce_timestamps=None, store_schema=False)
+    with pytest.raises(TypeError, match="nanos"):
+        assert_no_nanos_columns(str(tmp_path))
