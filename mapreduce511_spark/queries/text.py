@@ -1380,27 +1380,29 @@ def snapshot_diff_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     text revised for id % 89). One full outer join on the stable id
     with a content equality check — the audit a versioned corpus
     store runs between ingests to quantify churn before retraining.
-    At scale the equality test runs on content fingerprints
-    (md5/xxhash both sides) instead of raw text so the shuffle
-    carries 16-byte digests, not documents; the id join key is
-    uniform by construction.
+    The equality test runs on md5 content digests computed BEFORE the
+    join (the oracle states it on raw text — same census, since md5
+    equality is content equality up to negligible collisions), so the
+    join shuffle carries 32-byte digests instead of documents; the id
+    join key is uniform by construction. PROFILE.md records the
+    resulting shuffle volume.
 
     Reference basis: extension tier — corpus lifecycle family
     (SURVEY.md §2 extensions)."""
     docs = load_table(spark, sf_dir, "documents")
-    a = docs.select("doc_id", "text")
+    a = docs.select("doc_id", F.md5("text").alias("h1"))
     b = docs.filter(F.col("doc_id") % 97 != 0).select(
         "doc_id",
-        F.when(
-            F.col("doc_id") % 89 == 0, F.concat("text", F.lit(" [rev2]"))
-        )
-        .otherwise(F.col("text"))
-        .alias("text2"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 89 == 0, F.concat("text", F.lit(" [rev2]"))
+            ).otherwise(F.col("text"))
+        ).alias("h2"),
     )
     joined = a.join(b, "doc_id", "full_outer")
     status = (
-        F.when(F.col("text2").isNull(), "removed")
-        .when(F.col("text") == F.col("text2"), "unchanged")
+        F.when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") == F.col("h2"), "unchanged")
         .otherwise("changed")
     )
     return (
