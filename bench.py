@@ -83,6 +83,10 @@ HEADLINE = [
     "bigram_novelty_rate",
     "cohort_hourly_retention",
     "embedding_norm_census",
+    "unigram_logprob_score",
+    "snapshot_diff_census",
+    "funnel_ordered_steps",
+    "data_quality_audit",
 ]
 
 
