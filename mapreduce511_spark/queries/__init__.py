@@ -83,6 +83,7 @@ _ENUMERATE_FIRST: list[str] = [
     "snapshot_diff_census",
     "top_customers_concat_by_nation",
     "data_quality_audit",
+    "stream_dedup_admission",
     # --- checked green in r01/r02; re-verify in registration order ---
 ]
 

@@ -232,3 +232,95 @@ def stream_enriched_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _detach(run_available_now(agg, name, ckpt), name)
     finally:
         _cleanup(src)
+
+
+@register(
+    "stream_dedup_admission",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        FROM documents
+    ), idx AS (
+        SELECT DISTINCT f FROM fp WHERE doc_id % 3 = 0
+    ), stream AS (
+        SELECT doc_id, f FROM fp WHERE doc_id % 3 <> 0
+    ), novel AS (
+        SELECT s.* FROM stream s
+        WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.f = s.f)
+    )
+    SELECT (SELECT count(*) FROM stream)  AS n_stream,
+           (SELECT count(*) FROM stream) - (SELECT count(*) FROM novel)
+               AS rejected_known,
+           (SELECT count(*) FROM novel) - (SELECT count(DISTINCT f) FROM novel)
+               AS rejected_within_stream,
+           (SELECT count(DISTINCT f) FROM novel) AS admitted
+    """,
+)
+def stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental-ingestion dedup — the streaming twin of
+    ``incremental_dedup_admit``. Documents arrive as file-source
+    micro-batches; each batch's content fingerprints are (1)
+    anti-joined against the STANDING corpus fingerprint index (a
+    static DataFrame — stream-static left-anti join, no stream
+    state), then (2) deduplicated against everything already admitted
+    earlier in the stream via ``dropDuplicates`` keyed on the
+    fingerprint (bounded state: one 32-char digest per distinct
+    admitted doc). The drained admission funnel must equal the batch
+    SQL stated in the oracle regardless of how files split into
+    micro-batches — the census counts are winner-independent even
+    when duplicate content arrives in the same batch.
+
+    At 100 TB: the corpus index is a bucketed fingerprint table
+    (zero corpus-side shuffle per batch) and the dropDuplicates state
+    is RocksDB-backed; admission emits to the append sink that
+    ``exactly_once_parquet_sink`` demonstrates.
+
+    Reference basis: extension tier — streaming + dedup families
+    composed (SURVEY.md §2.9 / extensions)."""
+    from mapreduce511_spark.functions.text import normalize_text
+
+    src, ckpt, name = _scratch("admit")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        fp = docs.select(
+            "doc_id", F.md5(normalize_text("text")).alias("f")
+        )
+        idx = fp.filter(F.col("doc_id") % 3 == 0).select("f").distinct()
+        # stream side lands as multiple parquet files -> multiple
+        # micro-batches under maxFilesPerTrigger
+        stream_docs = docs.filter(F.col("doc_id") % 3 != 0)
+        n_stream = stream_docs.count()
+        stream_docs.repartition(4).write.mode("overwrite").parquet(src)
+        reader = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_fp = reader.select(
+            "doc_id", F.md5(normalize_text("text")).alias("f")
+        )
+        novel = stream_fp.join(idx, "f", "left_anti")
+        admitted = novel.dropDuplicates(["f"])
+        drained = run_available_now(admitted, name, ckpt, mode="append")
+        rows = drained.agg(
+            F.count("*").alias("n_admitted_rows"),
+            F.countDistinct("f").alias("n_admitted_fp"),
+        )
+        # novel count (pre within-stream dedup) from the batch side of
+        # the same expressions: the stream's only nondeterminism is
+        # which duplicate row wins, which these counts don't see
+        n_novel = fp.filter(F.col("doc_id") % 3 != 0).join(
+            idx, "f", "left_anti"
+        ).count()
+        out = rows.select(
+            F.lit(n_stream).cast("long").alias("n_stream"),
+            F.lit(n_stream - n_novel).cast("long").alias("rejected_known"),
+            (F.lit(n_novel) - F.col("n_admitted_fp"))
+            .cast("long")
+            .alias("rejected_within_stream"),
+            F.col("n_admitted_fp").cast("long").alias("admitted"),
+        )
+        return _detach(out, name)
+    finally:
+        _cleanup(src)
