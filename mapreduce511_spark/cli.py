@@ -198,6 +198,20 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_audit(args: argparse.Namespace) -> int:
+    """Data-contract audit: referential integrity + range/null rules;
+    nonzero exit when any check reports violations (CI-gate shape)."""
+    from mapreduce511_spark.queries import all_queries
+
+    spark = _spark(args.cpus)
+    rows = all_queries()["data_quality_audit"](spark, args.sf_dir).collect()
+    bad = 0
+    for r in rows:
+        print(f"{r.check_name}\t{r.n_violations}")
+        bad += int(r.n_violations)
+    return 1 if bad else 0
+
+
 def cmd_export(args: argparse.Namespace) -> int:
     """Export a table to JSONL shards (trainer-interchange format)."""
     from mapreduce511_spark.sources.jsonl import write_jsonl
@@ -252,6 +266,12 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--shards", type=int, default=8)
     ex.add_argument("output")
     ex.set_defaults(fn=cmd_export)
+
+    au = sub.add_parser(
+        "audit", help="data-contract checks; exit 1 on any violation"
+    )
+    au.add_argument("--sf-dir", required=True)
+    au.set_defaults(fn=cmd_audit)
 
     cp = sub.add_parser("compact", help="rewrite parquet into ~target-size files")
     cp.add_argument("--input", required=True)

@@ -97,3 +97,12 @@ def test_cli_export_jsonl_round_trip(spark, tmp_path, capsys):
 
     n_orig = load_table(spark, SF_SMOKE, "documents").count()
     assert read_jsonl(spark, out, "documents").count() == n_orig
+
+
+def test_cli_audit_clean_data_exits_zero(spark, capsys):
+    rc = main(["audit", "--sf-dir", SF_SMOKE])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # all seven named checks print a zero-violation row on testdata
+    assert out.count("\t0") == 7
+    assert "orders_orphan_custkey" in out
