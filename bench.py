@@ -87,6 +87,8 @@ HEADLINE = [
     "snapshot_diff_census",
     "funnel_ordered_steps",
     "data_quality_audit",
+    "event_rate_anomaly",
+    "quality_weighted_sample",
 ]
 
 

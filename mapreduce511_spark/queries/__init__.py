@@ -84,6 +84,8 @@ _ENUMERATE_FIRST: list[str] = [
     "top_customers_concat_by_nation",
     "data_quality_audit",
     "stream_dedup_admission",
+    "event_rate_anomaly",
+    "quality_weighted_sample",
     # --- checked green in r01/r02; re-verify in registration order ---
 ]
 

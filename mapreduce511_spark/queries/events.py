@@ -729,3 +729,65 @@ def funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in spark_steps[1:]:
         out = out.unionByName(s)
     return out
+
+
+@register(
+    "event_rate_anomaly",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        FROM events GROUP BY 1
+    ),
+    scored AS (
+        SELECT h, n,
+               avg(n)         OVER w AS base_avg,
+               stddev_samp(n) OVER w AS base_sd,
+               count(*)       OVER w AS base_n
+        FROM hourly
+        WINDOW w AS (ORDER BY h ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT h, n,
+           round(base_avg, 4) AS base_avg,
+           round((n - base_avg) / base_sd, 4) AS z
+    FROM scored
+    WHERE base_n = 6 AND base_sd > 0
+      AND abs((n - base_avg) / base_sd) >= 2
+    """,
+)
+def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly screen: hours whose event count deviates
+    >=2 sample standard deviations from the trailing-6-hour baseline
+    (baseline excludes the current hour; partial baselines at the
+    series head are suppressed). The hourly rollup is one
+    map-combinable aggregate; the window then runs over the tiny
+    per-hour series, so the frame computation costs nothing at any
+    corpus scale — the 100 TB posture is set entirely by the first
+    aggregate. In production the same query runs incrementally over
+    the streaming hourly rollup.
+
+    Reference basis: extension tier — operational anomaly detection
+    over the events family (SURVEY.md §2.5 window extensions)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy("h").rowsBetween(-6, -1)
+    scored = hourly.select(
+        "h",
+        "n",
+        F.avg("n").over(w).alias("base_avg"),
+        F.stddev_samp("n").over(w).alias("base_sd"),
+        F.count("*").over(w).alias("base_n"),
+    )
+    z = (F.col("n") - F.col("base_avg")) / F.col("base_sd")
+    return (
+        scored.filter(
+            (F.col("base_n") == 6) & (F.col("base_sd") > 0) & (F.abs(z) >= 2)
+        )
+        .select(
+            "h",
+            "n",
+            F.round("base_avg", 4).alias("base_avg"),
+            F.round(z, 4).alias("z"),
+        )
+    )

@@ -1410,3 +1410,62 @@ def snapshot_diff_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "quality_weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len({_SQL_TOKENS}) AS n_tok,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 10000 AS bucket
+        FROM documents
+    ),
+    tiled AS (
+        SELECT doc_id, lang, bucket,
+               ntile(4) OVER (PARTITION BY lang
+                              ORDER BY n_tok, doc_id) AS quartile
+        FROM scored
+    )
+    SELECT lang, quartile,
+           count(*) AS n_docs,
+           CAST(sum(CAST(bucket < quartile * 2500 AS BIGINT)) AS BIGINT)
+               AS n_accepted
+    FROM tiled
+    GROUP BY lang, quartile
+    """,
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling: docs are quartiled per language
+    by a quality proxy (token count, id-tiebroken), and each quartile
+    gets a deterministic acceptance rate proportional to its rank
+    (q1: 25%, q2: 50%, q3: 75%, q4: 100% — bucket = md5(doc_id) %
+    10000 < quartile*2500). This is the curriculum-mixture primitive:
+    upweight high-quality text without discarding the tail entirely,
+    reproducibly (same doc -> same verdict on every run and cluster).
+    ntile runs per language partition; everything else is
+    map-combinable aggregation.
+
+    Reference basis: extension tier — composes quality scoring with
+    the deterministic-hash sampling family (deterministic_split,
+    stratified_sample)."""
+    from pyspark.sql.window import Window
+
+    from mapreduce511_spark.operators.dedup import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokenize("text")).alias("n_tok"),
+        (hash60(F.col("doc_id").cast("string")) % 10000).alias("bucket"),
+    )
+    w = Window.partitionBy("lang").orderBy("n_tok", "doc_id")
+    tiled = scored.withColumn("quartile", F.ntile(4).over(w))
+    return tiled.groupBy("lang", "quartile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("bucket") < F.col("quartile") * 2500).cast("long")).alias(
+            "n_accepted"
+        ),
+    )

@@ -78,3 +78,17 @@ def test_nanos_footer_guard_walks_directories(tmp_path):
     pq.write_table(t, str(sub / "f.parquet"), coerce_timestamps=None, store_schema=False)
     with pytest.raises(TypeError, match="nanos"):
         assert_no_nanos_columns(str(tmp_path))
+
+
+def test_bench_headline_names_resolve():
+    """Every bench HEADLINE name must exist in the registry (bench
+    silently skips unknown names, so a typo would quietly drop a
+    benchmark) and appear exactly once."""
+    import bench
+    from mapreduce511_spark import queries as suite
+
+    names = bench.HEADLINE
+    assert len(names) == len(set(names))
+    registry = suite.all_queries()
+    missing = [n for n in names if n not in registry]
+    assert not missing, missing
