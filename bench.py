@@ -89,6 +89,9 @@ HEADLINE = [
     "data_quality_audit",
     "event_rate_anomaly",
     "quality_weighted_sample",
+    "near_dup_jaccard_prefix",
+    "latest_event_per_user",
+    "json_props_stats",
 ]
 
 

@@ -86,6 +86,8 @@ _ENUMERATE_FIRST: list[str] = [
     "stream_dedup_admission",
     "event_rate_anomaly",
     "quality_weighted_sample",
+    "latest_event_per_user",
+    "near_dup_jaccard_prefix",
     # --- checked green in r01/r02; re-verify in registration order ---
 ]
 

@@ -791,3 +791,41 @@ def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type,
+                   lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+                   lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_type,
+           max(ts) AS last_ts,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-event-per-key via the max_by aggregate — ONE combinable
+    aggregation instead of the window-rank idiom (which shuffles every
+    row to sort full partitions). max_by carries a single (candidate,
+    ordinal) pair per group through map-side partial aggregation, so
+    the shuffle is one row per user regardless of their event count —
+    the right plan for "current state per key" over 100 TB of events.
+    The ordinal is the zero-padded (epoch-micros, event_id) string —
+    lexicographic order equals numeric order — so ties at identical
+    timestamps resolve deterministically in both engines.
+
+    Reference basis: extension tier — argmax family (the reference's
+    Best_SlowStart A8 is the same idea over experiment configs)."""
+    ev = load_table(spark, sf_dir, "events")
+    ordinal = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", ordinal).alias("last_type"),
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("n_events"),
+    )

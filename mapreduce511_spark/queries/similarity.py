@@ -848,3 +848,112 @@ def embedding_norm_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("avg_norm_milli"),
     )
+
+
+@register(
+    "near_dup_jaccard_prefix",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, unnest(tokens) AS w, unnest(range(len(tokens))) AS p
+        FROM toks
+    ), shingles AS (
+        SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        FROM pos a
+        JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        JOIN pos c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS both
+        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(i.both * 1.0 / (sa.sz + sb.sz - i.both), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE i.both * 1.0 / (sa.sz + sb.sz - i.both) >= {_JACCARD_T}
+    """,
+)
+def near_dup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard near-dup via PREFIX FILTERING (the PPJoin/AllPairs
+    candidate cut — Xiao et al., WWW'08; Bayardo et al., WWW'07):
+    instead of indexing every shingle, each doc indexes only its
+    first ``|d| - ceil(t*|d|) + 1`` shingles in a global canonical
+    order (ascending document frequency, rarest first). The prefix
+    lemma guarantees any pair with Jaccard >= t shares a shingle
+    within BOTH prefixes, so joining prefix-against-prefix loses no
+    qualifying pair, while the join input shrinks to ~half the
+    shingle volume AND the surviving postings are the RAREST
+    shingles — exactly the ones with short posting lists, so the
+    candidate blow-up from boilerplate high-DF shingles never enters
+    the join (the skew the uncapped inverted index suffers).
+    Candidates then verify EXACTLY via array_intersect over each
+    pair's full shingle sets (candidate-bounded work, broadcast-sized
+    per-doc arrays at any corpus scale since |candidates| tracks true
+    duplicate density). Same oracle as ``near_dup_jaccard`` — the
+    algorithm changes, the answer must not. t = 1/2 keeps the prefix
+    length exact in integer math (sz - (sz+1) div 2 + 1).
+
+    Measured (sf0.1, steady): ~6 s vs ~2.4 s for the plain inverted
+    index — on THIS corpus (low duplication, mild shingle skew) the
+    df-count + rank + array verify overhead exceeds the candidate
+    savings, so the inverted index stays the default; prefix
+    filtering is the variant to reach for when posting lists are
+    boilerplate-skewed (its join never sees high-DF shingles, the
+    failure mode ``near_dup_jaccard_capped`` otherwise caps with a
+    recall trade)."""
+    from pyspark.sql.window import Window
+
+    from mapreduce511_spark.operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = doc_shingles(docs)
+    # global canonical order: rarest shingles first (df asc, sh asc)
+    df_counts = shingles.groupBy("sh").agg(F.count("*").alias("df"))
+    ordered = shingles.join(df_counts, "sh")
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    ranked = ordered.withColumn("rn", F.row_number().over(w))
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # t = 1/2: prefix_len = sz - ceil(sz/2) + 1, exact in integers
+    prefix_len = F.col("sz") - ((F.col("sz") + 1) / 2).cast("long") + 1
+    prefix = (
+        ranked.join(F.broadcast(sizes), "doc_id")
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "sh")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact verify on candidates only: full shingle sets as arrays
+    sets = shingles.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("sh")).alias("shs")
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    verified = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("both", F.size(F.array_intersect("shs_a", "shs_b")))
+        .withColumn("sz_a", F.size("shs_a"))
+        .withColumn("sz_b", F.size("shs_b"))
+    )
+    jac = F.col("both") / (F.col("sz_a") + F.col("sz_b") - F.col("both"))
+    return verified.filter(jac >= _JACCARD_T).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
