@@ -21,9 +21,18 @@ _ORACLES: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Decorator: add a query (and optional DuckDB oracle) to the suite."""
+    """Decorator: add a query (and optional DuckDB oracle) to the suite.
+
+    Duplicate names raise: dict assignment would silently shadow the
+    earlier query (each module imports once, so a legitimate re-import
+    never hits this)."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
+        if name in _QUERIES:
+            raise ValueError(
+                f"query {name!r} already registered by "
+                f"{_QUERIES[name].__module__}; pick a distinct name"
+            )
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle

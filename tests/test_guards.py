@@ -92,3 +92,15 @@ def test_bench_headline_names_resolve():
     registry = suite.all_queries()
     missing = [n for n in names if n not in registry]
     assert not missing, missing
+
+
+def test_register_rejects_duplicate_names():
+    """The registry must fail loudly on a duplicate query name —
+    silent dict shadowing already bit once."""
+    from mapreduce511_spark import queries as suite
+
+    suite.all_queries()  # ensure modules loaded
+    with pytest.raises(ValueError, match="already registered"):
+        @suite.register("wordcount")
+        def _dup(spark, sf_dir):  # pragma: no cover
+            raise AssertionError
