@@ -109,3 +109,48 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "lang" in pf, pf
     en = docs.filter(F.col("lang") == "en").count()
     assert back.count() == en
+
+
+def test_bucketed_fingerprint_index_anti_join_no_corpus_shuffle(
+    spark, tmp_path_factory
+):
+    """The incremental-dedup docstrings promise: 'at 100 TB the
+    fingerprint index is a bucketed table so arriving batches join
+    with zero corpus-side shuffle'. Prove it: write the corpus
+    fingerprint index bucketed by the digest, anti-join an arriving
+    batch against it, and assert the index side feeds the join with
+    NO Exchange (only the small batch side may shuffle to align
+    bucketing)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce511_spark.functions.text import normalize_text
+
+    wh = tmp_path_factory.mktemp("fp_wh")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    fp = docs.select("doc_id", F.md5(normalize_text("text")).alias("f"))
+    corpus = fp.filter(F.col("doc_id") % 10 != 0).select("f").distinct()
+    (
+        corpus.write.mode("overwrite")
+        .option("path", str(wh / "fp_index"))
+        .bucketBy(8, "f")
+        .sortBy("f")
+        .saveAsTable("fp_index_b")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        index = spark.table("fp_index_b")
+        batch = fp.filter(F.col("doc_id") % 10 == 0)
+        admitted = batch.join(index, "f", "left_anti")
+        plan = admitted._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin LeftAnti" in plan or "LeftAnti" in plan, plan[:500]
+        # the index scan must be bucketed, and the ONLY Exchange in
+        # the whole plan is the batch side aligning to the bucketing —
+        # the corpus/index side reads straight into the join
+        assert "Bucketed: true" in plan, plan[:2000]
+        assert plan.count("Exchange") == 1, plan[:2000]
+        # and correctness vs the plain (unbucketed) anti-join
+        expect = batch.join(corpus, "f", "left_anti").count()
+        assert admitted.count() == expect
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS fp_index_b")
