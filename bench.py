@@ -92,6 +92,7 @@ HEADLINE = [
     "near_dup_jaccard_prefix",
     "latest_event_per_user",
     "json_props_stats",
+    "copurchase_triangles",
 ]
 
 

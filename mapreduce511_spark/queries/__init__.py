@@ -97,6 +97,7 @@ _ENUMERATE_FIRST: list[str] = [
     "quality_weighted_sample",
     "latest_event_per_user",
     "near_dup_jaccard_prefix",
+    "copurchase_triangles",
     # --- checked green in r01/r02; re-verify in registration order ---
 ]
 

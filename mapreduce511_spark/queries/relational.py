@@ -1760,3 +1760,72 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+@register(
+    "copurchase_triangles",
+    oracle="""
+    WITH ppo AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM ppo a JOIN ppo b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT count(*) AS n_triangles,
+           (SELECT count(*) FROM edges) AS n_edges
+    FROM tri
+    """,
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the part co-purchase graph — the classic
+    graph-clustering metric, enumerated with the ORDERED-edge join
+    (u < v everywhere, wedge a-b-c joined against the closing edge
+    a-c) so each triangle counts exactly once and no orientation
+    explodes. Edge shuffles hash on part keys; the wedge join's
+    fan-out is bounded by max degree, which basket-size-bounded
+    co-purchase graphs keep small. At 100 TB add degree-ordering
+    (orient each edge toward the higher-degree endpoint) to bound
+    wedge generation by arboricity — same joins, one extra degree
+    broadcast.
+
+    Reference basis: extension tier — graph family beyond connected
+    components (SURVEY.md §7 M7)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    ppo = li.select("l_orderkey", "l_partkey").distinct()
+    a = ppo.alias("a")
+    b = ppo.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
+        F.col("e1.u").alias("ta"), F.col("e1.v").alias("tb"), F.col("e2.v").alias("tc")
+    )
+    tri = wedges.join(
+        e3,
+        (F.col("e3.u") == F.col("ta")) & (F.col("e3.v") == F.col("tc")),
+        "left_semi",
+    )
+    n_edges = edges.count()
+    return tri.agg(
+        F.count("*").alias("n_triangles"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+    )
