@@ -448,17 +448,30 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_LSH_BANDS)
         ]
     )
-    banded = emb.select("vec_id", "embedding", F.explode(band_arr).alias("b")).select(
-        "vec_id", "embedding", F.col("b.band").alias("band"), F.col("b.bits").alias("bits")
+    # band join and dedup carry ONLY integers — the 64-float arrays
+    # never enter the candidate shuffle. Candidates are then fetched
+    # with a broadcast semi-style join (the candidate list is probe-
+    # bucket sized, tiny next to the corpus), and probe vectors attach
+    # from a |probes|-row broadcast.
+    banded = emb.select("vec_id", F.explode(band_arr).alias("b")).select(
+        "vec_id", F.col("b.band").alias("band"), F.col("b.bits").alias("bits")
     )
-    probes = banded.filter(F.col("vec_id") < _N_PROBES).select(
-        F.col("vec_id").alias("pid"), F.col("embedding").alias("pv"), "band", "bits"
+    probe_bands = banded.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("pid"), "band", "bits"
+    )
+    cand_ids = (
+        banded.join(F.broadcast(probe_bands), ["band", "bits"])
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select("pid", "vec_id")
+        .distinct()
+    )
+    probe_vecs = emb.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
     )
     cand = (
-        banded.join(F.broadcast(probes), ["band", "bits"])
-        .filter(F.col("vec_id") != F.col("pid"))
-        .select("pid", "pv", "vec_id", "embedding")
-        .distinct()
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(cand_ids), "vec_id")
+        .join(F.broadcast(probe_vecs), "pid")
     )
     w = Window.partitionBy("pid").orderBy(F.desc("s"), F.asc("vec_id"))
     return (
