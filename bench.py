@@ -93,6 +93,7 @@ HEADLINE = [
     "latest_event_per_user",
     "json_props_stats",
     "copurchase_triangles",
+    "bpe_first_merge",
 ]
 
 

@@ -98,6 +98,8 @@ _ENUMERATE_FIRST: list[str] = [
     "latest_event_per_user",
     "near_dup_jaccard_prefix",
     "copurchase_triangles",
+    "bpe_first_merge",
+    "bpe_merge_rules",
     # --- checked green in r01/r02; re-verify in registration order ---
 ]
 

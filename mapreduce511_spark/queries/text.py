@@ -1469,3 +1469,87 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_accepted"
         ),
     )
+
+
+@register(
+    "bpe_first_merge",
+    oracle=f"""
+    WITH wc AS (
+        SELECT w, count(*) AS cnt
+        FROM (SELECT unnest({_SQL_TOKENS}) AS w FROM documents)
+        GROUP BY w
+    ),
+    chars AS (
+        SELECT w, cnt, string_split(w, '') AS cs FROM wc
+    ),
+    pos AS (
+        SELECT cnt, unnest(cs) AS c, unnest(range(len(cs))) AS p, w
+        FROM chars
+    ),
+    pairs AS (
+        SELECT a.c || b.c AS pair, a.cnt
+        FROM pos a JOIN pos b ON a.w = b.w AND b.p = a.p + 1
+    )
+    SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq
+    FROM pairs
+    GROUP BY pair
+    ORDER BY freq DESC, pair
+    LIMIT 20
+    """,
+)
+def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training: count adjacent
+    character pairs across the corpus, weighted by word frequency —
+    the top pair is the first merge rule. Word TYPES aggregate first
+    (one row per distinct word, carrying its corpus count), so the
+    char-pair explode runs over the vocabulary, not the token stream
+    — at 100 TB that's the difference between ~1M rows and ~10^12.
+    Subsequent BPE iterations re-run the same count over re-segmented
+    types; every step is this one map-combinable aggregate shape.
+
+    Reference basis: extension tier — tokenizer-training primitive
+    (text family, SURVEY.md §2 extensions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokenize("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    chars = wc.select("cnt", F.split("w", "").alias("c"))
+    pairs = chars.select(
+        "cnt",
+        F.explode(
+            F.when(
+                F.size("c") >= 2,
+                F.expr(
+                    "transform(slice(c, 1, size(c)-1), (x, i) ->"
+                    " concat(x, c[i+1]))"
+                ),
+            ).otherwise(F.array())
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(20)
+    )
+
+
+@register("bpe_merge_rules")
+def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merge rules learned from the corpus (rank, left,
+    right, freq) — the registered surface of ``operators/bpe.py``'s
+    iterative trainer. No SQL oracle (the merge loop is iterative —
+    each round's input depends on the previous argmax), so the driver
+    applies its rows-only check; exact parity against a pure-Python
+    reference BPE is asserted in tests/test_bpe.py. ``bpe_first_merge``
+    is iteration one of this loop under the full oracle gate."""
+    from mapreduce511_spark.operators.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, 8)
+    rows = [
+        (i + 1, a, b, freq) for i, (a, b, freq) in enumerate(merges)
+    ]
+    return spark.createDataFrame(rows, ["rank", "left", "right", "freq"])

@@ -1,0 +1,59 @@
+"""BPE training: the Spark loop must reproduce a pure-Python
+reference BPE (classic Sennrich-style: count pairs over the
+frequency-weighted vocabulary, merge the argmax greedily
+left-to-right) exactly, merge for merge."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from mapreduce511_spark.operators.bpe import train_bpe
+from mapreduce511_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _reference_bpe(words: Counter, n_merges: int):
+    vocab = {w: (list(w), c) for w, c in words.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for seg, c in vocab.values():
+            for i in range(len(seg) - 1):
+                counts[(seg[i], seg[i + 1])] += c
+        if not counts:
+            break
+        # max by (freq, then lexicographically smallest pair)
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), freq = best
+        merges.append((a, b, freq))
+        for w, (seg, c) in vocab.items():
+            out = []
+            for x in seg:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = (out, c)
+    return merges
+
+
+def test_train_bpe_matches_reference(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    from pyspark.sql import functions as F
+
+    from mapreduce511_spark.functions.text import tokenize
+
+    words = Counter()
+    for r in (
+        docs.select(F.explode(tokenize("text")).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    ):
+        words[r.w] = r["count"]
+
+    want = _reference_bpe(words, 8)
+    got = train_bpe(docs, 8)
+    assert got == want
+    # sanity: merges are real (first merge frequency dominates)
+    assert got[0][2] >= got[-1][2] > 0
