@@ -100,6 +100,7 @@ _ENUMERATE_FIRST: list[str] = [
     "copurchase_triangles",
     "bpe_first_merge",
     "bpe_merge_rules",
+    "concurrent_user_spans",
     # --- checked green in r01/r02; re-verify in registration order ---
 ]
 

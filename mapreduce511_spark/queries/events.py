@@ -829,3 +829,88 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.count("*").alias("n_events"),
     )
+
+
+@register(
+    "concurrent_user_spans",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               min(ts) AS s, max(ts) AS e
+        FROM events GROUP BY user_id, day
+    )
+    SELECT CAST(a.day AS VARCHAR) AS day,
+           a.user_id AS user_a, b.user_id AS user_b,
+           CAST(epoch(least(a.e, b.e)) - epoch(greatest(a.s, b.s))
+                AS BIGINT) AS overlap_seconds
+    FROM spans a JOIN spans b
+      ON a.day = b.day AND a.user_id < b.user_id
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def concurrent_user_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join — the range-join shape Spark's
+    planner turns into a nested loop if written naively. The scalable
+    formulation: explode each (user, day) activity span into its
+    covered HOUR buckets (bounded fan-out: <=24/day), equi-join on
+    (day, hour) so only spans sharing a bucket ever meet, dedupe the
+    pair, then verify the exact overlap predicate and compute the
+    overlap. Candidate completeness: two intervals that overlap share
+    at least one covering hour bucket, so the equi-join loses
+    nothing; the oracle states the plain inequality join. This is the
+    general recipe for temporal joins at 100 TB (pick the bucket
+    width ~ median interval length; cost = fan-out x rows, never
+    rows^2).
+
+    Reference basis: extension tier — interval analytics over the
+    events family (SURVEY.md §2.3 extension; F4 overlap arithmetic is
+    the reference's stage-overlap idea generalized)."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    bucketed = spans.select(
+        "user_id",
+        "day",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.hour("s").cast("int"), F.hour("e").cast("int")
+            )
+        ).alias("hb"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.hb") == F.col("b.hb"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.day").alias("day"),
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.s").alias("sa"),
+            F.col("a.e").alias("ea"),
+            F.col("b.s").alias("sb"),
+            F.col("b.e").alias("eb"),
+        )
+        .distinct()
+    )
+    overlap = F.least("ea", "eb").cast("double") - F.greatest(
+        "sa", "sb"
+    ).cast("double")
+    return (
+        pairs.filter(
+            (F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea"))
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "user_a",
+            "user_b",
+            F.round(overlap).cast("long").alias("overlap_seconds"),
+        )
+    )
