@@ -101,6 +101,7 @@ _ENUMERATE_FIRST: list[str] = [
     "bpe_first_merge",
     "bpe_merge_rules",
     "concurrent_user_spans",
+    "char_entropy_by_lang",
     # --- checked green in r01/r02; re-verify in registration order ---
 ]
 

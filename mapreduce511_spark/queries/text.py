@@ -1553,3 +1553,53 @@ def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i + 1, a, b, freq) for i, (a, b, freq) in enumerate(merges)
     ]
     return spark.createDataFrame(rows, ["rank", "left", "right", "freq"])
+
+
+@register(
+    "char_entropy_by_lang",
+    oracle="""
+    WITH chars AS (
+        SELECT lang, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    freq AS (
+        SELECT lang, c, count(*) AS n FROM chars GROUP BY lang, c
+    ),
+    tot AS (
+        SELECT lang, CAST(sum(n) AS BIGINT) AS total,
+               count(*) AS alphabet
+        FROM freq GROUP BY lang
+    )
+    SELECT f.lang, t.alphabet, t.total AS n_chars,
+           round(-sum((f.n * 1.0 / t.total) * log2(f.n * 1.0 / t.total)), 4)
+               AS entropy_bits
+    FROM freq f JOIN tot t ON f.lang = t.lang
+    GROUP BY f.lang, t.alphabet, t.total
+    """,
+)
+def char_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per language — the compressibility
+    proxy a corpus profile reports next to the Zipf histogram (low
+    entropy flags repeated boilerplate or degenerate alphabets; ~4.1
+    bits is typical English text with spaces). One char explode into
+    a (lang, char) count — map-combinable, alphabet-sized output —
+    then the entropy sum folds per language over at most a few
+    hundred rows. The explode is the only corpus-sized step and it
+    carries single characters.
+
+    Reference basis: extension tier — text-quality family
+    (SURVEY.md §2 extensions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("lang", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("lang", "c")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = freq.groupBy("lang").agg(
+        F.sum("n").alias("total"), F.count("*").alias("alphabet")
+    )
+    p = F.col("n") / F.col("total")
+    return (
+        freq.join(F.broadcast(tot), "lang")
+        .groupBy("lang", "alphabet", F.col("total").alias("n_chars"))
+        .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"))
+    )
