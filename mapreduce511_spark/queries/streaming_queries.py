@@ -324,3 +324,145 @@ def stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _detach(out, name)
     finally:
         _cleanup(src)
+
+
+@register(
+    "stream_late_drop_census",
+    oracle="""
+    WITH ranked AS (
+        SELECT ts,
+               row_number() OVER (ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ), wm AS (
+        -- watermark operative while the history replays: ms-floored
+        -- max event time minus the 2-hour delay (the two seed
+        -- batches both contain ts <= max, so it never moves)
+        SELECT epoch_us(max(ts)) // 1000 - 7200000 AS wm_ms FROM events
+    ), classified AS (
+        -- 1-hour tumbling window end in ms; a replayed row is
+        -- admitted iff its window end is STRICTLY above the
+        -- watermark (end == wm is cut by the state operator, end <
+        -- wm by the pre-shuffle filter — net effect is the same).
+        -- The two seed rows (rn <= 2) arrive before the watermark
+        -- becomes operative for filtering and are always admitted.
+        SELECT rn,
+               ((epoch_us(ts) // 1000000) // 3600 + 1) * 3600000
+                   AS window_end_ms
+        FROM ranked
+    )
+    SELECT count(*) AS n_total,
+           CAST(sum(CASE WHEN rn <= 2 OR window_end_ms > wm_ms
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+           CAST(sum(CASE WHEN rn <= 2 OR window_end_ms > wm_ms
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM classified, wm
+    """,
+)
+def stream_late_drop_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data DROP census — the observability metric a
+    100 TB ingest pipeline alarms on, surfaced as an oracled query
+    instead of buried in engine internals. The scenario: the two
+    globally latest events arrive first as singleton micro-batches,
+    advancing the event-time watermark to max(ts) - 2 h; the entire
+    remaining history then replays as a third micro-batch against
+    that live watermark, and every replayed row whose 1-hour tumbling
+    window already closed is discarded by the windowed aggregation.
+    The census reports total rows, admitted rows (summed from the
+    drained per-window counts), and dropped rows; the oracle states
+    the identical watermark arithmetic in plain SQL (ms-floored event
+    times, hour-aligned window ends).
+
+    Engine facts this query pins down (measured on 4.x, asserted by
+    the boundary test in tests/test_streaming.py):
+    - Spark keeps TWO operative watermarks per batch (SPARK-40925):
+      the LATE-EVENTS FILTER uses the watermark computed before the
+      *previous* batch, while STATE EVICTION uses the current one.
+      Hence the two seed batches here — with a single seed batch the
+      history would replay under a still-zero filter watermark and
+      nothing would ever drop (and in append mode the below-watermark
+      windows would be admitted, aggregated, and emitted on the same
+      batch's eviction pass).
+    - The net admission predicate is window_end > watermark,
+      STRICTLY: a row whose window ends exactly at the watermark is
+      cut by the state operator (counted in
+      numRowsDroppedByWatermark), one ending below it by the
+      pre-shuffle filter (NOT counted) — so the progress metric
+      under-reports drops and a pipeline must count admissions
+      itself, as done here (n_dropped = total - sum of final window
+      counts).
+    - Update output mode emits every state change, so max(n) per
+      window across the drained sink is the final count even for
+      windows whose state is later evicted without emission.
+
+    Micro-batch order is forced deterministically: seed files get
+    older mtimes (the file source processes oldest-first) and
+    maxFilesPerTrigger=1 keeps them singleton batches.
+
+    At 100 TB: the admitted stream is a watermarked windowed count
+    whose state is bounded by the watermark horizon; the census is
+    one final aggregate over window counts. The same accounting runs
+    continuously by diffing source row counts against sink updates.
+
+    Reference basis: extension tier — streaming observability; the
+    reference's only liveness signal is the monitor's job-end stop
+    condition (wheel/monitor_real.sh:35-38), which sees nothing about
+    discarded data.
+    """
+    import os
+
+    src, ckpt, name = _scratch("latedrop")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        n_total = ev.count()
+        # seed 1: the globally latest event; seed 2: the next latest.
+        # Ties on ts break by event_id, so the split is deterministic.
+        top2 = ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(2)
+        seeds = top2.collect()
+        rest = ev.join(
+            top2.select("event_id"), "event_id", "left_anti"
+        )
+        mtimes: list[tuple[str, int]] = []
+        now = 1_700_000_000
+        for i, row in enumerate(seeds):
+            part = f"{src}_seed{i}"
+            ev.filter(F.col("event_id") == row.event_id).coalesce(
+                1
+            ).write.mode("overwrite").parquet(part)
+            os.makedirs(src, exist_ok=True)
+            for f in os.listdir(part):
+                if f.endswith(".parquet"):
+                    os.rename(f"{part}/{f}", f"{src}/seed{i}_{f}")
+                    mtimes.append((f"{src}/seed{i}_{f}", now + i))
+        rest.coalesce(1).write.mode("append").parquet(src)
+        for p2 in os.listdir(src):
+            full = f"{src}/{p2}"
+            if not p2.endswith(".parquet"):
+                continue
+            t = dict(mtimes).get(full, now + 10)
+            os.utime(full, (t, t))
+        stream = stream_events(spark, src, max_files_per_trigger=1)
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+        )
+        drained = run_available_now(agg, name, ckpt, mode="update")
+        # update mode re-emits a window each batch it grows; counts
+        # are monotone per window, so max(n) is the final count
+        admitted = drained.groupBy("w").agg(F.max("n").alias("n"))
+        out = admitted.agg(
+            F.lit(n_total).cast("long").alias("n_total"),
+            F.coalesce(F.sum("n"), F.lit(0))
+            .cast("long")
+            .alias("n_admitted"),
+            (F.lit(n_total) - F.coalesce(F.sum("n"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        return _detach(out, name)
+    finally:
+        _cleanup(src)
+        import shutil
+
+        for i in (0, 1):
+            shutil.rmtree(f"{src}_seed{i}", ignore_errors=True)

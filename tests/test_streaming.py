@@ -268,3 +268,59 @@ def test_stream_static_enrichment_matches_batch(spark, events_dir, tmp_path):
     )
     cols = ["segment", "n_events"]
     assert _as_sorted_rows(result, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_late_drop_census_boundary_semantics(spark, tmp_path):
+    """Pins the exact admission boundary of stream_late_drop_census
+    with hand-placed event times: after the two seed batches the
+    watermark is 10:00:00.000 (max 12:00 - 2 h), and a replayed row
+    is admitted iff its 1-hour window ends STRICTLY above it — a
+    window ending exactly AT the watermark is dropped. Checks the
+    stream result against both the hand-computed census and the
+    registered DuckDB oracle on the same table."""
+    import datetime as dt
+
+    import duckdb
+
+    from mapreduce511_spark.queries import all_oracles, all_queries
+
+    U = dt.timezone.utc
+
+    def ev(eid, *hms, us=0):
+        return (
+            eid,
+            dt.datetime(2024, 1, 2, *hms, us, tzinfo=U),
+            eid % 7,
+            "click",
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        ev(1, 12, 0, 0),              # seed 1 (max) — admitted
+        ev(2, 11, 59, 0),             # seed 2 — admitted
+        ev(3, 8, 59, 59, us=999999),  # window end 09:00 < wm: dropped
+        ev(4, 9, 30, 0),              # window end 10:00 == wm: dropped
+        ev(5, 9, 59, 59, us=999999),  # window end 10:00 == wm: dropped
+        ev(6, 10, 30, 0),             # window end 11:00 > wm: admitted
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    sf_dir = str(tmp_path / "boundary_sf")
+    import os
+
+    os.makedirs(sf_dir, exist_ok=True)
+    df.toPandas().to_parquet(f"{sf_dir}/events.parquet", index=False)
+
+    out = all_queries()["stream_late_drop_census"](spark, sf_dir).collect()[0]
+    assert (out.n_total, out.n_admitted, out.n_dropped) == (6, 3, 3), out
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    orc = con.execute(all_oracles()["stream_late_drop_census"]).fetchone()
+    assert tuple(int(x) for x in orc) == (6, 3, 3), orc
