@@ -12,10 +12,12 @@ n_frames>``. Decode / feature-extraction runs in ``mapInPandas``
 (Arrow batches, never per-row Python). The decode step is REAL for
 uncompressed BMP and 16-bit PCM WAV (``multimodal/codecs.py`` —
 dependency-free struct parsing, oracle-verified round-trips via
-``extract_decoded_features``); compressed formats (JPEG/PNG/MP3/…)
-remain behind an honest ``NotImplementedError`` gate until codec
-libraries exist here, with the deterministic fake byte-histogram
-decoder exercising the same schema / partitioning / batch shape.
+``extract_decoded_features``) and for non-interlaced 8-bit RGB PNG
+(stdlib zlib inflate + all five row unfilters); the remaining
+compressed formats (JPEG/MP3/H.264/…) stay behind an honest
+``NotImplementedError`` gate until codec libraries exist here, with
+the deterministic fake byte-histogram decoder exercising the same
+schema / partitioning / batch shape.
 
 Scale notes: binary payloads dominate row size — keep
 ``spark.sql.files.maxPartitionBytes`` small enough that a batch of
@@ -147,6 +149,41 @@ def synth_codec_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_png_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, content, fmt) with real PNG payloads for doc_id <
+    SYNTH_DOC_LIMIT. Pixel bytes are the closed form v(i) =
+    (doc_id*17 + i*11) % 256 over w*h*3 positions with w = 6 +
+    doc_id%11, h = 6 + (doc_id*5)%7; each row r is written with
+    filter type (doc_id + r) % 5, so decoding the corpus exercises
+    every PNG unfilter path (None/Sub/Up/Average/Paeth) under the
+    oracle gate — the analytic oracle knows only the pixel formula,
+    so any filter/inflate/CRC bug breaks the hash match."""
+    import numpy as np
+
+    from mapreduce511_spark.multimodal import codecs
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d >= SYNTH_DOC_LIMIT:
+                    continue
+                w = 6 + d % 11
+                h = 6 + (d * 5) % 7
+                vals = (d * 17 + np.arange(w * h * 3, dtype=np.int64) * 11) % 256
+                payload = codecs.encode_png(
+                    vals.astype(np.uint8).reshape(h, w, 3),
+                    row_filter=lambda r, d=d: (d + r) % 5,
+                )
+                rows.append((d, payload, codecs.PNG_FMT))
+        yield pd.DataFrame(rows, columns=["doc_id", "content", "fmt"])
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, content binary, fmt string"
+    )
+
+
 DECODED_SCHEMA = (
     "doc_id long, kind string, width int, height int, n_vals long, "
     "sum_val long, min_val long, max_val long, hist_sum long"
@@ -176,6 +213,10 @@ def extract_decoded_features(media_df: DataFrame) -> DataFrame:
             ):
                 if fmt == codecs.BMP_FMT:
                     w, h, px = codecs.decode_bmp(bytes(payload))
+                    vals = px.reshape(-1).astype(np.int64)
+                    kind, bins = "image", vals >> 4
+                elif fmt == codecs.PNG_FMT:
+                    w, h, px = codecs.decode_png(bytes(payload))
                     vals = px.reshape(-1).astype(np.int64)
                     kind, bins = "image", vals >> 4
                 elif fmt == codecs.WAV_FMT:

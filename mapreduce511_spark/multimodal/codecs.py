@@ -1,13 +1,16 @@
-"""Dependency-free real codecs: uncompressed 24-bit BMP and 16-bit
-PCM WAV (struct-parsed, numpy payloads).
+"""Dependency-free real codecs: uncompressed 24-bit BMP, 16-bit PCM
+WAV, and non-interlaced 8-bit RGB PNG (struct-parsed, stdlib zlib,
+numpy payloads).
 
 These make the multimodal path's decode step REAL — no image/audio
-libraries exist in this container, but both formats are fully
+libraries exist in this container, but all three formats are fully
 specified byte layouts a pure-Python parser handles: BMP's
 BITMAPFILEHEADER/BITMAPINFOHEADER with 4-byte-aligned bottom-up rows,
-WAV's RIFF chunk walk to a PCM ``data`` chunk. Compressed formats
-(JPEG/PNG/MP3/H.264) stay behind the honest ``NotImplementedError``
-gate in ``decode_real`` — plumbing identical, codec genuinely absent.
+WAV's RIFF chunk walk to a PCM ``data`` chunk, PNG's CRC-checked
+chunk stream with zlib-inflated IDAT and all five row unfilters
+(None/Sub/Up/Average/Paeth). The remaining compressed formats
+(JPEG/MP3/H.264) stay behind the honest ``NotImplementedError`` gate
+in ``decode_real`` — plumbing identical, codec genuinely absent.
 """
 
 from __future__ import annotations
@@ -111,16 +114,20 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def decode_real(payload: bytes, fmt: str):
-    """Real decode dispatch. BMP and WAV are implemented natively;
-    compressed formats remain honestly stubbed until real codec
-    libraries exist in the environment."""
+    """Real decode dispatch. BMP, WAV and (non-interlaced RGB8) PNG
+    are implemented natively; the remaining compressed formats
+    (JPEG/MP3/H.264) stay honestly stubbed until real codec libraries
+    exist in the environment."""
     if fmt in (BMP_FMT, "bmp"):
         return decode_bmp(payload)
     if fmt in (WAV_FMT, "wav"):
         return decode_wav(payload)
+    if fmt in (PNG_FMT, "png"):
+        return decode_png(payload)
     raise NotImplementedError(
         f"no native decoder for {fmt!r}: this environment has no "
-        "image/audio codec libraries; BMP and WAV decode natively"
+        "image/audio codec libraries; BMP, WAV and RGB8 PNG decode "
+        "natively"
     )
 
 
@@ -134,3 +141,165 @@ def resize_bmp(payload: bytes, factor: int = 2) -> bytes:
     _w, _h, px = decode_bmp(payload)
     small = px[::factor, ::factor]
     return encode_bmp(small)
+
+
+# -- PNG (non-interlaced 8-bit RGB, stdlib zlib) ------------------------
+
+PNG_FMT = "image/png"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body))
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9, filter type 4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(pixels: np.ndarray, row_filter=0) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a non-interlaced 8-bit RGB
+    PNG using only stdlib zlib. ``row_filter`` is an int filter type
+    (0..4) applied to every row, or a callable row_index -> type —
+    letting tests/synthetic corpora exercise every unfilter path in
+    the decoder, not just the trivial None filter."""
+    import zlib
+
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("pixels must be (h, w, 3)")
+    px = pixels.astype(np.uint8)
+    h, w, _ = px.shape
+    bpp = 3
+    pick = row_filter if callable(row_filter) else (lambda _r: row_filter)
+    prev = np.zeros(w * bpp, dtype=np.int64)
+    out = bytearray()
+    for r in range(h):
+        raw = px[r].reshape(-1).astype(np.int64)
+        ft = int(pick(r))
+        if ft == 0:
+            filt = raw
+        elif ft == 1:  # Sub: predictor = left
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), raw[:-bpp]])
+            filt = raw - left
+        elif ft == 2:  # Up: predictor = above
+            filt = raw - prev
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), raw[:-bpp]])
+            filt = raw - (left + prev) // 2
+        elif ft == 4:  # Paeth (left depends on reconstructed == raw)
+            filt = np.empty_like(raw)
+            for i in range(raw.size):
+                a = raw[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                filt[i] = raw[i] - _paeth(int(a), int(b), int(c))
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out.append(ft)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return b"".join(
+        [
+            _PNG_SIG,
+            _png_chunk(b"IHDR", ihdr),
+            _png_chunk(b"IDAT", zlib.compress(bytes(out))),
+            _png_chunk(b"IEND", b""),
+        ]
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a non-interlaced 8-bit RGB PNG → (width, height, (h, w,
+    3) uint8 array). Full chunk walk with CRC verification, IDAT
+    concatenation, zlib inflate, and per-row unfiltering of ALL five
+    standard filter types (None/Sub/Up/Average/Paeth). Interlaced,
+    paletted, alpha, and non-8-bit images are rejected loudly — this
+    decoder covers exactly what ``encode_png`` emits plus any
+    conforming RGB8 PNG."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = len(_PNG_SIG)
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + body) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, color) != (8, 2):
+                raise ValueError(
+                    "only 8-bit RGB (color type 2) PNG supported "
+                    f"(depth={depth}, color={color})"
+                )
+            if comp != 0 or filt != 0:
+                raise ValueError("nonstandard compression/filter method")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    rows = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int64)
+        if ft == 0:
+            recon = line
+        elif ft == 1:  # Sub: per-byte-lane prefix sum mod 256
+            recon = line.copy()
+            for i in range(bpp, stride):
+                recon[i] = (recon[i] + recon[i - bpp]) % 256
+        elif ft == 2:  # Up
+            recon = (line + prev) % 256
+        elif ft == 3:  # Average
+            recon = line.copy()
+            for i in range(stride):
+                a = recon[i - bpp] if i >= bpp else 0
+                recon[i] = (recon[i] + (a + prev[i]) // 2) % 256
+        elif ft == 4:  # Paeth
+            recon = line.copy()
+            for i in range(stride):
+                a = recon[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                recon[i] = (
+                    recon[i] + _paeth(int(a), int(prev[i]), int(c))
+                ) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft} in row {r}")
+        rows[r] = recon
+        prev = recon
+    return int(w), int(h), rows.astype(np.uint8).reshape(h, w, 3)

@@ -127,3 +127,54 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_decoded_features(synth_codec_media(docs))
+
+
+@register(
+    "multimodal_png_stats",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id,
+               CAST(6 + doc_id % 11 AS INT) AS w,
+               CAST(6 + (doc_id * 5) % 7 AS INT) AS h
+        FROM documents WHERE doc_id < 400
+    ), idx AS (
+        SELECT doc_id, w, h,
+               unnest(generate_series(0, CAST(w * h * 3 - 1 AS BIGINT))) AS i
+        FROM img
+    ), px AS (
+        SELECT doc_id, w, h, (doc_id * 17 + i * 11) % 256 AS v FROM idx
+    )
+    SELECT doc_id, 'image' AS kind, w AS width, h AS height,
+           COUNT(*) AS n_vals,
+           CAST(SUM(v) AS BIGINT) AS sum_val,
+           CAST(MIN(v) AS BIGINT) AS min_val,
+           CAST(MAX(v) AS BIGINT) AS max_val,
+           CAST(SUM(v // 16 + 1) AS BIGINT) AS hist_sum
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG codec round-trip under the oracle gate: synthesize real
+    non-interlaced RGB8 PNGs (stdlib-zlib DEFLATE, per-row filter
+    type cycling through all five — None/Sub/Up/Average/Paeth as a
+    function of doc_id and row), decode them with the native parser
+    (multimodal/codecs.py: CRC-checked chunk walk, inflate, full
+    unfilter), and emit integer pixel statistics. The DuckDB oracle
+    computes the same statistics analytically from the pixel formula
+    alone — it knows nothing about PNG — so a green row proves
+    compression, filtering and unfiltering are lossless end to end.
+    Companion of ``multimodal_decode_stats`` (BMP/WAV).
+
+    At 100 TB: decode runs where the bytes live (mapInPandas over
+    Arrow batches, no driver collect); metadata-only queries prune
+    the binary column at the scan.
+
+    Reference basis: extension tier — multimodal decode family
+    (no analog in /root/reference, which is text-only)."""
+    from mapreduce511_spark.multimodal import (
+        extract_decoded_features,
+        synth_png_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_decoded_features(synth_png_media(docs))

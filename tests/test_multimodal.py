@@ -208,3 +208,70 @@ def test_real_bmp_resize_through_spark(spark):
         assert (h2, w2) == expect.shape[:2]
         assert (r.media["width"], r.media["height"]) == (w2, h2)
         assert np.array_equal(px2, expect)
+
+
+class TestPngCodec:
+    """multimodal/codecs.py — non-interlaced RGB8 PNG with stdlib
+    zlib: CRC-checked chunk walk, inflate, all five row unfilters."""
+
+    def test_round_trip_every_filter_type_and_shape(self):
+        import numpy as np
+
+        from mapreduce511_spark.multimodal import codecs
+
+        rng = np.random.default_rng(42)
+        for h, w in ((1, 1), (2, 3), (7, 5), (12, 11)):
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for rf in (0, 1, 2, 3, 4, lambda r: r % 5):
+                w2, h2, out = codecs.decode_png(codecs.encode_png(px, rf))
+                assert (w2, h2) == (w, h)
+                assert np.array_equal(out, px), (h, w, rf)
+
+    def test_crc_corruption_detected(self):
+        import numpy as np
+
+        from mapreduce511_spark.multimodal import codecs
+
+        payload = bytearray(
+            codecs.encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+        )
+        # flip one byte inside the IDAT body (after sig+IHDR chunk)
+        idat_at = bytes(payload).index(b"IDAT")
+        payload[idat_at + 6] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            codecs.decode_png(bytes(payload))
+
+    def test_rejects_non_rgb8_and_garbage(self):
+        import numpy as np
+
+        from mapreduce511_spark.multimodal import codecs
+
+        with pytest.raises(ValueError, match="signature"):
+            codecs.decode_png(b"not a png at all")
+        # rewrite IHDR to claim RGBA (color type 6), re-CRC it
+        import struct
+        import zlib
+
+        good = codecs.encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+        sig = good[:8]
+        ihdr_body = bytearray(good[16:29])
+        ihdr_body[9] = 6
+        bad_ihdr = (
+            struct.pack(">I", 13)
+            + b"IHDR"
+            + bytes(ihdr_body)
+            + struct.pack(">I", zlib.crc32(b"IHDR" + bytes(ihdr_body)))
+        )
+        with pytest.raises(ValueError, match="RGB"):
+            codecs.decode_png(sig + bad_ihdr + good[33:])
+
+    def test_decode_real_dispatches_png(self):
+        import numpy as np
+
+        from mapreduce511_spark.multimodal import codecs, decode_real
+
+        px = (np.arange(36, dtype=np.int64) % 256).astype(np.uint8).reshape(
+            3, 4, 3
+        )
+        w, h, out = decode_real(codecs.encode_png(px, 4), codecs.PNG_FMT)
+        assert (w, h) == (4, 3) and np.array_equal(out, px)
