@@ -1762,6 +1762,72 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """Canonical (u < v) distinct edge set of the part co-purchase
+    graph. The topmost shuffle — the distinct's hashpartitioning
+    (u, v) Exchange — is an identical canonicalized subtree at every
+    use site, so exchange reuse (AQE stage reuse) executes the
+    lineitem self-join ONCE per query even though the edge set feeds
+    several consumers (plan-asserted in test_plan_quality); unlike a
+    localCheckpoint this keeps construction lazy and pins nothing in
+    executor memory — at 100 TB the reuse reads shuffle files, not a
+    cached edge set."""
+    ppo = li.select("l_orderkey", "l_partkey").distinct()
+    a = ppo.alias("a")
+    b = ppo.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+
+
+def _oriented_triangles(edges: DataFrame) -> DataFrame:
+    """Degree-ordered triangle rows (Suri & Vassilvitskii, WWW'11)
+    over a canonical (u < v) edge set: orient each edge toward the
+    higher (degree, id) endpoint, generate wedges from each pivot's
+    out-edges (volume Σ out-deg² = O(m^1.5) on any graph), and
+    semi-join the closing undirected edge — one hash equi-join, no
+    OR predicate. Each triangle appears exactly once."""
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    ranked = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    directed = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    e1 = directed.alias("e1")
+    e2 = directed.alias("e2")
+    # wedges: two out-edges of one pivot, deduped by t1 < t2 — so
+    # (w1, w2) is already the canonical unordered pair
+    wedges = e1.join(
+        e2,
+        (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
+    ).select(F.col("e1.t").alias("w1"), F.col("e2.t").alias("w2"))
+    # closing edge: the UNDIRECTED edge set is already canonical
+    # (u < v), so closure is one hash equi-join, no OR predicate
+    return wedges.join(
+        edges,
+        (F.col("w1") == F.col("u")) & (F.col("w2") == F.col("v")),
+        "left_semi",
+    )
+
+
 @register(
     "copurchase_triangles",
     oracle="""
@@ -1806,66 +1872,76 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference basis: extension tier — graph family beyond connected
     components (SURVEY.md §7 M7)."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    ppo = li.select("l_orderkey", "l_partkey").distinct()
-    a = ppo.alias("a")
-    b = ppo.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-        # The edge set feeds FOUR consumers (degree count, wedge e1/e2
-        # via `directed`, the closing semi-join, and the n_edges agg),
-        # but its topmost shuffle — the distinct's hashpartitioning
-        # (u, v) Exchange — is an identical canonicalized subtree at
-        # every use site, so exchange reuse (AQE stage reuse) executes
-        # the lineitem self-join ONCE and the other three consumers
-        # read ReusedExchange (plan-asserted in test_plan_quality).
-        # Measured at sf0.1: 9.75 s -> 6.2 s steady vs the r03
-        # formulation, whose eager edges.count() ran the self-join
-        # twice; unlike a localCheckpoint it keeps construction lazy
-        # (zero jobs) and pins nothing in executor memory — at 100 TB
-        # the reuse reads shuffle files, not a cached edge set.
-    )
-    # degree per vertex, broadcast (|V| rows of two longs)
-    deg = (
-        edges.select(F.col("u").alias("x"))
-        .unionAll(edges.select(F.col("v").alias("x")))
-        .groupBy("x")
-        .agg(F.count("*").alias("d"))
-    )
-    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
-    ranked = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
-    # orient toward the higher (degree, id); (s, t) is the directed edge
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    directed = ranked.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-    )
-    e1 = directed.alias("e1")
-    e2 = directed.alias("e2")
-    # wedges: two out-edges of one pivot, deduped by t1 < t2 — so
-    # (w1, w2) is already the canonical unordered pair
-    wedges = e1.join(
-        e2,
-        (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
-    ).select(F.col("e1.t").alias("w1"), F.col("e2.t").alias("w2"))
-    # closing edge: the UNDIRECTED edge set is already canonical
-    # (u < v), so closure is one hash equi-join, no OR predicate
-    tri = wedges.join(
-        edges,
-        (F.col("w1") == F.col("u")) & (F.col("w2") == F.col("v")),
-        "left_semi",
-    )
+    edges = _copurchase_edges(li)
+    tri = _oriented_triangles(edges)
     # n_edges folds into the returned plan as a 1x1 cross join of two
     # aggregates — no eager count job at construction time.
     n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
     return tri.agg(F.count("*").alias("n_triangles")).crossJoin(n_edges)
+
+
+@register(
+    "copurchase_triangles_approx",
+    oracle="""
+    WITH ppo AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    all_edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM ppo a JOIN ppo b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+        -- DOULION sparsifier, p = 1/2: keep an edge iff the first
+        -- hex digit of md5("u:v") is 0-7 (deterministic coin)
+        SELECT u, v FROM all_edges
+        WHERE substr(md5(u || ':' || v), 1, 1)
+              IN ('0','1','2','3','4','5','6','7')
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST(count(*) * 8 AS BIGINT) AS n_triangles_est,
+           (SELECT count(*) FROM edges) AS n_edges_sampled
+    FROM tri
+    """,
+)
+def copurchase_triangles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION approximate triangle count (Tsourakakis et al., KDD'09)
+    — the documented escape hatch for graph-density blowups: sparsify
+    the edge set with an independent coin of probability p = 1/2,
+    count triangles on the sample with the same degree-ordered plan,
+    and scale by 1/p³ = 8. Expected value equals the exact count;
+    wedge volume shrinks by ~p² and the closing-join input by p, so
+    when Σ out-deg² outgrows cluster memory, p becomes the knob that
+    brings it back (p = 0.1 cuts wedge volume 100x at 1000x variance,
+    still tight on billion-triangle graphs by Chebyshev).
+
+    The coin is a deterministic content hash (first hex digit of
+    md5("u:v") in 0..7), not rand(): the estimate is reproducible at
+    any parallelism AND exactly restatable in SQL — so this
+    approximate algorithm sits under the full DuckDB oracle gate,
+    while tests/test_graph_scale.py bounds its error against the
+    exact count. At a different p, use k hex digits for resolution
+    1/16^k.
+
+    Reference basis: extension tier — graph family escape hatch
+    (companion to ``copurchase_triangles``)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    all_edges = _copurchase_edges(li)
+    coin = F.substring(
+        F.md5(F.concat_ws(":", F.col("u"), F.col("v"))), 1, 1
+    )
+    edges = all_edges.filter(
+        coin.isin(*"01234567")
+    )
+    tri = _oriented_triangles(edges)
+    n_edges = edges.agg(
+        F.count("*").cast("long").alias("n_edges_sampled")
+    )
+    return tri.agg(
+        (F.count("*") * 8).cast("long").alias("n_triangles_est")
+    ).crossJoin(n_edges)

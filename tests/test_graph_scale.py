@@ -1,0 +1,74 @@
+"""Graph-operator scale behavior: the DOULION sparsified triangle
+estimate must track the exact count within sampling-noise bounds, on
+both the registered co-purchase graph and random graphs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CHECK
+
+
+def test_doulion_tracks_exact_count_at_sf_check(spark):
+    """p = 1/2 DOULION estimate vs exact triangle count on the
+    co-purchase graph. With T ~ 1.3e5 triangles at sf0.01 the
+    relative sampling error is well under 10%; 20% tolerance keeps
+    the assertion robust to testdata regeneration."""
+    from mapreduce511_spark import queries as suite
+
+    q = suite.all_queries()
+    exact = q["copurchase_triangles"](spark, SF_CHECK).collect()[0]
+    est = q["copurchase_triangles_approx"](spark, SF_CHECK).collect()[0]
+    assert est.n_triangles_est > 0
+    rel = abs(est.n_triangles_est - exact.n_triangles) / exact.n_triangles
+    assert rel < 0.20, (exact.n_triangles, est.n_triangles_est, rel)
+    # the sparsifier keeps ~half the edges (binomial, wide margin)
+    frac = est.n_edges_sampled / exact.n_edges
+    assert 0.4 < frac < 0.6, frac
+
+
+def test_doulion_deterministic_across_runs(spark):
+    """The md5 coin makes the estimate a pure function of the data —
+    two invocations must agree bit for bit (rand()-based sampling
+    would not)."""
+    from mapreduce511_spark import queries as suite
+
+    q = suite.all_queries()["copurchase_triangles_approx"]
+    r1 = q(spark, SF_CHECK).collect()
+    r2 = q(spark, SF_CHECK).collect()
+    assert r1 == r2
+
+
+def test_doulion_estimator_on_random_graph(spark):
+    """Estimator sanity off the fixture data: an Erdős–Rényi-ish
+    graph built from hash-derived edges. The p=1/2 estimate must land
+    within 4 standard deviations of the exact count (DOULION variance
+    <= T/p^3 for edge-disjoint triangles; 4 sigma of the loose bound
+    is a generous, flake-free gate)."""
+    from mapreduce511_spark.queries.relational import (
+        _oriented_triangles,
+    )
+
+    n, avg_deg = 300, 30
+    v = spark.range(n * avg_deg // 2).select(
+        (F.xxhash64(F.col("id"), F.lit(1)) % n).alias("x"),
+        (F.xxhash64(F.col("id"), F.lit(2)) % n).alias("y"),
+    )
+    edges = (
+        v.select(
+            F.abs(F.least("x", "y")).alias("u"),
+            F.abs(F.greatest("x", "y")).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    exact = _oriented_triangles(edges).count()
+    assert exact > 100, "fixture graph too sparse for the test"
+    coin = F.substring(
+        F.md5(F.concat_ws(":", F.col("u"), F.col("v"))), 1, 1
+    )
+    sampled = edges.filter(coin.isin(*"01234567"))
+    est = _oriented_triangles(sampled).count() * 8
+    sigma = (8 * exact) ** 0.5  # sd of 8*Binomial(T, 1/8) upper bound
+    assert abs(est - exact) <= 4 * sigma, (exact, est, sigma)
