@@ -162,7 +162,45 @@ def main() -> None:
     start = time.perf_counter()
     registry["wordcount_skewed"](spark, sf_dir).count()
     skew_steady = time.perf_counter() - start
+    # ANN quality tracked round-over-round, not just asserted: exact
+    # cosine top-k for the standard probe set, then recall@k for each
+    # approximate variant. ann_ivf_kmeans_topk is the one query family
+    # without a SQL oracle (learned centroids), so this measured
+    # recall is its primary quality evidence.
+    from pyspark.sql.window import Window
+
+    from mapreduce511_spark.functions.vectors import cosine_similarity
+    from mapreduce511_spark.queries.similarity import _IVF_TOPK, _N_PROBES
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
+    )
+    w = Window.partitionBy("pid").orderBy(F.desc("s"), F.asc("vec_id"))
+    exact: dict[int, set[int]] = {}
+    for r in (
+        emb.join(F.broadcast(probes), F.col("vec_id") != F.col("pid"))
+        .withColumn("s", cosine_similarity(F.col("pv"), F.col("embedding")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .select("pid", "vec_id")
+        .collect()
+    ):
+        exact.setdefault(r.pid, set()).add(r.vec_id)
+    recalls = {}
+    for ann_name in ("ann_ivf_kmeans_topk", "ann_lsh_topk", "ann_ivf_topk"):
+        got: dict[int, set[int]] = {}
+        for r in registry[ann_name](spark, sf_dir).collect():
+            got.setdefault(r.probe_id, set()).add(r.vec_id)
+        per_probe = [
+            len(got.get(pid, set()) & found) / len(found)
+            for pid, found in exact.items()
+        ]
+        recalls[f"{ann_name}_recall_at_{_IVF_TOPK}"] = round(
+            sum(per_probe) / len(per_probe), 3
+        )
     derived = {
+        **recalls,
         "corpus_tokens": int(n_tokens),
         "wordcount_steady_s": round(steady, 3),
         "wordcount_tokens_per_s": int(n_tokens / steady),
