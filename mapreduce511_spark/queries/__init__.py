@@ -48,61 +48,69 @@ def register(name: str, oracle: str | None = None):
 # Registration order is otherwise preserved, and the set of names is
 # identical either way.
 _ENUMERATE_FIRST: list[str] = [
-    # --- never driver-checked through r02 (absent from both
-    # CORRECTNESS_r01.json and CORRECTNESS_r02.json) ---
-    "ann_quantized_topk",
-    "near_dup_jaccard_capped",
-    "ensemble_near_dup",
-    "merge_upsert_orders",
-    "q2_min_cost_supplier",
-    "q16_parts_supplier_counts",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q21_waiting_supplier",
-    "q22_lapsed_rich_customers",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_value_concentration",
-    "q15_top_supplier",
-    "q14_promo_revenue",
-    "q20_growing_suppliers",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "pivot_event_type_counts",
-    "event_value_band_join",
-    "sql_grouping_sets",
-    "sql_window_lag",
-    "rolling_value_sum",
-    "order_value_ntile",
-    # --- new in round 3 (slots 26-50 if the driver caps at 50) ---
-    "median_price_by_flag",
-    "order_percentile_bands",
-    "copurchase_part_pairs",
-    "salted_join_revenue",
-    "rollup_region_nation_sales",
-    "heavy_hitter_tokens",
-    "token_freq_histogram",
-    "bigram_novelty_rate",
-    "cohort_hourly_retention",
-    "embedding_norm_census",
-    "unigram_logprob_score",
-    "shuffle_shard_census",
-    "funnel_ordered_steps",
-    "snapshot_diff_census",
-    "top_customers_concat_by_nation",
-    "data_quality_audit",
-    "stream_dedup_admission",
-    "event_rate_anomaly",
-    "quality_weighted_sample",
-    "latest_event_per_user",
-    "near_dup_jaccard_prefix",
-    "copurchase_triangles",
-    "bpe_first_merge",
-    "bpe_merge_rules",
-    "concurrent_user_spans",
+    # ROUND 4 rebuild (from CORRECTNESS_r01..r03): exactly 50 names —
+    # the r3 list was 51 long and the 51st (char_entropy_by_lang)
+    # never sampled. Order: never-driver-checked, oracled-after-last-
+    # check, new/changed this round, then staleness rotation (the 28
+    # queries whose newest green row is r01, then the highest-value
+    # r02 greens). Everything else re-verifies in registration order
+    # in later rounds' rotations.
+    # --- never checked / oracle added after last check ---
     "char_entropy_by_lang",
-    # --- checked green in r01/r02; re-verify in registration order ---
+    "multimodal_frame_sample",
+    # --- new in round 4 ---
+    "stream_late_drop_census",
+    "multimodal_png_stats",
+    "copurchase_triangles_approx",
+    # --- implementation changed in round 4: re-verify ---
+    "copurchase_triangles",
+    "concurrent_user_spans",
+    "bpe_merge_rules",
+    # --- newest green row is r01 (two testdata generations old) ---
+    "minhash_signatures",
+    "minhash_band_candidates",
+    "minhash_near_dup",
+    "simhash_fingerprint",
+    "simhash_near_dup",
+    "tumbling_event_counts",
+    "sessionize_events",
+    "json_props_stats",
+    "latest_event_per_user_type",
+    "asof_last_signup",
+    "event_value_quantiles",
+    "session_window_stats",
+    "sliding_event_counts",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_customers",
+    "semi_join_customers",
+    "anti_join_customers",
+    "window_order_rank",
+    "running_revenue",
+    "pivot_order_status",
+    "rollup_orders",
+    "distinct_part_types",
+    "set_ops_customers",
+    "part_revenue_topk",
+    "q6_forecast_revenue",
+    "cube_order_stats",
+    # --- r02 greens touching code changed this round, then the
+    #     heaviest r02-green operators ---
+    "multimodal_decode_stats",
+    "stream_tumbling_event_counts",
+    "stream_dedup_census",
+    "stream_closed_sessions",
+    "stream_enriched_census",
+    "dedup_clusters",
+    "fuzzy_dedup_survivors",
+    "similarity_topk",
+    "embedding_near_dup",
+    "ann_ivf_topk",
+    "near_dup_jaccard",
+    "ann_lsh_topk",
+    "embedding_near_dup_blocked",
+    "embedding_random_projection",
 ]
 
 
