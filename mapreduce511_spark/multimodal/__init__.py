@@ -91,9 +91,10 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
 
 
 def decode_real(payload: bytes, fmt: str) -> object:
-    """The real codec hook: uncompressed BMP and PCM WAV decode
-    natively (``multimodal.codecs``, dependency-free struct parsing);
-    compressed formats still raise until codec libraries exist."""
+    """The real codec hook: uncompressed BMP, PCM WAV, and RGB8 PNG
+    decode natively (``multimodal.codecs``, dependency-free struct
+    parsing + stdlib zlib); the remaining compressed formats raise
+    until codec libraries exist."""
     from mapreduce511_spark.multimodal import codecs
 
     return codecs.decode_real(payload, fmt)
@@ -352,9 +353,10 @@ def resize_assets(media_df: DataFrame, factor: int = 2) -> DataFrame:
     """Image-resize slot of the pipeline. BMP payloads get a REAL
     nearest-neighbor resize (decode → every factor-th pixel →
     re-encode, ``codecs.resize_bmp``) with metadata updated from the
-    actual output dims; other formats keep the deterministic
-    byte-downsample fake with the same mapInPandas shape a PIL/cv2
-    resampler drops into."""
+    actual output dims; PNG payloads likewise resize through the
+    real codec (inflate → unfilter → downsample → re-encode); other
+    formats keep the deterministic byte-downsample fake with the same
+    mapInPandas shape a PIL/cv2 resampler drops into."""
     import numpy as np
 
     out_schema = T.StructType(
@@ -377,6 +379,12 @@ def resize_assets(media_df: DataFrame, factor: int = 2) -> DataFrame:
                 if meta.get("fmt") == codecs.BMP_FMT:
                     out = codecs.resize_bmp(bytes(payload), factor)
                     w2, h2, _px = codecs.decode_bmp(out)
+                    meta["width"], meta["height"] = w2, h2
+                    rows.append((int(doc_id), out, meta))
+                    continue
+                if meta.get("fmt") == codecs.PNG_FMT:
+                    out = codecs.resize_png(bytes(payload), factor)
+                    w2, h2, _px = codecs.decode_png(out)
                     meta["width"], meta["height"] = w2, h2
                     rows.append((int(doc_id), out, meta))
                     continue

@@ -303,3 +303,15 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         rows[r] = recon
         prev = recon
     return int(w), int(h), rows.astype(np.uint8).reshape(h, w, 3)
+
+
+def resize_png(payload: bytes, factor: int = 2) -> bytes:
+    """REAL image resize for PNG payloads: decode (inflate +
+    unfilter), nearest-neighbor downsample by ``factor``, re-encode
+    with the None filter (downsampled synthetic gradients compress
+    about as well under any filter; decode-compatibility is what
+    matters)."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    _w, _h, px = decode_png(payload)
+    return encode_png(px[::factor, ::factor])

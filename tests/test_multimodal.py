@@ -275,3 +275,17 @@ class TestPngCodec:
         )
         w, h, out = decode_real(codecs.encode_png(px, 4), codecs.PNG_FMT)
         assert (w, h) == (4, 3) and np.array_equal(out, px)
+
+
+def test_resize_png_real_roundtrip():
+    import numpy as np
+
+    from mapreduce511_spark.multimodal import codecs
+
+    px = (np.arange(10 * 8 * 3, dtype=np.int64) * 29 % 256).astype(
+        np.uint8
+    ).reshape(10, 8, 3)
+    out = codecs.resize_png(codecs.encode_png(px, lambda r: r % 5), 2)
+    w, h, small = codecs.decode_png(out)
+    assert (w, h) == (4, 5)
+    assert np.array_equal(small, px[::2, ::2])
