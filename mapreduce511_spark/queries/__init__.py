@@ -62,6 +62,8 @@ _ENUMERATE_FIRST: list[str] = [
     "stream_late_drop_census",
     "multimodal_png_stats",
     "copurchase_triangles_approx",
+    "padding_waste_by_bucket",
+    "doc_chunk_census",
     # --- implementation changed in round 4: re-verify ---
     "copurchase_triangles",
     "concurrent_user_spans",
@@ -109,8 +111,6 @@ _ENUMERATE_FIRST: list[str] = [
     "ann_ivf_topk",
     "near_dup_jaccard",
     "ann_lsh_topk",
-    "embedding_near_dup_blocked",
-    "embedding_random_projection",
 ]
 
 

@@ -1621,3 +1621,119 @@ def char_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "alphabet", F.col("total").alias("n_chars"))
         .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"))
     )
+
+
+@register(
+    "padding_waste_by_bucket",
+    oracle=f"""
+    WITH lens AS (
+        SELECT doc_id, len({_SQL_TOKENS}) AS n_tok FROM documents
+    ), bucketed AS (
+        SELECT n_tok,
+               CAST(CASE WHEN n_tok <= 16 THEN 16
+                    ELSE power(2, ceil(log2(n_tok))) END AS BIGINT)
+                   AS bucket
+        FROM lens
+    )
+    SELECT bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+           CAST(bucket * count(*) AS BIGINT) AS padded_tokens,
+           CAST(bucket * count(*) - sum(n_tok) AS BIGINT) AS wasted_tokens,
+           CAST(sum(n_tok) * 10000 // (bucket * count(*)) AS BIGINT)
+               AS efficiency_bp
+    FROM bucketed
+    GROUP BY bucket
+    """,
+)
+def padding_waste_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficiency census for length-bucketed training batches:
+    docs bucket to the next power-of-two token length (floor 16), and
+    per bucket the query reports real vs padded token counts and the
+    utilization in basis points — THE number that decides whether a
+    batching scheme wastes accelerator FLOPs (unbucketed padding to a
+    global max wastes 50-90% on real corpora; power-of-two bucketing
+    caps waste at <50% per bucket by construction, asserted in
+    tests/test_text_extra.py). One linear pass + a ~60-group
+    aggregate; exact integer arithmetic end to end (floor-div basis
+    points) so the oracle matches bit for bit.
+
+    Reference basis: extension tier — training-batch prep family
+    (SURVEY.md §2 extensions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokenize("text"))
+    bucket = F.when(n_tok <= 16, F.lit(16)).otherwise(
+        F.pow(F.lit(2.0), F.ceil(F.log2(n_tok))).cast("long")
+    )
+    lens = docs.select(n_tok.alias("n_tok"), bucket.alias("bucket"))
+    padded = F.col("bucket") * F.count("*")
+    return lens.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("real_tokens"),
+        padded.cast("long").alias("padded_tokens"),
+        (padded - F.sum("n_tok")).cast("long").alias("wasted_tokens"),
+        F.floor(F.sum("n_tok") * 10000 / padded)
+        .cast("long")
+        .alias("efficiency_bp"),
+    )
+
+
+@register(
+    "doc_chunk_census",
+    oracle=f"""
+    WITH lens AS (
+        SELECT doc_id, len({_SQL_TOKENS}) AS n_tok FROM documents
+    ), chunks AS (
+        -- chunk_size 512, stride 384 (128-token overlap): a doc of
+        -- n tokens yields 1 chunk if n <= 512, else
+        -- ceil((n - 512) / 384) + 1; the last chunk is short.
+        SELECT doc_id, n_tok,
+               CASE WHEN n_tok <= 512 THEN 1
+                    ELSE CAST(ceil((n_tok - 512) / 384.0) AS BIGINT) + 1
+               END AS n_chunks
+        FROM lens
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS corpus_tokens,
+           CAST(sum(n_chunks) AS BIGINT) AS total_chunks,
+           CAST(sum(CASE WHEN n_chunks > 1
+                         THEN (n_chunks - 1) * 128 ELSE 0 END) AS BIGINT)
+               AS overlap_tokens,
+           CAST(max(n_chunks) AS BIGINT) AS max_chunks_per_doc
+    FROM chunks
+    """,
+)
+def doc_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking census (chunk 512, stride 384 → 128
+    overlap): how many training chunks the corpus yields, how many
+    duplicated overlap tokens the stride costs, and the per-doc
+    maximum — the dimensioning numbers for a context-window prep job
+    (cf. ``context_pack_stats`` for the packing-side twin). The chunk
+    count is closed-form in the token length, so the census needs one
+    linear pass and a scalar aggregate; the chunk EXPANSION itself
+    (explode to one row per chunk) is the same arithmetic applied to
+    ``sequence()``, shuffle-free.
+
+    Reference basis: extension tier — training-batch prep family
+    (SURVEY.md §2 extensions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokenize("text"))
+    n_chunks = F.when(n_tok <= 512, F.lit(1).cast("long")).otherwise(
+        F.ceil((n_tok - 512) / F.lit(384.0)) + 1
+    )
+    lens = docs.select(
+        n_tok.alias("n_tok"), n_chunks.alias("n_chunks")
+    )
+    return lens.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("corpus_tokens"),
+        F.sum("n_chunks").cast("long").alias("total_chunks"),
+        F.sum(
+            F.when(
+                F.col("n_chunks") > 1, (F.col("n_chunks") - 1) * 128
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("overlap_tokens"),
+        F.max("n_chunks").cast("long").alias("max_chunks_per_doc"),
+    )

@@ -50,3 +50,35 @@ def test_context_pack_invariants(spark):
             if k > 0:
                 assert cum > 2048 * k - max(packs.values()), lang
             cum += packs[k]
+
+
+def test_padding_buckets_bound_waste(spark):
+    """Power-of-two bucketing caps per-bucket padding waste below 50%
+    by construction (a doc of length n sits in bucket < 2n), i.e.
+    efficiency > 5000 bp everywhere — the property the
+    padding_waste_by_bucket census exists to verify for a batching
+    scheme."""
+    from mapreduce511_spark import queries as suite
+    from tests.conftest import SF_CHECK
+
+    rows = suite.all_queries()["padding_waste_by_bucket"](
+        spark, SF_CHECK
+    ).collect()
+    assert rows, "no buckets"
+    for r in rows:
+        assert r.padded_tokens == r.bucket * r.n_docs
+        assert r.wasted_tokens == r.padded_tokens - r.real_tokens
+        assert r.efficiency_bp > 5000, (r.bucket, r.efficiency_bp)
+
+
+def test_chunk_census_consistency(spark):
+    """total_chunks and overlap_tokens must satisfy the closed-form
+    identities (every chunk after a doc's first adds exactly one
+    stride and one 128-token overlap)."""
+    from mapreduce511_spark import queries as suite
+    from tests.conftest import SF_CHECK
+
+    r = suite.all_queries()["doc_chunk_census"](spark, SF_CHECK).collect()[0]
+    assert r.total_chunks >= r.n_docs
+    assert r.overlap_tokens == (r.total_chunks - r.n_docs) * 128
+    assert r.max_chunks_per_doc >= 1
