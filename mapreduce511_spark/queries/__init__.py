@@ -64,6 +64,7 @@ _ENUMERATE_FIRST: list[str] = [
     "copurchase_triangles_approx",
     "padding_waste_by_bucket",
     "doc_chunk_census",
+    "vocab_coverage_curve",
     # --- implementation changed in round 4: re-verify ---
     "copurchase_triangles",
     "concurrent_user_spans",
@@ -110,7 +111,6 @@ _ENUMERATE_FIRST: list[str] = [
     "embedding_near_dup",
     "ann_ivf_topk",
     "near_dup_jaccard",
-    "ann_lsh_topk",
 ]
 
 

@@ -1737,3 +1737,102 @@ def doc_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("overlap_tokens"),
         F.max("n_chunks").cast("long").alias("max_chunks_per_doc"),
     )
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_SQL_TOKENS}) AS w FROM documents
+    ), freq AS (
+        SELECT w, count(*) AS c FROM toks GROUP BY w
+    ), hist AS (
+        SELECT c, count(*) AS nw FROM freq GROUP BY c
+    ), cum AS (
+        SELECT c, nw,
+               sum(nw)     OVER (ORDER BY c DESC) AS w_cum,
+               sum(nw * c) OVER (ORDER BY c DESC) AS m_cum
+        FROM hist
+    ), tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS nv
+        FROM freq
+    ), ks AS (
+        SELECT unnest([10, 100, 1000, 10000]) AS k
+    )
+    SELECT CAST(k AS BIGINT) AS vocab_size,
+           CAST(least(k, (SELECT nv FROM tot)) AS BIGINT) AS words_used,
+           CAST(sum(CASE WHEN w_cum <= k THEN nw * c
+                         WHEN w_cum - nw < k THEN (k - (w_cum - nw)) * c
+                         ELSE 0 END) AS BIGINT) AS covered_tokens,
+           CAST(sum(CASE WHEN w_cum <= k THEN nw * c
+                         WHEN w_cum - nw < k THEN (k - (w_cum - nw)) * c
+                         ELSE 0 END) * 10000
+                // (SELECT t FROM tot) AS BIGINT) AS coverage_bp
+    FROM cum, ks GROUP BY k
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage of the top-k vocabulary for k in {10, 100,
+    1k, 10k} — the curve that sizes a tokenizer's vocab (where it
+    flattens, extra entries buy nothing). Scale-honest formulation:
+    NO global ranking of the vocabulary. Words with equal count
+    contribute identically to top-k coverage, so the curve is exact
+    from the COUNT-OF-COUNTS histogram alone: cumulate (words, mass)
+    over descending count classes — a table of distinct count values,
+    thousands of rows at any corpus size — and interpolate the class
+    containing rank k. The corpus-sized work is one map-combinable
+    word count; the window runs over the tiny histogram, never the
+    vocabulary (a rank-based window over billions of vocab entries
+    would be the single-reducer sort this avoids). The oracle states
+    the identical histogram arithmetic, making the result tie-order
+    independent by construction.
+
+    Reference basis: extension tier — tokenizer-design family next to
+    ``token_freq_histogram`` (same histogram, different readout) and
+    ``operators/bpe.py``."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokenize("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    hist = freq.groupBy("c").agg(F.count("*").alias("nw"))
+    # window over the count-of-counts histogram: tiny by construction
+    win = Window.orderBy(F.desc("c"))
+    cum = hist.select(
+        "c",
+        "nw",
+        F.sum("nw").over(win).alias("w_cum"),
+        F.sum(F.col("nw") * F.col("c")).over(win).alias("m_cum"),
+    )
+    tot = freq.agg(
+        F.sum("c").cast("long").alias("t"),
+        F.count("*").cast("long").alias("nv"),
+    )
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(10,), (100,), (1000,), (10000,)], "k long"
+    )
+    part = F.when(
+        F.col("w_cum") <= F.col("k"), F.col("nw") * F.col("c")
+    ).when(
+        F.col("w_cum") - F.col("nw") < F.col("k"),
+        (F.col("k") - (F.col("w_cum") - F.col("nw"))) * F.col("c"),
+    ).otherwise(F.lit(0))
+    covered = F.sum(part).cast("long")
+    return (
+        cum.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "t", "nv")
+        .agg(covered.alias("covered_tokens"))
+        .select(
+            F.col("k").cast("long").alias("vocab_size"),
+            F.least("k", "nv").cast("long").alias("words_used"),
+            "covered_tokens",
+            F.floor(F.col("covered_tokens") * 10000 / F.col("t"))
+            .cast("long")
+            .alias("coverage_bp"),
+        )
+    )
