@@ -65,6 +65,7 @@ _ENUMERATE_FIRST: list[str] = [
     "padding_waste_by_bucket",
     "doc_chunk_census",
     "vocab_coverage_curve",
+    "doc_chunks_expanded",
     # --- implementation changed in round 4: re-verify ---
     "copurchase_triangles",
     "concurrent_user_spans",
@@ -107,7 +108,6 @@ _ENUMERATE_FIRST: list[str] = [
     "stream_enriched_census",
     "dedup_clusters",
     "fuzzy_dedup_survivors",
-    "similarity_topk",
     "embedding_near_dup",
     "ann_ivf_topk",
     "near_dup_jaccard",

@@ -1836,3 +1836,66 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coverage_bp"),
         )
     )
+
+
+@register(
+    "doc_chunks_expanded",
+    oracle=f"""
+    WITH lens AS (
+        SELECT doc_id, len({_SQL_TOKENS}) AS n_tok FROM documents
+    ), counted AS (
+        SELECT doc_id, n_tok,
+               CASE WHEN n_tok <= 512 THEN 1
+                    ELSE CAST(ceil((n_tok - 512) / 384.0) AS BIGINT) + 1
+               END AS n_chunks
+        FROM lens
+    ), expanded AS (
+        SELECT doc_id, n_tok,
+               unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+        FROM counted
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * 384 AS BIGINT) AS start_tok,
+           CAST(least(n_tok - chunk_idx * 384, 512) AS BIGINT) AS chunk_len
+    FROM expanded
+    """,
+)
+def doc_chunks_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunk EXPANSION twin of ``doc_chunk_census``: one row per
+    training chunk (doc_id, chunk_idx, token offset, length) for
+    chunk 512 / stride 384. ``sequence()`` + ``explode`` generate the
+    schedule arithmetically from the token count — shuffle-free (the
+    explode is a narrow transformation; output partitioning follows
+    the input scan), and the slice boundaries are closed-form, so a
+    downstream ``slice(tokens, start+1, len)`` materializes chunk
+    text where the data lives. The last chunk of a long doc is short
+    by construction (no padding here — padding policy is
+    ``padding_waste_by_bucket``'s subject).
+
+    Reference basis: extension tier — training-batch prep family
+    (SURVEY.md §2 extensions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokenize("text"))
+    n_chunks = F.when(n_tok <= 512, F.lit(1).cast("long")).otherwise(
+        F.ceil((n_tok - 512) / F.lit(384.0)) + 1
+    )
+    base = docs.select(
+        "doc_id", n_tok.cast("long").alias("n_tok"), n_chunks.alias("n_chunks")
+    )
+    return base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)
+        ).alias("chunk_idx"),
+        "n_tok",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("chunk_idx") * 384).cast("long").alias("start_tok"),
+        F.least(
+            F.col("n_tok") - F.col("chunk_idx") * 384, F.lit(512).cast("long")
+        )
+        .cast("long")
+        .alias("chunk_len"),
+    )
