@@ -66,6 +66,7 @@ _ENUMERATE_FIRST: list[str] = [
     "doc_chunk_census",
     "vocab_coverage_curve",
     "doc_chunks_expanded",
+    "bigram_logprob_score",
     # --- implementation changed in round 4: re-verify ---
     "copurchase_triangles",
     "concurrent_user_spans",
@@ -108,7 +109,6 @@ _ENUMERATE_FIRST: list[str] = [
     "stream_enriched_census",
     "dedup_clusters",
     "fuzzy_dedup_survivors",
-    "embedding_near_dup",
     "ann_ivf_topk",
     "near_dup_jaccard",
 ]

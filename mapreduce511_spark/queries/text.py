@@ -1899,3 +1899,83 @@ def doc_chunks_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chunk_len"),
     )
+
+
+@register(
+    "bigram_logprob_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_SQL_TOKENS} AS tokens FROM documents
+    ), pos AS (
+        SELECT doc_id, lang, unnest(tokens) AS w,
+               unnest(range(len(tokens))) AS p
+        FROM toks
+    ), big AS (
+        SELECT a.doc_id, a.lang, a.w AS w1, b.w AS w2
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    ), bfreq AS (
+        SELECT w1, w2, count(*) AS bc FROM big GROUP BY w1, w2
+    ), ufreq AS (
+        -- prefix occurrences = unigram count over non-final positions
+        SELECT w1, CAST(sum(bc) AS BIGINT) AS uc FROM bfreq GROUP BY w1
+    ), scored AS (
+        SELECT g.doc_id, g.lang,
+               avg(-ln(f.bc * 1.0 / u.uc)) AS nll
+        FROM big g
+        JOIN bfreq f ON g.w1 = f.w1 AND g.w2 = f.w2
+        JOIN ufreq u ON g.w1 = u.w1
+        GROUP BY g.doc_id, g.lang
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(nll), 4) AS mean_nll,
+           round(min(nll), 4) AS min_nll,
+           round(max(nll), 4) AS max_nll
+    FROM scored GROUP BY lang
+    """,
+)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram CONDITIONAL surprisal per document, rolled up per
+    language — the next rung above ``unigram_logprob_score`` on the
+    perplexity-proxy ladder: P(w2 | w1) = count(w1 w2) / count(w1 as
+    a prefix), so predictable word ORDER (boilerplate, templates)
+    scores low even when the unigram mix looks organic. Bigrams come
+    from one array-transform pass (no positional self-join
+    Spark-side); the bigram-frequency join is keyed on the bigram
+    hash and the prefix totals derive from the bigram counts
+    themselves (sum per w1 — no second corpus pass). Docs with fewer
+    than two tokens drop out (no bigrams), same as the oracle's join
+    semantics.
+
+    Reference basis: extension tier — text-quality family
+    (SURVEY.md §2 extensions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", tokenize("text").alias("ts"))
+    big = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                F.size("ts") >= 2,
+                F.expr(
+                    "transform(slice(ts, 1, size(ts)-1),"
+                    " (x, i) -> struct(x AS w1, ts[i+1] AS w2))"
+                ),
+            ).otherwise(F.array())
+        ).alias("g"),
+    ).select("doc_id", "lang", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    bfreq = big.groupBy("w1", "w2").agg(F.count("*").alias("bc"))
+    ufreq = bfreq.groupBy("w1").agg(F.sum("bc").cast("long").alias("uc"))
+    scored = (
+        big.join(bfreq, ["w1", "w2"])
+        .join(ufreq, "w1")
+        .groupBy("doc_id", "lang")
+        .agg(F.avg(-F.log(F.col("bc") / F.col("uc"))).alias("nll"))
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("nll"), 4).alias("mean_nll"),
+        F.round(F.min("nll"), 4).alias("min_nll"),
+        F.round(F.max("nll"), 4).alias("max_nll"),
+    )
