@@ -94,6 +94,14 @@ HEADLINE = [
     "json_props_stats",
     "copurchase_triangles",
     "bpe_first_merge",
+    # round 4
+    "copurchase_triangles_approx",
+    "multimodal_png_stats",
+    "padding_waste_by_bucket",
+    "doc_chunk_census",
+    "doc_chunks_expanded",
+    "vocab_coverage_curve",
+    "bigram_logprob_score",
 ]
 
 

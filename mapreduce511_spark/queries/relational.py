@@ -1764,14 +1764,20 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _copurchase_edges(li: DataFrame) -> DataFrame:
     """Canonical (u < v) distinct edge set of the part co-purchase
-    graph. The topmost shuffle — the distinct's hashpartitioning
-    (u, v) Exchange — is an identical canonicalized subtree at every
-    use site, so exchange reuse (AQE stage reuse) executes the
-    lineitem self-join ONCE per query even though the edge set feeds
-    several consumers (plan-asserted in test_plan_quality); unlike a
-    localCheckpoint this keeps construction lazy and pins nothing in
-    executor memory — at 100 TB the reuse reads shuffle files, not a
-    cached edge set."""
+    graph, LAZY. Callers materialize it once with
+    ``localCheckpoint(eager=True)`` before fanning out: the edge set
+    feeds many consumers (degree count twice via du/dv broadcasts,
+    both wedge sides, the closing semi-join, the n_edges agg), and
+    inlining the subtree at every use site octuples the generated
+    code — AQE exchange reuse de-duplicates the EXECUTION either way
+    (measured: identical steady times), but whole-stage codegen still
+    compiles every textual copy, which made first-run latency swing
+    9-35 s with the JIT compile queue in 60-query sessions. The
+    checkpoint collapses the plan to one leaf: single compile,
+    deterministic ~6.5 s first-run, and the r03 eager-count
+    double-compute stays gone. At 100 TB the materialized edge set is
+    two longs per edge in MEMORY_AND_DISK — the standard move for a
+    reused graph intermediate."""
     ppo = li.select("l_orderkey", "l_partkey").distinct()
     a = ppo.alias("a")
     b = ppo.alias("b")
@@ -1872,10 +1878,12 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference basis: extension tier — graph family beyond connected
     components (SURVEY.md §7 M7)."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    edges = _copurchase_edges(li)
+    edges = _copurchase_edges(li).localCheckpoint(eager=True)
     tri = _oriented_triangles(edges)
     # n_edges folds into the returned plan as a 1x1 cross join of two
-    # aggregates — no eager count job at construction time.
+    # aggregates over the checkpointed edge set — no second pass over
+    # lineitem (the r03 formulation's eager count ran the self-join
+    # twice).
     n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
     return tri.agg(F.count("*").alias("n_triangles")).crossJoin(n_edges)
 
@@ -1935,8 +1943,10 @@ def copurchase_triangles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     coin = F.substring(
         F.md5(F.concat_ws(":", F.col("u"), F.col("v"))), 1, 1
     )
-    edges = all_edges.filter(
-        coin.isin(*"01234567")
+    # filter BEFORE the checkpoint: only the surviving sample
+    # materializes
+    edges = all_edges.filter(coin.isin(*"01234567")).localCheckpoint(
+        eager=True
     )
     tri = _oriented_triangles(edges)
     n_edges = edges.agg(

@@ -118,48 +118,31 @@ def test_heavy_hitters_partial_aggregation(spark):
 
 def test_triangles_edge_set_computes_once(spark):
     """The co-purchase edge set (a lineitem self-join + distinct)
-    feeds four consumers: degree count, both wedge sides, the closing
-    semi-join, and the n_edges aggregate.  Two properties replace the
-    r03 formulation's eager edges.count() (which executed the
-    self-join twice per invocation): (a) construction runs ZERO Spark
-    jobs — the plan is fully lazy like the rest of the registry — and
-    (b) after execution, the final adaptive plan serves every
-    non-canonical consumer of the edge set from a ReusedExchange over
-    the distinct's hashpartitioning(u, v) shuffle, i.e. the self-join
-    executed exactly once."""
-    import re
-
+    feeds many consumers: the degree broadcasts, both wedge sides,
+    the closing semi-join, and the n_edges aggregate.  The eager
+    localCheckpoint must (a) run the self-join exactly once AT
+    CONSTRUCTION (the r03 formulation's eager edges.count() executed
+    it a second time inside the returned plan), and (b) leave the
+    returned plan referencing only the checkpointed RDD — zero
+    lineitem scans — so whole-stage codegen compiles the edge subtree
+    never again (inlining it at every use site octupled the generated
+    code and made first-run latency swing 9-35 s with the JIT compile
+    queue)."""
     from mapreduce511_spark import queries as suite
 
     spark.catalog.clearCache()
-    sc = spark.sparkContext
-    group = "triangles-construct-audit"
-    sc.setJobGroup(group, "laziness audit")
-    try:
-        df = suite.all_queries()["copurchase_triangles"](spark, SF_CHECK)
-        jobs = sc.statusTracker().getJobIdsForGroup(group)
-    finally:
-        sc.setJobGroup(None, None)
-    # the only permissible construction-time job is read.parquet's
-    # single-task footer/schema read ("parquet at ..."); the r03
-    # formulation's eager edges.count() ran a multi-stage shuffle job
-    # here, executing the lineitem self-join before any action
-    st = sc.statusTracker()
-    for j in jobs:
-        info = st.getJobInfo(j)
-        stages = [st.getStageInfo(s) for s in info.stageIds]
-        assert all(
-            s is not None and s.name.startswith("parquet at")
-            and s.numTasks <= 1
-            for s in stages
-        ), f"construction ran an eager query job: {jobs}"
+    df = suite.all_queries()["copurchase_triangles"](spark, SF_CHECK)
+    # Structural single-compute proof: lineitem appears ONLY inside
+    # the checkpoint's lineage, which localCheckpoint materializes
+    # exactly once at construction (AQE splits that materialization
+    # into several stage-jobs, so job counting is not a useful probe;
+    # the r03 defect — a second full self-join inside the returned
+    # plan — would show up here as a lineitem FileScan).
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan, (
+        "edge self-join leaked into the main plan (should be the "
+        "checkpointed RDD):\n" + plan
+    )
+    assert "ExistingRDD" in plan
     row = df.collect()[0]
     assert row.n_triangles > 0 and row.n_edges > 0
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    edge_reuses = re.findall(
-        r"ReusedExchange \[u#\d+L, v#\d+L\]", plan
-    )
-    assert len(edge_reuses) >= 2, (
-        "edge-set exchange not reused — the lineitem self-join would "
-        "recompute per consumer:\n" + plan
-    )
