@@ -67,6 +67,8 @@ _ENUMERATE_FIRST: list[str] = [
     "vocab_coverage_curve",
     "doc_chunks_expanded",
     "bigram_logprob_score",
+    "join_key_skew_census",
+    "pii_screen_census",
     # --- implementation changed in round 4: re-verify ---
     "copurchase_triangles",
     "concurrent_user_spans",
@@ -109,8 +111,6 @@ _ENUMERATE_FIRST: list[str] = [
     "stream_enriched_census",
     "dedup_clusters",
     "fuzzy_dedup_survivors",
-    "ann_ivf_topk",
-    "near_dup_jaccard",
 ]
 
 

@@ -1955,3 +1955,94 @@ def copurchase_triangles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(
         (F.count("*") * 8).cast("long").alias("n_triangles_est")
     ).crossJoin(n_edges)
+
+
+@register(
+    "join_key_skew_census",
+    oracle="""
+    WITH counts AS (
+        SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY l_orderkey
+    ), hist AS (
+        SELECT c, count(*) AS nk FROM counts GROUP BY c
+    ), cum AS (
+        SELECT c, nk,
+               sum(nk)     OVER (ORDER BY c DESC) AS k_cum,
+               sum(nk * c) OVER (ORDER BY c DESC) AS m_cum
+        FROM hist
+    ), tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS total_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(c) AS BIGINT) AS max_count
+        FROM counts
+    ), k01 AS (
+        SELECT CAST(ceil(n_keys / 100.0) AS BIGINT) AS k FROM tot
+    )
+    SELECT tot.n_keys, tot.total_rows, tot.max_count,
+           CAST(tot.max_count * 10000 // (tot.total_rows / tot.n_keys)
+                AS BIGINT) AS max_over_avg_bp,
+           CAST(sum(CASE WHEN k_cum <= k THEN nk * c
+                         WHEN k_cum - nk < k THEN (k - (k_cum - nk)) * c
+                         ELSE 0 END) * 10000 // tot.total_rows AS BIGINT)
+               AS top1pct_share_bp
+    FROM cum, tot, k01
+    GROUP BY tot.n_keys, tot.total_rows, tot.max_count, k01.k
+    """,
+)
+def join_key_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic for the engine's hottest join key
+    (l_orderkey): key cardinality, hottest-key count, hot/avg ratio,
+    and the row share held by the top 1% of keys — the numbers that
+    decide between a plain hash join, AQE skew splitting, and manual
+    salting (``salted_join_revenue``) BEFORE a 100 TB join runs. Same
+    count-of-counts histogram trick as ``vocab_coverage_curve``: the
+    top-1% mass interpolates inside a count class, so nothing ever
+    ranks the full key set — the corpus-sized work is one
+    map-combinable count, the window runs over the tiny histogram.
+    All-integer outputs (floor-div basis points) for exact oracle
+    parity.
+
+    Reference basis: extension tier — ops diagnostics next to the
+    skew family (SURVEY.md §2 extensions; wordcount_skewed and the
+    AQE skew-join tests demonstrate the mitigations this censuses
+    for)."""
+    from pyspark.sql.window import Window
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_orderkey").agg(F.count("*").alias("c"))
+    hist = counts.groupBy("c").agg(F.count("*").alias("nk"))
+    win = Window.orderBy(F.desc("c"))
+    cum = hist.select(
+        "c",
+        "nk",
+        F.sum("nk").over(win).alias("k_cum"),
+    )
+    tot = counts.agg(
+        F.sum("c").cast("long").alias("total_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_count"),
+    ).withColumn("k", F.ceil(F.col("n_keys") / 100.0).cast("long"))
+    part = F.when(
+        F.col("k_cum") <= F.col("k"), F.col("nk") * F.col("c")
+    ).when(
+        F.col("k_cum") - F.col("nk") < F.col("k"),
+        (F.col("k") - (F.col("k_cum") - F.col("nk"))) * F.col("c"),
+    ).otherwise(F.lit(0))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n_keys", "total_rows", "max_count", "k")
+        .agg(F.sum(part).cast("long").alias("top_mass"))
+        .select(
+            "n_keys",
+            "total_rows",
+            "max_count",
+            F.floor(
+                F.col("max_count") * 10000
+                / (F.col("total_rows") / F.col("n_keys"))
+            )
+            .cast("long")
+            .alias("max_over_avg_bp"),
+            F.floor(F.col("top_mass") * 10000 / F.col("total_rows"))
+            .cast("long")
+            .alias("top1pct_share_bp"),
+        )
+    )

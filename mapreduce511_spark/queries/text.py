@@ -1979,3 +1979,87 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nll"), 4).alias("min_nll"),
         F.round(F.max("nll"), 4).alias("max_nll"),
     )
+
+
+@register(
+    "pii_screen_census",
+    oracle="""
+    WITH flags AS (
+        SELECT doc_id, lang,
+               CASE WHEN regexp_matches(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+                    THEN 1 ELSE 0 END AS has_email,
+               CASE WHEN regexp_matches(text,
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')
+                    THEN 1 ELSE 0 END AS has_ipv4,
+               CASE WHEN regexp_matches(text, '\\b[0-9a-fA-F]{32,}\\b')
+                    THEN 1 ELSE 0 END AS has_long_hex,
+               CASE WHEN regexp_matches(text,
+                    '\\b\\d{3}-\\d{2}-\\d{4}\\b')
+                    THEN 1 ELSE 0 END AS has_ssn_shape
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(has_email) AS BIGINT) AS docs_with_email,
+           CAST(sum(has_ipv4) AS BIGINT) AS docs_with_ipv4,
+           CAST(sum(has_long_hex) AS BIGINT) AS docs_with_long_hex,
+           CAST(sum(has_ssn_shape) AS BIGINT) AS docs_with_ssn_shape,
+           CAST(sum(CASE WHEN has_email + has_ipv4 + has_long_hex
+                              + has_ssn_shape > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged
+    FROM flags GROUP BY lang
+    """,
+)
+def pii_screen_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / secret-material screen per language — the redaction
+    gate a training-data pipeline runs before anything ships: per-doc
+    boolean flags for email addresses, dotted-quad IPs, >=32-char hex
+    runs (token/credential-shaped), and SSN-shaped digit triples,
+    rolled up per language. Pure JVM-side ``rlike`` (whole-stage
+    codegen, no Python), one linear scan; the patterns are
+    RE2-compatible so the DuckDB oracle states them verbatim. On the
+    synthetic corpus every count is zero — exactly what the oracle
+    asserts; the adversarial fixture test in
+    tests/test_text_extra.py injects each PII shape into a scratch
+    table and checks per-flag detection.
+
+    At 100 TB the same predicate set drives the REDACTION pass
+    (regexp_replace with the same patterns) and the flags become a
+    partition column so reviewers can scan quarantined docs without
+    touching the clean corpus.
+
+    Reference basis: extension tier — corpus-hygiene family next to
+    ``contamination_screen`` (SURVEY.md §2 extensions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    email = F.col("text").rlike(
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    )
+    ipv4 = F.col("text").rlike(
+        "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    )
+    long_hex = F.col("text").rlike("\\b[0-9a-fA-F]{32,}\\b")
+    ssn = F.col("text").rlike("\\b\\d{3}-\\d{2}-\\d{4}\\b")
+    one = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    flags = docs.select(
+        "lang",
+        one(email).alias("has_email"),
+        one(ipv4).alias("has_ipv4"),
+        one(long_hex).alias("has_long_hex"),
+        one(ssn).alias("has_ssn_shape"),
+    )
+    flagged = (
+        F.col("has_email")
+        + F.col("has_ipv4")
+        + F.col("has_long_hex")
+        + F.col("has_ssn_shape")
+        > 0
+    )
+    return flags.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("has_email").cast("long").alias("docs_with_email"),
+        F.sum("has_ipv4").cast("long").alias("docs_with_ipv4"),
+        F.sum("has_long_hex").cast("long").alias("docs_with_long_hex"),
+        F.sum("has_ssn_shape").cast("long").alias("docs_with_ssn_shape"),
+        F.sum(one(flagged)).cast("long").alias("docs_flagged"),
+    )

@@ -82,3 +82,40 @@ def test_chunk_census_consistency(spark):
     assert r.total_chunks >= r.n_docs
     assert r.overlap_tokens == (r.total_chunks - r.n_docs) * 128
     assert r.max_chunks_per_doc >= 1
+
+
+def test_pii_screen_detects_injected_shapes(spark, tmp_path):
+    """The synthetic corpus is PII-free (the census asserts zeros via
+    its oracle), so detection power needs an adversarial fixture:
+    inject each PII shape into a scratch documents table and check
+    per-flag counts — including a clean control doc and a
+    multi-shape doc counted once in docs_flagged."""
+    import os
+
+    from mapreduce511_spark import queries as suite
+
+    rows = [
+        (1, "contact me at alice.smith+spam@example.co.uk today", "en"),
+        (2, "server at 192.168.001.1 responded", "en"),
+        (3, "leaked d41d8cd98f00b204e9800998ecf8427e0123456789abcdef", "en"),
+        (4, "ssn 123-45-6789 on file", "en"),
+        (5, "a perfectly clean document", "en"),
+        (6, "bob@corp.io from 10.0.0.7", "en"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, lg, "test", len(t)) for i, t, lg in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path / "pii_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    df.toPandas().to_parquet(f"{sf_dir}/documents.parquet", index=False)
+    out = suite.all_queries()["pii_screen_census"](spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (
+        r.docs_with_email,
+        r.docs_with_ipv4,
+        r.docs_with_long_hex,
+        r.docs_with_ssn_shape,
+        r.docs_flagged,
+    ) == (2, 2, 1, 1, 5), r
