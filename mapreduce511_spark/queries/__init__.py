@@ -69,6 +69,7 @@ _ENUMERATE_FIRST: list[str] = [
     "bigram_logprob_score",
     "join_key_skew_census",
     "pii_screen_census",
+    "stream_click_attribution",
     # --- implementation changed in round 4: re-verify ---
     "copurchase_triangles",
     "concurrent_user_spans",
@@ -110,7 +111,6 @@ _ENUMERATE_FIRST: list[str] = [
     "stream_closed_sessions",
     "stream_enriched_census",
     "dedup_clusters",
-    "fuzzy_dedup_survivors",
 ]
 
 

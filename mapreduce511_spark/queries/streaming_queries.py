@@ -466,3 +466,66 @@ def stream_late_drop_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for i in (0, 1):
             shutil.rmtree(f"{src}_seed{i}", ignore_errors=True)
+
+
+@register(
+    "stream_click_attribution",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 2 HOUR
+    """,
+)
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join under the oracle gate: every
+    purchase attributed to the same user's clicks in the preceding
+    2 hours, computed by the streaming engine (both sides
+    watermarked, interval-bounded buffer state, append emission) and
+    drained with availableNow — must equal the plain batch interval
+    join the oracle states. This registers the
+    ``click_purchase_join`` operator (streaming/__init__.py) whose
+    stream-vs-batch parity tests/test_streaming.py already pins,
+    putting the last big stateful-streaming operator family —
+    stream-stream joins — under the driver's bit-for-bit gate
+    alongside windowed aggs, dedup, sessionization, enrichment and
+    the late-drop census.
+
+    All files land in one data batch (no trigger cap): inner
+    stream-stream joins emit exactly the matched set under any
+    batching, but a multi-batch split could expire one side's state
+    before a straggler file of the other side arrives (files are not
+    time-ordered), which would legitimately drop matches — the
+    single-batch drain makes the full match set the unique answer,
+    which is what the oracle asserts.
+
+    At 100 TB: state per side is bounded by watermark + interval
+    horizon (join condition bounds purchase_ts within [click_ts,
+    click_ts + 2h], so Spark expires buffered rows); the join key
+    (user_id) shuffles both streams once.
+
+    Reference basis: extension tier — streaming family (SURVEY.md
+    §2.9)."""
+    from mapreduce511_spark.streaming import click_purchase_join
+
+    src, ckpt, name = _scratch("attrib")
+    try:
+        prepare_events_dir(spark, sf_dir, src)
+        stream = stream_events(spark, src)
+        clicks = stream.filter(F.col("event_type") == "click")
+        purchases = stream.filter(F.col("event_type") == "purchase")
+        joined = click_purchase_join(clicks, purchases)
+        return _detach(
+            run_available_now(joined, name, ckpt, mode="append"), name
+        )
+    finally:
+        _cleanup(src)
