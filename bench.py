@@ -102,6 +102,8 @@ HEADLINE = [
     "doc_chunks_expanded",
     "vocab_coverage_curve",
     "bigram_logprob_score",
+    "join_key_skew_census",
+    "pii_screen_census",
 ]
 
 
