@@ -144,6 +144,7 @@ def _load() -> None:
         logs,
         multimodal,
         relational,
+        retrieval,
         similarity,
         sqlapi,
         streaming_queries,

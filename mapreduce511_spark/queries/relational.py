@@ -2046,3 +2046,100 @@ def join_key_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("top1pct_share_bp"),
         )
     )
+
+
+@register(
+    "copurchase_pagerank",
+    oracle="""
+    WITH ppo AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    ue AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM ppo a JOIN ppo b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+        SELECT u AS s, v AS t FROM ue
+        UNION ALL
+        SELECT v AS s, u AS t FROM ue
+    ),
+    deg AS (SELECT s, count(*) AS d FROM edges GROUP BY s),
+    n AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT deg.s AS x, 1.0 / n.n AS r FROM deg CROSS JOIN n),
+    m1 AS (
+        SELECT e.t AS x, sum(p.r / deg.d) AS m
+        FROM edges e JOIN r0 p ON e.s = p.x JOIN deg ON deg.s = e.s
+        GROUP BY e.t
+    ),
+    r1 AS (SELECT x, 0.15 / n.n + 0.85 * m AS r FROM m1 CROSS JOIN n),
+    m2 AS (
+        SELECT e.t AS x, sum(p.r / deg.d) AS m
+        FROM edges e JOIN r1 p ON e.s = p.x JOIN deg ON deg.s = e.s
+        GROUP BY e.t
+    ),
+    r2 AS (SELECT x, 0.15 / n.n + 0.85 * m AS r FROM m2 CROSS JOIN n),
+    m3 AS (
+        SELECT e.t AS x, sum(p.r / deg.d) AS m
+        FROM edges e JOIN r2 p ON e.s = p.x JOIN deg ON deg.s = e.s
+        GROUP BY e.t
+    ),
+    r3 AS (SELECT x, 0.15 / n.n + 0.85 * m AS r FROM m3 CROSS JOIN n)
+    SELECT x AS part_id, round(r * n.n, 4) AS rank_ratio
+    FROM r3 CROSS JOIN n
+    ORDER BY rank_ratio DESC, part_id
+    LIMIT 20
+    """,
+)
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the part co-purchase graph — THREE
+    power iterations, damping 0.85, unrolled so the whole computation
+    is one deterministic DataFrame plan under the exact DuckDB oracle
+    (the oracle unrolls the same three iterations as chained CTEs).
+    The undirected graph has no dangling vertices (every vertex comes
+    off an edge), so the classic dangling-mass correction drops out
+    and each iteration is exactly: join ranks to out-edges on the
+    source key, shuffle-sum contributions on the target key, then the
+    (1-d)/N teleport.
+
+    Scale shape: the (edge, degree) relation materializes ONCE via
+    localCheckpoint and every iteration reuses it — per-iteration
+    cost is one hash join keyed on vertex id plus one partial-
+    aggregated shuffle, the exact shape Pregel/GraphX lowers to.
+    Rank vectors are two-column (vertex, double) frames, never
+    collected; iteration count is a compile-time constant so lineage
+    stays bounded without checkpointing inside the loop. Reported as
+    rank * N (ratio to the uniform score, 1.0 = average centrality)
+    rounded to 4 — resolution-independent of graph size.
+
+    Reference basis: extension tier — graph family beyond connected
+    components (companion to ``copurchase_triangles``); reference has
+    no graph surface (`/root/reference/analyze`)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    ue = _copurchase_edges(li)
+    bidir = ue.select(
+        F.col("u").alias("s"), F.col("v").alias("t")
+    ).unionAll(ue.select(F.col("v").alias("s"), F.col("u").alias("t")))
+    deg = bidir.groupBy("s").agg(F.count("*").alias("d"))
+    # one materialized pass: out-edges annotated with source degree,
+    # reused by all three iterations
+    out = bidir.join(deg, "s").localCheckpoint(eager=True)
+    n = deg.agg(F.count("*").alias("n"))
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        F.col("s").alias("x"), (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(3):
+        m = (
+            out.join(ranks, out["s"] == ranks["x"])
+            .groupBy("t")
+            .agg(F.sum(F.col("r") / F.col("d")).alias("m"))
+        )
+        ranks = m.crossJoin(F.broadcast(n)).select(
+            F.col("t").alias("x"),
+            (F.lit(0.15) / F.col("n") + 0.85 * F.col("m")).alias("r"),
+        )
+    scored = ranks.crossJoin(F.broadcast(n)).select(
+        F.col("x").alias("part_id"),
+        F.round(F.col("r") * F.col("n"), 4).alias("rank_ratio"),
+    )
+    return scored.orderBy(F.desc("rank_ratio"), "part_id").limit(20)

@@ -1,0 +1,123 @@
+"""Lexical retrieval over the documents corpus.
+
+A training-data pipeline needs cheap corpus search long before it has
+embeddings for everything: BM25 is the standard lexical ranking
+function (Robertson / Spärck Jones probabilistic relevance framework)
+and doubles as the sparse half of hybrid (sparse+dense) retrieval.
+The queries here are batch formulations — one scan builds the corpus
+statistics, term postings stay filtered to the query vocabulary
+BEFORE any shuffle, and the final ranking is a global top-k
+(TakeOrdered, never a full sort).
+
+Reference basis: extension tier — the reference (a pandas/bash log
+harness, ``/root/reference/analyze``) has no retrieval surface; this
+module is part of the LLM-pipeline extension family alongside
+``queries/similarity.py`` (dense) and ``queries/text.py`` (quality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce511_spark.functions.text import tokenize
+from mapreduce511_spark.queries import register
+from mapreduce511_spark.sources.tables import load_table
+
+# Fixed ad-hoc query vocabulary: mid-to-high-frequency corpus terms so
+# every sf has matches; BM25's length normalization and tf saturation
+# still rank docs apart even when df is large.
+BM25_TERMS = ("spark", "vector", "stream", "hash")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+_SQL_TOKENS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+_SQL_TERMS = "('spark', 'vector', 'stream', 'hash')"
+
+
+@register(
+    "bm25_top_docs",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    stats AS (
+        SELECT count(*) AS n_corpus, avg(len(toks)) AS avgdl FROM base
+    ),
+    tf AS (
+        SELECT doc_id, w, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS w FROM base)
+        WHERE w IN {_SQL_TERMS}
+        GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM base)
+    SELECT tf.doc_id,
+           count(*) AS n_terms,
+           round(sum(
+               ln(1.0 + (s.n_corpus - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+           ), 4) AS bm25
+    FROM tf
+    JOIN dl ON tf.doc_id = dl.doc_id
+    JOIN df ON tf.w = df.w
+    CROSS JOIN stats s
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id
+    LIMIT {BM25_TOP_K}
+    """,
+)
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of the corpus against a fixed term query — the
+    lexical-retrieval baseline every hybrid-search pipeline starts
+    from. Okapi BM25: idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    with idf = ln(1 + (N-df+0.5)/(df+0.5)).
+
+    Scale shape: the token explode is filtered to the query vocabulary
+    BEFORE the tf shuffle, so the shuffled volume is O(matching
+    postings), not O(corpus tokens); document length comes straight
+    off the array (`F.size`, no second explode); corpus stats are a
+    1-row broadcast and per-term df a |terms|-row broadcast; the
+    per-doc score reduce shuffles once on doc_id; the final top-k is
+    a TakeOrdered over 20 rows, never a global sort. At 100 TB the
+    only large exchange is the (doc_id, term) partial-aggregated tf —
+    uniform keys, map-side combined.
+
+    Reference basis: extension tier (no retrieval in the reference)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokenize("text").alias("toks"))
+    stats = base.agg(
+        F.count("*").alias("n_corpus"),
+        F.avg(F.size("toks")).alias("avgdl"),
+    )
+    dl = base.select("doc_id", F.size("toks").alias("dl"))
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("w"))
+        .filter(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    contrib = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_corpus") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(F.sum(contrib), 4).alias("bm25"),
+        )
+    )
+    return scored.orderBy(F.desc("bm25"), "doc_id").limit(BM25_TOP_K)
