@@ -922,3 +922,204 @@ def concurrent_user_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overlap_seconds"),
         )
     )
+
+
+@register(
+    "gap_filled_minute_counts",
+    oracle="""
+    WITH pm AS (
+        SELECT date_trunc('minute', ts) AS m,
+               count(*) AS n, sum(value) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY m
+    ),
+    rng AS (SELECT min(m) AS lo, max(m) AS hi FROM pm),
+    minutes AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS m
+        FROM rng
+    ),
+    dense AS (
+        SELECT minutes.m, pm.n, pm.v FROM minutes LEFT JOIN pm USING (m)
+    )
+    SELECT CAST(m AS VARCHAR) AS minute,
+           coalesce(n, 0) AS n_events,
+           round(coalesce(
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY CAST(m AS DATE) ORDER BY m
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 0.0), 4) AS ffill_value
+    FROM dense
+    """,
+)
+def gap_filled_minute_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (gap-fill + forward-fill) — the
+    resample step every monitoring/feature pipeline needs before
+    window math: raw events are sparse, downstream models want a row
+    per minute. The minute spine comes from one `sequence()` explode
+    of the observed [min, max] range (a year is ~526k rows — cheap),
+    left-joined to the per-minute aggregate; forward fill is
+    `last(..., ignorenulls=True)` over a window PARTITIONED BY DAY, so
+    no global single-task sort exists — each day's 1440-row partition
+    fills independently and in parallel, the standard scalable
+    resample shape (fill state resets at day boundaries by design).
+
+    Reference basis: §2.5 W2 time normalization generalized — the
+    reference aligns sparse monitor samples to a common clock
+    (`analyze/analyze_monitor.py`); this is the dense-grid version.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    pm = ev.groupBy(F.date_trunc("minute", "ts").alias("m")).agg(
+        F.count("*").alias("n"), F.sum("value").alias("v")
+    )
+    rng = pm.agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+    minutes = rng.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))
+        ).alias("m")
+    )
+    dense = minutes.join(pm, "m", "left")
+    w = (
+        Window.partitionBy(F.col("m").cast("date"))
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        F.col("m").cast("string").alias("minute"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.round(
+            F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(0.0)), 4
+        ).alias("ffill_value"),
+    )
+
+
+@register(
+    "user_type_scd2",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT user_id, event_type, ts,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS run_id
+        FROM marked
+    ),
+    versions AS (
+        SELECT user_id, event_type, run_id,
+               min(ts) AS valid_from, count(*) AS n_events
+        FROM runs GROUP BY user_id, event_type, run_id
+    )
+    SELECT user_id, event_type,
+           CAST(valid_from AS VARCHAR) AS valid_from,
+           CAST(lead(valid_from) OVER (PARTITION BY user_id
+                                       ORDER BY valid_from) AS VARCHAR)
+               AS valid_to,
+           n_events
+    FROM versions
+    """,
+)
+def user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval build — turn an
+    event log into versioned validity ranges: one row per maximal run
+    of a user's consecutive identical event_type, with
+    [valid_from, valid_to) half-open intervals (valid_to NULL on the
+    current version). Gaps-and-islands: a lag() change marker, a
+    running sum to number runs, a per-run aggregate, then lead() for
+    the closing bound — three window passes ALL partitioned by
+    user_id, so one shuffle key serves every step (Spark plans a
+    single Exchange reused across the windows and the groupBy). This
+    is the standard CDC→dimension-table build at any scale; per-user
+    partitions are bounded by a user's own event count.
+
+    Ordering ties break on event_id (unique), making the run
+    numbering — and therefore every output row — deterministic.
+
+    Reference basis: extension tier — event-sequence analytics
+    (SURVEY.md §2.3 extension)."""
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type")
+            .over(wo)
+            .eqNullSafe(F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = marked.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("chg")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_id"),
+    )
+    versions = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("vf"), F.count("*").alias("n_events")
+    )
+    wv = Window.partitionBy("user_id").orderBy("vf")
+    return versions.select(
+        "user_id",
+        "event_type",
+        F.col("vf").cast("string").alias("valid_from"),
+        F.lead("vf").over(wv).cast("string").alias("valid_to"),
+        "n_events",
+    )
+
+
+@register(
+    "decayed_user_engagement",
+    oracle="""
+    WITH ref AS (SELECT max(epoch_us(ts)) AS r FROM events)
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value * exp(-((ref.r - epoch_us(ts)) / 1000000.0)
+                                 / 604800.0)), 4) AS decayed_score
+    FROM events CROSS JOIN ref
+    GROUP BY user_id
+    """,
+)
+def decayed_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user —
+    recency-weighted value with a one-week time constant, the
+    standard freshness prior for ranking/retention features (an
+    event a week old counts 1/e of one from now). The reference
+    timestamp is the corpus max — a 1-row broadcast, keeping the
+    whole query one scan plus one partial-aggregated shuffle on
+    user_id. The decay weight is computed in integer microseconds
+    before the single float exp(), so the only cross-engine float
+    surface is exp+sum, absorbed by round(4).
+
+    At 100 TB this shape beats the 'recompute nightly over all
+    history' anti-pattern: exp decay is associative — tomorrow's
+    score = today's * exp(-Δ/τ) + tomorrow's events — so the same
+    formula admits incremental maintenance (documented here; the
+    batch query is the from-scratch oracle).
+
+    Reference basis: extension tier — events family (SURVEY.md §2.3
+    extension)."""
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.unix_micros("ts")).alias("r"))
+    age_s = (F.col("r") - F.unix_micros("ts")) / F.lit(1_000_000.0)
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value") * F.exp(-age_s / F.lit(604800.0))), 4
+            ).alias("decayed_score"),
+        )
+    )
