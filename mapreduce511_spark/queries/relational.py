@@ -2143,3 +2143,165 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("r") * F.col("n"), 4).alias("rank_ratio"),
     )
     return scored.orderBy(F.desc("rank_ratio"), "part_id").limit(20)
+
+
+@register(
+    "customer_name_er",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.c_nationkey AS nationkey,
+               levenshtein(a.c_name, b.c_name) AS dist
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_custkey < b.c_custkey
+    )
+    SELECT nationkey,
+           count(*) AS n_candidates,
+           CAST(sum(CASE WHEN dist <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matches,
+           min(dist) AS min_dist,
+           round(avg(dist), 4) AS mean_dist
+    FROM pairs GROUP BY nationkey
+    """,
+)
+def customer_name_er(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by BLOCKED fuzzy matching — the record-linkage
+    shape: candidate pairs come only from an equi-join on a blocking
+    key (nation), then the expensive pairwise scorer (Levenshtein edit
+    distance, a JVM builtin — no Python in the loop) runs strictly
+    in-block. Cost is sum of block sizes squared, never corpus², and
+    the blocking join is an ordinary hash shuffle on the block key —
+    the same candidate-generation discipline as the MinHash/LSH
+    dedup family (`operators/dedup.py`), with an edit-distance
+    verifier instead of Jaccard. A skewed block is handled the same
+    way as any hot join key: AQE skew split, or salt the block key
+    and re-merge the per-salt partials.
+
+    Output is the per-block census (candidates, matches at dist<=2,
+    distance moments) — the tuning artifact an ER pipeline actually
+    iterates on when choosing blocking keys.
+
+    Reference basis: extension tier — dedup/ER family (SURVEY.md §2
+    extensions)."""
+    cust = _t(spark, sf_dir, "customer")[0]
+    a = cust.alias("a")
+    b = cust.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_nationkey").alias("nationkey"),
+        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+    )
+    return pairs.groupBy("nationkey").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(F.when(F.col("dist") <= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_matches"),
+        F.min("dist").alias("min_dist"),
+        F.round(F.avg("dist"), 4).alias("mean_dist"),
+    )
+
+
+@register(
+    "zorder_cell_census",
+    oracle="""
+    WITH rng AS (
+        SELECT min(o_custkey) AS klo, max(o_custkey) AS khi,
+               min(o_totalprice) AS plo, max(o_totalprice) AS phi
+        FROM orders
+    ),
+    cells AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               least(15, CAST(floor((o_custkey - klo) * 16.0
+                                    / (khi - klo + 1)) AS BIGINT)) AS cx,
+               least(15, CAST(floor((o_totalprice - plo) * 16.0
+                                    / (phi - plo)) AS BIGINT)) AS cy
+        FROM orders CROSS JOIN rng
+    ),
+    coded AS (
+        SELECT *,
+               (cx & 1) | ((cy & 1) << 1) | ((cx & 2) << 1)
+               | ((cy & 2) << 2) | ((cx & 4) << 2) | ((cy & 4) << 3)
+               | ((cx & 8) << 3) | ((cy & 8) << 4) AS zcell
+        FROM cells
+    )
+    SELECT zcell,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_custkeys,
+           round(max(o_totalprice) - min(o_totalprice), 4) AS price_span
+    FROM coded GROUP BY zcell
+    """,
+)
+def zorder_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) cell assignment over a 2-D key space
+    (o_custkey x o_totalprice, 16x16 grid) — the space-filling-curve
+    layout that makes MULTI-dimensional predicates skippable from
+    per-file min/max stats: sorting by the interleaved code keeps
+    both dimensions locally dense, so a `custkey BETWEEN .. AND
+    totalprice BETWEEN ..` scan prunes files on either predicate
+    (plain sort orders help only the leading column). Bit interleave
+    is pure integer arithmetic (mask + shift, whole-stage codegen);
+    quantization bounds come from a 1-row min/max broadcast. The
+    census — occupancy, key cardinality, and value span per cell —
+    is exactly the data-layout audit run before choosing OPTIMIZE
+    ZORDER BY columns: uniform occupancy means the curve will
+    balance output files.
+
+    At 100 TB the follow-on write is
+    `df.repartitionByRange(N, "zcell").sortWithinPartitions("zcell")`
+    — range partitioning on the code gives both balanced files and
+    tight per-file stat envelopes.
+
+    Reference basis: extension tier — storage-layout family
+    (SURVEY.md §2 extensions)."""
+    orders = _t(spark, sf_dir, "orders")[0]
+    rng = orders.agg(
+        F.min("o_custkey").alias("klo"),
+        F.max("o_custkey").alias("khi"),
+        F.min("o_totalprice").alias("plo"),
+        F.max("o_totalprice").alias("phi"),
+    )
+    cells = orders.crossJoin(F.broadcast(rng)).select(
+        "o_custkey",
+        "o_totalprice",
+        F.least(
+            F.lit(15),
+            F.floor(
+                (F.col("o_custkey") - F.col("klo"))
+                * 16.0
+                / (F.col("khi") - F.col("klo") + 1)
+            ),
+        ).alias("cx"),
+        F.least(
+            F.lit(15),
+            F.floor(
+                (F.col("o_totalprice") - F.col("plo"))
+                * 16.0
+                / (F.col("phi") - F.col("plo"))
+            ),
+        ).alias("cy"),
+    )
+    cx, cy = F.col("cx"), F.col("cy")
+    zcell = (
+        cx.bitwiseAND(1)
+        .bitwiseOR(F.shiftleft(cy.bitwiseAND(1), 1))
+        .bitwiseOR(F.shiftleft(cx.bitwiseAND(2), 1))
+        .bitwiseOR(F.shiftleft(cy.bitwiseAND(2), 2))
+        .bitwiseOR(F.shiftleft(cx.bitwiseAND(4), 2))
+        .bitwiseOR(F.shiftleft(cy.bitwiseAND(4), 3))
+        .bitwiseOR(F.shiftleft(cx.bitwiseAND(8), 3))
+        .bitwiseOR(F.shiftleft(cy.bitwiseAND(8), 4))
+    )
+    return (
+        cells.withColumn("zcell", zcell)
+        .groupBy("zcell")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custkeys"),
+            F.round(
+                F.max("o_totalprice") - F.min("o_totalprice"), 4
+            ).alias("price_span"),
+        )
+    )

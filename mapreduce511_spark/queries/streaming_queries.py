@@ -529,3 +529,45 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _cleanup(src)
+
+
+@register(
+    "stream_sliding_event_counts",
+    oracle="""
+    WITH ex AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                 - i * (INTERVAL '15 minutes') AS window_start,
+               event_type, value
+        FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) s
+    )
+    SELECT window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM ex GROUP BY window_start, event_type
+    """,
+)
+def stream_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregation (1-hour windows, 15-minute
+    slide) drained with availableNow: each event lands in exactly FOUR
+    overlapping window states, so this exercises the engine's
+    multi-assignment windowing + watermark eviction path that tumbling
+    windows never touch — and quantifies the 4x state-size cost of
+    overlap a 100 TB capacity plan budgets for. The oracle states the
+    same semantics by explicit window enumeration: the four slide
+    starts covering an event t are time_bucket_15m(t) - i*15min for
+    i in 0..3.
+
+    Reference basis: §2.9 streaming surface — sliding twin of
+    ``stream_tumbling_event_counts`` (the monitor's per-cycle average
+    generalized to overlapping horizons)."""
+    from mapreduce511_spark.streaming import sliding_counts
+
+    src, ckpt, name = _scratch("slide")
+    try:
+        prepare_events_dir(spark, sf_dir, src)
+        stream = stream_events(spark, src, max_files_per_trigger=4)
+        return _detach(
+            run_available_now(sliding_counts(stream), name, ckpt), name
+        )
+    finally:
+        _cleanup(src)

@@ -75,6 +75,29 @@ def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked SLIDING windows (1 hour long, 15-minute slide): each
+    event updates four overlapping window states — the overlap factor
+    is the state-size multiplier a capacity plan must budget (4x the
+    tumbling state here). Streaming twin of the batch
+    ``sliding_event_counts`` family; same drain-equals-batch contract
+    as ``tumbling_counts``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 _USER_STATS_OUT = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
