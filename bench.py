@@ -104,6 +104,14 @@ HEADLINE = [
     "bigram_logprob_score",
     "join_key_skew_census",
     "pii_screen_census",
+    # round 4, second sweep
+    "bm25_top_docs",
+    "copurchase_pagerank",
+    "gap_filled_minute_counts",
+    "user_type_scd2",
+    "decayed_user_engagement",
+    "customer_name_er",
+    "zorder_cell_census",
 ]
 
 

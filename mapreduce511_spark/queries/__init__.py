@@ -51,10 +51,11 @@ _ENUMERATE_FIRST: list[str] = [
     # ROUND 4 rebuild (from CORRECTNESS_r01..r03): exactly 50 names —
     # the r3 list was 51 long and the 51st (char_entropy_by_lang)
     # never sampled. Order: never-driver-checked, oracled-after-last-
-    # check, new/changed this round, then staleness rotation (the 28
-    # queries whose newest green row is r01, then the highest-value
-    # r02 greens). Everything else re-verifies in registration order
-    # in later rounds' rotations.
+    # check, new/changed this round (both sweeps), then staleness
+    # rotation (queries whose newest green row is r01). The r02/r03
+    # greens displaced by the second sweep's new queries re-verify in
+    # later rounds' rotations (and in tests/test_oracle_parity.py
+    # every session).
     # --- never checked / oracle added after last check ---
     "char_entropy_by_lang",
     "multimodal_frame_sample",
@@ -70,6 +71,15 @@ _ENUMERATE_FIRST: list[str] = [
     "join_key_skew_census",
     "pii_screen_census",
     "stream_click_attribution",
+    # --- new in round 4, second sweep ---
+    "bm25_top_docs",
+    "copurchase_pagerank",
+    "gap_filled_minute_counts",
+    "user_type_scd2",
+    "decayed_user_engagement",
+    "customer_name_er",
+    "zorder_cell_census",
+    "stream_sliding_event_counts",
     # --- implementation changed in round 4: re-verify ---
     "copurchase_triangles",
     "concurrent_user_spans",
@@ -100,16 +110,7 @@ _ENUMERATE_FIRST: list[str] = [
     "rollup_orders",
     "distinct_part_types",
     "set_ops_customers",
-    "part_revenue_topk",
-    "q6_forecast_revenue",
-    "cube_order_stats",
-    # --- r02 greens touching code changed this round, then the
-    #     heaviest r02-green operators ---
-    "multimodal_decode_stats",
-    "stream_tumbling_event_counts",
-    "stream_dedup_census",
-    "stream_closed_sessions",
-    "stream_enriched_census",
+    # --- heaviest r02-green operator ---
     "dedup_clusters",
 ]
 

@@ -978,7 +978,13 @@ def gap_filled_minute_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))
         ).alias("m")
     )
-    dense = minutes.join(pm, "m", "left")
+    # The spine comes out of a 1-row explode, i.e. ONE partition; a
+    # single partition trivially satisfies any clustered distribution,
+    # so without an explicit repartition the day-windows would all run
+    # in that one task. Shuffle by day first — that's the parallelism.
+    dense = minutes.join(pm, "m", "left").repartition(
+        F.col("m").cast("date")
+    )
     w = (
         Window.partitionBy(F.col("m").cast("date"))
         .orderBy("m")

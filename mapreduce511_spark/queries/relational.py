@@ -2122,10 +2122,14 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(ue.select(F.col("v").alias("s"), F.col("u").alias("t")))
     deg = bidir.groupBy("s").agg(F.count("*").alias("d"))
     # one materialized pass: out-edges annotated with source degree,
-    # reused by all three iterations
+    # reused by all three iterations. Everything downstream (vertex
+    # set, N, the initial rank vector) derives from THIS checkpointed
+    # relation — deriving any of them from `deg`/`bidir` directly
+    # would re-execute the lineitem self-join per reference.
     out = bidir.join(deg, "s").localCheckpoint(eager=True)
-    n = deg.agg(F.count("*").alias("n"))
-    ranks = deg.crossJoin(F.broadcast(n)).select(
+    verts = out.select("s", "d").distinct()
+    n = verts.agg(F.count("*").alias("n"))
+    ranks = verts.crossJoin(F.broadcast(n)).select(
         F.col("s").alias("x"), (F.lit(1.0) / F.col("n")).alias("r")
     )
     for _ in range(3):

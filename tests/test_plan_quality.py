@@ -146,3 +146,67 @@ def test_triangles_edge_set_computes_once(spark):
     assert "ExistingRDD" in plan
     row = df.collect()[0]
     assert row.n_triangles > 0 and row.n_edges > 0
+
+
+def test_bm25_topk_avoids_global_sort(spark):
+    """BM25's final ranking must plan TakeOrderedAndProject (per-
+    partition heap + driver merge of 20 rows), never a global Sort,
+    and the corpus-stats / df sides must ride broadcasts."""
+    plan = _plan(spark, "bm25_top_docs")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_scd2_reuses_one_exchange(spark):
+    """The SCD2 build's three window passes and the run aggregate all
+    key on user_id (grouping keys are supersets), so the whole query
+    must plan exactly ONE shuffle."""
+    plan = _plan(spark, "user_type_scd2")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pagerank_edges_compute_once(spark):
+    """PageRank reuses the degree-annotated edge relation across all
+    three iterations via one eager localCheckpoint: the returned plan
+    must reference only the checkpointed RDD — a lineitem FileScan
+    would mean the self-join re-executes per iteration."""
+    from mapreduce511_spark import queries as suite
+
+    spark.catalog.clearCache()
+    df = suite.all_queries()["copurchase_pagerank"](spark, SF_CHECK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan, plan
+    assert "ExistingRDD" in plan
+    rows = df.collect()
+    assert len(rows) == 20
+    assert all(r.rank_ratio > 0 for r in rows)
+
+
+def test_zorder_census_stays_in_codegen(spark):
+    """The Morton interleave is mask+shift integer arithmetic: it must
+    compile into whole-stage codegen with zero Python evaluation, and
+    the min/max quantization bounds must ride a 1-row broadcast."""
+    plan = _plan(spark, "zorder_cell_census")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the interleave must be JVM bit arithmetic in a Project (codegen
+    # spans only render post-execution under AQE, so assert the
+    # expression, not the WholeStageCodegen wrapper)
+    assert "shiftleft" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bounds join
+
+
+def test_gap_fill_window_is_day_partitioned(spark):
+    """Forward fill must run in day-partitioned windows (parallel,
+    bounded 1440-row partitions) — a global single-partition window
+    (`Exchange SinglePartition` feeding the Window) would serialize
+    the whole series through one task."""
+    plan = _plan(spark, "gap_filled_minute_counts")
+    lines = plan.splitlines()
+    wi = next(i for i, l in enumerate(lines) if "Window [" in l)
+    # the exchange feeding the Window must hash-partition on the day,
+    # not inherit the spine explode's single partition (the 1-row rng
+    # aggregate legitimately plans its own Exchange SinglePartition —
+    # only the window's input partitioning matters here)
+    feed = "\n".join(lines[wi : wi + 5])
+    assert "Exchange hashpartitioning(cast(m" in feed, feed
