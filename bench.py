@@ -107,11 +107,19 @@ HEADLINE = [
     # round 4, second sweep
     "bm25_top_docs",
     "copurchase_pagerank",
+    "hybrid_rrf_top_docs",
+    "rolling_7d_active_users",
     "gap_filled_minute_counts",
     "user_type_scd2",
     "decayed_user_engagement",
     "customer_name_er",
     "zorder_cell_census",
+    "embedding_dim_stats",
+    "winsorized_price_stats",
+    "mad_value_anomaly",
+    "near_dup_containment",
+    "weighted_reservoir_sample",
+    "event_transition_matrix",
 ]
 
 

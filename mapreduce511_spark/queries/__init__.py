@@ -80,6 +80,15 @@ _ENUMERATE_FIRST: list[str] = [
     "customer_name_er",
     "zorder_cell_census",
     "stream_sliding_event_counts",
+    "stream_user_running_stats",
+    "embedding_dim_stats",
+    "winsorized_price_stats",
+    "mad_value_anomaly",
+    "hybrid_rrf_top_docs",
+    "rolling_7d_active_users",
+    "near_dup_containment",
+    "weighted_reservoir_sample",
+    "event_transition_matrix",
     # --- implementation changed in round 4: re-verify ---
     "copurchase_triangles",
     "concurrent_user_spans",
@@ -97,19 +106,10 @@ _ENUMERATE_FIRST: list[str] = [
     "asof_last_signup",
     "event_value_quantiles",
     "session_window_stats",
-    "sliding_event_counts",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "top_customers",
-    "semi_join_customers",
-    "anti_join_customers",
-    "window_order_rank",
-    "running_revenue",
-    "pivot_order_status",
-    "rollup_orders",
-    "distinct_part_types",
-    "set_ops_customers",
     # --- heaviest r02-green operator ---
     "dedup_clusters",
 ]

@@ -1129,3 +1129,190 @@ def decayed_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decayed_score"),
         )
     )
+
+
+@register(
+    "mad_value_anomaly",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, median(adev) AS mad FROM dev
+        GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(max(d.med), 4) AS median_value,
+           round(max(m.mad), 4) AS mad_value,
+           CAST(sum(CASE WHEN abs(d.value - d.med)
+                              > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           count(*) AS n_events
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+)
+def mad_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly screen via Median Absolute Deviation — the
+    outlier detector that doesn't let the outliers set their own
+    threshold (mean/stddev do: one spike inflates sigma and hides
+    itself). Two exact-median passes, both keyed on event_type:
+    per-type median, then median of absolute deviations, then a
+    3-sigma-equivalent cut (1.4826*MAD estimates sigma under
+    normality). Both median relations are |types| rows and broadcast
+    into the scan side, so the fact table shuffles only for its own
+    per-type aggregates. Exact `percentile` keeps the oracle exact;
+    at 100 TB the documented swap is approx_percentile with the same
+    two-pass shape.
+
+    Reference basis: extension tier — anomaly family (companion to
+    ``event_rate_anomaly``, which screens rates; this screens
+    magnitudes)."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 4).alias("median_value"),
+            F.round(F.max("mad"), 4).alias("mad_value"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_anomalies"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "rolling_7d_active_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    rng AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+    contrib AS (
+        SELECT ud.user_id,
+               unnest(generate_series(ud.day, ud.day + 6,
+                                      INTERVAL 1 DAY)) AS d
+        FROM ud
+    )
+    SELECT CAST(CAST(c.d AS DATE) AS VARCHAR) AS day,
+           count(DISTINCT c.user_id) AS active_users_7d,
+           count(*) AS user_day_contribs
+    FROM contrib c CROSS JOIN rng
+    WHERE CAST(c.d AS DATE) BETWEEN rng.lo AND rng.hi
+    GROUP BY day
+    """,
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the DAU/WAU
+    metric whose naive form (COUNT(DISTINCT) OVER a RANGE window) no
+    engine executes scalably because distinct doesn't decompose over
+    sliding frames. The scalable identity: a user active on day d is
+    'active within 7 days' of each day in [d, d+6], so explode each
+    distinct (user, day) into its <=7 target days (bounded fan-out)
+    and count distinct users per target day — two shuffles, both on
+    uniform keys, no window at all. Clip targets to the observed
+    range so every reported day has a full lookback. This exact
+    explode-then-distinct recipe is how warehouse models (and the
+    rolling-retention family) compute windowed-distinct at 100 TB.
+
+    Reference basis: extension tier — events family (companion to
+    ``cohort_hourly_retention``)."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    rng = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                "day",
+                F.date_add("day", 6),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(rng))
+        .filter(F.col("d").between(F.col("lo"), F.col("hi")))
+        .groupBy(F.col("d").cast("date").cast("string").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("active_users_7d"),
+            F.count("*").alias("user_day_contribs"),
+        )
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    pairs AS (
+        SELECT cur, nxt, count(*) AS n
+        FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY cur), 4) AS p
+    FROM pairs
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral fingerprint (what follows what) that
+    feeds next-action models and bot screens (a scraper's matrix is
+    near-deterministic; a human's is diffuse). One lead() window
+    partitioned by user builds consecutive pairs (ties broken on
+    event_id — deterministic), a combinable count reduces them to a
+    |types|^2 matrix, and row-normalization is a window over that
+    tiny matrix, not the fact table. One fact-table shuffle total.
+
+    Reference basis: extension tier — event-sequence analytics
+    (companion to ``funnel_ordered_steps``, which tests ONE ordered
+    path; this reports all first-order transitions)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    pairs = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("n"))
+    )
+    wrow = Window.partitionBy("cur")
+    return pairs.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wrow), 4).alias("p"),
+    )

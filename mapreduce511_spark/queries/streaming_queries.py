@@ -571,3 +571,48 @@ def stream_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _cleanup(src)
+
+
+@register(
+    "stream_user_running_stats",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           max(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming aggregation (``applyInPandasWithState``,
+    update mode): per-user running count / value sum / value max,
+    emitted once per user per micro-batch. After the availableNow
+    drain, each user's FINAL emission (the one with the largest
+    running count — emissions are monotone in n_events) must equal the
+    batch GROUP BY exactly; `max_by` picks it without a window pass.
+    This puts the engine's arbitrary-stateful-operator path — Arrow
+    batches in, O(1) state per key, update-mode sink — under the
+    driver's exact oracle gate, where `stream_closed_sessions` covers
+    the timeout/eviction side.
+
+    Reference basis: §2.9 streaming surface — the reference's monitor
+    recomputes cluster aggregates from the full log every cycle
+    (`wheel/monitor_real.sh`); the stream keeps O(users) state
+    instead."""
+    from mapreduce511_spark.streaming import user_running_stats
+
+    src, ckpt, name = _scratch("ustats")
+    try:
+        prepare_events_dir(spark, sf_dir, src)
+        stream = stream_events(spark, src, max_files_per_trigger=4)
+        drained = run_available_now(
+            user_running_stats(stream), name, ckpt, mode="update"
+        )
+        final = drained.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+            F.max_by("max_value", "n_events").alias("max_value"),
+        )
+        return _detach(final, name)
+    finally:
+        _cleanup(src)

@@ -2063,3 +2063,66 @@ def pii_screen_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("has_ssn_shape").cast("long").alias("docs_with_ssn_shape"),
         F.sum(one(flagged)).cast("long").alias("docs_flagged"),
     )
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               -ln(
+                   (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                             || ':wrs'), 1, 13))
+                         AS BIGINT) + 1.0) / 4503599627370497.0
+               ) / n_chars AS k
+        FROM documents
+    )
+    SELECT doc_id, n_chars, round(k * 1000000, 4) AS key_micro
+    FROM keyed
+    ORDER BY k, doc_id
+    LIMIT 50
+    """,
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling WITHOUT replacement (Efraimidis &
+    Spirakis A-ES): each doc gets key -ln(u)/w with u a DETERMINISTIC
+    hash-uniform in (0,1] and w = n_chars; the k smallest keys are an
+    exact weighted sample without replacement — the standard way a
+    training pipeline takes 'sample 1M docs proportional to quality
+    weight' in ONE distributed pass: per-partition top-k heaps merge
+    on the driver (TakeOrdered), no global sort, no rejection loop,
+    and re-runs pick the identical sample at any parallelism because
+    u comes from md5(doc_id), not rand(). u maps the first 13 md5 hex
+    digits (52 bits, exact in a double) to (0, 1] via (h+1)/(2^52+1),
+    so ln() never sees 0.
+
+    Reference basis: extension tier — sampling family (companions:
+    ``stratified_sample`` rate-based, ``quality_weighted_sample``
+    acceptance-based; this one is exact-size weight-proportional)."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wrs"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1.0
+    ) / F.lit(4503599627370497.0)
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        (-F.log(u) / F.col("n_chars")).alias("k"),
+    )
+    return (
+        keyed.orderBy("k", "doc_id")
+        .limit(50)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round(F.col("k") * 1_000_000, 4).alias("key_micro"),
+        )
+    )

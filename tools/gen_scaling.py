@@ -51,6 +51,21 @@ PICKS = {
     "doc_chunks_expanded": "narrow sequence+explode; no shuffle",
     "vocab_coverage_curve": "word count (combinable) + window over tiny count-of-counts histogram",
     "bigram_logprob_score": "one bigram pass; freq join keyed on bigram hash",
+    "bm25_top_docs": "postings filtered to query terms before the tf shuffle; top-k heap",
+    "copurchase_pagerank": "3 x (vertex-keyed join + combinable sum) over the checkpointed edge set",
+    "user_type_scd2": "one user_id shuffle reused by all three window passes",
+    "customer_name_er": "in-block pairs only: cost ~ sum of block sizes squared",
+    "decayed_user_engagement": "linear scan; 1-row reference broadcast; user-keyed combinable agg",
+    "zorder_cell_census": "linear scan; 256-cell aggregate; integer bit math in codegen",
+    "gap_filled_minute_counts": "spine ~ calendar span (data-independent); day-parallel ffill",
+    "embedding_dim_stats": "posexplode x dims; dim-keyed combinable agg (uniform 64 groups)",
+    "winsorized_price_stats": "exact-percentile pass + clipped agg pass (both linear)",
+    "mad_value_anomaly": "two exact-median passes; medians broadcast; fact shuffles once",
+    "hybrid_rrf_top_docs": "RRF over two 100-candidate lists; rank windows bounded at 100 rows",
+    "rolling_7d_active_users": "windowed-distinct via <=7x explode; two uniform-key shuffles",
+    "near_dup_containment": "same inverted-index candidates as the Jaccard family; asymmetric verify",
+    "weighted_reservoir_sample": "one pass; per-partition top-k heaps (TakeOrdered), no global sort",
+    "event_transition_matrix": "one user-keyed window pass; |types|^2 matrix normalization",
 }
 
 
