@@ -120,6 +120,8 @@ HEADLINE = [
     "near_dup_containment",
     "weighted_reservoir_sample",
     "event_transition_matrix",
+    "price_quantity_regression",
+    "copurchase_kcore_census",
 ]
 
 

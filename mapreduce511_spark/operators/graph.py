@@ -98,3 +98,58 @@ def connected_components(
         "graph diameter exceeds the near-dup assumption — use a "
         "large-star/small-star variant for this input"
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "u",
+    dst: str = "v",
+    max_iter: int = 40,
+) -> tuple[DataFrame, int]:
+    """Vertices of the k-core (maximal subgraph where every vertex has
+    degree >= k), by iterative peeling: drop all vertices of degree
+    < k, recompute degrees on the surviving subgraph, repeat to
+    fixpoint. Returns ``(DataFrame[node], rounds_used)``.
+
+    Each round is one degree aggregate plus two hash semi-joins
+    against the survivor set — all keyed on vertex id — and the edge
+    relation re-checkpoints per round so lineage stays flat (the CC
+    discipline above). Rounds needed = peeling depth, bounded by the
+    graph's degeneracy ordering length; dense product graphs converge
+    in a handful. The driver sees one scalar per round (survivor
+    count), never vertices or edges.
+
+    Raises ``RuntimeError`` on non-convergence: a partially peeled
+    set is silently wrong, so fail loudly (same contract as
+    ``connected_components``).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.localCheckpoint(eager=True)
+    prev_n = None
+    for rounds in range(1, max_iter + 1):
+        deg = (
+            e.select(F.col("u").alias("x"))
+            .unionAll(e.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("x")
+        keep = keep.localCheckpoint(eager=True)
+        n_keep = keep.count()  # free: counts the checkpointed blocks
+        if n_keep == 0:
+            return keep.select(F.col("x").alias("node")), rounds
+        if prev_n is not None and n_keep == prev_n:
+            return keep.select(F.col("x").alias("node")), rounds
+        prev_n = n_keep
+        ku = keep.select(F.col("x").alias("u"))
+        kv = keep.select(F.col("x").alias("v"))
+        e = (
+            e.join(ku, "u", "left_semi")
+            .join(kv, "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"kcore(k={k}) did not converge in {max_iter} rounds; "
+        "raise max_iter for deeper peeling chains"
+    )

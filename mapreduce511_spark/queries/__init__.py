@@ -89,6 +89,8 @@ _ENUMERATE_FIRST: list[str] = [
     "near_dup_containment",
     "weighted_reservoir_sample",
     "event_transition_matrix",
+    "price_quantity_regression",
+    "copurchase_kcore_census",
     # --- implementation changed in round 4: re-verify ---
     "copurchase_triangles",
     "concurrent_user_spans",
@@ -101,7 +103,6 @@ _ENUMERATE_FIRST: list[str] = [
     "simhash_near_dup",
     "tumbling_event_counts",
     "sessionize_events",
-    "json_props_stats",
     "latest_event_per_user_type",
     "asof_last_signup",
     "event_value_quantiles",
@@ -109,7 +110,6 @@ _ENUMERATE_FIRST: list[str] = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "top_customers",
     # --- heaviest r02-green operator ---
     "dedup_clusters",
 ]

@@ -2381,3 +2381,100 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("o_totalprice"), 4).alias("raw_mean"),
         )
     )
+
+
+@register("copurchase_kcore_census")
+def copurchase_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core census of the part co-purchase graph, k = ceil(average
+    degree): the densest-region extraction every graph pipeline runs
+    before community detection or embedding training (vertices
+    outside the core are noise; the core is where structure lives).
+    Iterative peeling via ``operators.graph.kcore`` — per round one
+    degree aggregate + two vertex-keyed semi-joins with re-
+    checkpointed edges, converging in peeling-depth rounds with a
+    loud non-convergence guard.
+
+    No SQL oracle: the fixpoint is not expressible in non-recursive
+    SQL (and DuckDB's recursive CTEs exclude the per-round aggregate)
+    — the driver records the rows-only check, and exact parity is
+    asserted against a pure-Python peeling reference on the same
+    edges in tests/test_graph_scale.py (the ``bpe_merge_rules``
+    verification pattern).
+
+    Reference basis: extension tier — graph family (companion to
+    ``copurchase_triangles`` / ``copurchase_pagerank``)."""
+    import math
+
+    from mapreduce511_spark.operators.graph import kcore
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(li).localCheckpoint(eager=True)
+    stats = edges.agg(
+        F.count("*").alias("m"),
+        F.count_distinct(F.col("u")).alias("nu"),
+    ).crossJoin(
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .agg(F.count_distinct("x").alias("n"))
+    )
+    row = stats.collect()[0]  # two scalars: edge count, vertex count
+    k = max(2, math.ceil(2.0 * row.m / row.n))
+    core, rounds = kcore(edges, k)
+    in_core_u = edges.join(
+        core.select(F.col("node").alias("u")), "u", "left_semi"
+    )
+    core_edges = in_core_u.join(
+        core.select(F.col("node").alias("v")), "v", "left_semi"
+    )
+    return (
+        core.agg(F.count("*").alias("n_core_vertices"))
+        .crossJoin(core_edges.agg(F.count("*").alias("n_core_edges")))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            "n_core_vertices",
+            "n_core_edges",
+            F.lit(rounds).cast("long").alias("rounds"),
+        )
+    )
+
+
+@register(
+    "price_quantity_regression",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4)
+               AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares diagnostics — slope/intercept/
+    r-squared/correlation of price on quantity per return flag, the
+    built-in regression aggregates (regr_*) every feature-drift or
+    pricing-sanity job leans on before reaching for MLlib. All four
+    statistics are single-pass COMBINABLE aggregates (sums of x, y,
+    xy, x2, y2 merged map-side), so the whole query is one pruned
+    scan + one 3-group shuffle — the cheapest possible shape, and
+    exactly how a 100 TB drift monitor computes per-cohort fit
+    deltas.
+
+    Reference basis: extension tier — statistics family (the
+    reference computes plain means, `analyze/analyze_csv.py`; these
+    are their second-moment siblings)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_pq"),
+        F.round(
+            F.regr_slope("l_extendedprice", "l_quantity"), 4
+        ).alias("slope"),
+        F.round(
+            F.regr_intercept("l_extendedprice", "l_quantity"), 4
+        ).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
+    )

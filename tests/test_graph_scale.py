@@ -72,3 +72,62 @@ def test_doulion_estimator_on_random_graph(spark):
     est = _oriented_triangles(sampled).count() * 8
     sigma = (8 * exact) ** 0.5  # sd of 8*Binomial(T, 1/8) upper bound
     assert abs(est - exact) <= 4 * sigma, (exact, est, sigma)
+
+
+def _py_kcore(edges: list[tuple[int, int]], k: int) -> set[int]:
+    """Reference peeling: repeatedly delete vertices with degree < k."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    changed = True
+    while changed:
+        changed = False
+        for x in [x for x, nb in adj.items() if len(nb) < k]:
+            for y in adj.pop(x):
+                adj[y].discard(x)
+            changed = True
+    return set(adj)
+
+
+def test_kcore_matches_python_reference(spark):
+    """Exact parity of the distributed peel against a pure-Python
+    reference on the sf0.001 co-purchase graph, at the query's own k
+    and at k=2 (different peeling depths)."""
+    import math
+
+    import duckdb
+
+    from mapreduce511_spark.operators.graph import kcore
+    from mapreduce511_spark.queries.relational import _copurchase_edges
+    from mapreduce511_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    edges = _copurchase_edges(li).localCheckpoint(eager=True)
+    pairs = [(r.u, r.v) for r in edges.collect()]
+    n_vertices = len({x for e in pairs for x in e})
+    k_query = max(2, math.ceil(2.0 * len(pairs) / n_vertices))
+    for k in (2, k_query, k_query + 4):
+        expect = _py_kcore(pairs, k)
+        core, rounds = kcore(edges, k)
+        got = {r.node for r in core.collect()}
+        assert got == expect, f"k={k}: {len(got)} vs {len(expect)}"
+        assert rounds >= 1
+
+
+def test_kcore_census_query_runs(spark):
+    from mapreduce511_spark import queries as suite
+    from tests.conftest import SF_SMOKE
+
+    row = suite.all_queries()["copurchase_kcore_census"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    assert row.k >= 2
+    assert row.n_core_vertices >= 0
+    # every core vertex keeps degree >= k inside the core, so a
+    # non-empty core needs at least k*n/2 edges
+    if row.n_core_vertices:
+        assert row.n_core_edges * 2 >= row.k * row.n_core_vertices

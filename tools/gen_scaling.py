@@ -66,6 +66,8 @@ PICKS = {
     "near_dup_containment": "same inverted-index candidates as the Jaccard family; asymmetric verify",
     "weighted_reservoir_sample": "one pass; per-partition top-k heaps (TakeOrdered), no global sort",
     "event_transition_matrix": "one user-keyed window pass; |types|^2 matrix normalization",
+    "price_quantity_regression": "single-pass combinable regression moments; 3-group shuffle",
+    "copurchase_kcore_census": "peel rounds ~ degeneracy depth; per-round vertex-keyed semi-joins",
 }
 
 
