@@ -1808,9 +1808,12 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nw").over(win).alias("w_cum"),
         F.sum(F.col("nw") * F.col("c")).over(win).alias("m_cum"),
     )
-    tot = freq.agg(
-        F.sum("c").cast("long").alias("t"),
-        F.count("*").cast("long").alias("nv"),
+    # totals from the HISTOGRAM, not a second pass over freq: t =
+    # sum(c*nw), nv = sum(nw) — identical values, one corpus
+    # aggregation instead of two (freq feeds only the hist branch).
+    tot = hist.agg(
+        F.sum(F.col("c") * F.col("nw")).cast("long").alias("t"),
+        F.sum("nw").cast("long").alias("nv"),
     )
     ks = spark.range(0).sparkSession.createDataFrame(
         [(10,), (100,), (1000,), (10000,)], "k long"
