@@ -147,6 +147,7 @@ def _load() -> None:
         relational,
         retrieval,
         similarity,
+        sketches,
         sqlapi,
         streaming_queries,
         text,

@@ -1,0 +1,520 @@
+"""Mergeable-sketch operators with EXACT DuckDB oracles.
+
+At 100 TB the aggregations a training-data pipeline actually runs are
+sketch-shaped: distinct counts (HyperLogLog), frequency estimates
+(Count-Min), and membership pre-filters (Bloom) — one pass, fixed
+memory, and mergeable across partitions, which is exactly what a
+map-side-combine shuffle wants. Spark's built-ins
+(``approx_count_distinct``, Bloom-filter joins under AQE) implement
+the same math but their hash functions aren't reproducible in an
+external engine, so they can only get rows-only checks. The versions
+here derive every hash from md5 — available bit-for-bit in both Spark
+and DuckDB — so the full sketch state and its estimate are checked
+EXACTLY by the driver's oracle gate, not merely "close".
+
+Determinism rules shared by all queries in this module (and their
+oracles):
+- hashes: hex slices of ``md5(value || salt)`` converted to integers
+  (``F.conv`` / ``('0x' || hex)::BIGINT``) — never ``hash()``/
+  ``xxhash64`` (engine-specific);
+- floating point only in final scalar expressions, written with the
+  SAME association order on both sides; accumulations that must be
+  order-independent are integer (powers of two scaled to 2^40,
+  counts) so distributed partial-aggregation order can't change the
+  result.
+
+Reference basis: extension tier (SURVEY.md §7 M7 / approx aggregates
+note in §2.4) — the reference's only cardinality number is the exact
+781,397 distinct words of WordCount (`/root/reference/MapReduceLog/
+_100mb_slowstart_0.5/20251128_192422/job_output.log:107`); these are
+the operators that produce that class of statistic at 100 TB without
+a full shuffle of the key space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce511_spark.functions.text import tokenize, word_ngrams
+from mapreduce511_spark.queries import register
+from mapreduce511_spark.sources.tables import load_table
+
+_SQL_TOKENS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+# DuckDB CTE producing (doc_id, lang, g, p): word n-grams with gram
+# position, built by positional self-joins exactly like the bigram
+# oracle in queries/text.py (independent formulation vs Spark's array
+# transform).
+_SQL_TRIGRAMS = f"""
+    toks AS (
+        SELECT doc_id, lang, {_SQL_TOKENS} AS tokens FROM documents
+    ), pos AS (
+        SELECT doc_id, lang, unnest(tokens) AS w,
+               unnest(range(len(tokens))) AS p
+        FROM toks
+    ), grams AS (
+        SELECT a.doc_id, a.lang,
+               a.w || ' ' || b.w || ' ' || c.w AS g, a.p
+        FROM pos a
+        JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        JOIN pos c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+    )
+"""
+
+
+def _hex_long(col: Column, start: int, n: int) -> Column:
+    """First ``n`` hex chars of a 32-hex md5 string as a long (≤15)."""
+    return F.conv(F.substring(col, start, n), 16, 10).cast("long")
+
+
+def _doc_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, g, p): word trigrams with 0-based gram position.
+
+    Array-expression build (tokenize → transform over slices), zero
+    Python UDFs; ``posexplode`` turns grams into rows with their
+    position for the order-dependent consumers (winnowing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", tokenize("text").alias("toks"))
+    grams = toks.select(
+        "doc_id", "lang", word_ngrams(F.col("toks"), 3).alias("grams")
+    )
+    return grams.select(
+        "doc_id", "lang", F.posexplode("grams").alias("p", "g")
+    )
+
+
+# --- HyperLogLog ------------------------------------------------------
+
+_HLL_M = 256  # registers (p = 8 → first 2 hex chars)
+_TWO40 = 1_099_511_627_776  # 2^40: integer scale for sum(2^-rho)
+# alpha_m * m^2 * 2^40 keeps ONE float constant; 256^2 * 2^40 = 2^56
+_HLL_MM_TWO40 = 72_057_594_037_927_936.0
+
+
+@register(
+    "hll_distinct_trigrams",
+    oracle=f"""
+    WITH {_SQL_TRIGRAMS}, dg AS (
+        SELECT DISTINCT lang, g FROM grams
+    ), h AS (
+        SELECT lang,
+               CAST(('0x' || substr(md5(g), 1, 2)) AS BIGINT) AS reg,
+               substr(md5(g), 3, 13) AS tail
+        FROM dg
+    ), rho AS (
+        SELECT lang, reg,
+               CASE WHEN length(regexp_extract(tail, '^(0*)', 1)) = 13
+                    THEN 53
+                    ELSE length(regexp_extract(tail, '^(0*)', 1)) * 4
+                         + CASE substr(
+                               tail,
+                               length(regexp_extract(tail, '^(0*)', 1)) + 1,
+                               1)
+                           WHEN '1' THEN 3
+                           WHEN '2' THEN 2 WHEN '3' THEN 2
+                           WHEN '4' THEN 1 WHEN '5' THEN 1
+                           WHEN '6' THEN 1 WHEN '7' THEN 1
+                           ELSE 0 END
+                         + 1
+               END AS rho
+        FROM h
+    ), regs AS (
+        SELECT lang, reg, max(rho) AS rmax FROM rho GROUP BY lang, reg
+    ), z AS (
+        SELECT lang, count(*) AS v,
+               sum(CAST(power(2, 40 - least(rmax, 40)) AS BIGINT))
+                   AS z_present
+        FROM regs GROUP BY lang
+    ), est AS (
+        SELECT lang, v,
+               (0.7213 / (1.0 + 1.079 / 256.0)) * {_HLL_MM_TWO40!r}
+               / (z_present + (256 - v) * {_TWO40}) AS e_raw
+        FROM z
+    ), ex AS (
+        SELECT lang, count(DISTINCT g) AS n_exact FROM grams GROUP BY lang
+    )
+    SELECT e.lang, ex.n_exact, e.v AS v_registers,
+           round(CASE WHEN e.e_raw <= 640.0 AND e.v < 256
+                      THEN 256.0 * ln(256.0 / (256.0 - e.v))
+                      ELSE e.e_raw END, 1) AS hll_est
+    FROM est e JOIN ex ON e.lang = ex.lang
+    ORDER BY e.lang
+    """,
+)
+def hll_distinct_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled HyperLogLog (Flajolet et al. 2007) per language over
+    word trigrams, next to the exact distinct count it estimates.
+
+    Register = first 8 bits of md5(gram) (m=256); rho = leading-zero
+    count of the next 52 bits + 1, computed with STRING ops (hex
+    leading-'0' run + a nibble CASE) so no float log is involved.
+    Registers reduce by ``max`` — an associative/commutative combine,
+    i.e. a mergeable sketch: map-side partial aggregation ships ≤256
+    tiny rows per language per partition regardless of input size,
+    which is the whole point at 100 TB (the exact count shuffles the
+    full distinct key space; the sketch shuffles a constant).
+    The indicator sum Σ 2^-max_rho is accumulated as INTEGER
+    2^(40-rho) so partial-agg order can't perturb it; the harmonic
+    estimate and small-range linear counting (E ≤ 2.5m) are single
+    scalar expressions mirrored exactly in the oracle.
+
+    Reference basis: §2.4 approx-aggregate note; the 781,397-word
+    exact cardinality in `/root/reference/.../job_output.log:107` is
+    what this replaces at scale."""
+    grams = _doc_trigrams(spark, sf_dir)
+    md5 = F.md5("g")
+    dg = grams.select("lang", "g").distinct()
+    tail = F.substring(md5, 3, 13)
+    lz = F.length(F.regexp_extract(tail, r"^(0*)", 1))
+    first = F.substring(tail, lz + F.lit(1), F.lit(1))
+    nibble = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(lz == 13, F.lit(53)).otherwise(lz * 4 + nibble + 1)
+    regs = (
+        dg.select(
+            "lang",
+            _hex_long(md5, 1, 2).alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("lang", "reg")
+        .agg(F.max("rho").alias("rmax"))
+    )
+    z = regs.groupBy("lang").agg(
+        F.count("*").alias("v"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(40) - F.least(F.col("rmax"), F.lit(40)))
+            .cast("long")
+        ).alias("z_present"),
+    )
+    e_raw = (
+        (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0)))
+        * F.lit(_HLL_MM_TWO40)
+        / (F.col("z_present") + (F.lit(256) - F.col("v")) * F.lit(_TWO40))
+    )
+    est = z.select(
+        "lang",
+        F.col("v").alias("v_registers"),
+        F.when(
+            (e_raw <= 640.0) & (F.col("v") < 256),
+            F.lit(256.0)
+            * F.log(F.lit(256.0) / (F.lit(256.0) - F.col("v"))),
+        )
+        .otherwise(e_raw)
+        .alias("est"),
+    )
+    exact = grams.groupBy("lang").agg(
+        F.countDistinct("g").alias("n_exact")
+    )
+    return (
+        est.join(exact, "lang")
+        .select(
+            "lang",
+            "n_exact",
+            "v_registers",
+            F.round("est", 1).alias("hll_est"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- Count-Min sketch -------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # buckets per row
+
+
+@register(
+    "cms_heavy_bigrams",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
+    ), pos AS (
+        SELECT doc_id, unnest(tokens) AS w, unnest(range(len(tokens))) AS p
+        FROM toks
+    ), cnts AS (
+        SELECT a.w || ' ' || b.w AS g, count(*) AS cnt
+        FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        GROUP BY g
+    ), salted AS (
+        SELECT g, cnt, s.r,
+               CAST(('0x' || substr(
+                   md5(g || ':cms' || CAST(s.r AS VARCHAR)), 1, 8))
+                   AS BIGINT) % {_CMS_W} AS bucket
+        FROM cnts, (SELECT unnest([0, 1, 2, 3]) AS r) s
+    ), sketch AS (
+        SELECT r, bucket, sum(cnt) AS bsum
+        FROM salted GROUP BY r, bucket
+    ), top AS (
+        SELECT g, cnt,
+               row_number() OVER (ORDER BY cnt DESC, g) AS rk
+        FROM cnts QUALIFY rk <= 20
+    )
+    SELECT t.g AS bigram, t.cnt AS true_cnt,
+           CAST(min(sk.bsum) AS BIGINT) AS cms_est,
+           CAST(min(sk.bsum) - t.cnt AS BIGINT) AS overestimate
+    FROM top t
+    JOIN salted sa ON sa.g = t.g
+    JOIN sketch sk ON sk.r = sa.r AND sk.bucket = sa.bucket
+    GROUP BY t.g, t.cnt
+    ORDER BY true_cnt DESC, bigram
+    """,
+)
+def cms_heavy_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over word
+    bigrams: d=4 salted md5 hash rows × w=256 buckets, estimates for
+    the true top-20 next to their exact counts.
+
+    The sketch is the mergeable form of a frequency table: bucket
+    sums are plain integer SUMs, so partial aggregation combines
+    per-partition sketches for free and the shuffled state is d×w
+    integers — constant, not O(vocabulary). The estimate min(over d
+    rows of the hashed bucket's sum) can only OVERestimate (every
+    collision adds mass), which `tests` assert as the CMS guarantee;
+    the oracle reproduces the identical sketch (same salts, same md5
+    buckets) so the driver checks the estimates exactly, collisions
+    and all.
+
+    Reference basis: §2.4 heavy-hitter/approx family (companions:
+    ``heavy_hitter_tokens`` exact, ``hll_distinct_trigrams``
+    cardinality)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("toks"))
+    grams = toks.select(word_ngrams(F.col("toks"), 2).alias("grams"))
+    cnts = (
+        grams.select(F.explode("grams").alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    salts = F.array(*[F.lit(i) for i in range(_CMS_D)])
+    salted = cnts.select(
+        "g",
+        "cnt",
+        F.explode(salts).alias("r"),
+    ).withColumn(
+        "bucket",
+        _hex_long(
+            F.md5(F.concat(F.col("g"), F.lit(":cms"), F.col("r").cast("string"))),
+            1,
+            8,
+        )
+        % _CMS_W,
+    )
+    sketch = salted.groupBy("r", "bucket").agg(F.sum("cnt").alias("bsum"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("g"))
+    top = (
+        cnts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .drop("rk")
+    )
+    top_salted = salted.join(F.broadcast(top.select("g")), "g")
+    return (
+        top_salted.join(sketch, ["r", "bucket"])
+        .groupBy("g", "cnt")
+        .agg(F.min("bsum").alias("cms_est"))
+        .select(
+            F.col("g").alias("bigram"),
+            F.col("cnt").alias("true_cnt"),
+            "cms_est",
+            (F.col("cms_est") - F.col("cnt")).alias("overestimate"),
+        )
+        .orderBy(F.desc("true_cnt"), "bigram")
+    )
+
+
+# --- Bloom filter -----------------------------------------------------
+
+_BLOOM_M = 16_384  # bits
+_BLOOM_K = 3  # hash functions
+_BLOOM_PROBES = 3_000
+
+
+@register(
+    "bloom_membership_census",
+    oracle=f"""
+    WITH bits AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(
+                   md5(CAST(c_custkey AS VARCHAR) || ':bloom'
+                       || CAST(s.j AS VARCHAR)), 1, 8))
+                   AS BIGINT) % {_BLOOM_M} AS bit
+        FROM customer, (SELECT unnest([0, 1, 2]) AS j) s
+    ), probes AS (
+        SELECT unnest(range(1, {_BLOOM_PROBES + 1})) AS probe
+    ), pb AS (
+        SELECT p.probe, s.j,
+               CAST(('0x' || substr(
+                   md5(CAST(p.probe AS VARCHAR) || ':bloom'
+                       || CAST(s.j AS VARCHAR)), 1, 8))
+                   AS BIGINT) % {_BLOOM_M} AS bit
+        FROM probes p, (SELECT unnest([0, 1, 2]) AS j) s
+    ), verdict AS (
+        SELECT pb.probe,
+               count(*) FILTER (WHERE b.bit IS NOT NULL) = 3 AS positive,
+               EXISTS (SELECT 1 FROM customer c
+                       WHERE c.c_custkey = pb.probe) AS member
+        FROM pb LEFT JOIN bits b ON pb.bit = b.bit
+        GROUP BY pb.probe
+    )
+    SELECT count(*) AS n_probes,
+           CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_members,
+           CAST(sum(CASE WHEN positive THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_positive,
+           CAST(sum(CASE WHEN positive AND NOT member THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_false_positive,
+           round(100.0 * sum(CASE WHEN positive AND NOT member
+                             THEN 1 ELSE 0 END)
+                 / sum(CASE WHEN NOT member THEN 1 ELSE 0 END), 3)
+               AS fpr_pct
+    FROM verdict
+    """,
+)
+def bloom_membership_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter (k=3 salted md5 hashes into m=16384 bits) built
+    over customer keys, probed with keys 1..3000: census of true
+    members, bloom positives, and measured false-positive rate.
+
+    This is the semi-join pre-filter a 100 TB pipeline ships to the
+    fact-table side instead of the full key set: the filter state is
+    m bits (here: a DISTINCT set of ≤m bucket ids — integer rows, so
+    building it is one hash aggregate and merging partitions is set
+    union), probing is a hash join against that tiny set, and no
+    false NEGATIVE is possible (asserted in tests: members are always
+    positive). Spark's own runtime Bloom-join (AQE
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled``) does this
+    transparently; this query keeps the math oracle-checkable.
+
+    Reference basis: extension tier — join-pruning family (companion:
+    ``semi_join_customers`` exact semi-join)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    salts = F.array(*[F.lit(j) for j in range(_BLOOM_K)])
+
+    def bucket(key: Column, j: Column) -> Column:
+        return (
+            _hex_long(
+                F.md5(
+                    F.concat(
+                        key.cast("string"), F.lit(":bloom"), j.cast("string")
+                    )
+                ),
+                1,
+                8,
+            )
+            % _BLOOM_M
+        )
+
+    bits = (
+        cust.select(F.explode(salts).alias("j"), "c_custkey")
+        .select(bucket(F.col("c_custkey"), F.col("j")).alias("bit"))
+        .distinct()
+    )
+    probes = spark.range(1, _BLOOM_PROBES + 1).select(
+        F.col("id").alias("probe")
+    )
+    pb = probes.select("probe", F.explode(salts).alias("j")).withColumn(
+        "bit", bucket(F.col("probe"), F.col("j"))
+    )
+    hits = (
+        pb.join(F.broadcast(bits.withColumn("set_", F.lit(1))), "bit", "left")
+        .groupBy("probe")
+        .agg((F.count("set_") == _BLOOM_K).alias("positive"))
+    )
+    member = cust.select(
+        F.col("c_custkey").alias("probe"), F.lit(True).alias("member")
+    )
+    verdict = hits.join(F.broadcast(member), "probe", "left").fillna(
+        False, subset=["member"]
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return verdict.agg(
+        F.count("*").alias("n_probes"),
+        one(F.col("member")).alias("n_members"),
+        one(F.col("positive")).alias("n_bloom_positive"),
+        one(F.col("positive") & ~F.col("member")).alias("n_false_positive"),
+        F.round(
+            F.lit(100.0)
+            * one(F.col("positive") & ~F.col("member"))
+            / one(~F.col("member")),
+            3,
+        ).alias("fpr_pct"),
+    )
+
+
+# --- Winnowing fingerprints ------------------------------------------
+
+_WINNOW_W = 4  # grams per winnowing window
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH {_SQL_TRIGRAMS}, hashed AS (
+        SELECT doc_id, p,
+               CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+        FROM grams
+    ), winnowed AS (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN {_WINNOW_W - 1} PRECEDING
+                            AND CURRENT ROW) AS fp,
+               p
+        FROM hashed
+        QUALIFY p >= {_WINNOW_W - 1}
+    ), doc_fps AS (
+        SELECT DISTINCT doc_id, fp FROM winnowed
+    )
+    SELECT fp, count(*) AS n_docs
+    FROM doc_fps
+    GROUP BY fp
+    ORDER BY n_docs DESC, fp
+    LIMIT 20
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word trigram, slide
+    a w=4 window over the hash sequence, keep each window's minimum —
+    the selected fingerprints are guaranteed to include a shared
+    fingerprint for any shared substring of length ≥ w+k-1 tokens.
+    Output: the 20 fingerprints shared by the most documents (the
+    boilerplate/plagiarism detector's working set).
+
+    Plan shape: gram hashing is an array transform (no shuffle), the
+    window min is a per-document ROWS frame (one shuffle on doc_id —
+    and a document's hash sequence is processed streaming, never
+    materialized whole), then DISTINCT + count is a hash aggregate on
+    (doc_id, fp). Selection density is ~2/(w+1) of positions, so the
+    shuffled fingerprint volume is a fraction of the token stream —
+    winnowing IS the sampling step that makes substring-level dedup
+    affordable at 100 TB (companions: ``minhash_near_dup`` whole-doc,
+    ``repeated_span_screen`` exact spans).
+
+    Reference basis: extension tier — fingerprinting family
+    (``doc_fingerprint`` is the whole-document exact hash)."""
+    grams = _doc_trigrams(spark, sf_dir)
+    hashed = grams.select(
+        "doc_id", "p", _hex_long(F.md5("g"), 1, 15).alias("h")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(-(_WINNOW_W - 1), 0)
+    )
+    winnowed = (
+        hashed.withColumn("fp", F.min("h").over(w))
+        .filter(F.col("p") >= _WINNOW_W - 1)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return (
+        winnowed.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "fp")
+        .limit(20)
+    )

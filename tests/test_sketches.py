@@ -1,0 +1,90 @@
+"""Behavioral guarantees of the sketch operators (queries/sketches.py)
+— the properties the exact oracles can't state: HLL's error bound,
+CMS's one-sided error, Bloom's no-false-negative, and winnowing's
+shared-substring guarantee."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from tests.conftest import SF_SMOKE
+
+
+def test_hll_within_error_bound(spark):
+    """m=256 gives ~6.5% standard error in the raw regime and tighter
+    in linear counting; 25% is a loose 3-sigma-plus gate that a broken
+    register/rho computation blows through immediately."""
+    from mapreduce511_spark.queries.sketches import hll_distinct_trigrams
+
+    for r in hll_distinct_trigrams(spark, SF_SMOKE).collect():
+        assert r.n_exact > 0
+        rel = abs(r.hll_est - r.n_exact) / r.n_exact
+        assert rel < 0.25, f"{r.lang}: est {r.hll_est} vs {r.n_exact}"
+
+
+def test_cms_never_underestimates(spark):
+    """Count-Min error is one-sided: collisions only ADD mass, so
+    est >= true for every queried item."""
+    from mapreduce511_spark.queries.sketches import cms_heavy_bigrams
+
+    rows = cms_heavy_bigrams(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.cms_est >= r.true_cnt
+        assert r.overestimate == r.cms_est - r.true_cnt
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every true member must test positive: bloom positives can never
+    undercount members. FPR among non-members stays sane for
+    n≈150..1500 keys in m=16384 bits."""
+    from mapreduce511_spark.queries.sketches import bloom_membership_census
+
+    row = bloom_membership_census(spark, SF_SMOKE).first()
+    assert row.n_probes == 3000
+    assert row.n_bloom_positive >= row.n_members
+    assert (
+        row.n_bloom_positive - row.n_members == row.n_false_positive
+    )  # positives decompose into members + false positives
+    assert row.fpr_pct < 20.0
+
+
+def test_winnowing_shared_substring_guarantee(spark, tmp_path):
+    """Two documents sharing >= w+k-1 = 6 consecutive tokens must
+    share at least one winnowing fingerprint (Schleimer et al. §2:
+    any window of w consecutive k-gram hashes has its minimum
+    selected, and a 6-token shared run contains one full window)."""
+    from mapreduce511_spark.queries.sketches import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        Row(
+            doc_id=0,
+            text=f"one two three four five six seven {shared} tail0 x y z",
+            lang="en",
+            source="s0",
+            n_chars=1,
+        ),
+        Row(
+            doc_id=1,
+            text=f"red green blue cyan violet {shared} other words here now",
+            lang="en",
+            source="s1",
+            n_chars=1,
+        ),
+        # control: no 6-token overlap with anything
+        Row(
+            doc_id=2,
+            text="p q r s t u v w aa bb cc dd ee ff gg hh",
+            lang="en",
+            source="s2",
+            n_chars=1,
+        ),
+    ]
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = winnowing_fingerprints(spark, str(tmp_path)).collect()
+    assert any(r.n_docs >= 2 for r in out), (
+        "docs 0 and 1 share a 6-token run but no common fingerprint"
+    )
