@@ -122,6 +122,19 @@ HEADLINE = [
     "event_transition_matrix",
     "price_quantity_regression",
     "copurchase_kcore_census",
+    # round 4, third sweep
+    "hll_distinct_trigrams",
+    "cms_heavy_bigrams",
+    "bloom_membership_census",
+    "winnowing_fingerprints",
+    "token_kl_by_lang",
+    "chi2_distinctive_terms",
+    "pareto_frontier_parts",
+    "copurchase_common_neighbors",
+    "incremental_mv_refresh",
+    "benford_price_census",
+    "time_weighted_value_avg",
+    "hourly_count_autocorr",
 ]
 
 

@@ -91,27 +91,30 @@ _ENUMERATE_FIRST: list[str] = [
     "event_transition_matrix",
     "price_quantity_regression",
     "copurchase_kcore_census",
+    # --- new in round 4, third sweep (sketches + info-theory +
+    #     skyline/link-prediction + telemetry + streaming top-k) ---
+    "hll_distinct_trigrams",
+    "cms_heavy_bigrams",
+    "bloom_membership_census",
+    "winnowing_fingerprints",
+    "token_kl_by_lang",
+    "chi2_distinctive_terms",
+    "pareto_frontier_parts",
+    "copurchase_common_neighbors",
+    "incremental_mv_refresh",
+    "benford_price_census",
+    "time_weighted_value_avg",
+    "hourly_count_autocorr",
+    "stream_topk_per_window",
     # --- implementation changed in round 4: re-verify ---
     "copurchase_triangles",
     "concurrent_user_spans",
     "bpe_merge_rules",
-    # --- newest green row is r01 (two testdata generations old) ---
+    # --- staleness rotation (newest green row is r01; the rest of
+    #     the r01 block re-verifies via tests/test_oracle_parity.py
+    #     every session and rotates through later rounds' windows) ---
     "minhash_signatures",
     "minhash_band_candidates",
-    "minhash_near_dup",
-    "simhash_fingerprint",
-    "simhash_near_dup",
-    "tumbling_event_counts",
-    "sessionize_events",
-    "latest_event_per_user_type",
-    "asof_last_signup",
-    "event_value_quantiles",
-    "session_window_stats",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    # --- heaviest r02-green operator ---
-    "dedup_clusters",
 ]
 
 

@@ -1316,3 +1316,161 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(wrow), 4).alias("p"),
     )
+
+
+@register(
+    "time_weighted_value_avg",
+    oracle="""
+    WITH stamped AS (
+        SELECT user_id, value, epoch_us(ts) AS us,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS next_us
+        FROM events
+    ), spans AS (
+        SELECT user_id, value, next_us - us AS dur_us
+        FROM stamped WHERE next_us IS NOT NULL
+    )
+    SELECT user_id,
+           count(*) AS n_spans,
+           CAST(sum(dur_us) AS BIGINT) AS total_us,
+           round(sum(value * dur_us) / sum(CAST(dur_us AS DOUBLE)), 4)
+               AS twap
+    FROM spans
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def time_weighted_value_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each event's value
+    is held until the user's next event and weighted by that holding
+    duration — the correct average for irregularly sampled series
+    (plain AVG over-weights bursts), i.e. the monitor-series mean the
+    reference approximates with fixed cycles (`/root/reference/
+    analyze/common_utils.py:265` averages per-cycle samples; this is
+    the continuous-time version).
+
+    Durations are integer MICROSECONDS on both sides (unix_micros /
+    epoch_us — the rounding-mode-free idiom this repo adopted after
+    the concurrent_user_spans HALF_UP/half-even near-miss), so the
+    weight sums are exact integers; only the final weighted mean is
+    float. One window (partitioned by user — parallel) + one
+    aggregate; scales as a standard sessionization-shaped shuffle.
+
+    Reference basis: A3/A4 per-step means (SURVEY.md §2.4) lifted to
+    event time; extension tier telemetry family."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    stamped = events.select(
+        "user_id",
+        "value",
+        us.alias("us"),
+        F.lead(us).over(w).alias("next_us"),
+    )
+    spans = stamped.filter(F.col("next_us").isNotNull()).select(
+        "user_id", "value", (F.col("next_us") - F.col("us")).alias("dur_us")
+    )
+    return (
+        spans.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum("dur_us").cast("long").alias("total_us"),
+            F.round(
+                F.sum(F.col("value") * F.col("dur_us"))
+                / F.sum(F.col("dur_us").cast("double")),
+                4,
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "hourly_count_autocorr",
+    oracle="""
+    WITH hours AS (
+        SELECT CAST(epoch_us(date_trunc('hour', ts)) / 3600000000
+                    AS BIGINT) AS h,
+               count(*) AS c
+        FROM events GROUP BY h
+    ), lags AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag),
+    pairs AS (
+        SELECT l.lag, a.c AS x, b.c AS y
+        FROM hours a
+        JOIN lags l ON true
+        JOIN hours b ON b.h = a.h + l.lag
+    ), m AS (
+        SELECT lag, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY lag
+    )
+    SELECT lag, n AS n_pairs,
+           round(
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+               / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                  * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+               4) AS autocorr
+    FROM m
+    ORDER BY lag
+    """,
+)
+def hourly_count_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series at lags
+    1/2/3/6/12/24 — the seasonality detector for ingest telemetry (a
+    24h peak says daily periodicity; ~0 everywhere says the load is
+    memoryless). Pairs are formed by an equi-join on hour index
+    (h = h+lag), which is gap-safe, unlike lead(): a missing hour
+    simply produces no pair.
+
+    All six Pearson moments (Σx, Σy, Σxy, Σx², Σy²) are sums of
+    INTEGER counts — exact at any parallelism — and the correlation
+    is assembled in one mirrored float expression at the end; corr()
+    built-ins are avoided because their internal accumulation
+    (Welford vs two-pass) differs between engines. The series
+    collapses to ≤ one row per hour BEFORE the joins, so the whole
+    thing is grid-sized regardless of event volume.
+
+    Reference basis: the monitor time-series family (SURVEY.md §2
+    W1/A3) — periodicity of the CPU/MEM series is the natural
+    follow-on statistic; extension tier telemetry."""
+    events = load_table(spark, sf_dir, "events")
+    hours = events.groupBy(
+        (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / 3_600_000_000)
+        .cast("long")
+        .alias("h")
+    ).agg(F.count("*").alias("c"))
+    lags = spark.createDataFrame([(l,) for l in (1, 2, 3, 6, 12, 24)], ["lag"])
+    a = hours.alias("a")
+    b = hours.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("b.h") == F.col("a.h") + F.col("lag"),
+        )
+        .select(
+            "lag", F.col("a.c").alias("x"), F.col("b.c").alias("y")
+        )
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy").cast("double") - sx.cast("double") * sy
+    den = F.sqrt(
+        n * F.col("sxx").cast("double") - sx.cast("double") * sx
+    ) * F.sqrt(n * F.col("syy").cast("double") - sy.cast("double") * sy)
+    return m.select(
+        "lag",
+        n.alias("n_pairs"),
+        F.round(num / den, 4).alias("autocorr"),
+    ).orderBy("lag")

@@ -2478,3 +2478,298 @@ def price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
     )
+
+
+@register(
+    "pareto_frontier_parts",
+    oracle="""
+    SELECT p.p_partkey, round(p.p_retailprice, 2) AS retail_price, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE (q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
+           OR (q.p_retailprice = p.p_retailprice AND q.p_size > p.p_size)
+    )
+    ORDER BY p.p_retailprice, p.p_partkey
+    """,
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Börzsönyi et al., ICDE 2001): parts not dominated
+    on (cheaper price, bigger size) — a part is OUT iff some part is
+    strictly cheaper with at least its size, or same-priced and
+    strictly bigger.
+
+    The oracle states the O(n²) NOT-EXISTS spec; the engine computes
+    the same set in O(n log n) with the sorted prefix-max sweep a 2-D
+    skyline admits: collapse to the price grid (groupBy price → max
+    size), running max of size over strictly-cheaper grid rows, keep
+    a part iff its size beats that prefix max AND equals its own
+    price-group max. The only ordered pass runs on the DEDUPED price
+    grid — bounded by the price domain, not row count, so the
+    single-partition window is a few thousand grid rows even when
+    part is billions (for a continuous/unbounded domain the same
+    sweep runs per range-partition with a per-partition prefix-max
+    merge, the standard distributed-skyline recipe).
+
+    Reference basis: extension tier — multi-objective filtering
+    (the reference's Best_SlowStart argmin A8 is the 1-D special
+    case; SURVEY.md §2.4)."""
+    (part,) = _t(spark, sf_dir, "part")
+    grid = part.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    grid = grid.withColumn("strictmax", F.max("gmax").over(w))
+    return (
+        part.select("p_partkey", "p_retailprice", "p_size")
+        .join(F.broadcast(grid), "p_retailprice")
+        .filter(
+            (
+                F.col("strictmax").isNull()
+                | (F.col("p_size") > F.col("strictmax"))
+            )
+            & (F.col("p_size") == F.col("gmax"))
+        )
+        .select(
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("retail_price"),
+            "p_size",
+        )
+        .orderBy("retail_price", "p_partkey")
+    )
+
+
+@register(
+    "copurchase_common_neighbors",
+    oracle="""
+    WITH ppo AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+        FROM ppo a JOIN ppo b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY pa, pb
+        HAVING count(*) >= 2
+    ), sym AS (
+        SELECT pa AS src, pb AS dst FROM e
+        UNION ALL
+        SELECT pb AS src, pa AS dst FROM e
+    ), deg AS (
+        SELECT src, count(*) AS d FROM sym GROUP BY src
+    ), cand AS (
+        SELECT x.src AS a, y.dst AS c, count(*) AS cn
+        FROM sym x JOIN sym y ON x.dst = y.src AND x.src < y.dst
+        GROUP BY a, c
+    ), nonedge AS (
+        SELECT cand.* FROM cand
+        WHERE NOT EXISTS (
+            SELECT 1 FROM e WHERE e.pa = cand.a AND e.pb = cand.c
+        )
+    )
+    SELECT n.a AS part_a, n.c AS part_b, n.cn AS common_neighbors,
+           round(n.cn / CAST(da.d + dc.d - n.cn AS DOUBLE), 4) AS jaccard
+    FROM nonedge n
+    JOIN deg da ON da.src = n.a
+    JOIN deg dc ON dc.src = n.c
+    ORDER BY common_neighbors DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def copurchase_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: for part pairs NOT
+    yet co-purchased (no support-2 edge), count shared neighbors and
+    score neighborhood Jaccard — 'customers who bought these also
+    bought...' candidates (Liben-Nowell & Kleinberg 2003).
+
+    Plan shape: the wedge join (sym ⋈ sym on the middle vertex) is
+    the same degree-bounded expansion as ``copurchase_triangles`` —
+    volume Σ deg(v)², kept safe by the support-≥2 edge filter that
+    prunes the long tail before any join; the existing-edge exclusion
+    is a hash LEFT ANTI, and top-20 is TakeOrdered (no global sort).
+    On a skewed graph the wedge stage gets the same degree-cap
+    treatment the triangle counter documents.
+
+    Reference basis: extension tier — graph family (companions:
+    ``copurchase_triangles`` closure census, ``copurchase_pagerank``
+    centrality; this one predicts the MISSING edges)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    ppo = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = ppo.alias("a"), ppo.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    edges = edges.localCheckpoint(eager=True)  # one self-join, not three
+    sym = edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+    x, y = sym.alias("x"), sym.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.dst") == F.col("y.src"))
+            & (F.col("x.src") < F.col("y.dst")),
+        )
+        .groupBy(F.col("x.src").alias("a"), F.col("y.dst").alias("c"))
+        .agg(F.count("*").alias("cn"))
+    )
+    nonedge = cand.join(
+        edges,
+        (cand["a"] == edges["pa"]) & (cand["c"] == edges["pb"]),
+        "left_anti",
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("d").alias("da"))
+    dc = deg.select(F.col("src").alias("c"), F.col("d").alias("dc"))
+    return (
+        nonedge.join(F.broadcast(da), "a")
+        .join(F.broadcast(dc), "c")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("c").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            F.round(
+                F.col("cn")
+                / (F.col("da") + F.col("dc") - F.col("cn")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("common_neighbors"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "incremental_mv_refresh",
+    oracle="""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: per-customer order
+    count/revenue kept as BASE aggregate + DELTA aggregate merged
+    algebraically (full outer join, coalesced sums) — never
+    recomputing the base. The oracle is the full recompute, so the
+    driver checks the maintenance algebra is exact.
+
+    The 90/10 base/delta split is a deterministic md5 bucket of the
+    order key (stands in for 'yesterday's snapshot + today's
+    ingest'). This is THE pattern for keeping corpus-level statistics
+    (per-source doc counts, token totals, dedup-class sizes) current
+    at 100 TB: count/sum/min/max are abelian-group aggregates, so a
+    delta refresh costs O(delta) + a join on the GROUPED key space —
+    not O(history). The merged result partitions by the same key as
+    the base, so repeated refreshes reuse the layout.
+
+    Reference basis: extension tier — table-maintenance family
+    (companions: ``merge_upsert_orders`` row-level CDC; this is the
+    aggregate-level analog)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    orders = orders.withColumn("is_base", bucket < 9)
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n"), F.sum("o_totalprice").alias("s")
+        )
+
+    base = agg(orders.filter(F.col("is_base")))
+    delta = agg(orders.filter(~F.col("is_base")))
+    merged = base.alias("b").join(
+        delta.alias("d"), "o_custkey", "full_outer"
+    )
+    zero = F.lit(0)
+    return merged.select(
+        "o_custkey",
+        (
+            F.coalesce(F.col("b.n"), zero) + F.coalesce(F.col("d.n"), zero)
+        ).alias("n_orders"),
+        F.round(
+            F.coalesce(F.col("b.s"), F.lit(0.0))
+            + F.coalesce(F.col("d.s"), F.lit(0.0)),
+            2,
+        ).alias("total_price"),
+    )
+
+
+@register(
+    "benford_price_census",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+    ), digits AS (
+        SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM cents
+    ), tot AS (SELECT count(*) AS n FROM digits)
+    SELECT d.digit,
+           count(*) AS n_orders,
+           round(100.0 * count(*) / max(tot.n), 3) AS pct,
+           round(100.0 * log10(1.0 + 1.0 / d.digit), 3) AS benford_pct
+    FROM digits d CROSS JOIN tot
+    GROUP BY d.digit
+    ORDER BY d.digit
+    """,
+)
+def benford_price_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law census of order totals: observed leading-digit
+    distribution vs log10(1+1/d) expectation — the standard
+    anomaly/forgery screen for value columns (synthetic or truncated
+    data shows up as a flat or spiked digit histogram).
+
+    The leading digit comes from the INTEGER cents string (never from
+    float formatting, which engines render differently, and never
+    from floor(log10(x)), whose float boundary at exact powers of 10
+    is engine-dependent). One narrow aggregate; the total joins back
+    as a broadcast scalar. Scales as a single map-side-combined
+    count.
+
+    Reference basis: extension tier — data-quality family
+    (companions: ``data_quality_audit`` nulls/ranges,
+    ``mad_value_anomaly`` robust outliers; this one checks
+    distribution SHAPE)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    tot = digits.agg(F.count("*").alias("n"))
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .groupBy("digit")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.lit(100.0) * F.count("*") / F.max("n"), 3).alias("pct"),
+            F.round(
+                F.lit(100.0)
+                * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")),
+                3,
+            ).alias("benford_pct"),
+        )
+        .orderBy("digit")
+    )

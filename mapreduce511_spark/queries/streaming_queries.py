@@ -616,3 +616,60 @@ def stream_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _detach(final, name)
     finally:
         _cleanup(src)
+
+
+@register(
+    "stream_topk_per_window",
+    oracle="""
+    WITH counts AS (
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type, count(*) AS n_events
+        FROM events GROUP BY window_start, event_type
+    ), ranked AS (
+        SELECT window_start, event_type, n_events,
+               row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, event_type) AS rank
+        FROM counts
+    )
+    SELECT window_start, event_type, n_events, rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY window_start, rank
+    """,
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per hour with the COUNTS computed by the
+    streaming engine (watermarked tumbling-window state, micro-batch
+    drain) and the ranking applied to the drained result — the
+    standard streaming top-k split: keep the unbounded-state part
+    (counts) incremental in the engine, run the per-window ranking as
+    a batch post-step over window-sized groups (Structured Streaming
+    forbids row_number on an append stream precisely because rank
+    can't close until the window does). At 100 TB the drained
+    per-window group is |event_type| rows — the ranking cost is
+    nothing; the state the cluster must hold is the same as
+    ``stream_tumbling_event_counts``.
+
+    Reference basis: §2.9 streaming surface + O4's top-k family
+    (`/root/reference/analyze/analyze_cpu_slowstart.py:22-38` picks
+    top-2 per series; this is the windowed generalization under real
+    stream execution)."""
+    src, ckpt, name = _scratch("topk")
+    try:
+        prepare_events_dir(spark, sf_dir, src)
+        stream = stream_events(spark, src, max_files_per_trigger=4)
+        drained = run_available_now(tumbling_counts(stream), name, ckpt)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+        ranked = (
+            drained.select("window_start", "event_type", "n_events")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .orderBy("window_start", "rank")
+        )
+        return _detach(ranked, name)
+    finally:
+        _cleanup(src)

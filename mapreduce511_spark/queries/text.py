@@ -2129,3 +2129,178 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("k") * 1_000_000, 4).alias("key_micro"),
         )
     )
+
+
+@register(
+    "token_kl_by_lang",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest({_SQL_TOKENS}) AS word FROM documents
+    ), lc AS (
+        SELECT lang, word, count(*) AS cnt FROM toks GROUP BY lang, word
+    ), lt AS (
+        SELECT lang, sum(cnt) AS tot FROM lc GROUP BY lang
+    ), cc AS (
+        SELECT word, sum(cnt) AS ccnt FROM lc GROUP BY word
+    ), ct AS (
+        SELECT sum(ccnt) AS ctot FROM cc
+    )
+    SELECT lc.lang,
+           CAST(max(lt.tot) AS BIGINT) AS n_tokens,
+           round(sum(
+               (lc.cnt / CAST(lt.tot AS DOUBLE))
+               * ln((lc.cnt / CAST(lt.tot AS DOUBLE))
+                    / (cc.ccnt / CAST(ct.ctot AS DOUBLE)))
+           ), 6) AS kl_nats
+    FROM lc
+    JOIN lt ON lc.lang = lt.lang
+    JOIN cc ON lc.word = cc.word
+    CROSS JOIN ct
+    GROUP BY lc.lang
+    ORDER BY lc.lang
+    """,
+)
+def token_kl_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence KL(P_lang || P_corpus) of each language's token
+    distribution from the pooled corpus distribution — the drift
+    metric a mixture-training pipeline alarms on ("is this source's
+    unigram distribution diverging from the blend it was weighted
+    for?"). Every term's support is guaranteed (a language's tokens
+    are a subset of the corpus), so no smoothing is needed.
+
+    Plan: one token explode feeding a (lang, word) count, then two
+    tiny rollups (per-lang totals, per-word corpus counts) that join
+    back BROADCAST — the only full-data shuffle is the first count,
+    whose map-side combine collapses to vocabulary size. At 100 TB
+    the joined sides stay vocabulary-sized (≤ millions of rows), so
+    the whole divergence costs one aggregation pass.
+
+    Reference basis: extension tier — corpus-statistics family
+    (companions: ``unigram_logprob_score`` per-doc NLL,
+    ``source_mixture_weights`` the blend this monitors)."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", F.explode(tokenize("text")).alias("word"))
+    )
+    lc = toks.groupBy("lang", "word").agg(F.count("*").alias("cnt"))
+    lt = lc.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    cc = lc.groupBy("word").agg(F.sum("cnt").alias("ccnt"))
+    ctot = cc.agg(F.sum("ccnt").alias("ctot"))
+    p_l = F.col("cnt") / F.col("tot").cast("double")
+    p_c = F.col("ccnt") / F.col("ctot").cast("double")
+    return (
+        lc.join(F.broadcast(lt), "lang")
+        .join(F.broadcast(cc), "word")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("lang")
+        .agg(
+            F.max("tot").cast("long").alias("n_tokens"),
+            F.round(F.sum(p_l * F.log(p_l / p_c)), 6).alias("kl_nats"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "chi2_distinctive_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest({_SQL_TOKENS}) AS word FROM documents
+    ), lc AS (
+        SELECT lang, word, count(*) AS a FROM toks GROUP BY lang, word
+    ), lt AS (
+        SELECT lang, sum(a) AS lang_tot FROM lc GROUP BY lang
+    ), wt AS (
+        SELECT word, sum(a) AS word_tot FROM lc GROUP BY word
+    ), n AS (
+        SELECT sum(a) AS n FROM lc
+    ), cells AS (
+        SELECT lc.lang, lc.word, lc.a,
+               wt.word_tot - lc.a AS b,
+               lt.lang_tot - lc.a AS c,
+               n.n - wt.word_tot - lt.lang_tot + lc.a AS d,
+               n.n AS n
+        FROM lc JOIN lt ON lc.lang = lt.lang
+                JOIN wt ON lc.word = wt.word
+                CROSS JOIN n
+    ), scored AS (
+        SELECT lang, word,
+               round(
+                   (CAST(n AS DOUBLE)
+                    * CAST(a * d - b * c AS DOUBLE)
+                    * CAST(a * d - b * c AS DOUBLE))
+                   / (CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)),
+                   4) AS chi2,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY
+                   (CAST(n AS DOUBLE)
+                    * CAST(a * d - b * c AS DOUBLE)
+                    * CAST(a * d - b * c AS DOUBLE))
+                   / (CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d))
+                   DESC, word) AS rank
+        FROM cells
+    )
+    SELECT lang, word, chi2, rank FROM scored
+    WHERE rank <= 3
+    ORDER BY lang, rank
+    """,
+)
+def chi2_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most DISTINCTIVE tokens per language by chi-square over
+    the 2x2 contingency table (token-in-lang vs token-elsewhere) —
+    the classic feature-selection / "what words characterize this
+    source" statistic (Manning & Schütze ch. 5). The determinant
+    a*d - b*c is computed as an exact BIGINT, cast to double ONCE,
+    and the rest is a single mirrored float expression, so Spark and
+    DuckDB agree bit-for-bit.
+
+    Plan: same single token-count shuffle as ``token_kl_by_lang``
+    with broadcast margins; the ranking window partitions by lang
+    over vocabulary-sized input. Scales identically.
+
+    Reference basis: extension tier — corpus-statistics family
+    (companion: ``tfidf_top_terms``, which ranks within-document;
+    this ranks within-language against the rest of the corpus)."""
+    from pyspark.sql.window import Window
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", F.explode(tokenize("text")).alias("word"))
+    )
+    lc = toks.groupBy("lang", "word").agg(F.count("*").alias("a"))
+    lt = lc.groupBy("lang").agg(F.sum("a").alias("lang_tot"))
+    wt = lc.groupBy("word").agg(F.sum("a").alias("word_tot"))
+    n = lc.agg(F.sum("a").alias("n"))
+    cells = (
+        lc.join(F.broadcast(lt), "lang")
+        .join(F.broadcast(wt), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "word",
+            "a",
+            (F.col("word_tot") - F.col("a")).alias("b"),
+            (F.col("lang_tot") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("word_tot") - F.col("lang_tot") + F.col("a"))
+            .alias("d"),
+            "n",
+        )
+    )
+    det = (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+    chi2 = (F.col("n").cast("double") * det * det) / (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc(chi2), F.asc("word"))
+    return (
+        cells.select(
+            "lang",
+            "word",
+            F.round(chi2, 4).alias("chi2"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+        .orderBy("lang", "rank")
+    )
