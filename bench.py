@@ -135,6 +135,11 @@ HEADLINE = [
     "benford_price_census",
     "time_weighted_value_avg",
     "hourly_count_autocorr",
+    "hll_rolling_7d_users",
+    "customer_rfm_segments",
+    "hour_of_day_profile",
+    "funnel_time_to_convert",
+    "bigram_entropy_rate",
 ]
 
 

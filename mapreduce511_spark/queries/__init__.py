@@ -106,15 +106,18 @@ _ENUMERATE_FIRST: list[str] = [
     "time_weighted_value_avg",
     "hourly_count_autocorr",
     "stream_topk_per_window",
-    # --- implementation changed in round 4: re-verify ---
-    "copurchase_triangles",
-    "concurrent_user_spans",
-    "bpe_merge_rules",
-    # --- staleness rotation (newest green row is r01; the rest of
-    #     the r01 block re-verifies via tests/test_oracle_parity.py
-    #     every session and rotates through later rounds' windows) ---
-    "minhash_signatures",
-    "minhash_band_candidates",
+    # --- new in round 4, fourth sweep ---
+    "hll_rolling_7d_users",
+    "customer_rfm_segments",
+    "hour_of_day_profile",
+    "funnel_time_to_convert",
+    "bigram_entropy_rate",
+    # The window is now exactly 50 never-driver-checked round-4 names.
+    # Round-4 implementation changes with existing green rows
+    # (copurchase_triangles, concurrent_user_spans, bpe_merge_rules)
+    # and the r01 staleness rotation re-verify in
+    # tests/test_oracle_parity.py every session and rotate into the
+    # round-5+ windows.
 ]
 
 

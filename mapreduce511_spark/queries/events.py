@@ -1474,3 +1474,126 @@ def hourly_count_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_pairs"),
         F.round(num / den, 4).alias("autocorr"),
     ).orderBy("lag")
+
+
+@register(
+    "hour_of_day_profile",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(extract(hour FROM ts) AS INTEGER) AS h,
+               count(*) AS c
+        FROM events GROUP BY d, h
+    )
+    SELECT h AS hour_of_day,
+           count(*) AS n_days,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           round(avg(c), 3) AS avg_per_day,
+           CAST(min(c) AS BIGINT) AS min_per_day,
+           CAST(max(c) AS BIGINT) AS max_per_day
+    FROM cells
+    GROUP BY h
+    ORDER BY h
+    """,
+)
+def hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal load profile: per hour-of-day, the mean/min/max events
+    per (day, hour) cell — the capacity-planning view of the event
+    stream (which hours need headroom, how spiky each is). The
+    two-level aggregate (cell counts, then hour-of-day stats over
+    cells) is the reference's mean-of-means discipline (A4,
+    `/root/reference/analyze/common_utils.py:264-277`) applied to the
+    clock dimension: pooling would weight busy days more.
+
+    Both aggregations are map-side combinable on tiny key spaces
+    (days×24, then 24) — the profile costs one linear scan at any
+    scale.
+
+    Reference basis: A3/A4 per-step means + extension-tier telemetry
+    (companions: ``hourly_count_autocorr`` detects the periodicity
+    this profiles)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("ts").cast("date").alias("d"),
+        F.hour("ts").alias("h"),
+    ).agg(F.count("*").alias("c"))
+    return (
+        cells.groupBy(F.col("h").alias("hour_of_day"))
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("c").cast("long").alias("n_events"),
+            F.round(F.avg("c"), 3).alias("avg_per_day"),
+            F.min("c").cast("long").alias("min_per_day"),
+            F.max("c").cast("long").alias("max_per_day"),
+        )
+        .orderBy("hour_of_day")
+    )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(epoch_us(ts)) AS vus
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS pus
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.vus
+        GROUP BY e.user_id
+    ), spans AS (
+        SELECT p.user_id, p.pus - v.vus AS dus
+        FROM p JOIN v ON p.user_id = v.user_id
+    )
+    SELECT count(*) AS n_converted,
+           round(quantile_cont(dus, 0.5) / 1000000.0, 3) AS median_s,
+           round(quantile_cont(dus, 0.9) / 1000000.0, 3) AS p90_s,
+           round(max(dus) / 1000000.0, 3) AS max_s
+    FROM spans
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, first 'view' to first
+    'purchase' AT OR AFTER that view; median/p90/max latency — the
+    funnel companion that measures HOW LONG conversion takes, where
+    ``funnel_view_to_purchase`` measures whether it happens.
+
+    Timestamps stay integer microseconds until the final divide
+    (the repo's rounding-mode-free idiom); quantiles are the exact
+    linear-interpolation aggregate (F.percentile ↔ quantile_cont —
+    same definition) over the USER-level table, which is
+    |converted users| rows; at 100 TB swap in approx_percentile
+    (t-digest) exactly as ``median_price_by_flag`` documents. The
+    first-view/first-purchase reductions are min() aggregates — one
+    user-keyed shuffle each, no window, no ordering pass.
+
+    Reference basis: extension tier — funnel family
+    (``funnel_ordered_steps``, ``funnel_view_to_purchase``); A7's
+    first-event min(when()) idiom is the underlying reduction."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("vus"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(us >= F.col("vus"))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("pus"))
+    )
+    spans = p.join(v, "user_id").select(
+        (F.col("pus") - F.col("vus")).alias("dus")
+    )
+    return spans.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.percentile("dus", F.lit(0.5)) / 1_000_000.0, 3).alias(
+            "median_s"
+        ),
+        F.round(F.percentile("dus", F.lit(0.9)) / 1_000_000.0, 3).alias(
+            "p90_s"
+        ),
+        F.round(F.max("dus") / 1_000_000.0, 3).alias("max_s"),
+    )

@@ -2773,3 +2773,88 @@ def benford_price_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH ref AS (
+        SELECT CAST(max(o_orderdate) AS DATE) AS mx FROM orders
+    ), cust AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         max(ref.mx)) AS recency_days,
+               count(*) AS frequency,
+               sum(o_totalprice) AS monetary
+        FROM orders CROSS JOIN ref
+        GROUP BY o_custkey
+    ), scored AS (
+        SELECT o_custkey, monetary,
+               ntile(5) OVER (ORDER BY recency_days ASC, o_custkey)
+                   AS r_score,
+               ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+                   AS f_score,
+               ntile(5) OVER (ORDER BY monetary DESC, o_custkey)
+                   AS m_score
+        FROM cust
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           round(sum(monetary), 2) AS total_monetary
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quintiles, score 1 = best) — the classic warehouse cohort
+    operator; segment census with customer counts and revenue mass
+    per (R,F,M) cell.
+
+    ntile() needs a TOTAL order to be deterministic, so every ranking
+    breaks ties on the customer key — without that, equal-frequency
+    customers straddling a bucket boundary would land differently per
+    run/engine. The ntile windows are global (single-partition) over
+    the CUSTOMER aggregate, which is |customers| rows — already three
+    orders of magnitude under the fact table; at 100 TB the same
+    scores come from two-pass histogram bucketing (compute quintile
+    boundaries, then score by broadcast range lookup), the same swap
+    documented for ``winsorized_price_stats``.
+
+    Reference basis: extension tier — relational/cohort family
+    (companions: ``order_value_ntile``, ``cohort_hourly_retention``)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    ref = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("mx"))
+    cust = (
+        orders.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.max("mx"), F.max(F.col("o_orderdate").cast("date"))
+            ).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+    )
+    scored = cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("monetary"), 2).alias("total_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

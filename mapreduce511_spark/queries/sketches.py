@@ -92,19 +92,10 @@ _TWO40 = 1_099_511_627_776  # 2^40: integer scale for sum(2^-rho)
 # alpha_m * m^2 * 2^40 keeps ONE float constant; 256^2 * 2^40 = 2^56
 _HLL_MM_TWO40 = 72_057_594_037_927_936.0
 
-
-@register(
-    "hll_distinct_trigrams",
-    oracle=f"""
-    WITH {_SQL_TRIGRAMS}, dg AS (
-        SELECT DISTINCT lang, g FROM grams
-    ), h AS (
-        SELECT lang,
-               CAST(('0x' || substr(md5(g), 1, 2)) AS BIGINT) AS reg,
-               substr(md5(g), 3, 13) AS tail
-        FROM dg
-    ), rho AS (
-        SELECT lang, reg,
+# SQL rho over a 13-hex-char column named ``tail`` (52 bits): leading
+# hex-zero run × 4 + first-nonzero-nibble zeros + 1. Shared verbatim
+# by every HLL oracle so both queries state the identical sketch.
+_SQL_RHO = """
                CASE WHEN length(regexp_extract(tail, '^(0*)', 1)) = 13
                     THEN 53
                     ELSE length(regexp_extract(tail, '^(0*)', 1)) * 4
@@ -118,7 +109,69 @@ _HLL_MM_TWO40 = 72_057_594_037_927_936.0
                            WHEN '6' THEN 1 WHEN '7' THEN 1
                            ELSE 0 END
                          + 1
-               END AS rho
+               END
+"""
+
+
+def _hll_reg_rho(md5col: Column) -> tuple[Column, Column]:
+    """(register, rho) of one md5 hash — Spark twin of ``_SQL_RHO``:
+    register = first 2 hex chars (8 bits), rho = leading-zero count
+    of the next 52 bits + 1, via string ops (no float log)."""
+    tail = F.substring(md5col, 3, 13)
+    lz = F.length(F.regexp_extract(tail, r"^(0*)", 1))
+    first = F.substring(tail, lz + F.lit(1), F.lit(1))
+    nibble = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(lz == 13, F.lit(53)).otherwise(lz * 4 + nibble + 1)
+    return _hex_long(md5col, 1, 2).alias("reg"), rho.alias("rho")
+
+
+def _hll_estimate(regs: DataFrame, group_col: str) -> DataFrame:
+    """(group, v_registers, est) from max-merged registers
+    (group, reg, rmax): integer-scaled harmonic sum, raw estimate,
+    linear-counting small-range branch — association order mirrored
+    exactly by the SQL in each oracle."""
+    z = regs.groupBy(group_col).agg(
+        F.count("*").alias("v"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(40) - F.least(F.col("rmax"), F.lit(40)))
+            .cast("long")
+        ).alias("z_present"),
+    )
+    e_raw = (
+        (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0)))
+        * F.lit(_HLL_MM_TWO40)
+        / (F.col("z_present") + (F.lit(256) - F.col("v")) * F.lit(_TWO40))
+    )
+    return z.select(
+        group_col,
+        F.col("v").alias("v_registers"),
+        F.when(
+            (e_raw <= 640.0) & (F.col("v") < 256),
+            F.lit(256.0)
+            * F.log(F.lit(256.0) / (F.lit(256.0) - F.col("v"))),
+        )
+        .otherwise(e_raw)
+        .alias("est"),
+    )
+
+
+@register(
+    "hll_distinct_trigrams",
+    oracle=f"""
+    WITH {_SQL_TRIGRAMS}, dg AS (
+        SELECT DISTINCT lang, g FROM grams
+    ), h AS (
+        SELECT lang,
+               CAST(('0x' || substr(md5(g), 1, 2)) AS BIGINT) AS reg,
+               substr(md5(g), 3, 13) AS tail
+        FROM dg
+    ), rho AS (
+        SELECT lang, reg, {_SQL_RHO} AS rho
         FROM h
     ), regs AS (
         SELECT lang, reg, max(rho) AS rmax FROM rho GROUP BY lang, reg
@@ -164,50 +217,14 @@ def hll_distinct_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cardinality in `/root/reference/.../job_output.log:107` is
     what this replaces at scale."""
     grams = _doc_trigrams(spark, sf_dir)
-    md5 = F.md5("g")
     dg = grams.select("lang", "g").distinct()
-    tail = F.substring(md5, 3, 13)
-    lz = F.length(F.regexp_extract(tail, r"^(0*)", 1))
-    first = F.substring(tail, lz + F.lit(1), F.lit(1))
-    nibble = (
-        F.when(first == "1", 3)
-        .when(first.isin("2", "3"), 2)
-        .when(first.isin("4", "5", "6", "7"), 1)
-        .otherwise(0)
-    )
-    rho = F.when(lz == 13, F.lit(53)).otherwise(lz * 4 + nibble + 1)
+    reg, rho = _hll_reg_rho(F.md5("g"))
     regs = (
-        dg.select(
-            "lang",
-            _hex_long(md5, 1, 2).alias("reg"),
-            rho.alias("rho"),
-        )
+        dg.select("lang", reg, rho)
         .groupBy("lang", "reg")
         .agg(F.max("rho").alias("rmax"))
     )
-    z = regs.groupBy("lang").agg(
-        F.count("*").alias("v"),
-        F.sum(
-            F.pow(F.lit(2.0), F.lit(40) - F.least(F.col("rmax"), F.lit(40)))
-            .cast("long")
-        ).alias("z_present"),
-    )
-    e_raw = (
-        (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0)))
-        * F.lit(_HLL_MM_TWO40)
-        / (F.col("z_present") + (F.lit(256) - F.col("v")) * F.lit(_TWO40))
-    )
-    est = z.select(
-        "lang",
-        F.col("v").alias("v_registers"),
-        F.when(
-            (e_raw <= 640.0) & (F.col("v") < 256),
-            F.lit(256.0)
-            * F.log(F.lit(256.0) / (F.lit(256.0) - F.col("v"))),
-        )
-        .otherwise(e_raw)
-        .alias("est"),
-    )
+    est = _hll_estimate(regs, "lang")
     exact = grams.groupBy("lang").agg(
         F.countDistinct("g").alias("n_exact")
     )
@@ -517,4 +534,111 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy(F.desc("n_docs"), "fp")
         .limit(20)
+    )
+
+
+@register(
+    "hll_rolling_7d_users",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+               user_id
+        FROM events
+    ), days AS (SELECT DISTINCT day FROM du),
+    h AS (
+        SELECT day,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))
+                   AS BIGINT) AS reg,
+               substr(md5(CAST(user_id AS VARCHAR)), 3, 13) AS tail
+        FROM du
+    ), rho AS (
+        SELECT day, reg, {_SQL_RHO} AS rho FROM h
+    ), dayreg AS (
+        SELECT day, reg, max(rho) AS rmax FROM rho GROUP BY day, reg
+    ), win AS (
+        SELECT d.day AS wend, r.reg, max(r.rmax) AS rmax
+        FROM days d
+        JOIN dayreg r ON r.day BETWEEN d.day - 6 AND d.day
+        GROUP BY wend, reg
+    ), z AS (
+        SELECT wend, count(*) AS v,
+               sum(CAST(power(2, 40 - least(rmax, 40)) AS BIGINT))
+                   AS z_present
+        FROM win GROUP BY wend
+    ), est AS (
+        SELECT wend, v,
+               (0.7213 / (1.0 + 1.079 / 256.0)) * {_HLL_MM_TWO40!r}
+               / (z_present + (256 - v) * {_TWO40}) AS e_raw
+        FROM z
+    ), ex AS (
+        SELECT d.day AS wend, count(DISTINCT u.user_id) AS n_exact
+        FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY wend
+    )
+    SELECT CAST(e.wend AS VARCHAR) AS window_end,
+           ex.n_exact, e.v AS v_registers,
+           round(CASE WHEN e.e_raw <= 640.0 AND e.v < 256
+                      THEN 256.0 * ln(256.0 / (256.0 - e.v))
+                      ELSE e.e_raw END, 1) AS hll_est
+    FROM est e JOIN ex ON e.wend = ex.wend
+    ORDER BY window_end
+    """,
+)
+def hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day computed by MERGING daily
+    HLL sketches — the sketch twin of ``rolling_7d_active_users``,
+    and the reason sketches earn their keep in a warehouse: the exact
+    version must re-touch every (user, day) pair per window, while
+    this one builds ≤256 registers per day ONCE and merges windows by
+    register max — per-day cost after the daily rollup is
+    O(windows × 256), independent of traffic. The same merge serves
+    any window length (WAU/MAU from the same daily sketches), which
+    is exactly how HLL columns are materialized in practice
+    (aggregate once per day, union-merge on read).
+
+    Exact rolling distinct is computed alongside for a per-window
+    error census under the oracle gate. Window expansion is the
+    bounded ≤7× day-offset explode (the ``rolling_7d_active_users``
+    recipe) — an equi-join, not a range join, so it scales; the
+    oracle states it as BETWEEN over the day dimension.
+
+    Reference basis: §2.4 approx-aggregate note + extension-tier
+    telemetry (companions: ``hll_distinct_trigrams`` the static
+    sketch, ``rolling_7d_active_users`` the exact rolling metric)."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    reg, rho = _hll_reg_rho(F.md5(F.col("user_id").cast("string")))
+    dayreg = (
+        du.select("day", reg, rho)
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("rmax"))
+    )
+    offsets = F.explode(
+        F.sequence("day", F.date_add("day", 6), F.expr("INTERVAL 1 DAY"))
+    )
+    win = (
+        dayreg.select("reg", "rmax", offsets.alias("wend"))
+        .join(F.broadcast(days.select(F.col("day").alias("wend"))), "wend")
+        .groupBy("wend", "reg")
+        .agg(F.max("rmax").alias("rmax"))
+    )
+    est = _hll_estimate(win, "wend")
+    exact = (
+        du.select("user_id", offsets.alias("wend"))
+        .join(F.broadcast(days.select(F.col("day").alias("wend"))), "wend")
+        .groupBy("wend")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return (
+        est.join(exact, "wend")
+        .select(
+            F.col("wend").cast("string").alias("window_end"),
+            "n_exact",
+            "v_registers",
+            F.round("est", 1).alias("hll_est"),
+        )
+        .orderBy("window_end")
     )

@@ -2304,3 +2304,99 @@ def chi2_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .orderBy("lang", "rank")
     )
+
+
+@register(
+    "bigram_entropy_rate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_SQL_TOKENS} AS tokens FROM documents
+    ), pos AS (
+        SELECT doc_id, lang, unnest(tokens) AS w,
+               unnest(range(len(tokens))) AS p
+        FROM toks
+    ), uni AS (
+        SELECT lang, w, count(*) AS c FROM pos GROUP BY lang, w
+    ), ut AS (
+        SELECT lang, sum(c) AS t FROM uni GROUP BY lang
+    ), hu AS (
+        SELECT uni.lang,
+               -sum((uni.c / CAST(ut.t AS DOUBLE))
+                    * ln(uni.c / CAST(ut.t AS DOUBLE))) AS h
+        FROM uni JOIN ut ON uni.lang = ut.lang GROUP BY uni.lang
+    ), bi AS (
+        SELECT a.lang, a.w || ' ' || b.w AS g, count(*) AS c
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        GROUP BY a.lang, g
+    ), bt AS (
+        SELECT lang, sum(c) AS t FROM bi GROUP BY lang
+    ), hb AS (
+        SELECT bi.lang,
+               -sum((bi.c / CAST(bt.t AS DOUBLE))
+                    * ln(bi.c / CAST(bt.t AS DOUBLE))) AS h
+        FROM bi JOIN bt ON bi.lang = bt.lang GROUP BY bi.lang
+    )
+    SELECT hu.lang,
+           round(hu.h, 6) AS h_unigram,
+           round(hb.h, 6) AS h_bigram,
+           round(hb.h - hu.h, 6) AS h_conditional
+    FROM hu JOIN hb ON hu.lang = hb.lang
+    ORDER BY hu.lang
+    """,
+)
+def bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of each language's token process: H(next|prev) =
+    H(bigram) - H(unigram) (chain rule, plug-in estimator over the
+    observed distributions) — the corpus-statistics complement of
+    ``char_entropy_by_lang`` (characters) and
+    ``bigram_logprob_score`` (per-document surprisal): low
+    conditional entropy = predictable/templated text, flagging
+    machine-generated or boilerplate-heavy sources.
+
+    Two vocabulary-keyed count shuffles (unigram, bigram), entropies
+    reduced per language over vocabulary-sized inputs; float appears
+    only inside the final -Σ p ln p sums (rounded 6dp — term-order
+    float noise is ~1e-15 of magnitude). Scales like the wordcount
+    family: map-side combine collapses the token stream to vocabulary
+    size before anything shuffles.
+
+    Reference basis: extension tier — corpus statistics
+    (companions: ``token_kl_by_lang``, ``chi2_distinctive_terms``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", tokenize("text").alias("toks"))
+
+    def entropy(counts: DataFrame, key: str) -> DataFrame:
+        tot = counts.groupBy("lang").agg(F.sum("c").alias("t"))
+        p = F.col("c") / F.col("t").cast("double")
+        return (
+            counts.join(F.broadcast(tot), "lang")
+            .groupBy("lang")
+            .agg((-F.sum(p * F.log(p))).alias(key))
+        )
+
+    uni = (
+        toks.select("lang", F.explode("toks").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    bi = (
+        toks.select(
+            "lang", word_ngrams(F.col("toks"), 2).alias("grams")
+        )
+        .select("lang", F.explode("grams").alias("g"))
+        .groupBy("lang", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    hu = entropy(uni, "hu")
+    hb = entropy(bi, "hb")
+    return (
+        hu.join(hb, "lang")
+        .select(
+            "lang",
+            F.round("hu", 6).alias("h_unigram"),
+            F.round("hb", 6).alias("h_bigram"),
+            F.round(F.col("hb") - F.col("hu"), 6).alias("h_conditional"),
+        )
+        .orderBy("lang")
+    )

@@ -68,6 +68,22 @@ PICKS = {
     "event_transition_matrix": "one user-keyed window pass; |types|^2 matrix normalization",
     "price_quantity_regression": "single-pass combinable regression moments; 3-group shuffle",
     "copurchase_kcore_census": "peel rounds ~ degeneracy depth; per-round vertex-keyed semi-joins",
+    "hll_distinct_trigrams": "sketch state fixed at 256 registers/group; shuffle ~ distinct grams pre-agg, constant post",
+    "cms_heavy_bigrams": "sketch is d*w integer cells; bucket sums map-side combine; top-k join broadcast",
+    "bloom_membership_census": "filter build ~ keys; probe join against <=m distinct bits (broadcast)",
+    "winnowing_fingerprints": "per-doc window min; selected fingerprints ~2/(w+1) of token stream",
+    "token_kl_by_lang": "one vocab-sized count shuffle; margins broadcast back",
+    "chi2_distinctive_terms": "same single count shuffle; ranking window over vocab-sized groups",
+    "pareto_frontier_parts": "sweep over deduped price grid (domain-bounded), broadcast back to facts",
+    "copurchase_common_neighbors": "wedge volume ~ sum deg^2 over support-filtered edges",
+    "incremental_mv_refresh": "O(delta) + grouped-key join; base never recomputed",
+    "benford_price_census": "linear map-combinable digit count; scalar total broadcast",
+    "time_weighted_value_avg": "one user-partitioned window + combinable agg (sessionization shape)",
+    "hourly_count_autocorr": "collapses to hour grid before joins; grid-sized thereafter",
+    "hll_rolling_7d_users": "daily register rollup once; window merge is O(days x 256), traffic-independent",
+    "customer_rfm_segments": "customer-grain aggregate then ntile over |customers| rows",
+    "funnel_time_to_convert": "two min() reductions + user-grain quantiles",
+    "bigram_entropy_rate": "two vocab-keyed count shuffles; per-lang entropy reduce",
 }
 
 
