@@ -140,6 +140,8 @@ HEADLINE = [
     "hour_of_day_profile",
     "funnel_time_to_convert",
     "bigram_entropy_rate",
+    "minhash_jaccard_estimate",
+    "lsh_recall_curve",
 ]
 
 

@@ -183,10 +183,17 @@ def band_candidates(bands: DataFrame, max_bucket: int | None = None) -> DataFram
     )
 
 
-def verify_jaccard(candidates: DataFrame, shingles: DataFrame) -> DataFrame:
+def verify_jaccard(
+    candidates: DataFrame, shingles: DataFrame, keep_zero: bool = False
+) -> DataFrame:
     """Exact Jaccard for candidate pairs only: join each side's shingle
     set, count intersections, divide by union. Cost is proportional to
-    the candidate set, not to all pairs."""
+    the candidate set, not to all pairs.
+
+    ``keep_zero=True`` keeps candidates with an EMPTY intersection
+    (jaccard 0.0) — needed by accuracy censuses that want LSH false
+    positives visible; the default drops them (a near-dup filter
+    discards them anyway)."""
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sa = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
     sb = shingles.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -196,6 +203,10 @@ def verify_jaccard(candidates: DataFrame, shingles: DataFrame) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("both"))
     )
+    if keep_zero:
+        inter = candidates.join(inter, ["doc_a", "doc_b"], "left").fillna(
+            0, subset=["both"]
+        )
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     jac = F.col("both") / (F.col("sz_a") + F.col("sz_b") - F.col("both"))

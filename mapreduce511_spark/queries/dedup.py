@@ -324,3 +324,211 @@ def fuzzy_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("kept_docs"),
         F.sum("n_chars").alias("kept_chars"),
     )
+
+
+@register(
+    "minhash_jaccard_estimate",
+    oracle=f"""
+    {_SQL_BANDS},
+    agree AS (
+        SELECT c.doc_a, c.doc_b,
+               sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)
+                   / {N_PERMS}.0 AS est
+        FROM cand c
+        JOIN mh a ON a.doc_id = c.doc_a
+        JOIN mh b ON b.doc_id = c.doc_b AND b.perm = a.perm
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(sb.sh) AS nb
+        FROM cand c
+        JOIN shingles sa ON sa.doc_id = c.doc_a
+        LEFT JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(g.est, 4) AS est_jaccard,
+           round(i.nb * 1.0 / (sa.sz + sb.sz - i.nb), 4) AS exact_jaccard,
+           round(abs(g.est - i.nb * 1.0 / (sa.sz + sb.sz - i.nb)), 4)
+               AS abs_err
+    FROM inter i
+    JOIN agree g ON g.doc_a = i.doc_a AND g.doc_b = i.doc_b
+    JOIN sz sa ON i.doc_a = sa.doc_id
+    JOIN sz sb ON i.doc_b = sb.doc_id
+    ORDER BY exact_jaccard DESC, i.doc_a, i.doc_b
+    """,
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy census of the MinHash pipeline: for every LSH
+    candidate pair, the SIGNATURE-agreement Jaccard estimate
+    (matching permutations / 16 — the unbiased MinHash estimator)
+    next to the exact shingle Jaccard, with absolute error. Zero-
+    intersection candidates are KEPT (exact_jaccard 0.0): those rows
+    are the pipeline's false positives made visible.
+
+    This is the query that tells a 100 TB dedup operator whether the
+    cheap path (signature agreement — no shingle join at all) can
+    replace exact verification at their threshold: E[err] ~
+    1/sqrt(K)=0.25 at K=16, so agreement is a pre-filter, not a
+    verdict, and the census measures exactly that. The agreement join
+    ships 16 integers per doc (the signatures the pipeline already
+    built); the exact side is candidate-bounded like
+    ``minhash_near_dup``.
+
+    Reference basis: extension tier — dedup family evaluation
+    (companions: ``minhash_near_dup`` the pipeline,
+    ``lsh_recall_curve`` the recall side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = doc_shingles(docs)
+    wide = minhash_signatures_wide(shingles)
+    cand = band_candidates(minhash_bands(wide))
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_PERMS)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_PERMS)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_PERMS)
+    )
+    est = (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", (matches / float(N_PERMS)).alias("est"))
+    )
+    exact = verify_jaccard(cand, shingles, keep_zero=True)
+    return (
+        est.join(exact, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("est", 4).alias("est_jaccard"),
+            F.round("jaccard", 4).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est") - F.col("jaccard")), 4).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy(F.desc("exact_jaccard"), "doc_a", "doc_b")
+    )
+
+
+@register(
+    "lsh_recall_curve",
+    oracle=f"""
+    {_SQL_BANDS},
+    sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nb
+        FROM shingles a
+        JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+    ),
+    truth AS (
+        SELECT i.doc_a, i.doc_b,
+               i.nb * 1.0 / (sa.sz + sb.sz - i.nb) AS jac
+        FROM inter i
+        JOIN sz sa ON i.doc_a = sa.doc_id
+        JOIN sz sb ON i.doc_b = sb.doc_id
+    ),
+    thresholds AS (
+        SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9]) AS t10
+    ),
+    marked AS (
+        SELECT th.t10, t.doc_a, t.doc_b,
+               CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS captured
+        FROM thresholds th
+        JOIN truth t ON t.jac >= th.t10 / 10.0
+        LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT t10 AS threshold_tenths,
+           count(*) AS n_true_pairs,
+           CAST(sum(captured) AS BIGINT) AS n_captured,
+           round(sum(captured) * 1.0 / count(*), 4) AS recall,
+           round(1.0 - power(1.0 - power(t10 / 10.0, 4), 4), 4)
+               AS theory_min_capture
+    FROM marked
+    GROUP BY t10
+    ORDER BY t10
+    """,
+)
+def lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH recall against exact ground truth, by Jaccard
+    threshold: of all pairs with exact Jaccard >= t, what fraction
+    appear in the banded candidate set — next to the S-curve
+    theoretical capture probability 1-(1-t^r)^b at the threshold
+    (a LOWER bound for pairs above t, since capture probability is
+    monotone in similarity). This is the tuning chart for (bands,
+    rows): where measured recall sags below target, add bands; where
+    candidate volume explodes, add rows — the standard LSH
+    engineering trade made measurable per corpus under the oracle
+    gate.
+
+    Ground truth comes from the inverted shingle index (exact for
+    every t > 0 — a pair with Jaccard >= t shares a shingle), so the
+    whole query is the near_dup_jaccard shape plus a broadcast-sized
+    threshold explode; candidate membership is one hash LEFT JOIN.
+
+    Reference basis: extension tier — dedup evaluation (SURVEY.md §7
+    M7); the LSH S-curve math is Leskovec/Rajaraman/Ullman ch. 3."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = doc_shingles(docs)
+    cand = band_candidates(minhash_bands(minhash_signatures_wide(shingles)))
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("nb"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    truth = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("nb")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("nb"))
+            ).alias("jac"),
+        )
+    )
+    thresholds = spark.createDataFrame([(t,) for t in range(2, 10)], ["t10"])
+    marked = (
+        truth.crossJoin(F.broadcast(thresholds))
+        .filter(F.col("jac") >= F.col("t10") / 10.0)
+        .join(
+            cand.withColumn("captured", F.lit(1)),
+            ["doc_a", "doc_b"],
+            "left",
+        )
+        .fillna(0, subset=["captured"])
+    )
+    return (
+        marked.groupBy(F.col("t10").alias("threshold_tenths"))
+        .agg(
+            F.count("*").alias("n_true_pairs"),
+            F.sum("captured").cast("long").alias("n_captured"),
+            F.round(F.sum("captured") / F.count("*"), 4).alias("recall"),
+            F.round(
+                F.lit(1.0)
+                - F.pow(
+                    F.lit(1.0) - F.pow(F.col("threshold_tenths") / 10.0, 4),
+                    4,
+                ),
+                4,
+            ).alias("theory_min_capture"),
+        )
+        .orderBy("threshold_tenths")
+    )
