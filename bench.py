@@ -142,6 +142,8 @@ HEADLINE = [
     "bigram_entropy_rate",
     "minhash_jaccard_estimate",
     "lsh_recall_curve",
+    "winnow_near_dup_candidates",
+    "embedding_top_component",
 ]
 
 

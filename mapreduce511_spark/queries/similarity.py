@@ -1112,3 +1112,82 @@ def near_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(c_ba, 4).alias("contain_ba"),
         )
     )
+
+
+_PCA_DIM = 64
+_PCA_ITERS = 100
+
+
+@register("embedding_top_component")  # rows-only: iterative eigensolve
+def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud via distributed
+    Gram accumulation + driver-side power iteration — the whitening /
+    drift-detection primitive of an embedding pipeline (a drifting
+    ingest shows up first as a rotating top component).
+
+    Scale shape: the ONLY distributed work is one ``mapInPandas``
+    pass emitting per-partition partials (count, Σx, XᵀX — a 64×64
+    matrix, Arrow-batched numpy, no per-row Python); partials are
+    (num_partitions) tiny rows, merged at the driver by plain
+    addition (they're abelian — the same algebra every sketch in
+    this repo exploits; at thousands of partitions the merge would
+    be a treeAggregate, same math). The 64×64 covariance eigensolve
+    is driver-side by design — O(d²) state is a constant, like the
+    reference's driver-side spline (SURVEY.md §2.10). Power
+    iteration runs a fixed 100 rounds from a fixed init with a
+    deterministic sign convention (first nonzero loading positive).
+
+    No SQL oracle (iterative eigensolve isn't SQL); correctness is
+    asserted against numpy's full-data eigendecomposition in
+    tests/test_third_fourth_sweep.py.
+
+    Reference basis: extension tier — embedding family (companions:
+    ``embedding_dim_stats`` per-coordinate moments,
+    ``embedding_random_projection`` fixed JL transform; this one
+    LEARNS the direction)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def partials(batches):
+        n = 0
+        s = np.zeros(_PCA_DIM)
+        g = np.zeros((_PCA_DIM, _PCA_DIM))
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n += m.shape[0]
+            s += m.sum(axis=0)
+            g += m.T @ m
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.flatten().tolist()]}
+            )
+
+    rows = (
+        emb.select("embedding")
+        .mapInPandas(partials, "n long, s array<double>, g array<double>")
+        .collect()
+    )
+    n = sum(r.n for r in rows)
+    s = np.sum([np.array(r.s) for r in rows], axis=0)
+    gram = np.sum(
+        [np.array(r.g).reshape(_PCA_DIM, _PCA_DIM) for r in rows], axis=0
+    )
+    mu = s / n
+    cov = gram / n - np.outer(mu, mu)
+    v = np.full(_PCA_DIM, 1.0 / np.sqrt(_PCA_DIM))
+    for _ in range(_PCA_ITERS):
+        v = cov @ v
+        v /= np.linalg.norm(v)
+    eigval = float(v @ cov @ v)
+    nz = np.flatnonzero(np.round(v, 12))
+    if len(nz) and v[nz[0]] < 0:
+        v = -v
+    out = [
+        (int(i), round(float(v[i]), 4), round(eigval, 6))
+        for i in range(_PCA_DIM)
+    ]
+    return spark.createDataFrame(
+        out, "dim int, loading double, eigenvalue double"
+    )

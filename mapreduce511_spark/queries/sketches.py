@@ -642,3 +642,98 @@ def hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_end")
     )
+
+
+_WINNOW_MAX_DF = 20  # drop boilerplate fingerprints (posting-list cap)
+_WINNOW_MIN_SHARED = 3  # candidate pair threshold
+
+
+@register(
+    "winnow_near_dup_candidates",
+    oracle=f"""
+    WITH {_SQL_TRIGRAMS}, hashed AS (
+        SELECT doc_id, p,
+               CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+        FROM grams
+    ), winnowed AS (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN {_WINNOW_W - 1} PRECEDING
+                            AND CURRENT ROW) AS fp,
+               p
+        FROM hashed
+        QUALIFY p >= {_WINNOW_W - 1}
+    ), doc_fps AS (
+        SELECT DISTINCT doc_id, fp FROM winnowed
+    ), df AS (
+        SELECT fp, count(*) AS d FROM doc_fps GROUP BY fp
+    ), rare AS (
+        SELECT doc_fps.doc_id, doc_fps.fp
+        FROM doc_fps JOIN df ON doc_fps.fp = df.fp
+        WHERE df.d <= {_WINNOW_MAX_DF}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS shared_fps
+    FROM rare a JOIN rare b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    ORDER BY shared_fps DESC, doc_a, doc_b
+    """,
+)
+def winnow_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level near-dup candidates from shared winnowing
+    fingerprints: pairs of documents sharing ≥3 selected fingerprints
+    (boilerplate fingerprints with document frequency > 20 dropped
+    first). This is MOSS's second half, and the detector that catches
+    PARTIAL overlap — a paragraph copied into an otherwise different
+    document — which whole-document MinHash dilutes below threshold
+    (Jaccard over full shingle sets) but a shared run of w+k-1 tokens
+    still guarantees a shared fingerprint here.
+
+    Same scale discipline as every inverted-index candidate
+    generator in this repo: the pair join runs over RARE-fingerprint
+    postings only (the df cap bounds every posting list, so pair
+    volume ≤ Σ df² over capped lists), and the threshold is applied
+    as a HAVING on the grouped count, not per-pair state. Costs: one
+    doc-partitioned window (the winnowing), one fingerprint-keyed
+    self-join.
+
+    Reference basis: extension tier — dedup family (companions:
+    ``winnowing_fingerprints`` the selection stage,
+    ``near_dup_containment`` the shingle-level asymmetric screen,
+    ``minhash_near_dup`` the whole-document path)."""
+    grams = _doc_trigrams(spark, sf_dir)
+    hashed = grams.select(
+        "doc_id", "p", _hex_long(F.md5("g"), 1, 15).alias("h")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(-(_WINNOW_W - 1), 0)
+    )
+    doc_fps = (
+        hashed.withColumn("fp", F.min("h").over(w))
+        .filter(F.col("p") >= _WINNOW_W - 1)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    df_counts = doc_fps.groupBy("fp").agg(F.count("*").alias("d"))
+    rare = doc_fps.join(
+        df_counts.filter(F.col("d") <= _WINNOW_MAX_DF).select("fp"), "fp"
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= _WINNOW_MIN_SHARED)
+        .orderBy(F.desc("shared_fps"), "doc_a", "doc_b")
+    )

@@ -216,3 +216,29 @@ def test_bloom_known_member_and_nonmember(spark, tmp_path):
     row = bloom_membership_census(spark, str(tmp_path)).first()
     assert row.n_members == 3
     assert row.n_bloom_positive >= 3  # all members positive
+
+
+def test_embedding_top_component_matches_numpy(spark):
+    """Distributed Gram + power iteration must agree with numpy's
+    exact eigendecomposition of the same covariance: same top
+    eigenvalue, |cosine| of eigenvectors ~ 1."""
+    import numpy as np
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from mapreduce511_spark.queries.similarity import (
+        embedding_top_component,
+    )
+
+    rows = embedding_top_component(spark, SF_SMOKE).collect()
+    v = np.zeros(64)
+    for r in rows:
+        v[r.dim] = r.loading
+    eig = rows[0].eigenvalue
+
+    tbl = pq_.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pandas()
+    m = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    cov = np.cov(m, rowvar=False, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    assert abs(eig - w[-1]) < 1e-4
+    cos = abs(float(v @ vecs[:, -1]) / np.linalg.norm(v))
+    assert cos > 0.999

@@ -84,6 +84,8 @@ PICKS = {
     "customer_rfm_segments": "customer-grain aggregate then ntile over |customers| rows",
     "funnel_time_to_convert": "two min() reductions + user-grain quantiles",
     "bigram_entropy_rate": "two vocab-keyed count shuffles; per-lang entropy reduce",
+    "winnow_near_dup_candidates": "df-capped fingerprint postings bound the pair join",
+    "embedding_top_component": "one Arrow-batched Gram pass; driver holds only 64x64 partial merges",
 }
 
 
