@@ -242,3 +242,57 @@ def test_embedding_top_component_matches_numpy(spark):
     assert abs(eig - w[-1]) < 1e-4
     cos = abs(float(v @ vecs[:, -1]) / np.linalg.norm(v))
     assert cos > 0.999
+
+
+def test_common_neighbors_hand_graph(spark, tmp_path):
+    """Hand-built co-purchase graph: orders {1,2} x2, {2,3} x2,
+    {1,3} x1 -> support-2 edges are 1-2 and 2-3 only; the single
+    candidate pair is (1,3) through middle vertex 2 with one common
+    neighbor and Jaccard 1/(deg1 + deg3 - 1) = 1.0."""
+    import datetime
+
+    baskets = [(1, [1, 2]), (2, [1, 2]), (3, [2, 3]), (4, [2, 3]), (5, [1, 3])]
+    rows = []
+    for ok, parts in baskets:
+        for ln, pk in enumerate(parts):
+            rows.append((ok, pk, 1, ln + 1))
+    ts = datetime.datetime(2024, 1, 1)
+    _write_single_parquet(
+        tmp_path / "lineitem.parquet",
+        {
+            "l_orderkey": [r[0] for r in rows],
+            "l_partkey": [r[1] for r in rows],
+            "l_suppkey": [r[2] for r in rows],
+            "l_linenumber": [r[3] for r in rows],
+            "l_quantity": [1.0] * len(rows),
+            "l_extendedprice": [1.0] * len(rows),
+            "l_discount": [0.0] * len(rows),
+            "l_tax": [0.0] * len(rows),
+            "l_returnflag": ["N"] * len(rows),
+            "l_linestatus": ["O"] * len(rows),
+            "l_shipdate": [ts] * len(rows),
+        },
+        pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_partkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("l_linenumber", pa.int32()),
+                ("l_quantity", pa.float64()),
+                ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()),
+                ("l_tax", pa.float64()),
+                ("l_returnflag", pa.string()),
+                ("l_linestatus", pa.string()),
+                ("l_shipdate", pa.timestamp("us")),
+            ]
+        ),
+    )
+    from mapreduce511_spark.queries.relational import (
+        copurchase_common_neighbors,
+    )
+
+    out = copurchase_common_neighbors(spark, str(tmp_path)).collect()
+    assert [(r.part_a, r.part_b, r.common_neighbors, r.jaccard) for r in out] == [
+        (1, 3, 1, 1.0)
+    ]

@@ -50,6 +50,13 @@ PICKS = {
     "rolling_7d_active_users": "7x contribs shuffle on uniform day keys",
     "near_dup_containment": "shared shingle-posting candidates; pair-keyed verify",
     "mad_value_anomaly": "fact shuffles once; medians ride broadcasts",
+    "hll_distinct_trigrams": "sketch proof: trigram stream in, <=256 register rows per lang shuffle out",
+    "cms_heavy_bigrams": "bucket sums: vocabulary in, d*w sketch cells out",
+    "winnowing_fingerprints": "selection density ~2/(w+1): fingerprint shuffle << token stream",
+    "winnow_near_dup_candidates": "df-capped postings bound the pair-join shuffle",
+    "copurchase_common_neighbors": "support filter prunes edges before the wedge shuffle",
+    "token_kl_by_lang": "one vocab-sized count shuffle; margins ride broadcasts",
+    "hll_rolling_7d_users": "daily registers once; window merge shuffles days x <=256 rows",
 }
 
 # static epilogue kept across regenerations (measured once; the
