@@ -144,6 +144,8 @@ HEADLINE = [
     "lsh_recall_curve",
     "winnow_near_dup_candidates",
     "embedding_top_component",
+    "item_cosine_similarity",
+    "theil_sen_price_slope",
 ]
 
 

@@ -2858,3 +2858,171 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "item_cosine_similarity",
+    oracle="""
+    WITH pu AS (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), deg AS (
+        SELECT p, count(*) AS d FROM pu GROUP BY p
+    ), co AS (
+        SELECT a.p AS pa, b.p AS pb, count(*) AS c
+        FROM pu a JOIN pu b ON a.u = b.u AND a.p < b.p
+        GROUP BY pa, pb
+        HAVING count(*) >= 2
+    )
+    SELECT co.pa AS part_a, co.pb AS part_b, co.c AS n_co_buyers,
+           round(co.c / sqrt(CAST(da.d * db.d AS DOUBLE)), 4) AS cosine
+    FROM co
+    JOIN deg da ON da.p = co.pa
+    JOIN deg db ON db.p = co.pb
+    ORDER BY cosine DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def item_cosine_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity: cosine over the
+    binary customer-part incidence matrix (co-buyers /
+    sqrt(buyers_a * buyers_b)), top-20 pairs with >=2 shared buyers —
+    the classic 'people who bought X also bought Y' primitive
+    (Sarwar et al., WWW 2001), computed without ever materializing
+    the incidence matrix: the co-occurrence join is an inverted index
+    on the CUSTOMER key, so pair volume is bounded by per-customer
+    basket size squared (a data invariant), and degrees ride
+    broadcasts.
+
+    At 100 TB the one knob is capping whale customers (a single
+    customer with 1e5 items contributes 1e10 pairs) — the same
+    max-bucket treatment every inverted-index candidate generator in
+    this repo documents; the support-2 HAVING prunes the pair tail
+    before ranking, and top-20 is TakeOrdered.
+
+    Reference basis: extension tier — co-occurrence family
+    (companions: ``copurchase_part_pairs`` raw support counts,
+    ``copurchase_common_neighbors`` graph-topology variant; this one
+    normalizes by popularity)."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    pu = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = pu.groupBy("p").agg(F.count("*").alias("d"))
+    a, b = pu.alias("a"), pu.alias("b")
+    co = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    da = deg.select(F.col("p").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("p").alias("pb"), F.col("d").alias("db"))
+    return (
+        co.join(F.broadcast(da), "pa")
+        .join(F.broadcast(db), "pb")
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("c").alias("n_co_buyers"),
+            F.round(
+                F.col("c") / F.sqrt((F.col("da") * F.col("db")).cast("double")),
+                4,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "theil_sen_price_slope",
+    oracle="""
+    WITH keyed AS (
+        SELECT l_quantity AS q, l_extendedprice AS p,
+               row_number() OVER (
+                   ORDER BY md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                               CAST(l_linenumber AS VARCHAR)),
+                            l_orderkey, l_linenumber,
+                            l_quantity, l_extendedprice) AS rn
+        FROM lineitem
+    ), pairs AS (
+        SELECT a.q AS q1, a.p AS p1, b.q AS q2, b.p AS p2
+        FROM keyed a JOIN keyed b ON b.rn = a.rn + 1
+        WHERE a.rn % 2 = 1 AND b.q <> a.q
+    ), slopes AS (
+        SELECT (p2 - p1) / (q2 - q1) AS s FROM pairs
+    ), ols AS (
+        SELECT regr_slope(l_extendedprice, l_quantity) AS b1 FROM lineitem
+    )
+    SELECT count(*) AS n_pairs,
+           round(quantile_cont(s, 0.5), 6) AS median_slope,
+           round(quantile_cont(s, 0.25), 6) AS p25_slope,
+           round(quantile_cont(s, 0.75), 6) AS p75_slope,
+           round(max(ols.b1), 6) AS ols_slope
+    FROM slopes CROSS JOIN ols
+    """,
+)
+def theil_sen_price_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust price-per-quantity slope: the paired Theil–Sen
+    estimator — median of slopes over DISJOINT pairs formed by a
+    deterministic hash shuffle (md5-ranked rows paired adjacently) —
+    next to the OLS slope it robustifies. Median-of-pairwise-slopes
+    resists the outliers that yank least squares (29% breakdown for
+    the paired variant, Sen 1968); the hash ordering makes the
+    pairing a pure function of the data, so re-runs and the oracle
+    agree exactly.
+
+    The full O(n²) Theil–Sen is infeasible at any scale; the paired
+    form needs ONE ordered pass. The global row_number here is the
+    oracle-exact formulation; at 100 TB the identical statistic comes
+    from hash-partitioning and pairing WITHIN partitions (pairs stay
+    disjoint and hash-random, no global sort) with per-partition
+    slope samples feeding approx_percentile — the same exact→approx
+    swap documented for every quantile in this repo.
+
+    Reference basis: extension tier — robust statistics family
+    (companions: ``price_quantity_regression`` OLS moments,
+    ``mad_value_anomaly`` robust dispersion)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy(
+        F.md5(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+    )
+    keyed = li.select(
+        F.col("l_quantity").alias("q"),
+        F.col("l_extendedprice").alias("p"),
+        F.row_number().over(w).alias("rn"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.rn") == F.col("a.rn") + 1)
+        & (F.col("a.rn") % 2 == 1)
+        & (F.col("b.q") != F.col("a.q")),
+    ).select(
+        (
+            (F.col("b.p") - F.col("a.p")) / (F.col("b.q") - F.col("a.q"))
+        ).alias("s")
+    )
+    ols = li.agg(
+        F.regr_slope("l_extendedprice", "l_quantity").alias("b1")
+    )
+    return pairs.crossJoin(F.broadcast(ols)).agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.percentile("s", F.lit(0.5)), 6).alias("median_slope"),
+        F.round(F.percentile("s", F.lit(0.25)), 6).alias("p25_slope"),
+        F.round(F.percentile("s", F.lit(0.75)), 6).alias("p75_slope"),
+        F.round(F.max("b1"), 6).alias("ols_slope"),
+    )

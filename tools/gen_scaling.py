@@ -86,6 +86,8 @@ PICKS = {
     "bigram_entropy_rate": "two vocab-keyed count shuffles; per-lang entropy reduce",
     "winnow_near_dup_candidates": "df-capped fingerprint postings bound the pair join",
     "embedding_top_component": "one Arrow-batched Gram pass; driver holds only 64x64 partial merges",
+    "item_cosine_similarity": "customer-keyed inverted index; pair volume ~ basket size squared",
+    "theil_sen_price_slope": "one ordered pass, disjoint pairs; partition-local pairing at scale",
 }
 
 
