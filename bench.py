@@ -146,6 +146,7 @@ HEADLINE = [
     "embedding_top_component",
     "item_cosine_similarity",
     "theil_sen_price_slope",
+    "asof_next_purchase_census",
 ]
 
 

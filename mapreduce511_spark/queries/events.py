@@ -1597,3 +1597,91 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("dus") / 1_000_000.0, 3).alias("max_s"),
     )
+
+
+@register(
+    "asof_next_purchase_census",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, user_id, epoch_us(ts) AS vus
+        FROM events WHERE event_type = 'view'
+    ), nxt AS (
+        SELECT v.event_id, v.vus,
+               (SELECT min(epoch_us(p.ts)) FROM events p
+                WHERE p.user_id = v.user_id
+                  AND p.event_type = 'purchase'
+                  AND epoch_us(p.ts) >= v.vus) AS pus
+        FROM v
+    ), spans AS (
+        SELECT event_id, pus - vus AS dus,
+               CASE WHEN pus IS NOT NULL
+                         AND pus - vus <= 86400000000
+                    THEN 1 ELSE 0 END AS conv24
+        FROM nxt
+    )
+    SELECT count(*) AS n_views,
+           CAST(sum(conv24) AS BIGINT) AS n_converted_24h,
+           round(quantile_cont(CASE WHEN conv24 = 1 THEN dus END, 0.5)
+                 / 1000000.0, 3) AS median_delay_s,
+           round(avg(CASE WHEN conv24 = 1 THEN dus END) / 1000000.0, 3)
+               AS avg_delay_s
+    FROM spans
+    """,
+)
+def asof_next_purchase_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join census: every 'view' is matched to the SAME
+    user's next 'purchase' at-or-after it (24h attribution horizon) —
+    the complement of ``asof_last_signup`` (backward as-of) and the
+    batch twin of ``stream_click_attribution``.
+
+    The engine never runs the correlated-subquery spec the oracle
+    states: views and purchases are UNIONed into one user-keyed
+    stream and each view reads min(purchase_ts) over a REVERSED
+    window frame (CURRENT ROW TO UNBOUNDED FOLLOWING on the purchase
+    column) — one shuffle on user_id, one ordered pass per user, no
+    join at all. That plan is how every forward/backward as-of in
+    this engine scales: per-key ordered scan, never a per-row probe.
+
+    Reference basis: extension tier — events/attribution family
+    (SURVEY.md §2.3 notes as-of joins as the range-join extension)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    stream = ev.filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        F.when(F.col("event_type") == "purchase", us).alias("pus"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    views = (
+        stream.withColumn("next_pus", F.min("pus").over(w))
+        .filter(F.col("event_type") == "view")
+        .select(
+            (F.col("next_pus") - F.col("us")).alias("dus"),
+        )
+        .withColumn(
+            "conv24",
+            F.when(
+                F.col("dus").isNotNull() & (F.col("dus") <= 86_400_000_000),
+                1,
+            ).otherwise(0),
+        )
+    )
+    conv_d = F.when(F.col("conv24") == 1, F.col("dus"))
+    return views.agg(
+        F.count("*").alias("n_views"),
+        F.sum("conv24").cast("long").alias("n_converted_24h"),
+        F.round(F.percentile(conv_d, F.lit(0.5)) / 1_000_000.0, 3).alias(
+            "median_delay_s"
+        ),
+        F.round(F.avg(conv_d) / 1_000_000.0, 3).alias("avg_delay_s"),
+    )

@@ -88,3 +88,44 @@ def test_winnowing_shared_substring_guarantee(spark, tmp_path):
     assert any(r.n_docs >= 2 for r in out), (
         "docs 0 and 1 share a 6-token run but no common fingerprint"
     )
+
+
+def test_hll_registers_merge_distributively(spark):
+    """THE sketch property: registers built on two disjoint halves and
+    max-merged must equal registers built on the whole corpus — so
+    partition-parallel build + merge is exact, which is why the 100 TB
+    shuffle ships registers, not keys."""
+    from pyspark.sql import functions as F
+
+    from mapreduce511_spark.queries.sketches import (
+        _doc_trigrams,
+        _hll_reg_rho,
+    )
+
+    grams = _doc_trigrams(spark, SF_SMOKE).select("doc_id", "lang", "g")
+    reg, rho = _hll_reg_rho(F.md5("g"))
+
+    def registers(df):
+        return (
+            df.select("lang", reg, rho)
+            .groupBy("lang", "reg")
+            .agg(F.max("rho").alias("rmax"))
+        )
+
+    whole = registers(grams.select("lang", "g").distinct())
+    halves = registers(
+        grams.filter(F.col("doc_id") % 2 == 0)
+        .select("lang", "g")
+        .distinct()
+    ).unionByName(
+        registers(
+            grams.filter(F.col("doc_id") % 2 == 1)
+            .select("lang", "g")
+            .distinct()
+        )
+    )
+    merged = halves.groupBy("lang", "reg").agg(
+        F.max("rmax").alias("rmax")
+    )
+    assert whole.exceptAll(merged).count() == 0
+    assert merged.exceptAll(whole).count() == 0
