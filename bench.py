@@ -147,6 +147,7 @@ HEADLINE = [
     "item_cosine_similarity",
     "theil_sen_price_slope",
     "asof_next_purchase_census",
+    "variant_props_quantiles",
 ]
 
 

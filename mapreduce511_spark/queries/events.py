@@ -1685,3 +1685,58 @@ def asof_next_purchase_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg(conv_d) / 1_000_000.0, 3).alias("avg_delay_s"),
     )
+
+
+@register(
+    "variant_props_quantiles",
+    oracle="""
+    WITH k AS (
+        SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k
+        FROM events
+        WHERE props->>'$.k' IS NOT NULL
+    )
+    SELECT event_type,
+           count(*) AS n,
+           CAST(min(k) AS BIGINT) AS min_k,
+           round(quantile_cont(k, 0.5), 2) AS median_k,
+           round(quantile_cont(k, 0.9), 2) AS p90_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM k
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def variant_props_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured quantiles through Spark 4's VARIANT type:
+    ``parse_json`` shreds the props column into the binary variant
+    encoding ONCE, then ``try_variant_get`` extracts the typed field —
+    the open-format answer to 'stop re-parsing JSON strings per
+    expression'. At 100 TB the variant column is what you'd
+    materialize at ingest (Parquet variant shredding), after which
+    every field access is a binary probe, not a JSON parse; the
+    companion ``json_props_stats`` keeps the classic
+    ``get_json_object`` form for engines without VARIANT.
+
+    try_variant_get (not variant_get) so malformed or key-less
+    documents yield NULL instead of failing the scan — the oracle's
+    ``->>'$.k' IS NOT NULL`` guard states the same admitted set.
+
+    Reference basis: extension tier — semi-structured family
+    (events.props is the only nested-ish column in the data model,
+    SURVEY.md §1.2)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    keyed = events.select("event_type", k.alias("k")).filter(
+        F.col("k").isNotNull()
+    )
+    return (
+        keyed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").cast("long").alias("min_k"),
+            F.round(F.percentile("k", F.lit(0.5)), 2).alias("median_k"),
+            F.round(F.percentile("k", F.lit(0.9)), 2).alias("p90_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
