@@ -148,6 +148,7 @@ HEADLINE = [
     "theil_sen_price_slope",
     "asof_next_purchase_census",
     "variant_props_quantiles",
+    "approx_percentile_error_census",
 ]
 
 

@@ -3026,3 +3026,49 @@ def theil_sen_price_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("s", F.lit(0.75)), 6).alias("p75_slope"),
         F.round(F.max("b1"), 6).alias("ols_slope"),
     )
+
+
+@register("approx_percentile_error_census")  # rows-only: t-digest-style
+def approx_percentile_error_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Measures the exact→approx percentile swap this repo's
+    docstrings prescribe for 100 TB (``median_price_by_flag``,
+    ``winsorized_price_stats``, ``funnel_time_to_convert``): per
+    return flag, exact p50/p99 of extended price next to
+    ``approx_percentile(..., 10000)`` and the relative error actually
+    paid. approx_percentile is a mergeable quantile summary (map-side
+    combinable, no per-group shuffle of raw values), so this census
+    is the evidence that the cheap path is accurate enough — the
+    measured error should sit far inside the 1/accuracy ≈ 0.01%
+    rank-error contract, which the companion test asserts.
+
+    No SQL oracle: the approximation algorithm (and thus its exact
+    outputs) is engine-specific — this is the one family where a
+    DuckDB twin CANNOT reproduce Spark bit-for-bit, which is itself
+    the point: rows-only check, value bounds in tests.
+
+    Reference basis: §2.4 approx-aggregate note; evaluation
+    companion to the exact-percentile family."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    exact50 = F.percentile("l_extendedprice", F.lit(0.5))
+    exact99 = F.percentile("l_extendedprice", F.lit(0.99))
+    appr50 = F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000))
+    appr99 = F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(10000))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(exact50, 4).alias("exact_p50"),
+            F.round(appr50, 4).alias("approx_p50"),
+            F.round(exact99, 4).alias("exact_p99"),
+            F.round(appr99, 4).alias("approx_p99"),
+            F.round(
+                F.abs(appr50 - exact50) / exact50 * 100.0, 4
+            ).alias("p50_rel_err_pct"),
+            F.round(
+                F.abs(appr99 - exact99) / exact99 * 100.0, 4
+            ).alias("p99_rel_err_pct"),
+        )
+        .orderBy("l_returnflag")
+    )

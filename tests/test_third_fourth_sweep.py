@@ -296,3 +296,18 @@ def test_common_neighbors_hand_graph(spark, tmp_path):
     assert [(r.part_a, r.part_b, r.common_neighbors, r.jaccard) for r in out] == [
         (1, 3, 1, 1.0)
     ]
+
+
+def test_approx_percentile_error_within_contract(spark):
+    """approx_percentile(accuracy=10000) promises rank error <=
+    1/10000; on lineitem's smooth price distribution that is far
+    under 1% VALUE error at p50/p99 — the census must show it."""
+    from mapreduce511_spark.queries.relational import (
+        approx_percentile_error_census,
+    )
+
+    rows = approx_percentile_error_census(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_rel_err_pct < 1.0, r
+        assert r.p99_rel_err_pct < 1.0, r
