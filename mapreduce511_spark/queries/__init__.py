@@ -112,12 +112,21 @@ _ENUMERATE_FIRST: list[str] = [
     "hour_of_day_profile",
     "funnel_time_to_convert",
     "bigram_entropy_rate",
-    # The window is now exactly 50 never-driver-checked round-4 names.
-    # Round-4 implementation changes with existing green rows
-    # (copurchase_triangles, concurrent_user_spans, bpe_merge_rules)
-    # and the r01 staleness rotation re-verify in
-    # tests/test_oracle_parity.py every session and rotate into the
-    # round-5+ windows.
+    # The window is exactly 50 never-driver-checked round-4 names.
+    # ROUND-5 ROTATION QUEUE (front-load these next round, in order):
+    # 1. round-4 names added after the window filled (never driver-
+    #    checked): minhash_jaccard_estimate, lsh_recall_curve,
+    #    winnow_near_dup_candidates, embedding_top_component,
+    #    item_cosine_similarity, theil_sen_price_slope,
+    #    asof_next_purchase_census, variant_props_quantiles,
+    #    approx_percentile_error_census (rows-only);
+    # 2. round-4 implementation changes with existing green rows:
+    #    copurchase_triangles, concurrent_user_spans, bpe_merge_rules;
+    # 3. the r01 staleness rotation (minhash_*, simhash_*, tumbling/
+    #    sessionize/asof/quantile/session-window, q1/q3/q5,
+    #    dedup_clusters).
+    # All of these re-verify in tests/test_oracle_parity.py every
+    # session meanwhile.
 ]
 
 

@@ -142,18 +142,18 @@ def _hll_estimate(regs: DataFrame, group_col: str) -> DataFrame:
             .cast("long")
         ).alias("z_present"),
     )
+    m = float(_HLL_M)
     e_raw = (
-        (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0)))
+        (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(m)))
         * F.lit(_HLL_MM_TWO40)
-        / (F.col("z_present") + (F.lit(256) - F.col("v")) * F.lit(_TWO40))
+        / (F.col("z_present") + (F.lit(_HLL_M) - F.col("v")) * F.lit(_TWO40))
     )
     return z.select(
         group_col,
         F.col("v").alias("v_registers"),
         F.when(
-            (e_raw <= 640.0) & (F.col("v") < 256),
-            F.lit(256.0)
-            * F.log(F.lit(256.0) / (F.lit(256.0) - F.col("v"))),
+            (e_raw <= 2.5 * m) & (F.col("v") < _HLL_M),
+            F.lit(m) * F.log(F.lit(m) / (F.lit(m) - F.col("v"))),
         )
         .otherwise(e_raw)
         .alias("est"),

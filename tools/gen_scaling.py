@@ -88,6 +88,8 @@ PICKS = {
     "embedding_top_component": "one Arrow-batched Gram pass; driver holds only 64x64 partial merges",
     "item_cosine_similarity": "customer-keyed inverted index; pair volume ~ basket size squared",
     "theil_sen_price_slope": "one ordered pass, disjoint pairs; partition-local pairing at scale",
+    "asof_next_purchase_census": "one user-keyed window pass; no correlated probe",
+    "variant_props_quantiles": "single variant shred per row; typed binary field access",
 }
 
 
