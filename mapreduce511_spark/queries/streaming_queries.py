@@ -673,3 +673,114 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _detach(ranked, name)
     finally:
         _cleanup(src)
+
+
+@register(
+    "stream_hourly_hll_users",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS w, user_id FROM events
+    ), h AS (
+        SELECT w,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))
+                   AS BIGINT) AS reg,
+               substr(md5(CAST(user_id AS VARCHAR)), 3, 13) AS tail
+        FROM du
+    ), rho AS (
+        SELECT w, reg,
+               CASE WHEN length(regexp_extract(tail, '^(0*)', 1)) = 13
+                    THEN 53
+                    ELSE length(regexp_extract(tail, '^(0*)', 1)) * 4
+                         + CASE substr(
+                               tail,
+                               length(regexp_extract(tail, '^(0*)', 1)) + 1,
+                               1)
+                           WHEN '1' THEN 3
+                           WHEN '2' THEN 2 WHEN '3' THEN 2
+                           WHEN '4' THEN 1 WHEN '5' THEN 1
+                           WHEN '6' THEN 1 WHEN '7' THEN 1
+                           ELSE 0 END
+                         + 1
+               END AS rho
+        FROM h
+    ), regs AS (
+        SELECT w, reg, max(rho) AS rmax FROM rho GROUP BY w, reg
+    ), z AS (
+        SELECT w, count(*) AS v,
+               sum(CAST(power(2, 40 - least(rmax, 40)) AS BIGINT))
+                   AS z_present
+        FROM regs GROUP BY w
+    ), est AS (
+        SELECT w, v,
+               (0.7213 / (1.0 + 1.079 / 256.0)) * 72057594037927936.0
+               / (z_present + (256 - v) * 1099511627776) AS e_raw
+        FROM z
+    ), ex AS (
+        SELECT date_trunc('hour', ts) AS w,
+               count(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY w
+    )
+    SELECT e.w AS window_start, ex.n_exact, e.v AS v_registers,
+           round(CASE WHEN e.e_raw <= 640.0 AND e.v < 256
+                      THEN 256.0 * ln(256.0 / (256.0 - e.v))
+                      ELSE e.e_raw END, 1) AS hll_est
+    FROM est e JOIN ex ON e.w = ex.w
+    ORDER BY window_start
+    """,
+)
+def stream_hourly_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog INSIDE the stream: per-hour distinct-user sketches
+    computed by the streaming engine itself — register and rho are
+    plain deterministic columns (md5 string ops), so the windowed
+    state is a ``groupBy(window, reg).max(rho)`` aggregate: ≤256 tiny
+    rows of state per open window, evicted by the watermark. This is
+    how a 100 TB ingest keeps live distinct-user counters without
+    holding user sets in state — the state size is the SKETCH, not
+    the cardinality, and the drained registers merge with batch
+    sketches (``hll_rolling_7d_users``) because max-merge is the same
+    algebra everywhere.
+
+    The drained registers get the harmonic estimate as a batch
+    post-step (like ``stream_topk_per_window``'s ranking); the exact
+    per-hour distinct twin rides along for the error census, and the
+    oracle restates sketch + exact in SQL — bit-exact through real
+    micro-batch execution.
+
+    Reference basis: §2.9 streaming surface × §2.4 approx-aggregate
+    note — the sketch family under stream execution."""
+    from mapreduce511_spark.queries.sketches import (
+        _hll_estimate,
+        _hll_reg_rho,
+    )
+
+    src, ckpt, name = _scratch("hllstream")
+    try:
+        prepare_events_dir(spark, sf_dir, src)
+        stream = stream_events(spark, src, max_files_per_trigger=4)
+        reg, rho = _hll_reg_rho(F.md5(F.col("user_id").cast("string")))
+        windowed = (
+            stream.select("ts", reg, rho)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "reg")
+            .agg(F.max("rho").alias("rmax"))
+            .select(F.col("w.start").alias("window_start"), "reg", "rmax")
+        )
+        regs = _detach(run_available_now(windowed, name, ckpt), name)
+        est = _hll_estimate(regs, "window_start")
+        exact = (
+            load_table(spark, sf_dir, "events")
+            .groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"))
+            .agg(F.countDistinct("user_id").alias("n_exact"))
+        )
+        return (
+            est.join(exact, "window_start")
+            .select(
+                "window_start",
+                "n_exact",
+                "v_registers",
+                F.round("est", 1).alias("hll_est"),
+            )
+            .orderBy("window_start")
+        )
+    finally:
+        _cleanup(src)
