@@ -149,7 +149,6 @@ HEADLINE = [
     "asof_next_purchase_census",
     "variant_props_quantiles",
     "approx_percentile_error_census",
-    "stream_hourly_hll_users",
 ]
 
 
