@@ -149,6 +149,7 @@ HEADLINE = [
     "asof_next_purchase_census",
     "variant_props_quantiles",
     "approx_percentile_error_census",
+    "collocation_pmi_top20",
 ]
 
 

@@ -2400,3 +2400,95 @@ def bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "collocation_pmi_top20",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
+    ), pos AS (
+        SELECT doc_id, unnest(tokens) AS w, unnest(range(len(tokens))) AS p
+        FROM toks
+    ), uni AS (
+        SELECT w, count(*) AS c FROM pos GROUP BY w
+    ), ut AS (SELECT sum(c) AS t FROM uni),
+    allbi AS (
+        SELECT a.w AS w1, b.w AS w2, count(*) AS c
+        FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        GROUP BY w1, w2
+    ), bt AS (SELECT sum(c) AS t FROM allbi),
+    bi AS (SELECT * FROM allbi WHERE c >= 5)
+    SELECT bi.w1 AS word_1, bi.w2 AS word_2, bi.c AS n_occurrences,
+           round(ln((bi.c / CAST(bt.t AS DOUBLE))
+                    / ((u1.c / CAST(ut.t AS DOUBLE))
+                       * (u2.c / CAST(ut.t AS DOUBLE)))), 4) AS pmi
+    FROM bi
+    JOIN uni u1 ON bi.w1 = u1.w
+    JOIN uni u2 ON bi.w2 = u2.w
+    CROSS JOIN ut CROSS JOIN bt
+    ORDER BY pmi DESC, word_1, word_2
+    LIMIT 20
+    """,
+)
+def collocation_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: top-20
+    adjacent word pairs whose co-occurrence most exceeds independence
+    (PMI = ln p(w1,w2)/(p(w1)p(w2)), Church & Hanks 1990), with a
+    min-count 5 floor (raw PMI's known failure mode is promoting
+    hapax pairs — the floor is the standard fix). Completes the
+    association-statistics family: ``chi2_distinctive_terms`` ranks
+    terms AGAINST a group, ``bigram_novelty_rate`` measures unseen
+    mass, this ranks pairs BY mutual attraction — the phrase/named-
+    entity candidate generator of a tokenizer pipeline.
+
+    Same scale shape as every corpus statistic here: unigram and
+    bigram counts collapse to vocabulary size map-side before
+    anything shuffles; the totals ride 1-row broadcasts, the margins
+    broadcast joins, and top-20 is TakeOrdered.
+
+    Reference basis: extension tier — corpus statistics
+    (SURVEY.md §7 M7 text-analysis family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    ut = uni.agg(F.sum("c").alias("ut"))
+    allbi = (
+        toks.select(word_ngrams(F.col("toks"), 2).alias("grams"))
+        .select(F.explode("grams").alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("c"))
+    )
+    bt = allbi.agg(F.sum("c").alias("bt"))
+    bi = allbi.filter(F.col("c") >= 5).select(
+        F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+        "c",
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("c") / F.col("bt").cast("double"))
+        / (
+            (F.col("c1") / F.col("ut").cast("double"))
+            * (F.col("c2") / F.col("ut").cast("double"))
+        )
+    )
+    return (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(ut))
+        .crossJoin(F.broadcast(bt))
+        .select(
+            F.col("w1").alias("word_1"),
+            F.col("w2").alias("word_2"),
+            F.col("c").alias("n_occurrences"),
+            F.round(pmi, 4).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "word_1", "word_2")
+        .limit(20)
+    )
