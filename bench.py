@@ -150,6 +150,7 @@ HEADLINE = [
     "variant_props_quantiles",
     "approx_percentile_error_census",
     "collocation_pmi_top20",
+    "scd2_purchase_enrichment",
 ]
 
 

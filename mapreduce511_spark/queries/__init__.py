@@ -120,6 +120,7 @@ _ENUMERATE_FIRST: list[str] = [
     #    item_cosine_similarity, theil_sen_price_slope,
     #    asof_next_purchase_census, variant_props_quantiles,
     #    stream_hourly_hll_users, collocation_pmi_top20,
+    #    scd2_purchase_enrichment,
     #    approx_percentile_error_census (rows-only);
     # 2. round-4 implementation changes with existing green rows:
     #    copurchase_triangles, concurrent_user_spans, bpe_merge_rules;

@@ -1740,3 +1740,91 @@ def variant_props_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "scd2_purchase_enrichment",
+    oracle="""
+    WITH status AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM events WHERE event_type <> 'purchase'
+    ), purchases AS (
+        SELECT user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ), enriched AS (
+        SELECT p.value,
+               coalesce(
+                   (SELECT s.event_type FROM status s
+                    WHERE s.user_id = p.user_id AND s.ts <= p.ts
+                    ORDER BY s.ts DESC, s.event_id DESC LIMIT 1),
+                   'unknown') AS state
+        FROM purchases p
+    )
+    SELECT state, count(*) AS n_purchases,
+           round(sum(value), 2) AS total_value
+    FROM enriched
+    GROUP BY state
+    ORDER BY state
+    """,
+)
+def scd2_purchase_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-state attribution: each purchase is enriched with the
+    user's LAST non-purchase activity state at purchase time (the
+    SCD2 as-of lookup — ``user_type_scd2`` builds the versioned
+    dimension, this is the join a fact table runs against it), then
+    revenue is rolled up by state: 'what were users doing when they
+    bought'.
+
+    The engine never executes the oracle's correlated per-row probe:
+    status markers and purchases UNION into one user-keyed stream and
+    each purchase reads last(state) IGNORE NULLS over the preceding
+    frame — one shuffle on user_id, one ordered pass. Ties at the
+    exact boundary are deterministic: at equal ts the marker sorts
+    first (kind 0 < kind 1) and later markers win by event_id, which
+    is exactly the oracle's ts <= p.ts with DESC LIMIT 1. This
+    union-window formulation is the standard scalable form of EVERY
+    as-of/SCD2 lookup in this engine (backward:
+    ``asof_last_signup``; forward: ``asof_next_purchase_census``).
+
+    Reference basis: extension tier — warehouse dimension family
+    (SURVEY.md §2.3 as-of note; companion: ``user_type_scd2``)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    status = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id"),
+        F.lit(0).alias("kind"),
+        F.col("event_type").alias("state"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("string").alias("state"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = status.unionByName(purchases).withColumn(
+        "cur_state", F.last("state", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter(F.col("kind") == 1)
+        .select(
+            F.coalesce(F.col("cur_state"), F.lit("unknown")).alias("state"),
+            "value",
+        )
+        .groupBy("state")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("state")
+    )
