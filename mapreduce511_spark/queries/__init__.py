@@ -121,7 +121,12 @@ _ENUMERATE_FIRST: list[str] = [
     #    asof_next_purchase_census, variant_props_quantiles,
     #    stream_hourly_hll_users, collocation_pmi_top20,
     #    scd2_purchase_enrichment,
-    #    approx_percentile_error_census (rows-only);
+    #    approx_percentile_error_census (rows-only),
+    #    and the fifth sweep: good_turing_unseen_mass,
+    #    gopher_quality_rules, user_first_path_census,
+    #    ab_conversion_ztest, table_stats_census,
+    #    copurchase_clustering, stream_incremental_mv,
+    #    tfidf_cosine_pairs;
     # 2. round-4 implementation changes with existing green rows:
     #    copurchase_triangles, concurrent_user_spans, bpe_merge_rules;
     # 3. the r01 staleness rotation (minhash_*, simhash_*, tumbling/

@@ -1828,3 +1828,178 @@ def scd2_purchase_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+@register(
+    "user_first_path_census",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ), paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= 3
+        GROUP BY user_id
+    )
+    SELECT path, count(*) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+)
+def user_first_path_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: each user's first three events (by
+    event time, event_id tiebreak) concatenated into an onboarding
+    path 'view>click>purchase', censused across users — the
+    sequence-mining view product teams use to find the dominant entry
+    funnels, and the sequential complement of
+    ``event_transition_matrix`` (which forgets position).
+
+    Scale shape: one user-keyed shuffle; the per-user prefix is a
+    bounded 3-element ``slice(sort_array(...))`` — per-user state is
+    O(3) regardless of activity (the sort_array input is the user's
+    events, bounded by per-user volume; at whale-user scale swap in a
+    min_by-3 aggregate). The path census is a combinable count over
+    at most |types|^3 distinct paths, and top-20 is TakeOrdered.
+
+    Reference basis: extension tier — event-sequence analytics
+    (SURVEY.md §2.9 batch twin family)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "ab_conversion_ztest",
+    oracle="""
+    WITH assign AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS INT) AS variant,
+               CASE WHEN max(CASE WHEN event_type = 'purchase'
+                             THEN value END) > 200
+                    THEN 1 ELSE 0 END AS converted
+        FROM events
+        GROUP BY user_id
+    ), arms AS (
+        SELECT variant,
+               count(*)                        AS n_users,
+               CAST(sum(converted) AS BIGINT)  AS n_converted
+        FROM assign
+        GROUP BY variant
+    ), wide AS (
+        SELECT max(CASE WHEN variant = 0 THEN n_users END)     AS n_a,
+               max(CASE WHEN variant = 0 THEN n_converted END) AS c_a,
+               max(CASE WHEN variant = 1 THEN n_users END)     AS n_b,
+               max(CASE WHEN variant = 1 THEN n_converted END) AS c_b
+        FROM arms
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           (10000 * c_a) // n_a AS rate_a_bp,
+           (10000 * c_b) // n_b AS rate_b_bp,
+           round(
+               (c_a / CAST(n_a AS DOUBLE) - c_b / CAST(n_b AS DOUBLE))
+               / sqrt(
+                   ((c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                   * (1 - (c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 / n_a + 1.0 / n_b)
+               ), 4) AS z_score
+    FROM wide
+    """,
+)
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: users are
+    deterministically bucketed into arms (user_id parity — the
+    hash-mod assignment every experimentation platform uses),
+    conversion is 'ever made a big-ticket (>200) purchase' (a ~20%
+    base rate — 'ever purchased' saturates at 100% in this events
+    table), and the pooled-variance z-score
+    says whether the arms differ beyond noise. The experiment
+    readout every growth team runs daily, expressed as one
+    aggregation pipeline.
+
+    Numeric discipline: counts and basis-point rates are integer
+    (floor-divided); the z-score is a single scalar float expression
+    over four exact integers, mirrored verbatim in the oracle —
+    no float accumulation anywhere. Scale shape: one user-keyed
+    partial-agg shuffle (|users| rows), then a 2-row rollup; the
+    final wide pivot is driver-trivial.
+
+    Reference basis: extension tier — experimentation analytics over
+    the events stream (SURVEY.md §2.9 batch twin family)."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = (
+        ev.groupBy("user_id")
+        .agg(
+            F.when(
+                F.max(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                )
+                > 200,
+                1,
+            )
+            .otherwise(0)
+            .alias("converted")
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("variant"), "converted"
+        )
+    )
+    arms = assign.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias(
+            "c_a"
+        ),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias(
+            "c_b"
+        ),
+    )
+    p_pool = (F.col("c_a") + F.col("c_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (
+        F.col("c_a") / F.col("n_a").cast("double")
+        - F.col("c_b") / F.col("n_b").cast("double")
+    ) / F.sqrt(
+        p_pool
+        * (1 - p_pool)
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.expr("(10000 * c_a) DIV n_a").alias("rate_a_bp"),
+        F.expr("(10000 * c_b) DIV n_b").alias("rate_b_bp"),
+        F.round(z, 4).alias("z_score"),
+    )

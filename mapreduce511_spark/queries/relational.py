@@ -3072,3 +3072,217 @@ def approx_percentile_error_census(
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "table_stats_census",
+    oracle="""
+    SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+           count(DISTINCT l_orderkey) AS ndv,
+           count(*) - count(l_orderkey) AS n_null,
+           CAST(min(l_orderkey) AS DOUBLE) AS min_v,
+           CAST(max(l_orderkey) AS DOUBLE) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_partkey', count(*), count(DISTINCT l_partkey),
+           count(*) - count(l_partkey),
+           CAST(min(l_partkey) AS DOUBLE), CAST(max(l_partkey) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', count(*), count(DISTINCT l_quantity),
+           count(*) - count(l_quantity),
+           CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_suppkey', count(*), count(DISTINCT l_suppkey),
+           count(*) - count(l_suppkey),
+           CAST(min(l_suppkey) AS DOUBLE), CAST(max(l_suppkey) AS DOUBLE)
+    FROM lineitem
+    ORDER BY col_name
+    """,
+)
+def table_stats_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style optimizer statistics in one scan: per column,
+    row count, exact NDV, null count, min and max — the inputs every
+    cost-based planner (and every data-contract monitor) wants per
+    table. The melt is a zero-shuffle ``stack`` (each row fans to one
+    (col_name, value) pair per profiled column), so all four columns
+    are profiled in a single pass over the fact table instead of four.
+
+    At 100 TB the exact ``count(DISTINCT)`` becomes the dominant
+    cost (a per-column distinct shuffle via Expand); the production
+    swap is ``approx_count_distinct`` (HLL, mergeable, one pass) —
+    kept exact here to hash-match the oracle, same discipline as
+    ``winsorized_price_stats``'s percentile swap note.
+
+    Reference basis: extension tier — table maintenance / data
+    contracts (SURVEY.md §7 M7); the reference's closest analog is
+    the scan-summary inventory (A10)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    melted = li.select(
+        F.expr(
+            "stack(4,"
+            " 'l_orderkey', CAST(l_orderkey AS DOUBLE),"
+            " 'l_partkey',  CAST(l_partkey  AS DOUBLE),"
+            " 'l_quantity', CAST(l_quantity AS DOUBLE),"
+            " 'l_suppkey',  CAST(l_suppkey  AS DOUBLE)"
+            ") AS (col_name, v)"
+        )
+    )
+    return (
+        melted.groupBy("col_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("v").alias("ndv"),
+            (F.count("*") - F.count("v")).alias("n_null"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .orderBy("col_name")
+    )
+
+
+@register(
+    "copurchase_clustering",
+    oracle="""
+    WITH ppo AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM ppo a JOIN ppo b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    node_tri AS (
+        SELECT x, count(*) AS t FROM (
+            SELECT a AS x FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY x
+    ),
+    deg AS (
+        SELECT x, count(*) AS d FROM (
+            SELECT u AS x FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY x
+    ),
+    node_cc AS (
+        SELECT deg.x, deg.d, coalesce(node_tri.t, 0) AS t,
+               CASE WHEN deg.d >= 2
+                    THEN (20000 * coalesce(node_tri.t, 0))
+                         // (deg.d * (deg.d - 1))
+               END AS cc_bp
+        FROM deg LEFT JOIN node_tri ON deg.x = node_tri.x
+    )
+    SELECT count(*)                                       AS n_nodes,
+           CAST(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                                                          AS n_deg_ge2,
+           CAST(sum(CASE WHEN t > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                          AS n_closed,
+           CAST(sum(t) AS BIGINT) // 3                    AS n_triangles,
+           CAST(sum((d * (d - 1)) // 2) AS BIGINT)        AS n_wedges,
+           CAST((30000 * (CAST(sum(t) AS BIGINT) // 3))
+                // CAST(sum((d * (d - 1)) // 2) AS BIGINT)
+                AS BIGINT)                                 AS transitivity_bp,
+           CAST(CAST(sum(cc_bp) AS BIGINT)
+                // CAST(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS BIGINT)                                 AS mean_local_cc_bp
+    FROM node_cc
+    """,
+)
+def copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph clustering-coefficient census over the co-purchase
+    graph: per-node triangle participation and degree give the local
+    clustering coefficient 2t/(d(d-1)); the census reports global
+    transitivity (3×triangles/wedges — Watts-Strogatz) and the mean
+    local coefficient, the two standard 'how cliquish is this graph'
+    numbers (they differ exactly when hubs are open and leaves are
+    closed). Completes the graph family: components, PageRank,
+    k-core, triangles, link prediction, now local structure.
+
+    Numeric discipline: coefficients are integer basis points
+    (floor-divided), means are integer-sum DIV integer-count — the
+    whole census is float-free. Scale: reuses the checkpointed
+    degree-ordered triangle machinery (Σ out-deg² wedge volume);
+    per-node rollups are combinable counts over |V| rows.
+
+    Reference basis: extension tier — graph analytics
+    (SURVEY.md §7 M7)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(li).localCheckpoint(eager=True)
+    return _clustering_census(edges)
+
+
+def _clustering_census(edges: DataFrame) -> DataFrame:
+    """Clustering-coefficient census over a canonical (u < v) edge
+    set (separated from the query so hand-graph tests can feed an
+    explicit edge list)."""
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    ranked = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    directed = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    e1 = directed.alias("e1")
+    e2 = directed.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
+    ).select(
+        F.col("e1.s").alias("pivot"),
+        F.col("e1.t").alias("w1"),
+        F.col("e2.t").alias("w2"),
+    )
+    # inner join (not semi): the pivot column must survive so each
+    # triangle can credit all three of its nodes
+    tri = wedges.join(
+        edges,
+        (F.col("w1") == F.col("u")) & (F.col("w2") == F.col("v")),
+        "inner",
+    ).select("pivot", "w1", "w2")
+    node_tri = (
+        tri.select(F.col("pivot").alias("x"))
+        .unionAll(tri.select(F.col("w1").alias("x")))
+        .unionAll(tri.select(F.col("w2").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("t"))
+    )
+    node_cc = deg.join(node_tri, "x", "left").select(
+        "d",
+        F.coalesce(F.col("t"), F.lit(0)).alias("t"),
+        F.when(
+            F.col("d") >= 2,
+            F.expr("(20000 * coalesce(t, 0)) DIV (d * (d - 1))"),
+        ).alias("cc_bp"),
+    )
+    deg2 = F.when(F.col("d") >= 2, 1).otherwise(0)
+    return node_cc.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(deg2).cast("long").alias("n_deg_ge2"),
+        F.sum(F.when(F.col("t") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_closed"),
+        F.expr("sum(t) DIV 3").alias("n_triangles"),
+        F.expr("sum((d * (d - 1)) DIV 2)").alias("n_wedges"),
+        F.expr(
+            "(30000 * (sum(t) DIV 3)) DIV sum((d * (d - 1)) DIV 2)"
+        ).alias("transitivity_bp"),
+        F.expr(
+            "sum(cc_bp) DIV sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END)"
+        ).alias("mean_local_cc_bp"),
+    )

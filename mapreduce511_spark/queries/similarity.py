@@ -1191,3 +1191,153 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "dim int, loading double, eigenvalue double"
     )
+
+
+@register(
+    "tfidf_cosine_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '')
+                   AS tokens
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, unnest(tokens) AS w,
+               unnest(range(len(tokens))) AS p
+        FROM toks
+    ), tf AS (
+        SELECT a.doc_id, a.w || ' ' || b.w AS g, count(*) AS tf
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT g, count(*) AS df FROM tf GROUP BY g
+    ), nd AS (
+        SELECT count(DISTINCT doc_id) AS n FROM tf
+    ), wts AS (
+        SELECT tf.doc_id, tf.g,
+               tf.tf * CAST(floor(
+                   1000 * ln(CAST(nd.n AS DOUBLE) / dfreq.df)) AS BIGINT)
+                   AS wt
+        FROM tf JOIN dfreq USING (g) CROSS JOIN nd
+        WHERE dfreq.df < nd.n
+    ), norms AS (
+        SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) AS nrm
+        FROM wts GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(sum(a.wt * b.wt) AS BIGINT) AS dot,
+               count(*) AS n_shared_terms
+        FROM wts a JOIN wts b
+          ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared_terms,
+           round(dot / sqrt(CAST(na.nrm AS DOUBLE) * nb.nrm), 4) AS cosine
+    FROM pairs
+    JOIN norms na ON doc_a = na.doc_id
+    JOIN norms nb ON doc_b = nb.doc_id
+    WHERE dot > 0
+      AND 100 * CAST(dot AS HUGEINT) * dot
+          >= 36 * CAST(na.nrm AS HUGEINT) * nb.nrm
+    ORDER BY cosine DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED lexical near-dup: tf-idf cosine over word bigrams via
+    the shared-term inverted index — the similarity the Jaccard
+    family can't express (set overlap treats 'the the the' and a rare
+    technical phrase as equal evidence; idf weighting is why
+    boilerplate stops dominating). Top-20 pairs with cosine >= 0.6.
+
+    Numeric discipline: idf is quantized to integer milli-nats
+    (floor(1000·ln(N/df)) — floor, not round, so no rounding-mode
+    dependence), making every weight, dot product and norm an exact
+    BIGINT; the 'cosine >= 0.6' gate is the integer cross-
+    multiplication 100·dot² >= 36·‖a‖²·‖b‖² evaluated in DECIMAL(38)/
+    HUGEINT (dot² overflows 64 bits), and float appears only in the
+    final per-pair display division. Zero-weight terms (df = N) drop
+    out exactly.
+
+    Scale shape: candidate volume is Σ df² over the posting lists —
+    same skew profile as ``near_dup_jaccard``, and the same escape
+    hatches apply (df-capped postings / rarest-first prefixes, see
+    the capped and prefix variants); norms ride broadcast joins.
+
+    Reference basis: extension tier — near-dup detection
+    (SURVEY.md §7 M7 dedup family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(word_ngrams(tokenize("text"), 2)).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("g").agg(F.count("*").alias("df"))
+    nd = tf.agg(F.countDistinct("doc_id").alias("n"))
+    wts = (
+        tf.join(F.broadcast(dfreq), "g")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") < F.col("n"))
+        .select(
+            "doc_id",
+            "g",
+            (
+                F.col("tf")
+                * F.floor(
+                    1000 * F.log(F.col("n").cast("double") / F.col("df"))
+                )
+            ).alias("wt"),
+        )
+    )
+    norms = wts.groupBy("doc_id").agg(
+        F.sum(F.col("wt") * F.col("wt")).cast("long").alias("nrm")
+    )
+    a, b = wts.alias("a"), wts.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.sum(F.col("a.wt") * F.col("b.wt")).cast("long").alias("dot"),
+            F.count("*").alias("n_shared_terms"),
+        )
+    )
+    na = norms.select(
+        F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .filter(
+            (F.col("dot") > 0)
+            & F.expr(
+                "100 * CAST(dot AS DECIMAL(38,0)) * dot"
+                " >= 36 * CAST(na AS DECIMAL(38,0)) * nb"
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_terms",
+            F.round(
+                F.col("dot")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb")),
+                4,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "doc_a", "doc_b")
+        .limit(20)
+    )

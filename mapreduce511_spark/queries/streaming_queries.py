@@ -784,3 +784,86 @@ def stream_hourly_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _cleanup(src)
+
+
+@register(
+    "stream_incremental_mv",
+    oracle="""
+    SELECT event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental materialized-view maintenance: a per-type
+    (count, sum) MV is kept up to date by an abelian merge inside
+    ``foreachBatch`` — each micro-batch aggregates ITS OWN rows only,
+    then merges with the previous MV version (read v, union, re-agg,
+    write v+1), exactly the continuous-aggregate refresh loop of
+    ``incremental_mv_refresh`` run under real micro-batch delivery.
+    After the availableNow drain the MV must equal the from-scratch
+    batch GROUP BY — the invariant that makes a streaming MV
+    trustworthy.
+
+    Per-batch cost is O(batch + |MV|), never O(history): the stream
+    is split into multiple micro-batches (maxFilesPerTrigger) so the
+    merge path executes several times, and the versioned-dir write
+    is the plain-parquet stand-in for a transactional table format
+    (Delta/Iceberg MERGE), as documented on the exactly-once sink.
+
+    Reference basis: SURVEY.md §2.9 (the monitor's append-only feed
+    consumed incrementally) + the batch MV-refresh twin."""
+    src, ckpt, _name = _scratch("imv")
+    base = str(Path(src).parent)
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(8).write.parquet(src)
+    stream = stream_events(spark, src, max_files_per_trigger=2)
+
+    mv_versions: list[str] = []
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        if mv_versions:
+            prev = spark.read.parquet(mv_versions[-1])
+            delta = (
+                prev.unionByName(delta)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_value").alias("sum_value"),
+                )
+            )
+        target = f"{base}/mv_v{len(mv_versions)}"
+        delta.write.mode("overwrite").parquet(target)
+        mv_versions.append(target)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not mv_versions:  # empty source — empty MV
+        result = spark.createDataFrame(
+            [], "event_type string, n_events long, total_value double"
+        )
+    else:
+        result = (
+            spark.read.parquet(mv_versions[-1])
+            .select(
+                "event_type",
+                "n_events",
+                F.round("sum_value", 2).alias("total_value"),
+            )
+            .orderBy("event_type")
+        )
+    rows = result.collect()
+    _cleanup(src)
+    return spark.createDataFrame(rows, result.schema)

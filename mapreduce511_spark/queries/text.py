@@ -2492,3 +2492,171 @@ def collocation_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "word_1", "word_2")
         .limit(20)
     )
+
+
+@register(
+    "good_turing_unseen_mass",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_SQL_TOKENS} AS tokens FROM documents
+    ), pos AS (
+        SELECT doc_id, lang, unnest(tokens) AS w,
+               unnest(range(len(tokens))) AS p
+        FROM toks
+    ), wc AS (
+        SELECT a.lang, a.w || ' ' || b.w || ' ' || c.w AS gram,
+               count(*) AS cnt
+        FROM pos a
+        JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        JOIN pos c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+        GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(sum(cnt) AS BIGINT)                          AS n_grams,
+           count(*)                                          AS vocab_size,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                             AS hapax_count,
+           CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                                                             AS dis_count,
+           CAST((1000000 * CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                                AS BIGINT))
+                // CAST(sum(cnt) AS BIGINT) AS BIGINT)       AS unseen_mass_ppm
+    FROM wc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-probability mass per language: the chance
+    the NEXT word trigram is one never seen in the corpus, estimated
+    by N1/N (the hapax share — Good 1953, the estimator behind every
+    smoothed LM and the 'how much tail am I missing' answer for
+    corpus coverage planning). Computed over trigrams, where this
+    corpus actually has a tail (its unigram vocabulary is tiny and
+    fully saturated — N1 would be 0). Alongside: trigram vocabulary
+    size and dis-legomena count (the inputs to the
+    r* = (r+1)N_{{r+1}}/N_r adjusted counts).
+
+    All arithmetic is integer (floor-divided ppm), so the oracle hash
+    cannot drift on rounding modes. Scale shape: the only shuffle is
+    the vocabulary-sized (lang, gram) count — partial aggregation
+    collapses the gram stream map-side; the per-language rollup is
+    five combinable sums over the vocabulary.
+
+    Reference basis: extension tier — corpus statistics
+    (SURVEY.md §7 M7 text-analysis family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "lang",
+            F.explode(word_ngrams(tokenize("text"), 3)).alias("gram"),
+        )
+        .groupBy("lang", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    one = F.when(F.col("cnt") == 1, 1).otherwise(0)
+    two = F.when(F.col("cnt") == 2, 1).otherwise(0)
+    return (
+        wc.groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.count("*").alias("vocab_size"),
+            F.sum(one).alias("hapax_count"),
+            F.sum(two).alias("dis_count"),
+        )
+        .select(
+            "lang",
+            "n_grams",
+            "vocab_size",
+            "hapax_count",
+            "dis_count",
+            # Integer DIV, not floor(double /): the exact-quotient case
+            # (1e6*N1 a multiple of N) must not land one ulp below.
+            F.expr("(1000000 * hapax_count) DIV n_grams").alias(
+                "unseen_mass_ppm"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH d AS (
+        SELECT lang,
+               len({_SQL_TOKENS})                                AS n_words,
+               length(regexp_replace(text, '\\s', '', 'g'))      AS n_glyph,
+               length(regexp_replace(text, '[^A-Z]', '', 'g'))   AS n_upper,
+               length(regexp_replace(text, '[^0-9]', '', 'g'))   AS n_digit
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_words < 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_short,
+           CAST(sum(CASE WHEN n_glyph < 3 * n_words
+                           OR n_glyph > 12 * n_words THEN 1 ELSE 0 END)
+                AS BIGINT) AS fail_wordlen,
+           CAST(sum(CASE WHEN 2 * n_upper > n_glyph THEN 1 ELSE 0 END)
+                AS BIGINT) AS fail_caps,
+           CAST(sum(CASE WHEN 5 * n_digit > n_glyph THEN 1 ELSE 0 END)
+                AS BIGINT) AS fail_digit,
+           CAST(sum(CASE WHEN n_words >= 20
+                          AND n_glyph >= 3 * n_words
+                          AND n_glyph <= 12 * n_words
+                          AND 2 * n_upper <= n_glyph
+                          AND 5 * n_digit <= n_glyph
+                    THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+    FROM d
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality filter census in the Gopher/C4 style (Rae et
+    al. 2021 §A1): per language, how many documents each named rule
+    would remove — too few words (<20), mean word length outside
+    [3,12] glyphs, majority-uppercase, digit-heavy (>20% of glyphs) —
+    plus the docs passing every rule. Rule thresholds are stated as
+    integer cross-multiplications (``n_glyph < 3*n_words``, never
+    ``n_glyph/n_words < 3.0``), so the census is float-free and the
+    boundary doc lands on the same side in both engines.
+
+    This is the screening companion to the continuous
+    ``quality_score``: production pipelines run the cheap rule gate
+    first (pure per-row codegen expressions, no shuffle until the
+    per-language rollup — at 100 TB this is a map-only pass emitting
+    |langs| rows).
+
+    Reference basis: extension tier — text quality scoring
+    (SURVEY.md §7 M7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.size(tokenize("text")).alias("n_words"),
+        F.length(F.regexp_replace("text", r"\s", "")).alias("n_glyph"),
+        F.length(F.regexp_replace("text", "[^A-Z]", "")).alias("n_upper"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("n_digit"),
+    )
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    short = F.col("n_words") < 20
+    wordlen = (F.col("n_glyph") < 3 * F.col("n_words")) | (
+        F.col("n_glyph") > 12 * F.col("n_words")
+    )
+    caps = 2 * F.col("n_upper") > F.col("n_glyph")
+    digit = 5 * F.col("n_digit") > F.col("n_glyph")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            cnt(short).alias("fail_short"),
+            cnt(wordlen).alias("fail_wordlen"),
+            cnt(caps).alias("fail_caps"),
+            cnt(digit).alias("fail_digit"),
+            cnt(~short & ~wordlen & ~caps & ~digit).alias("pass_all"),
+        )
+        .orderBy("lang")
+    )
