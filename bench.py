@@ -151,6 +151,10 @@ HEADLINE = [
     "approx_percentile_error_census",
     "collocation_pmi_top20",
     "scd2_purchase_enrichment",
+    # round 4, sixth sweep
+    "temperature_mixture_sample",
+    "semantic_dedup_census",
+    "bpe_encode_census",
 ]
 
 

@@ -1341,3 +1341,144 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+_SEM_K = 8  # frozen coarse centroids (vec_id < K)
+_SEM_T = 0.35  # intra-cluster near-dup cosine threshold
+
+
+@register(
+    "semantic_dedup_census",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c AS (
+        SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_SEM_K}
+    ), m AS (
+        SELECT vec_id, v FROM e WHERE vec_id >= {_SEM_K}
+    ), assign AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT m.vec_id, m.v, c.cid,
+                   row_number() OVER (
+                       PARTITION BY m.vec_id
+                       ORDER BY {_SQL_COS.format(a="m.v", b="c.cv")} DESC,
+                                c.cid
+                   ) AS rn
+            FROM m, c
+        ) WHERE rn = 1
+    ), members AS (
+        SELECT cid, count(*) AS n_members FROM assign GROUP BY cid
+    ), pairs AS (
+        SELECT a.cid, b.vec_id AS ib
+        FROM assign a JOIN assign b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE {_SQL_COS.format(a="a.v", b="b.v")} >= {_SEM_T}
+    ), dup AS (
+        SELECT cid, count(*) AS dup_pairs,
+               count(DISTINCT ib) AS n_flagged
+        FROM pairs GROUP BY cid
+    )
+    SELECT m.cid AS cluster_id, m.n_members,
+           COALESCE(d.dup_pairs, 0) AS dup_pairs,
+           COALESCE(d.n_flagged, 0) AS n_flagged,
+           CAST(round((m.n_members - COALESCE(d.n_flagged, 0)) * 10000.0
+                      / m.n_members) AS BIGINT) AS keep_bp
+    FROM members m LEFT JOIN dup d ON m.cid = d.cid
+    """,
+)
+def semantic_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication census (Abbas et al.
+    2023, arXiv:2303.09540): coarse-cluster the embedding space, then
+    find near-duplicate pairs ONLY within clusters — the trick that
+    turns all-pairs cosine dedup into bounded per-cluster work. Here
+    the cluster centroids are the first K vectors (frozen and
+    deterministic, so the oracle can replay them); each remaining
+    vector joins its argmax-cosine centroid; intra-cluster pairs with
+    cos >= t are flagged, keeping the lowest vec_id. Output: per
+    cluster, member count, dup-pair count, flagged-doc count, and the
+    keep ratio in basis points.
+
+    100 TB design: the centroid table is K-dimension-sized and
+    broadcasts into a map-side argmax; the pairwise stage is an
+    equi-join ON THE CLUSTER ID (never a global cross join) whose
+    per-task work is bounded by cluster size — at scale K grows to
+    keep clusters bounded (SemDeDup uses 11k clusters for 5B docs),
+    which only widens the broadcast. The assignment is materialized
+    once (localCheckpoint) because three consumers branch from it.
+    The exact-small-N cousin of this is ``embedding_near_dup``; this
+    is the shape that actually ships."""
+    from mapreduce511_spark.functions.vectors import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_norm = emb.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    cent = with_norm.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    memb = with_norm.filter(F.col("vec_id") >= _SEM_K)
+    sims = memb.join(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        "cid",
+        (dot(F.col("embedding"), F.col("cv")) / (F.col("nrm") * F.col("cn"))).alias(
+            "s"
+        ),
+    )
+    assign = (
+        sims.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "embedding", "nrm"),
+                # ties pick the smallest cid, matching the oracle's
+                # ORDER BY cos DESC, cid.
+                F.struct(F.col("s"), (-F.col("cid")).alias("neg")),
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.cid").alias("cid"),
+            F.col("best.embedding").alias("v"),
+            F.col("best.nrm").alias("nrm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    members = assign.groupBy("cid").agg(F.count("*").alias("n_members"))
+    a = assign.select(
+        F.col("cid"), F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = assign.select(
+        F.col("cid"), F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, ["cid"])
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= _SEM_T
+        )
+    )
+    dup = pairs.groupBy("cid").agg(
+        F.count("*").alias("dup_pairs"),
+        F.countDistinct("ib").alias("n_flagged"),
+    )
+    return (
+        members.join(dup, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            F.coalesce("dup_pairs", F.lit(0)).alias("dup_pairs"),
+            F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"),
+            F.round(
+                (F.col("n_members") - F.coalesce("n_flagged", F.lit(0)))
+                * 10000.0
+                / F.col("n_members")
+            )
+            .cast("long")
+            .alias("keep_bp"),
+        )
+    )

@@ -2660,3 +2660,129 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "temperature_mixture_sample",
+    oracle="""
+    WITH n AS (
+        SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ), mn AS (
+        SELECT min(n_docs) AS n_min FROM n
+    ), r AS (
+        SELECT n.lang, n.n_docs,
+               CAST(floor(sqrt(CAST(m.n_min AS DOUBLE) / n.n_docs) * 10000)
+                    AS BIGINT) AS rate_bp
+        FROM n, mn m
+    ), h AS (
+        SELECT lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 10000 AS bucket
+        FROM documents
+    )
+    SELECT r.lang, r.n_docs, r.rate_bp,
+           CAST(sum(CASE WHEN h.bucket < r.rate_bp THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM h JOIN r ON h.lang = r.lang
+    GROUP BY r.lang, r.n_docs, r.rate_bp
+    """,
+)
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (alpha = 0.5): each
+    language's acceptance rate is proportional to p_l^(alpha-1) —
+    i.e. sqrt(n_min / n_l), normalized so the rarest language keeps
+    100% — the multilingual-mixture primitive (mBERT/XLM-R style)
+    that upsamples tails without the uniform target of
+    ``source_mixture_weights``. Admission is the deterministic
+    md5-bucket test (same doc -> same verdict at any parallelism);
+    rates come from an exact integer ratio -> sqrt -> floor, so Spark
+    and the oracle compute the identical basis-point threshold.
+
+    100 TB design: the rate table is language-dimension-sized and
+    broadcasts; admission is a map-side predicate on a hash of the
+    stable id; the census is a map-combinable aggregate. One corpus
+    scan total.
+
+    Reference basis: extension tier — deterministic-hash sampling
+    family (deterministic_split, stratified_sample,
+    quality_weighted_sample)."""
+    from mapreduce511_spark.operators.dedup import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    n_min = n.agg(F.min("n_docs").alias("n_min"))
+    rates = n.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.sqrt(F.col("n_min").cast("double") / F.col("n_docs")) * 10000
+        )
+        .cast("long")
+        .alias("rate_bp"),
+    )
+    bucket = hash60(F.col("doc_id").cast("string")) % 10000
+    return (
+        docs.select("lang", bucket.alias("bucket"))
+        .join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n_docs", "rate_bp")
+        .agg(
+            F.sum((F.col("bucket") < F.col("rate_bp")).cast("long")).alias(
+                "n_kept"
+            )
+        )
+    )
+
+
+@register("bpe_encode_census")
+def bpe_encode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a trained BPE tokenizer to the corpus (the encode side of
+    ``train_bpe`` — together they complete the tokenizer story: learn
+    merges, then measure the encoded corpus). 16 merges are learned
+    from the corpus itself, then every DISTINCT word is encoded once
+    by replaying the merge rules in rank order with the trainer's own
+    greedy left-to-right fold; per-language token totals come from
+    joining the encoded vocabulary back to (lang, word) frequencies.
+
+    No DuckDB oracle: the merge table is data-dependent (an iterative
+    argmax, not SQL-expressible); exact parity vs a pure-Python
+    train+encode reference is asserted in tests/test_bpe.py instead
+    (the same treatment as bpe_merge_rules).
+
+    100 TB design: encoding cost is paid per word TYPE, not per token
+    — the vocabulary is orders of magnitude smaller than the stream
+    at any scale, and the 16 interpreted folds run over it in one
+    fused projection. The (lang, word) frequency table joins the
+    encoded vocab on the word key (AQE picks broadcast when the vocab
+    fits); the census is a map-combinable aggregate.
+
+    Reference basis: extension tier — tokenizer primitive for the LLM
+    data pipeline (no analog in /root/reference)."""
+    from mapreduce511_spark.operators.bpe import _MERGE_FOLD, _sql_str, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, 16)
+    freqs = (
+        docs.select("lang", F.explode(tokenize("text")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    enc = freqs.select("w").distinct().select("w", F.split("w", "").alias("seg"))
+    for a, b, _ in merges:
+        enc = enc.select(
+            "w", F.expr(_MERGE_FOLD.format(a=_sql_str(a), b=_sql_str(b))).alias("seg")
+        )
+    enc = enc.select("w", F.size("seg").alias("n_tok"))
+    return (
+        freqs.join(enc, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("stream_words"),
+            F.sum(F.col("cnt") * F.col("n_tok")).cast("long").alias("bpe_tokens"),
+            F.sum(F.col("cnt") * F.length("w")).cast("long").alias("stream_chars"),
+        )
+        .withColumn(
+            "chars_per_token_milli",
+            F.round(F.col("stream_chars") * 1000.0 / F.col("bpe_tokens"))
+            .cast("long"),
+        )
+    )

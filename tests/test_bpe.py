@@ -113,3 +113,58 @@ def test_train_bpe_depth_64_matches_reference_and_stays_bounded(spark):
     plan = vocab._jdf.queryExecution().optimizedPlan().toString()
     depth = len(plan.splitlines())
     assert depth <= 5, f"lineage accumulated: {depth} plan lines\n{plan}"
+
+
+def _py_encode_len(word: str, merges) -> int:
+    seg = list(word)
+    for a, b, _ in merges:
+        out: list[str] = []
+        for x in seg:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        seg = out
+    return len(seg)
+
+
+def test_bpe_encode_census_matches_reference(spark):
+    """The encode side: train 16 merges on the smoke corpus, encode
+    the whole corpus, and match the per-language census against a
+    pure-Python train+encode over the same tokens — exact, row for
+    row."""
+    from pyspark.sql import functions as F
+
+    from mapreduce511_spark.functions.text import tokenize
+    from mapreduce511_spark.queries.text import bpe_encode_census
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    by_lang_word: Counter = Counter()
+    for r in (
+        docs.select("lang", F.explode(tokenize("text")).alias("w"))
+        .groupBy("lang", "w")
+        .count()
+        .collect()
+    ):
+        by_lang_word[(r.lang, r.w)] = r["count"]
+    words = Counter()
+    for (_, w), c in by_lang_word.items():
+        words[w] += c
+
+    merges = _reference_bpe(words, 16)
+    enc_len = {w: _py_encode_len(w, merges) for w in words}
+    want: dict[str, list[int]] = {}
+    for (lang, w), c in by_lang_word.items():
+        row = want.setdefault(lang, [0, 0, 0])
+        row[0] += c
+        row[1] += c * enc_len[w]
+        row[2] += c * len(w)
+
+    got = {
+        r.lang: [r.stream_words, r.bpe_tokens, r.stream_chars]
+        for r in bpe_encode_census(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # every merge strictly compresses: tokens < chars, >= words
+    for lang, (n_w, n_t, n_c) in got.items():
+        assert n_w <= n_t < n_c, lang
