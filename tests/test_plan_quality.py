@@ -210,3 +210,20 @@ def test_gap_fill_window_is_day_partitioned(spark):
     # only the window's input partitioning matters here)
     feed = "\n".join(lines[wi : wi + 5])
     assert "Exchange hashpartitioning(cast(m" in feed, feed
+
+
+def test_semantic_dedup_pair_stage_is_equi_join(spark):
+    """SemDeDup's only nested-loop join is the K-row centroid
+    broadcast (intentional, K-bounded); the pairwise stage must plan
+    as an equi-join on the cluster id — if it degenerated to a
+    second nested loop the query would be all-pairs cosine again."""
+    plan = _plan(spark, "semantic_dedup_census")
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_temperature_sample_broadcasts_rate_table(spark):
+    """The per-language rate table must reach the corpus scan as a
+    broadcast (language-dimension-sized), never a shuffle of the
+    corpus on lang."""
+    plan = _plan(spark, "temperature_mixture_sample")
+    assert "BroadcastHashJoin" in plan, plan

@@ -90,6 +90,9 @@ PICKS = {
     "theil_sen_price_slope": "one ordered pass, disjoint pairs; partition-local pairing at scale",
     "asof_next_purchase_census": "one user-keyed window pass; no correlated probe",
     "variant_props_quantiles": "single variant shred per row; typed binary field access",
+    "temperature_mixture_sample": "two lang-dimension aggs broadcast; map-side md5 admission; one corpus scan",
+    "semantic_dedup_census": "broadcast-centroid argmax; pair join equi-keyed on cluster id, work ~ cluster size (K grows with corpus)",
+    "bpe_encode_census": "16-merge train loop over the vocabulary + one fused encode of word TYPES; stream totals via word-keyed join",
 }
 
 
