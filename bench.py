@@ -155,6 +155,7 @@ HEADLINE = [
     "temperature_mixture_sample",
     "semantic_dedup_census",
     "bpe_encode_census",
+    "bucketed_join_revenue",
 ]
 
 

@@ -128,8 +128,9 @@ _ENUMERATE_FIRST: list[str] = [
     #    copurchase_clustering, stream_incremental_mv,
     #    tfidf_cosine_pairs;
     #    and the sixth sweep: temperature_mixture_sample,
-    #    semantic_dedup_census, bpe_encode_census (rows-only —
-    #    merge table is data-dependent; parity in tests/test_bpe.py);
+    #    semantic_dedup_census, bucketed_join_revenue,
+    #    bpe_encode_census (rows-only — merge table is
+    #    data-dependent; parity in tests/test_bpe.py);
     # 2. round-4 implementation changes with existing green rows:
     #    copurchase_triangles, concurrent_user_spans, bpe_merge_rules;
     # 3. the r01 staleness rotation (minhash_*, simhash_*, tumbling/

@@ -3286,3 +3286,54 @@ def _clustering_census(edges: DataFrame) -> DataFrame:
             "sum(cc_bp) DIV sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END)"
         ).alias("mean_local_cc_bp"),
     )
+
+
+@register(
+    "bucketed_join_revenue",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact join via BUCKETED table layout: customer and
+    orders are materialized bucketed+sorted on the customer key
+    (``operators/bucketed.py``), then joined — the sort-merge join
+    reads both sides already hash-co-partitioned, so NEITHER input
+    shuffles (the only Exchange in the whole plan is the final
+    nation-level aggregate; plan-asserted vs the unbucketed twin in
+    tests/test_bucketed.py). The write step IS the one-time shuffle:
+    at 100 TB you pay it once at ingest and never again across the
+    query mix, where the naive form re-shuffles the fact table per
+    join. The merge hint pins the demonstration to the co-located
+    path (a broadcast would also avoid the shuffle here, but only
+    because sf-scale customer is dimension-sized — bucketing is the
+    strategy that survives when both sides are large).
+
+    Reference basis: extension tier — storage-layout family; the
+    aggregate itself is the reference's per-key mean/count shape
+    (SURVEY §2 A5) over a TPC-H join."""
+    from mapreduce511_spark.operators.bucketed import write_bucketed
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    write_bucketed(cust, "mr511_bucketed_customer", "c_custkey", 8)
+    write_bucketed(orders, "mr511_bucketed_orders", "o_custkey", 8)
+    bc = spark.table("mr511_bucketed_customer")
+    bo = spark.table("mr511_bucketed_orders")
+    return (
+        bc.hint("merge")
+        .join(bo, bc.c_custkey == bo.o_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

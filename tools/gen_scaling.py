@@ -93,6 +93,7 @@ PICKS = {
     "temperature_mixture_sample": "two lang-dimension aggs broadcast; map-side md5 admission; one corpus scan",
     "semantic_dedup_census": "broadcast-centroid argmax; pair join equi-keyed on cluster id, work ~ cluster size (K grows with corpus)",
     "bpe_encode_census": "16-merge train loop over the vocabulary + one fused encode of word TYPES; stream totals via word-keyed join",
+    "bucketed_join_revenue": "write-time shuffle only: bucketed scans feed the merge join pre-partitioned (zero join-input Exchange)",
 }
 
 
