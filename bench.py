@@ -156,6 +156,7 @@ HEADLINE = [
     "semantic_dedup_census",
     "bpe_encode_census",
     "bucketed_join_revenue",
+    "stream_click_attribution_outer",
 ]
 
 

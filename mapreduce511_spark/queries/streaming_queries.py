@@ -867,3 +867,64 @@ def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = result.collect()
     _cleanup(src)
     return spark.createDataFrame(rows, result.schema)
+
+
+@register(
+    "stream_click_attribution_outer",
+    oracle="""
+    WITH wm AS (
+        SELECT least(
+                   (SELECT max(ts) FROM events WHERE event_type = 'click'),
+                   (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+               ) - INTERVAL 2 HOUR AS w
+    )
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 2 HOUR
+    WHERE p.event_id IS NOT NULL
+       OR c.ts + INTERVAL 2 HOUR < (SELECT w FROM wm)
+    """,
+)
+def stream_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join under the oracle gate: the
+    conversion-funnel completion of ``stream_click_attribution`` —
+    unconverted clicks surface as null-extended rows, but only once
+    the watermark PROVES they can no longer convert. The oracle
+    states Spark's emission rule in plain SQL: matched pairs are the
+    batch interval join; a null-extended row appears iff the click
+    found no purchase AND its join window closed below the final
+    watermark, min(max click ts, max purchase ts) - 2h (Spark's
+    multi-input watermark is the min across inputs; the horizon
+    beyond it is unemitted state by design — semantics verified
+    empirically, cutoff exact at sf0.001/sf0.01). Single data batch
+    for the same reason as the inner variant; the null flush happens
+    in the trailing no-data micro-batch that advances the watermark.
+
+    At 100 TB: identical state bound to the inner join (watermark +
+    interval horizon per side, user-keyed shuffle); the outer rows
+    add no state, only an eviction-time emit.
+
+    Reference basis: extension tier — streaming family (SURVEY.md
+    §2.9)."""
+    from mapreduce511_spark.streaming import click_purchase_left_join
+
+    src, ckpt, name = _scratch("louter")
+    try:
+        prepare_events_dir(spark, sf_dir, src)
+        stream = stream_events(spark, src)
+        clicks = stream.filter(F.col("event_type") == "click")
+        purchases = stream.filter(F.col("event_type") == "purchase")
+        joined = click_purchase_left_join(clicks, purchases)
+        return _detach(
+            run_available_now(joined, name, ckpt, mode="append"), name
+        )
+    finally:
+        _cleanup(src)

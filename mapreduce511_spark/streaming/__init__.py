@@ -356,6 +356,58 @@ def click_purchase_join(
     )
 
 
+def click_purchase_left_join(
+    clicks: DataFrame, purchases: DataFrame, within: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click row
+    survives — matched clicks pair with their purchases eagerly, and
+    an UNMATCHED click is emitted null-extended only once the global
+    watermark proves no future purchase can still join it (its join
+    window ``[click_ts, click_ts + within]`` has closed). This is the
+    conversion-funnel shape the inner join can't express: the
+    unconverted clicks ARE the signal.
+
+    Emission rule (what the batch oracle must state): matched pairs
+    are exactly the inner-join set; null-extended rows appear for
+    clicks whose window upper bound fell below the final watermark =
+    min(max click ts, max purchase ts) - within (Spark's multi-input
+    watermark is the min across inputs; each side's delay is
+    ``within``). Clicks whose window was still open when the source
+    drained stay in (discarded) state and never surface — determinism
+    the oracle encodes with the same cutoff.
+
+    At 100 TB the state bound is identical to the inner join's:
+    watermark + interval horizon per side, user-keyed shuffle."""
+    c = clicks.withWatermark("ts", within).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", within).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {within}")
+        ),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def exactly_once_parquet_sink(
     stream_df: DataFrame, out_dir: str, checkpoint: str
 ):

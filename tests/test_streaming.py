@@ -324,3 +324,55 @@ def test_late_drop_census_boundary_semantics(spark, tmp_path):
     )
     orc = con.execute(all_oracles()["stream_late_drop_census"]).fetchone()
     assert tuple(int(x) for x in orc) == (6, 3, 3), orc
+
+
+def test_stream_stream_left_outer_matches_watermark_rule(spark, events_dir, tmp_path):
+    """LEFT OUTER stream-stream join: matched rows equal the batch
+    inner join exactly; null-extended rows are exactly the unmatched
+    clicks whose join window closed below the final watermark
+    min(max click ts, max purchase ts) - 2h — no phantom nulls for
+    clicks that matched, none for windows still open at drain."""
+    import datetime
+
+    from mapreduce511_spark.streaming import (
+        click_purchase_join,
+        click_purchase_left_join,
+    )
+
+    stream = stream_events(spark, events_dir)
+    result = run_available_now(
+        click_purchase_left_join(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase"),
+        ),
+        "ss_louter_test",
+        str(tmp_path / "ckpt_sslo"),
+        mode="append",
+    ).collect()
+    matched = [r for r in result if r.purchase_id is not None]
+    nulls = {r.click_id for r in result if r.purchase_id is None}
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch_inner = click_purchase_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    ).collect()
+    key = lambda r: (r.user_id, r.click_id, r.purchase_id)
+    assert sorted(map(key, matched)) == sorted(map(key, batch_inner))
+
+    wm = (
+        min(
+            ev.filter(F.col("event_type") == "click").agg(F.max("ts")).first()[0],
+            ev.filter(F.col("event_type") == "purchase").agg(F.max("ts")).first()[0],
+        )
+        - datetime.timedelta(hours=2)
+    )
+    converted = {r.click_id for r in batch_inner}
+    expect_nulls = {
+        r.event_id
+        for r in ev.filter(F.col("event_type") == "click").collect()
+        if r.event_id not in converted
+        and r.ts + datetime.timedelta(hours=2) < wm
+    }
+    assert nulls == expect_nulls
+    assert nulls, "fixture must exercise the unmatched path"
