@@ -57,6 +57,9 @@ PICKS = {
     "copurchase_common_neighbors": "support filter prunes edges before the wedge shuffle",
     "token_kl_by_lang": "one vocab-sized count shuffle; margins ride broadcasts",
     "hll_rolling_7d_users": "daily registers once; window merge shuffles days x <=256 rows",
+    "semantic_dedup_census": "centroids broadcast; pair shuffle carries cluster-assigned vectors once",
+    "temperature_mixture_sample": "rate table broadcast; census shuffle is language-dimension-sized",
+    "bucketed_join_revenue": "bucketed scans: the only exchange is the nation-level aggregate",
 }
 
 # static epilogue kept across regenerations (measured once; the
