@@ -217,7 +217,11 @@ def hll_distinct_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cardinality in `/root/reference/.../job_output.log:107` is
     what this replaces at scale."""
     grams = _doc_trigrams(spark, sf_dir)
-    dg = grams.select("lang", "g").distinct()
+    # one distinct feeds BOTH branches: the sketch registers and the
+    # exact twin (countDistinct is a distinct + count anyway) — the
+    # checkpoint stops the trigram explode + distinct shuffle from
+    # executing twice (same pattern as copurchase_triangles' edges).
+    dg = grams.select("lang", "g").distinct().localCheckpoint(eager=True)
     reg, rho = _hll_reg_rho(F.md5("g"))
     regs = (
         dg.select("lang", reg, rho)
@@ -225,9 +229,7 @@ def hll_distinct_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("rho").alias("rmax"))
     )
     est = _hll_estimate(regs, "lang")
-    exact = grams.groupBy("lang").agg(
-        F.countDistinct("g").alias("n_exact")
-    )
+    exact = dg.groupBy("lang").agg(F.count("*").alias("n_exact"))
     return (
         est.join(exact, "lang")
         .select(
