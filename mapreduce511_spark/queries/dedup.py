@@ -475,9 +475,15 @@ def lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference basis: extension tier — dedup evaluation (SURVEY.md §7
     M7); the LSH S-curve math is Leskovec/Rajaraman/Ullman ch. 3."""
     docs = load_table(spark, sf_dir, "documents")
-    shingles = doc_shingles(docs)
+    # shingles feeds the minhash pipeline, the size census, and both
+    # truth-join sides — checkpoint so it executes once, not 4x+.
+    shingles = doc_shingles(docs).localCheckpoint(eager=True)
     cand = band_candidates(minhash_bands(minhash_signatures_wide(shingles)))
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sizes = (
+        shingles.groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+        .localCheckpoint(eager=True)
+    )
     a, b = shingles.alias("a"), shingles.alias("b")
     inter = (
         a.join(

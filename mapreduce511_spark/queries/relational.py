@@ -1495,7 +1495,13 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference basis: extension tier — co-occurrence mining is a
     standard corpus/statistics workload the reference lacks."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    ppo = li.select("l_orderkey", "l_partkey").distinct()
+    # both self-join sides read the distinct — checkpoint so the
+    # lineitem scan + distinct shuffle executes once, not twice.
+    ppo = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     a = ppo.alias("a")
     b = ppo.alias("b")
     return (
@@ -1778,7 +1784,13 @@ def _copurchase_edges(li: DataFrame) -> DataFrame:
     double-compute stays gone. At 100 TB the materialized edge set is
     two longs per edge in MEMORY_AND_DISK — the standard move for a
     reused graph intermediate."""
-    ppo = li.select("l_orderkey", "l_partkey").distinct()
+    # both self-join sides read the distinct — checkpoint so the
+    # lineitem scan + distinct shuffle executes once, not twice.
+    ppo = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     a = ppo.alias("a")
     b = ppo.alias("b")
     return (
@@ -2593,7 +2605,11 @@ def copurchase_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``copurchase_triangles`` closure census, ``copurchase_pagerank``
     centrality; this one predicts the MISSING edges)."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    ppo = li.select("l_orderkey", "l_partkey").distinct()
+    ppo = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)  # one distinct for both sides
+    )
     a, b = ppo.alias("a"), ppo.alias("b")
     edges = (
         a.join(
@@ -2905,12 +2921,18 @@ def item_cosine_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``copurchase_common_neighbors`` graph-topology variant; this one
     normalizes by popularity)."""
     orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    # pu fans out four ways (degree table + both pair-join sides, and
+    # deg itself is read twice as margins) — checkpoint both so the
+    # order-lineitem join + distinct executes once, not 4x.
     pu = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    deg = pu.groupBy("p").agg(F.count("*").alias("d"))
+    deg = (
+        pu.groupBy("p").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
+    )
     a, b = pu.alias("a"), pu.alias("b")
     co = (
         a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.p") < F.col("b.p")))
@@ -3000,11 +3022,13 @@ def theil_sen_price_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         "l_extendedprice",
     )
+    # the global row_number sort is the expensive stage and both pair
+    # sides read it — checkpoint so the total order is built once.
     keyed = li.select(
         F.col("l_quantity").alias("q"),
         F.col("l_extendedprice").alias("p"),
         F.row_number().over(w).alias("rn"),
-    )
+    ).localCheckpoint(eager=True)
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = a.join(
         b,

@@ -327,8 +327,15 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce511_spark.operators.dedup import doc_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    shingles = doc_shingles(docs)  # tokens bound pre-transform (perf)
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # shingles fans out to the size census and both join sides (and
+    # sizes is read twice as margins) — checkpoint so the tokenize +
+    # ngram explode + distinct executes once, not 4x.
+    shingles = doc_shingles(docs).localCheckpoint(eager=True)
+    sizes = (
+        shingles.groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+        .localCheckpoint(eager=True)
+    )
     a = shingles.alias("a")
     b = shingles.alias("b")
     inter = (

@@ -714,16 +714,20 @@ def winnow_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p")
         .rowsBetween(-(_WINNOW_W - 1), 0)
     )
+    # the winnowing window + distinct is the expensive stage and fans
+    # out to the df census and BOTH pair-join sides — checkpoint it
+    # (and the rare postings) so it executes once, not 4x.
     doc_fps = (
         hashed.withColumn("fp", F.min("h").over(w))
         .filter(F.col("p") >= _WINNOW_W - 1)
         .select("doc_id", "fp")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     df_counts = doc_fps.groupBy("fp").agg(F.count("*").alias("d"))
     rare = doc_fps.join(
         df_counts.filter(F.col("d") <= _WINNOW_MAX_DF).select("fp"), "fp"
-    )
+    ).localCheckpoint(eager=True)
     a, b = rare.alias("a"), rare.alias("b")
     return (
         a.join(

@@ -2451,10 +2451,15 @@ def collocation_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §7 M7 text-analysis family)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize("text").alias("toks"))
+    # both count tables fan out to multiple consumers (uni -> total +
+    # two margin broadcasts; allbi -> total + floored pairs); without
+    # the checkpoint each consumer re-runs the corpus tokenize+count,
+    # ~5 full scans per invocation. Vocabulary-sized materializations.
     uni = (
         toks.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
     ut = uni.agg(F.sum("c").alias("ut"))
     allbi = (
@@ -2462,6 +2467,7 @@ def collocation_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("grams").alias("g"))
         .groupBy("g")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
     bt = allbi.agg(F.sum("c").alias("bt"))
     bi = allbi.filter(F.col("c") >= 5).select(
