@@ -157,6 +157,7 @@ HEADLINE = [
     "bpe_encode_census",
     "bucketed_join_revenue",
     "stream_click_attribution_outer",
+    "heldout_bigram_ppl",
 ]
 
 

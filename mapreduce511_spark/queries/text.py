@@ -2792,3 +2792,113 @@ def bpe_encode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long"),
         )
     )
+
+
+@register(
+    "heldout_bigram_ppl",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, lang, {_SQL_TOKENS} AS tokens,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 100 AS b
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, lang, b, unnest(tokens) AS w,
+               unnest(range(len(tokens))) AS p
+        FROM split
+    ), big AS (
+        SELECT a.lang, a.b, a.w AS w1, x.w AS w2
+        FROM pos a JOIN pos x
+          ON a.doc_id = x.doc_id AND x.p = a.p + 1
+    ), bfreq AS (
+        SELECT lang, w1, w2, count(*) AS bc
+        FROM big WHERE b < 80 GROUP BY lang, w1, w2
+    ), ufreq AS (
+        SELECT lang, w1, CAST(sum(bc) AS BIGINT) AS uc
+        FROM bfreq GROUP BY lang, w1
+    ), vocab AS (
+        SELECT lang, count(DISTINCT w1) AS v FROM bfreq GROUP BY lang
+    ), scored AS (
+        SELECT g.lang,
+               -ln((COALESCE(f.bc, 0) + 1) * 1.0
+                   / (COALESCE(u.uc, 0) + vo.v)) AS nll
+        FROM (SELECT * FROM big WHERE b >= 80 AND b < 90) g
+        LEFT JOIN bfreq f
+          ON g.lang = f.lang AND g.w1 = f.w1 AND g.w2 = f.w2
+        LEFT JOIN ufreq u ON g.lang = u.lang AND g.w1 = u.w1
+        JOIN vocab vo ON g.lang = vo.lang
+    )
+    SELECT lang,
+           count(*) AS n_val_bigrams,
+           round(avg(nll), 4) AS cross_entropy,
+           round(exp(avg(nll)), 2) AS perplexity
+    FROM scored GROUP BY lang
+    """,
+)
+def heldout_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT perplexity per language: a Laplace-smoothed bigram LM
+    is trained on the hash-split train shard (md5 bucket < 80) and
+    scored on the val shard (bucket 80-89) — the LM-based quality
+    measurement of the CCNet/Wikipedia-LM filtering recipe, and the
+    honest-evaluation twin of ``bigram_logprob_score`` (which scores
+    the corpus under a model trained on itself and therefore never
+    sees an unseen bigram; this one must smooth: P(w2|w1) =
+    (c(w1,w2)+1) / (c(w1)+V), V = train prefix vocabulary).
+
+    100 TB design: train counts collapse to vocabulary size map-side
+    before shuffling; the val stream LEFT-joins the count tables on
+    (lang, w1[, w2]) — vocabulary-keyed equi-joins, broadcast for the
+    language-dimension vocab census; one avg at the end. The split is
+    the same deterministic md5 bucket every sampler here uses, so
+    train/val membership is reproducible at any parallelism.
+
+    Reference basis: extension tier — corpus statistics / quality
+    family (companions: bigram_logprob_score, gopher_quality_rules,
+    quality_weighted_sample)."""
+    from mapreduce511_spark.operators.dedup import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash60(F.col("doc_id").cast("string")) % 100
+    big = (
+        docs.select(
+            "lang",
+            bucket.alias("b"),
+            F.explode(word_ngrams(tokenize("text"), 2)).alias("g"),
+        )
+        .select(
+            "lang",
+            "b",
+            F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+    )
+    # train counts fan out three ways (bigram join, prefix margins,
+    # vocab census) — checkpoint the vocabulary-sized table once.
+    bfreq = (
+        big.filter(F.col("b") < 80)
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count("*").alias("bc"))
+        .localCheckpoint(eager=True)
+    )
+    ufreq = bfreq.groupBy("lang", "w1").agg(F.sum("bc").alias("uc"))
+    vocab = bfreq.select("lang", "w1").distinct().groupBy("lang").agg(
+        F.count("*").alias("v")
+    )
+    val = big.filter((F.col("b") >= 80) & (F.col("b") < 90))
+    nll = -F.log(
+        (F.coalesce(F.col("bc"), F.lit(0)) + 1)
+        * 1.0
+        / (F.coalesce(F.col("uc"), F.lit(0)) + F.col("v"))
+    )
+    return (
+        val.join(bfreq, ["lang", "w1", "w2"], "left")
+        .join(ufreq, ["lang", "w1"], "left")
+        .join(F.broadcast(vocab), "lang")
+        .select("lang", nll.alias("nll"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_val_bigrams"),
+            F.round(F.avg("nll"), 4).alias("cross_entropy"),
+            F.round(F.exp(F.avg("nll")), 2).alias("perplexity"),
+        )
+    )

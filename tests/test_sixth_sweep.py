@@ -52,3 +52,20 @@ def test_semantic_dedup_census_partitions_and_bounds(spark):
         assert 0 <= r.keep_bp <= 10000
         expect_bp = round((r.n_members - r.n_flagged) * 10000 / r.n_members)
         assert r.keep_bp == expect_bp
+
+
+def test_heldout_ppl_bounds_and_split(spark):
+    """Cross-entropy is positive and bounded by ln(V+1) (the uniform
+    unseen-word floor can't be beaten by less than one observation);
+    perplexity is exp(cross_entropy) after rounding; every language
+    present in the val shard reports."""
+    import math
+
+    from mapreduce511_spark.queries.text import heldout_bigram_ppl
+
+    rows = heldout_bigram_ppl(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_val_bigrams > 0
+        assert 0 < r.cross_entropy
+        assert abs(r.perplexity - round(math.exp(r.cross_entropy), 2)) < 0.02
