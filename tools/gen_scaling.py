@@ -94,6 +94,7 @@ PICKS = {
     "semantic_dedup_census": "broadcast-centroid argmax; pair join equi-keyed on cluster id, work ~ cluster size (K grows with corpus)",
     "bpe_encode_census": "16-merge train loop over the vocabulary + one fused encode of word TYPES; stream totals via word-keyed join",
     "bucketed_join_revenue": "write-time shuffle only: bucketed scans feed the merge join pre-partitioned (zero join-input Exchange)",
+    "heldout_bigram_ppl": "train counts collapse to vocabulary size map-side; val stream left-joins on vocab keys",
 }
 
 
