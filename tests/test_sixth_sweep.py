@@ -69,3 +69,60 @@ def test_heldout_ppl_bounds_and_split(spark):
         assert r.n_val_bigrams > 0
         assert 0 < r.cross_entropy
         assert abs(r.perplexity - round(math.exp(r.cross_entropy), 2)) < 0.02
+
+
+def test_semantic_dedup_survives_10x_duplication(spark, tmp_path):
+    """Scale stress: a 10x-replicated embedding corpus (every vector
+    in a 10-way exact-duplicate family). SemDeDup must (a) assign all
+    copies of a vector to the SAME cluster (identical vectors,
+    deterministic tie-break), (b) flag at least all-but-one member of
+    every family (cos=1 pairs within the cluster), and (c) keep the
+    output cluster-bounded — pair work grows with cluster size
+    squared, never corpus squared."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce511_spark.queries.similarity import (
+        _SEM_K,
+        semantic_dedup_census,
+    )
+
+    src = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    ids = src.column("vec_id").to_pylist()
+    emb = src.column("embedding").to_pylist()
+    lab = src.column("label").to_pylist()
+    R = 10
+    out = {
+        "vec_id": [],
+        "embedding": [],
+        "label": [],
+    }
+    for k in range(R):
+        for i, e, l in zip(ids, emb, lab):
+            out["vec_id"].append(i + 10000 * k)
+            out["embedding"].append(e)
+            out["label"].append(l)
+    sf_dir = tmp_path / "dup10"
+    sf_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "embedding": pa.array(out["embedding"], pa.list_(pa.float32())),
+                "label": pa.array(out["label"], pa.int32()),
+            }
+        ),
+        str(sf_dir / "embeddings.parquet"),
+    )
+
+    rows = semantic_dedup_census(spark, str(sf_dir)).collect()
+    n_total = len(ids) * R
+    assert len(rows) <= _SEM_K  # output stays cluster-bounded
+    assert sum(r.n_members for r in rows) == n_total - _SEM_K
+    # every 10-way family contributes >= 9 flagged copies; families
+    # whose base vector is a centroid contribute >= R-1 members all
+    # duplicating each other (9 pairs, >= 8 flagged beyond the kept one)
+    min_flagged = len(ids) * (R - 1) - _SEM_K
+    assert sum(r.n_flagged for r in rows) >= min_flagged
+    for r in rows:
+        assert r.n_flagged <= r.n_members
