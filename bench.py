@@ -158,6 +158,7 @@ HEADLINE = [
     "bucketed_join_revenue",
     "stream_click_attribution_outer",
     "heldout_bigram_ppl",
+    "doc_quality_features",
 ]
 
 

@@ -130,6 +130,7 @@ _ENUMERATE_FIRST: list[str] = [
     #    and the sixth sweep: temperature_mixture_sample,
     #    semantic_dedup_census, bucketed_join_revenue,
     #    stream_click_attribution_outer, heldout_bigram_ppl,
+    #    doc_quality_features,
     #    bpe_encode_census (rows-only — merge table is
     #    data-dependent; parity in tests/test_bpe.py);
     # 2. round-4 implementation changes with existing green rows:

@@ -2902,3 +2902,56 @@ def heldout_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(F.avg("nll")), 2).alias("perplexity"),
         )
     )
+
+
+@register(
+    "doc_quality_features",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+               AS n_glyph,
+           CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT)
+               AS n_upper,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+               AS n_digit,
+           CAST(CASE WHEN len({_SQL_TOKENS}) > 0
+                     THEN round(length(regexp_replace(text, '\\s', '', 'g'))
+                                * 1000.0 / len({_SQL_TOKENS}))
+                     ELSE 0 END AS BIGINT) AS mean_word_len_milli
+    FROM documents
+    """,
+)
+def doc_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality FEATURE VECTOR export — the trainer input
+    a learned quality classifier (fastText/logistic, the CCNet /
+    FineWeb recipe) consumes, where ``quality_score`` and
+    ``gopher_quality_rules`` are fixed-threshold consumers of the
+    same signals. One narrow projection per document, all-integer
+    features (counts and a milli-scaled ratio), no shuffle at all —
+    at 100 TB this is a map-only pass whose output partitions
+    inherit the input layout.
+
+    Reference basis: extension tier — quality family (SURVEY.md §7
+    M7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokenize("text")).cast("long")
+    n_glyph = F.length(F.regexp_replace("text", r"\s", "")).cast("long")
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        n_glyph.alias("n_glyph"),
+        F.length(F.regexp_replace("text", "[^A-Z]", ""))
+        .cast("long")
+        .alias("n_upper"),
+        F.length(F.regexp_replace("text", "[^0-9]", ""))
+        .cast("long")
+        .alias("n_digit"),
+        F.when(n_tok > 0, F.round(n_glyph * 1000.0 / n_tok))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mean_word_len_milli"),
+    )
