@@ -24,10 +24,34 @@ analog in /root/reference (its engine re-reads flat CSV per query).
 
 from __future__ import annotations
 
-import shutil
-from pathlib import Path
+from pyspark.sql import DataFrame, SparkSession
 
-from pyspark.sql import DataFrame
+
+def _hadoop_delete(spark: SparkSession, location: str) -> None:
+    """Recursively delete ``location`` through the Hadoop FileSystem
+    API — works for any URI scheme the session can reach (file:,
+    hdfs:, s3a:, ...), unlike a local ``shutil.rmtree`` which
+    silently no-ops on non-local warehouses."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(location)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
+def _default_location(spark: SparkSession, table: str) -> str:
+    """The managed-table location Spark WOULD use for ``table`` —
+    handles qualified names (``db.tbl`` -> ``<wh>/db.db/tbl``) and
+    the current-database default. Used only for the orphaned-dir
+    sweep, when the catalog no longer knows the table."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    db, _, tbl = table.rpartition(".")
+    if not db:
+        db = spark.catalog.currentDatabase()
+    base = warehouse.rstrip("/")
+    if db.lower() != "default":
+        base = f"{base}/{db.lower()}.db"
+    return f"{base}/{tbl.lower()}"
 
 
 def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int) -> None:
@@ -35,18 +59,26 @@ def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int) -> None:
     catalog table (parquet). Overwrites any previous version — the
     write IS the one-time shuffle the layout amortizes away.
 
-    The drop + location sweep first handles the orphaned-directory
-    case: a managed-table location left on disk by a previous session
-    whose (in-memory or rebuilt) catalog no longer lists the table
-    makes a plain overwrite fail with LOCATION_ALREADY_EXISTS."""
+    Cleanup order: if the catalog knows the table, resolve its REAL
+    location first (it may differ from the default for qualified
+    names or relocated warehouses), drop, then delete the location;
+    otherwise sweep the default managed location, handling the
+    orphaned-directory case — a location left on disk by a previous
+    session whose catalog no longer lists the table makes a plain
+    overwrite fail with LOCATION_ALREADY_EXISTS. Deletion goes
+    through the Hadoop FS API so non-local warehouse URIs work too."""
     spark = df.sparkSession
+    location = None
+    if spark.catalog.tableExists(table):
+        for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+            if row.col_name == "Location":
+                location = row.data_type
+                break
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    for prefix in ("file://", "file:"):
-        if warehouse.startswith(prefix):
-            warehouse = warehouse[len(prefix):]
-            break
-    shutil.rmtree(Path(warehouse) / table.lower(), ignore_errors=True)
+    # DROP removes a managed table's data, but sweep anyway: the
+    # orphan case (dir present, catalog entry gone) leaves location
+    # None, and a failed earlier write can leave partial files.
+    _hadoop_delete(spark, location or _default_location(spark, table))
     (
         df.write.mode("overwrite")
         .format("parquet")
@@ -54,3 +86,14 @@ def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int) -> None:
         .sortBy(key)
         .saveAsTable(table)
     )
+
+
+def session_table_name(spark: SparkSession, base: str) -> str:
+    """A table name unique to this SparkSession (suffix = sanitized
+    applicationId): two sessions sharing a warehouse dir never race
+    on the same managed location, while repeated calls within one
+    session reuse (overwrite) the same table."""
+    app = "".join(
+        c if c.isalnum() else "_" for c in spark.sparkContext.applicationId
+    )
+    return f"{base}_{app}"

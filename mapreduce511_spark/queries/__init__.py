@@ -48,98 +48,66 @@ def register(name: str, oracle: str | None = None):
 # Registration order is otherwise preserved, and the set of names is
 # identical either way.
 _ENUMERATE_FIRST: list[str] = [
-    # ROUND 4 rebuild (from CORRECTNESS_r01..r03): exactly 50 names —
-    # the r3 list was 51 long and the 51st (char_entropy_by_lang)
-    # never sampled. Order: never-driver-checked, oracled-after-last-
-    # check, new/changed this round (both sweeps), then staleness
-    # rotation (queries whose newest green row is r01). The r02/r03
-    # greens displaced by the second sweep's new queries re-verify in
-    # later rounds' rotations (and in tests/test_oracle_parity.py
-    # every session).
-    # --- never checked / oracle added after last check ---
-    "char_entropy_by_lang",
-    "multimodal_frame_sample",
-    # --- new in round 4 ---
-    "stream_late_drop_census",
-    "multimodal_png_stats",
-    "copurchase_triangles_approx",
-    "padding_waste_by_bucket",
-    "doc_chunk_census",
-    "vocab_coverage_curve",
-    "doc_chunks_expanded",
-    "bigram_logprob_score",
-    "join_key_skew_census",
-    "pii_screen_census",
-    "stream_click_attribution",
-    # --- new in round 4, second sweep ---
-    "bm25_top_docs",
-    "copurchase_pagerank",
-    "gap_filled_minute_counts",
-    "user_type_scd2",
-    "decayed_user_engagement",
-    "customer_name_er",
-    "zorder_cell_census",
-    "stream_sliding_event_counts",
-    "stream_user_running_stats",
-    "embedding_dim_stats",
-    "winsorized_price_stats",
-    "mad_value_anomaly",
-    "hybrid_rrf_top_docs",
-    "rolling_7d_active_users",
-    "near_dup_containment",
-    "weighted_reservoir_sample",
-    "event_transition_matrix",
-    "price_quantity_regression",
-    "copurchase_kcore_census",
-    # --- new in round 4, third sweep (sketches + info-theory +
-    #     skyline/link-prediction + telemetry + streaming top-k) ---
-    "hll_distinct_trigrams",
-    "cms_heavy_bigrams",
-    "bloom_membership_census",
-    "winnowing_fingerprints",
-    "token_kl_by_lang",
-    "chi2_distinctive_terms",
-    "pareto_frontier_parts",
-    "copurchase_common_neighbors",
-    "incremental_mv_refresh",
-    "benford_price_census",
-    "time_weighted_value_avg",
-    "hourly_count_autocorr",
-    "stream_topk_per_window",
-    # --- new in round 4, fourth sweep ---
-    "hll_rolling_7d_users",
-    "customer_rfm_segments",
-    "hour_of_day_profile",
-    "funnel_time_to_convert",
-    "bigram_entropy_rate",
-    # The window is exactly 50 never-driver-checked round-4 names.
-    # ROUND-5 ROTATION QUEUE (front-load these next round, in order):
-    # 1. round-4 names added after the window filled (never driver-
-    #    checked): minhash_jaccard_estimate, lsh_recall_curve,
-    #    winnow_near_dup_candidates, embedding_top_component,
-    #    item_cosine_similarity, theil_sen_price_slope,
-    #    asof_next_purchase_census, variant_props_quantiles,
-    #    stream_hourly_hll_users, collocation_pmi_top20,
-    #    scd2_purchase_enrichment,
-    #    approx_percentile_error_census (rows-only),
-    #    and the fifth sweep: good_turing_unseen_mass,
-    #    gopher_quality_rules, user_first_path_census,
-    #    ab_conversion_ztest, table_stats_census,
-    #    copurchase_clustering, stream_incremental_mv,
-    #    tfidf_cosine_pairs;
-    #    and the sixth sweep: temperature_mixture_sample,
-    #    semantic_dedup_census, bucketed_join_revenue,
-    #    stream_click_attribution_outer, heldout_bigram_ppl,
-    #    doc_quality_features,
-    #    bpe_encode_census (rows-only — merge table is
-    #    data-dependent; parity in tests/test_bpe.py);
-    # 2. round-4 implementation changes with existing green rows:
-    #    copurchase_triangles, concurrent_user_spans, bpe_merge_rules;
-    # 3. the r01 staleness rotation (minhash_*, simhash_*, tumbling/
-    #    sessionize/asof/quantile/session-window, q1/q3/q5,
-    #    dedup_clusters).
-    # All of these re-verify in tests/test_oracle_parity.py every
-    # session meanwhile.
+    # ROUND 5 rebuild (computed from CORRECTNESS_r01..r04): exactly
+    # 50 names.  Order: (1) the 27 queries with no CORRECTNESS row in
+    # ANY round — 24 oracled + 3 rows-only-by-design — this empties
+    # the never-driver-checked backlog; (2) queries added or changed
+    # in round 5; (3) staleness rotation (newest green row is r01).
+    # Everything re-verifies in tests/test_oracle_parity.py each
+    # session regardless.
+    # --- (1) never driver-checked, rounds 1-4 ---
+    "minhash_jaccard_estimate",
+    "lsh_recall_curve",
+    "asof_next_purchase_census",
+    "variant_props_quantiles",
+    "scd2_purchase_enrichment",
+    "user_first_path_census",
+    "ab_conversion_ztest",
+    "item_cosine_similarity",
+    "theil_sen_price_slope",
+    "approx_percentile_error_census",  # rows-only by design
+    "table_stats_census",
+    "copurchase_clustering",
+    "bucketed_join_revenue",
+    "embedding_top_component",  # rows-only by design
+    "tfidf_cosine_pairs",
+    "semantic_dedup_census",
+    "winnow_near_dup_candidates",
+    "stream_hourly_hll_users",
+    "stream_incremental_mv",
+    "stream_click_attribution_outer",
+    "collocation_pmi_top20",
+    "good_turing_unseen_mass",
+    "gopher_quality_rules",
+    "temperature_mixture_sample",
+    "bpe_encode_census",  # rows-only by design
+    "heldout_bigram_ppl",
+    "doc_quality_features",
+    # --- (2) new or changed in round 5 ---
+    "ann_lsh_topk",  # multi-probe rewrite this round
+    "item_cosine_similarity_capped",
+    "semantic_dedup_kmeans_census",  # rows-only (learned centroids)
+    "stream_state_metrics_census",  # rows-only (StreamingQueryProgress)
+    "bpe_merge_rules_batched",  # rows-only (batched trainer)
+    "multimodal_jpeg_stats",
+    # --- (3) staleness rotation: newest green row is r01 ---
+    "minhash_signatures",
+    "minhash_band_candidates",
+    "minhash_near_dup",
+    "simhash_fingerprint",
+    "simhash_near_dup",
+    "tumbling_event_counts",
+    "sessionize_events",
+    "asof_last_signup",
+    "event_value_quantiles",
+    "session_window_stats",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_order_rank",
+    "running_revenue",
+    "set_ops_customers",
+    "q6_forecast_revenue",
 ]
 
 

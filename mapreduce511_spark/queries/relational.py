@@ -3143,22 +3143,31 @@ def table_stats_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     contracts (SURVEY.md §7 M7); the reference's closest analog is
     the scan-summary inventory (A10)."""
     (li,) = _t(spark, sf_dir, "lineitem")
+    # Two melted values per (row, column): the RAW value as a string
+    # (cast is injective for int/decimal, so countDistinct matches
+    # the oracle's typed DISTINCT even for int64 keys above 2^53,
+    # where a double-cast would collide and under-count NDV) and a
+    # double for the ordered stats only.
     melted = li.select(
         F.expr(
             "stack(4,"
-            " 'l_orderkey', CAST(l_orderkey AS DOUBLE),"
-            " 'l_partkey',  CAST(l_partkey  AS DOUBLE),"
-            " 'l_quantity', CAST(l_quantity AS DOUBLE),"
-            " 'l_suppkey',  CAST(l_suppkey  AS DOUBLE)"
-            ") AS (col_name, v)"
+            " 'l_orderkey', CAST(l_orderkey AS STRING),"
+            "               CAST(l_orderkey AS DOUBLE),"
+            " 'l_partkey',  CAST(l_partkey  AS STRING),"
+            "               CAST(l_partkey  AS DOUBLE),"
+            " 'l_quantity', CAST(l_quantity AS STRING),"
+            "               CAST(l_quantity AS DOUBLE),"
+            " 'l_suppkey',  CAST(l_suppkey  AS STRING),"
+            "               CAST(l_suppkey  AS DOUBLE)"
+            ") AS (col_name, s, v)"
         )
     )
     return (
         melted.groupBy("col_name")
         .agg(
             F.count("*").alias("n_rows"),
-            F.countDistinct("v").alias("ndv"),
-            (F.count("*") - F.count("v")).alias("n_null"),
+            F.countDistinct("s").alias("ndv"),
+            (F.count("*") - F.count("s")).alias("n_null"),
             F.min("v").alias("min_v"),
             F.max("v").alias("max_v"),
         )
@@ -3340,7 +3349,10 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference basis: extension tier — storage-layout family; the
     aggregate itself is the reference's per-key mean/count shape
     (SURVEY §2 A5) over a TPC-H join."""
-    from mapreduce511_spark.operators.bucketed import write_bucketed
+    from mapreduce511_spark.operators.bucketed import (
+        session_table_name,
+        write_bucketed,
+    )
 
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
@@ -3348,10 +3360,14 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice"
     )
-    write_bucketed(cust, "mr511_bucketed_customer", "c_custkey", 8)
-    write_bucketed(orders, "mr511_bucketed_orders", "o_custkey", 8)
-    bc = spark.table("mr511_bucketed_customer")
-    bo = spark.table("mr511_bucketed_orders")
+    # per-session names: two sessions sharing a warehouse must not
+    # race on one managed location (ADVICE r4)
+    t_cust = session_table_name(spark, "mr511_bucketed_customer")
+    t_ord = session_table_name(spark, "mr511_bucketed_orders")
+    write_bucketed(cust, t_cust, "c_custkey", 8)
+    write_bucketed(orders, t_ord, "o_custkey", 8)
+    bc = spark.table(t_cust)
+    bo = spark.table(t_ord)
     return (
         bc.hint("merge")
         .join(bo, bc.c_custkey == bo.o_custkey)

@@ -1330,9 +1330,22 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nb), "doc_b")
         .filter(
             (F.col("dot") > 0)
-            & F.expr(
-                "100 * CAST(dot AS DECIMAL(38,0)) * dot"
-                " >= 36 * CAST(na AS DECIMAL(38,0)) * nb"
+            # exact integer gate while 100·dot² fits DECIMAL(38)
+            # (dot < 1e18 — holds for any realistic idf-weighted doc;
+            # the oracle's HUGEINT is 128-bit so it never overflows).
+            # Under Spark's non-ANSI default an overflow yields NULL,
+            # which would silently DROP the pair — so coalesce to a
+            # double compare for that astronomic regime, where a
+            # ~1e-16 relative boundary error is the documented cost.
+            & F.coalesce(
+                F.expr(
+                    "100 * CAST(dot AS DECIMAL(38,0)) * dot"
+                    " >= 36 * CAST(na AS DECIMAL(38,0)) * nb"
+                ),
+                F.expr(
+                    "100.0 * CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)"
+                    " >= 36.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
+                ),
             )
         )
         .select(

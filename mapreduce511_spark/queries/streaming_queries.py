@@ -843,29 +843,33 @@ def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta.write.mode("overwrite").parquet(target)
         mv_versions.append(target)
 
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    if not mv_versions:  # empty source — empty MV
-        result = spark.createDataFrame(
-            [], "event_type string, n_events long, total_value double"
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-    else:
-        result = (
-            spark.read.parquet(mv_versions[-1])
-            .select(
-                "event_type",
-                "n_events",
-                F.round("sum_value", 2).alias("total_value"),
+        q.awaitTermination()
+        if not mv_versions:  # empty source — empty MV
+            result = spark.createDataFrame(
+                [], "event_type string, n_events long, total_value double"
             )
-            .orderBy("event_type")
-        )
-    rows = result.collect()
-    _cleanup(src)
+        else:
+            result = (
+                spark.read.parquet(mv_versions[-1])
+                .select(
+                    "event_type",
+                    "n_events",
+                    F.round("sum_value", 2).alias("total_value"),
+                )
+                .orderBy("event_type")
+            )
+        rows = result.collect()
+    finally:
+        # matches every sibling streaming query: a failed run must
+        # not leak the scratch dir (source parquet + mv_v* versions)
+        _cleanup(src)
     return spark.createDataFrame(rows, result.schema)
 
 

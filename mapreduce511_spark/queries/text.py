@@ -2820,8 +2820,8 @@ def bpe_encode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, count(DISTINCT w1) AS v FROM bfreq GROUP BY lang
     ), scored AS (
         SELECT g.lang,
-               -ln((COALESCE(f.bc, 0) + 1) * 1.0
-                   / (COALESCE(u.uc, 0) + vo.v)) AS nll
+               CAST(floor(-1000000 * ln((COALESCE(f.bc, 0) + 1) * 1.0
+                   / (COALESCE(u.uc, 0) + vo.v))) AS BIGINT) AS nll_micro
         FROM (SELECT * FROM big WHERE b >= 80 AND b < 90) g
         LEFT JOIN bfreq f
           ON g.lang = f.lang AND g.w1 = f.w1 AND g.w2 = f.w2
@@ -2830,8 +2830,10 @@ def bpe_encode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            count(*) AS n_val_bigrams,
-           round(avg(nll), 4) AS cross_entropy,
-           round(exp(avg(nll)), 2) AS perplexity
+           round(CAST(sum(nll_micro) AS DOUBLE)
+                 / (1000000.0 * count(*)), 4) AS cross_entropy,
+           round(exp(CAST(sum(nll_micro) AS DOUBLE)
+                 / (1000000.0 * count(*))), 2) AS perplexity
     FROM scored GROUP BY lang
     """,
 )
@@ -2885,21 +2887,30 @@ def heldout_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("v")
     )
     val = big.filter((F.col("b") >= 80) & (F.col("b") < 90))
-    nll = -F.log(
-        (F.coalesce(F.col("bc"), F.lit(0)) + 1)
-        * 1.0
-        / (F.coalesce(F.col("uc"), F.lit(0)) + F.col("v"))
-    )
+    # per-bigram NLL quantized to FLOORED integer micro-nats before
+    # the aggregate: integer sums are order-independent, so Spark's
+    # nondeterministic partial-sum order can never move a rounding-
+    # boundary value (ADVICE r4); the double division happens once,
+    # on the exact integer total, identically in the oracle.
+    nll_micro = F.floor(
+        -1_000_000
+        * F.log(
+            (F.coalesce(F.col("bc"), F.lit(0)) + 1)
+            * 1.0
+            / (F.coalesce(F.col("uc"), F.lit(0)) + F.col("v"))
+        )
+    ).cast("long")
+    ce = F.sum("nll_micro").cast("double") / (1_000_000.0 * F.count("*"))
     return (
         val.join(bfreq, ["lang", "w1", "w2"], "left")
         .join(ufreq, ["lang", "w1"], "left")
         .join(F.broadcast(vocab), "lang")
-        .select("lang", nll.alias("nll"))
+        .select("lang", nll_micro.alias("nll_micro"))
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_val_bigrams"),
-            F.round(F.avg("nll"), 4).alias("cross_entropy"),
-            F.round(F.exp(F.avg("nll")), 2).alias("perplexity"),
+            F.round(ce, 4).alias("cross_entropy"),
+            F.round(F.exp(ce), 2).alias("perplexity"),
         )
     )
 
