@@ -47,10 +47,13 @@ def _recall(got_rows, exact):
 
 
 def test_ann_lsh_recall(spark, exact_topk):
+    """Multi-probe (flip subsets of the 2 lowest-margin bits per
+    band) must clear the r4 VERDICT bar: recall@5 >= 0.7 (the
+    single-bucket index measured 0.32)."""
     from mapreduce511_spark.queries.similarity import ann_lsh_topk
 
     recall = _recall(ann_lsh_topk(spark, SF_CHECK).collect(), exact_topk)
-    assert recall >= 0.3, f"sign-LSH recall@{TOPK} = {recall}"
+    assert recall >= 0.7, f"multi-probe sign-LSH recall@{TOPK} = {recall}"
 
 
 def test_ann_ivf_label_cells_beat_random_scan(spark, exact_topk):
@@ -80,29 +83,21 @@ def test_ann_ivf_kmeans_recall(spark, exact_topk):
 
 
 def test_ann_lsh_is_sublinear_candidates(spark):
-    """The LSH candidate set must be well below probes x corpus."""
+    """The MULTI-PROBE LSH candidate set must stay well below
+    probes x corpus (measured ~0.58 on this geometry — the frontier
+    note on ``ann_lsh_topk`` documents why it can't be tiny here),
+    and the probe side must carry exactly 4 bucket entries per
+    (probe, band): exact + flip(f1) + flip(f2) + flip(both)."""
     from mapreduce511_spark.queries import similarity as S
 
     emb = load_table(spark, SF_CHECK, "embeddings")
     n = emb.count()
-    emb2 = emb.select(
-        "vec_id", "embedding", S._lsh_code(F.col("embedding")).alias("code")
+    banded = S._lsh_corpus_bands(emb)
+    probes = S._lsh_probe_bands(emb, N_PROBES)
+    per_band = (
+        probes.groupBy("pid", "band").count().agg(F.max("count")).first()[0]
     )
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.shiftright(F.col("code"), j * 4).bitwiseAND(0xF).alias("bits"),
-            )
-            for j in range(S._LSH_BANDS)
-        ]
-    )
-    banded = emb2.select("vec_id", F.explode(band_arr).alias("b")).select(
-        "vec_id", F.col("b.band").alias("band"), F.col("b.bits").alias("bits")
-    )
-    probes = banded.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("pid"), "band", "bits"
-    )
+    assert per_band == 1 << S._LSH_FLIPS, per_band
     cand = (
         banded.join(probes, ["band", "bits"])
         .filter(F.col("vec_id") != F.col("pid"))
