@@ -1601,6 +1601,12 @@ def semantic_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("dup_pairs"),
         F.countDistinct("ib").alias("n_flagged"),
     )
+    return _sem_census_rollup(members, dup)
+
+
+def _sem_census_rollup(members: DataFrame, dup: DataFrame) -> DataFrame:
+    """Shared census tail: per cluster, member/dup/flagged counts and
+    the keep ratio in basis points."""
     return (
         members.join(dup, "cid", "left")
         .select(
@@ -1617,3 +1623,90 @@ def semantic_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keep_bp"),
         )
     )
+
+
+@register("semantic_dedup_kmeans_census")
+def semantic_dedup_kmeans_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup census with LEARNED centroids: identical pipeline to
+    ``semantic_dedup_census`` but the coarse clusters come from the
+    deterministic Lloyd k-means ``ann_ivf_kmeans_topk`` already trains
+    (k=16, cosine assignment) instead of the frozen first-K grid —
+    the r4 VERDICT's item 5. Learned centroids track the corpus's
+    actual density, so clusters are tighter (measured in
+    tests/test_semantic_dedup.py: higher mean member-to-centroid
+    cosine than the grid) and near-dup pairs land intra-cluster more
+    often — the recall term of SemDeDup's cluster-then-pair bound.
+
+    Rows-only by design (iterative k-means has no SQL twin — same
+    class as ``ann_ivf_kmeans_topk``); the frozen-centroid census
+    remains the oracle-exact twin, and every structural invariant
+    (partition of the corpus, intra-cluster-only pairs, keep_bp
+    bounds) is asserted in tests.
+
+    100 TB design: unchanged from the frozen twin — k-dim-sized
+    centroid broadcast, map-side argmax assignment, pair join keyed
+    on cluster id with per-task work bounded by cluster size; k
+    scales with corpus size to keep clusters bounded (SemDeDup: 11k
+    clusters for 5B docs)."""
+    from mapreduce511_spark.functions.vectors import dot, l2_norm
+    from mapreduce511_spark.operators.ann import train_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_centroids(emb)
+    cent_rows = [(i, c) for i, c in enumerate(centroids)]
+    cent = F.broadcast(
+        spark.createDataFrame(cent_rows, ["cid", "cv"]).select(
+            "cid", "cv", l2_norm(F.col("cv")).alias("cn")
+        )
+    )
+    with_norm = emb.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    sims = with_norm.join(cent).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        "cid",
+        (
+            dot(F.col("embedding"), F.col("cv"))
+            / (F.col("nrm") * F.col("cn"))
+        ).alias("s"),
+    )
+    assign = (
+        sims.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "embedding", "nrm"),
+                F.struct(F.col("s"), (-F.col("cid")).alias("neg")),
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.cid").alias("cid"),
+            F.col("best.embedding").alias("v"),
+            F.col("best.nrm").alias("nrm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    members = assign.groupBy("cid").agg(F.count("*").alias("n_members"))
+    a = assign.select(
+        F.col("cid"), F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = assign.select(
+        F.col("cid"), F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, ["cid"])
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= _SEM_T
+        )
+    )
+    dup = pairs.groupBy("cid").agg(
+        F.count("*").alias("dup_pairs"),
+        F.countDistinct("ib").alias("n_flagged"),
+    )
+    return _sem_census_rollup(members, dup)
