@@ -1573,6 +1573,38 @@ def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+@register("bpe_merge_rules_batched")
+def bpe_merge_rules_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 16 BPE merge rules from the BATCHED trainer
+    (``operators/bpe.py::train_bpe_batched``, r4 VERDICT item 7):
+    multiple provably-sequential-equivalent merges per distributed
+    round — identical merge list to ``bpe_merge_rules``'s sequential
+    loop (parity at depth 64 in tests/test_bpe.py), fewer pair-count
+    jobs. Rows-only for the same reason as the sequential twin
+    (iterative; each round's input depends on the previous argmax)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from mapreduce511_spark.operators.bpe import train_bpe_batched
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_batched(docs, 16)
+    rows = [(i + 1, a, b, freq) for i, (a, b, freq) in enumerate(merges)]
+    schema = StructType(
+        [
+            StructField("rank", LongType()),
+            StructField("left", StringType()),
+            StructField("right", StringType()),
+            StructField("freq", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 @register(
     "char_entropy_by_lang",
     oracle="""

@@ -168,3 +168,57 @@ def test_bpe_encode_census_matches_reference(spark):
     # every merge strictly compresses: tokens < chars, >= words
     for lang, (n_w, n_t, n_c) in got.items():
         assert n_w <= n_t < n_c, lang
+
+
+def test_train_bpe_batched_matches_sequential_depth_64(spark):
+    """The batched trainer (multiple safe merges per distributed
+    round) must produce the EXACT sequential merge list — order,
+    pairs, and freqs — at depth 64 (r4 VERDICT item 7). The safety
+    conditions (prefix-stop on token conflict, strict-freq drop,
+    chain guard) are what make this an identity, not an
+    approximation; tools/bench_bpe_depth.py measures the round
+    reduction."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from mapreduce511_spark.functions.text import tokenize
+    from mapreduce511_spark.operators.bpe import train_bpe_batched
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    words = Counter()
+    for r in (
+        docs.select(F.explode(tokenize("text")).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    ):
+        words[r.w] = r["count"]
+    want = _reference_bpe(words, 64)
+    got = train_bpe_batched(docs, 64)
+    assert got == want
+
+
+def test_select_safe_batch_adversarial_cases():
+    """Driver-side unit cases for the three safety conditions."""
+    from mapreduce511_spark.operators.bpe import _select_safe_batch
+
+    # plain disjoint pairs, strictly above the first conflict
+    items = [("a", "b", 10), ("c", "d", 9), ("a", "x", 8), ("e", "f", 7)]
+    assert _select_safe_batch(items) == [("a", "b", 10), ("c", "d", 9)]
+    # strict-freq drop: selected pair TIED with the conflict freq is
+    # dropped (a created pair could tie it and win the tie-break)
+    items = [("a", "b", 10), ("c", "d", 8), ("a", "x", 8)]
+    assert _select_safe_batch(items) == [("a", "b", 10)]
+    # chain guard: ("ab", "c") must not batch with ("a", "b")
+    items = [("a", "b", 10), ("ab", "c", 9), ("e", "f", 8)]
+    assert _select_safe_batch(items) == [("a", "b", 10)]
+    # reverse chain: ("a", "b") arriving after ("ab", "c")
+    items = [("ab", "c", 10), ("a", "b", 9), ("e", "f", 8)]
+    assert _select_safe_batch(items) == [("ab", "c", 10)]
+    # floor_freq from a truncated candidate list drops tied tails
+    items = [("a", "b", 10), ("c", "d", 5)]
+    assert _select_safe_batch(items, floor_freq=5) == [("a", "b", 10)]
+    # degenerate: conflict at the very top still yields the argmax
+    items = [("a", "b", 10), ("b", "c", 10)]
+    assert _select_safe_batch(items) == [("a", "b", 10)]
