@@ -873,6 +873,60 @@ def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, result.schema)
 
 
+@register("stream_state_metrics_census")
+def stream_state_metrics_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming STATE OBSERVABILITY census (r4 VERDICT item 8): per
+    micro-batch and state operator of a watermarked tumbling
+    aggregation drain, the StreamingQueryProgress state metrics —
+    rows held, rows updated, rows evicted, and state bytes. This is
+    the on-call dashboard feed next to ``stream_late_drop_census``:
+    at 100 TB the first symptom of a watermark bug or key explosion
+    is unbounded ``num_rows_total``, and this census is the query a
+    monitor alarms on (tests/test_streaming_state.py proves the
+    bound: a 2x at-least-once replay must NOT grow peak state,
+    because state size tracks distinct keys, not input volume).
+
+    Rows-only by design: row COUNT and key metrics are deterministic
+    (fixed 8-file source layout, maxFilesPerTrigger=2), but
+    ``state_bytes`` is a JVM measurement no SQL oracle can restate."""
+    src, ckpt, _name = _scratch("statemx")
+    try:
+        # fixed file count => deterministic micro-batch sequence
+        load_table(spark, sf_dir, "events").repartition(8).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = stream_events(spark, src, max_files_per_trigger=2)
+        q = (
+            tumbling_counts(stream)
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = []
+        for p in q.recentProgress:
+            for i, op in enumerate(p["stateOperators"] or []):
+                rows.append(
+                    (
+                        int(p["batchId"]),
+                        str(op.get("operatorName", f"op_{i}")),
+                        int(op["numRowsTotal"]),
+                        int(op["numRowsUpdated"]),
+                        int(op.get("numRowsRemoved", 0)),
+                        int(op.get("memoryUsedBytes", 0)),
+                    )
+                )
+    finally:
+        _cleanup(src)
+    return spark.createDataFrame(
+        rows,
+        "batch_id long, operator string, num_rows_total long,"
+        " num_rows_updated long, num_rows_removed long, state_bytes long",
+    ).orderBy("batch_id", "operator")
+
+
 @register(
     "stream_click_attribution_outer",
     oracle="""
