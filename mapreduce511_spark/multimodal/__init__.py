@@ -185,6 +185,44 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_jpeg_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, content, fmt) with real baseline JPEG payloads for
+    doc_id < SYNTH_DOC_LIMIT. Each image is a grid of CONSTANT 8x8
+    blocks — wb = 1 + d%4 by hb = 1 + (d*5)%3 blocks, block (bx, by)
+    filled with v = (d*31 + bx*7 + by*13) % 256 — because a constant
+    block's decode is analytically predictable through the lossy
+    quantization round-trip (DC-only: p = clamp(2*floor((v-128)/2 +
+    0.5) + 128)), which is what puts a REAL Huffman-coded JPEG corpus
+    under the exact DuckDB oracle gate. The varying block values
+    drive the DC-difference Huffman categories; the AC layer's
+    exactness is proven coefficient-for-coefficient in
+    tests/test_jpeg.py."""
+    import numpy as np
+
+    from mapreduce511_spark.multimodal import jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d >= SYNTH_DOC_LIMIT:
+                    continue
+                wb = 1 + d % 4
+                hb = 1 + (d * 5) % 3
+                px = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
+                for by in range(hb):
+                    for bx in range(wb):
+                        v = (d * 31 + bx * 7 + by * 13) % 256
+                        px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = v
+                rows.append((d, jpeg.encode_jpeg(px), jpeg.JPEG_FMT))
+        yield pd.DataFrame(rows, columns=["doc_id", "content", "fmt"])
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, content binary, fmt string"
+    )
+
+
 DECODED_SCHEMA = (
     "doc_id long, kind string, width int, height int, n_vals long, "
     "sum_val long, min_val long, max_val long, hist_sum long"
@@ -218,6 +256,12 @@ def extract_decoded_features(media_df: DataFrame) -> DataFrame:
                     kind, bins = "image", vals >> 4
                 elif fmt == codecs.PNG_FMT:
                     w, h, px = codecs.decode_png(bytes(payload))
+                    vals = px.reshape(-1).astype(np.int64)
+                    kind, bins = "image", vals >> 4
+                elif fmt == "image/jpeg":
+                    from mapreduce511_spark.multimodal import jpeg
+
+                    w, h, px = jpeg.decode_jpeg(bytes(payload))
                     vals = px.reshape(-1).astype(np.int64)
                     kind, bins = "image", vals >> 4
                 elif fmt == codecs.WAV_FMT:

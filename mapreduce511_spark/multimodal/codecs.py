@@ -114,20 +114,25 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def decode_real(payload: bytes, fmt: str):
-    """Real decode dispatch. BMP, WAV and (non-interlaced RGB8) PNG
-    are implemented natively; the remaining compressed formats
-    (JPEG/MP3/H.264) stay honestly stubbed until real codec libraries
-    exist in the environment."""
+    """Real decode dispatch. BMP, WAV, (non-interlaced RGB8) PNG and
+    baseline-sequential JPEG (SOF0, 4:4:4 — see ``jpeg.py`` for the
+    honest scope) are implemented natively; the remaining compressed
+    formats (MP3/H.264, progressive/subsampled JPEG) stay honestly
+    stubbed until real codec libraries exist in the environment."""
     if fmt in (BMP_FMT, "bmp"):
         return decode_bmp(payload)
     if fmt in (WAV_FMT, "wav"):
         return decode_wav(payload)
     if fmt in (PNG_FMT, "png"):
         return decode_png(payload)
+    if fmt in ("image/jpeg", "jpeg", "jpg"):
+        from mapreduce511_spark.multimodal.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"no native decoder for {fmt!r}: this environment has no "
-        "image/audio codec libraries; BMP, WAV and RGB8 PNG decode "
-        "natively"
+        "image/audio codec libraries; BMP, WAV, RGB8 PNG and baseline "
+        "4:4:4 JPEG decode natively"
     )
 
 

@@ -1,0 +1,497 @@
+"""Baseline-sequential JPEG codec — stdlib + numpy only.
+
+Scope (honest): baseline DCT (SOF0), 8-bit samples, Huffman entropy
+coding, 1-component grayscale or N-component 4:4:4 (all sampling
+factors 1x1), no restart markers, no progressive/arithmetic modes.
+That covers every JPEG this repo's fixtures emit and the common
+"quality-saved RGB without chroma subsampling" class; anything else
+raises ``ValueError`` loudly (the honest-gate discipline of
+``codecs.decode_real``).
+
+Determinism discipline: the only float stages are the DCT/IDCT;
+coefficients and reconstructed samples are SNAPPED to exact integers
+when within 1e-6 (a constant block's DC is exactly 8*(v-128) in real
+arithmetic — snapping removes the 1-ulp float noise that could flip
+a rounding boundary), and all rounding is explicit floor(x + 0.5),
+restatable in SQL. This is what lets ``multimodal_jpeg_stats`` put a
+DC-only fixture corpus under the exact DuckDB oracle gate while the
+AC/Huffman layer is proven lossless by coefficient-exact round-trip
+tests (tests/test_jpeg.py).
+
+Reference basis: extension tier — multimodal decode family (r4
+VERDICT item 10); ITU-T T.81 baseline process, Annex K tables.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+JPEG_FMT = "image/jpeg"
+
+# ITU-T T.81 Annex K.1 — luminance quantization table (quality 50),
+# in natural (row-major) order.
+QTABLE_LUM = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+
+# zigzag scan order: _ZIGZAG[k] = (row, col) of the k-th coefficient
+_ZZ = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+# Annex K.3: standard DC luminance Huffman spec (BITS, HUFFVAL)
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+# Annex K.5: standard AC luminance Huffman spec
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    m = np.zeros((8, 8))
+    for u in range(8):
+        c = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for i in range(8):
+            m[u, i] = 0.5 * c * np.cos((2 * i + 1) * u * np.pi / 16.0)
+    return m
+
+
+_DCT = _dct_matrix()
+
+
+def _snap(a: np.ndarray, eps: float = 1e-6) -> np.ndarray:
+    """Snap float values within eps of an integer to that integer —
+    kills the 1-ulp DCT noise that could flip a floor(x+0.5) boundary
+    (the determinism contract the SQL oracle relies on)."""
+    r = np.rint(a)
+    return np.where(np.abs(a - r) < eps, r, a)
+
+
+def _round_half_up(a: np.ndarray) -> np.ndarray:
+    return np.floor(a + 0.5)
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical Huffman per T.81 C.2."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    return {
+        (ln, code): sym for sym, (code, ln) in _build_codes(bits, vals).items()
+    }
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("JPEG entropy stream truncated at 0xFF")
+                marker = self.data[self.pos]
+                self.pos += 1
+                if marker != 0x00:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{marker:02X} in entropy data"
+                        " (restart intervals unsupported)"
+                    )
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category s, s-bit code) for a coefficient value (T.81 F.1.2)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    code = v if v > 0 else v + (1 << s) - 1
+    return s, code
+
+
+def _extend(code: int, s: int) -> int:
+    if s == 0:
+        return 0
+    if code < (1 << (s - 1)):
+        return code - (1 << s) + 1
+    return code
+
+
+def block_coefficients(pixels: np.ndarray, q: np.ndarray = QTABLE_LUM) -> np.ndarray:
+    """Forward path up to quantized coefficients: (n_blocks_y,
+    n_blocks_x, 8, 8) int array for one channel — exposed so tests
+    can prove the entropy layer is exactly lossless."""
+    h, w = pixels.shape
+    if h % 8 or w % 8:
+        raise ValueError("channel dimensions must be multiples of 8")
+    shifted = pixels.astype(np.float64) - 128.0
+    by, bx = h // 8, w // 8
+    out = np.zeros((by, bx, 8, 8), dtype=np.int64)
+    for r in range(by):
+        for c in range(bx):
+            blk = shifted[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8]
+            coef = _snap(_DCT @ blk @ _DCT.T)
+            out[r, c] = _round_half_up(coef / q).astype(np.int64)
+    return out
+
+
+def _encode_channel_coeffs(
+    coeffs: np.ndarray, writer: _BitWriter, dc_codes, ac_codes, pred: int
+) -> int:
+    by, bx = coeffs.shape[:2]
+    for r in range(by):
+        for c in range(bx):
+            zz = np.array([coeffs[r, c][i, j] for i, j in _ZZ], dtype=np.int64)
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            s, code = _magnitude(diff)
+            hc, hl = dc_codes[s]
+            writer.write(hc, hl)
+            if s:
+                writer.write(code, s)
+            run = 0
+            last_nz = 0
+            for k in range(63, 0, -1):
+                if zz[k]:
+                    last_nz = k
+                    break
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    hc, hl = ac_codes[0xF0]  # ZRL
+                    writer.write(hc, hl)
+                    run -= 16
+                s, code = _magnitude(v)
+                hc, hl = ac_codes[(run << 4) | s]
+                writer.write(hc, hl)
+                writer.write(code, s)
+                run = 0
+            if last_nz < 63:
+                hc, hl = ac_codes[0x00]  # EOB
+                writer.write(hc, hl)
+    return pred
+
+
+def encode_jpeg(pixels: np.ndarray, q: np.ndarray = QTABLE_LUM) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 (h, w multiples
+    of 8) as baseline JPEG — 4:4:4, one shared quant + Huffman table
+    set (the Annex K luminance tables), interleaved single scan."""
+    if pixels.ndim == 2:
+        channels = [pixels]
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        # JFIF YCbCr (BT.601), explicit half-up rounding
+        rgb = pixels.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        channels = [
+            np.clip(_round_half_up(_snap(ch)), 0, 255) for ch in (y, cb, cr)
+        ]
+    else:
+        raise ValueError("pixels must be (h, w) or (h, w, 3)")
+    h, w = channels[0].shape
+    if h % 8 or w % 8:
+        raise ValueError("dimensions must be multiples of 8")
+    nc = len(channels)
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    # DQT (table 0, natural order written in zigzag per spec)
+    zz_q = bytes(int(q[i, j]) for i, j in _ZZ)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+    # SOF0
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += struct.pack(">BBB", ci + 1, 0x11, 0)  # 1x1 sampling, qtable 0
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT: DC table 0, AC table 0
+    dc_payload = bytes([0x00] + DC_BITS + DC_VALS)
+    ac_payload = bytes([0x10] + AC_BITS + AC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dc_payload)) + dc_payload
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(ac_payload)) + ac_payload
+    # SOS
+    sos = bytes([nc]) + b"".join(
+        bytes([ci + 1, 0x00]) for ci in range(nc)
+    ) + bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_codes = _build_codes(DC_BITS, DC_VALS)
+    ac_codes = _build_codes(AC_BITS, AC_VALS)
+    writer = _BitWriter()
+    coeffs = [block_coefficients(np.asarray(ch, dtype=np.float64), q) for ch in channels]
+    preds = [0] * nc
+    by, bx = h // 8, w // 8
+    # interleaved MCU = one 8x8 block per component (all 1x1)
+    for r in range(by):
+        for c in range(bx):
+            for ci in range(nc):
+                preds[ci] = _encode_channel_coeffs(
+                    coeffs[ci][r:r + 1, c:c + 1], writer, dc_codes, ac_codes,
+                    preds[ci],
+                )
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _parse_segments(payload: bytes):
+    """Yield (marker, body) for each segment before SOS; return
+    (segments, sos_body, entropy_data)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    segs = []
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7:  # RSTn — bare
+            continue
+        (ln,) = struct.unpack(">H", payload[pos:pos + 2])
+        body = payload[pos + 2:pos + ln]
+        pos += ln
+        if marker == 0xDA:  # SOS: entropy data follows until EOI
+            end = payload.rfind(b"\xff\xd9")
+            if end < 0:
+                raise ValueError("JPEG missing EOI")
+            return segs, body, payload[pos:end]
+        segs.append((marker, body))
+    raise ValueError("JPEG has no SOS segment")
+
+
+def decode_jpeg_coeffs(payload: bytes):
+    """Decode through the LOSSLESS layers only: returns (w, h,
+    [per-component quantized coefficient arrays], [quant tables]) —
+    the entropy-exact surface the round-trip tests compare."""
+    segs, sos, data = _parse_segments(payload)
+    qtables: dict[int, np.ndarray] = {}
+    dc_dec: dict[int, dict] = {}
+    ac_dec: dict[int, dict] = {}
+    comps = None
+    h = w = None
+    for marker, body in segs:
+        if marker == 0xDB:  # DQT — may hold several tables
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros((8, 8), dtype=np.int64)
+                for k, (i, j) in enumerate(_ZZ):
+                    tbl[i, j] = body[p + 1 + k]
+                qtables[tq] = tbl
+                p += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit baseline JPEG supported")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError(
+                        "only 1x1 sampling (no chroma subsampling) supported"
+                    )
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG process (SOF marker 0xFF{marker:02X});"
+                " only baseline SOF0 is implemented"
+            )
+        elif marker == 0xC4:  # DHT — may hold several tables
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1:p + 17])
+                nvals = sum(bits)
+                vals = list(body[p + 17:p + 17 + nvals])
+                dec = _build_decoder(bits, vals)
+                if tc == 0:
+                    dc_dec[th] = dec
+                else:
+                    ac_dec[th] = dec
+                p += 17 + nvals
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+    if comps is None or h is None:
+        raise ValueError("JPEG missing SOF0")
+    if h % 8 or w % 8:
+        raise ValueError("non-multiple-of-8 dimensions unsupported")
+    nc = len(comps)
+    ns = sos[0]
+    if ns != nc:
+        raise ValueError("partial scans unsupported")
+    tabsel = {}
+    for si in range(ns):
+        cs, tt = sos[1 + 2 * si], sos[2 + 2 * si]
+        tabsel[cs] = (tt >> 4, tt & 0xF)
+    reader = _BitReader(data)
+    by, bx = h // 8, w // 8
+    coeffs = [np.zeros((by, bx, 8, 8), dtype=np.int64) for _ in range(nc)]
+    preds = [0] * nc
+    for r in range(by):
+        for c in range(bx):
+            for ci, (cid, _tq) in enumerate(comps):
+                td, ta = tabsel[cid]
+                s = reader.read_symbol(dc_dec[td])
+                diff = _extend(reader.read_bits(s), s) if s else 0
+                preds[ci] += diff
+                zz = np.zeros(64, dtype=np.int64)
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = reader.read_symbol(ac_dec[ta])
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run overflows block")
+                    zz[k] = _extend(reader.read_bits(size), size)
+                    k += 1
+                blk = np.zeros((8, 8), dtype=np.int64)
+                for kk, (i, j) in enumerate(_ZZ):
+                    blk[i, j] = zz[kk]
+                coeffs[ci][r, c] = blk
+    qlist = [qtables[tq] for _cid, tq in comps]
+    return w, h, coeffs, qlist
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Full decode: (w, h, pixels) with pixels (h, w) uint8 for
+    grayscale or (h, w, 3) uint8 RGB for 3-component 4:4:4."""
+    w, h, coeffs, qlist = decode_jpeg_coeffs(payload)
+    nc = len(coeffs)
+    by, bx = h // 8, w // 8
+    planes = []
+    for ci in range(nc):
+        plane = np.zeros((h, w))
+        q = qlist[ci]
+        for r in range(by):
+            for c in range(bx):
+                deq = coeffs[ci][r, c] * q
+                blk = _snap(_DCT.T @ deq.astype(np.float64) @ _DCT)
+                plane[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = blk
+        planes.append(
+            np.clip(_round_half_up(plane) + 128.0, 0, 255)
+        )
+    if nc == 1:
+        return w, h, planes[0].astype(np.uint8)
+    if nc == 3:
+        y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.stack(
+            [np.clip(_round_half_up(_snap(ch)), 0, 255) for ch in (r, g, b)],
+            axis=-1,
+        )
+        return w, h, rgb.astype(np.uint8)
+    raise ValueError(f"{nc}-component JPEG unsupported (1 or 3 only)")

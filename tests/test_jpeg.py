@@ -1,0 +1,104 @@
+"""Baseline JPEG codec (multimodal/jpeg.py): the entropy layer must
+be EXACTLY lossless (coefficient-for-coefficient), the lossy DCT
+layer bounded, the honest gates loud."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mapreduce511_spark.multimodal import jpeg as J
+
+
+def test_entropy_layer_exact_grayscale():
+    """Huffman encode->decode must reproduce the quantized
+    coefficients bit-for-bit — entropy coding is lossless even though
+    the codec is not. Random pixels maximize AC activity (all the
+    run/size categories, ZRL, EOB paths)."""
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, (24, 40)).astype(np.uint8)
+    payload = J.encode_jpeg(px)
+    w, h, coeffs, qs = J.decode_jpeg_coeffs(payload)
+    assert (w, h) == (40, 24)
+    want = J.block_coefficients(px.astype(np.float64))
+    assert np.array_equal(coeffs[0], want)
+    assert np.array_equal(qs[0], J.QTABLE_LUM)
+
+
+def test_entropy_layer_exact_rgb():
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    w, h, coeffs, _ = J.decode_jpeg_coeffs(J.encode_jpeg(px))
+    assert len(coeffs) == 3 and (w, h) == (16, 16)
+
+
+def test_smooth_image_decode_error_bounded():
+    """Quantization error on smooth content stays small (Q50 DC=16:
+    a linear gradient reconstructs within a few levels)."""
+    x = np.linspace(0, 255, 32)
+    px = np.tile(x, (32, 1)).astype(np.uint8)
+    _, _, dec = J.decode_jpeg(J.encode_jpeg(px))
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 12
+
+
+def test_constant_blocks_match_closed_form():
+    """The oracle formula for DC-only blocks: p = clamp(2*floor((v-128)/2
+    + 0.5) + 128). Every block value must decode to exactly that."""
+    for v in (0, 1, 77, 127, 128, 129, 254, 255):
+        px = np.full((8, 16), v, np.uint8)
+        _, _, dec = J.decode_jpeg(J.encode_jpeg(px))
+        q = int(np.floor((v - 128) / 2 + 0.5))
+        p = min(255, max(0, 2 * q + 128))
+        assert (dec == p).all(), (v, p, dec[0, 0])
+
+
+def test_dc_prediction_across_blocks():
+    """Varying per-block values force non-zero DC differences in both
+    signs — the decoder's prediction chain must track exactly."""
+    px = np.zeros((8, 32), np.uint8)
+    for bx, v in enumerate((200, 10, 250, 100)):
+        px[:, bx * 8:(bx + 1) * 8] = v
+    _, _, dec = J.decode_jpeg(J.encode_jpeg(px))
+    for bx, v in enumerate((200, 10, 250, 100)):
+        q = int(np.floor((v - 128) / 2 + 0.5))
+        p = min(255, max(0, 2 * q + 128))
+        assert (dec[:, bx * 8:(bx + 1) * 8] == p).all()
+
+
+def test_byte_stuffing_round_trip():
+    """Payloads whose entropy stream contains 0xFF bytes must decode
+    (stuffed 0xFF00 path). Hunt one by scanning fixtures."""
+    rng = np.random.RandomState(3)
+    hit = False
+    for _ in range(40):
+        px = rng.randint(0, 256, (8, 8)).astype(np.uint8)
+        payload = J.encode_jpeg(px)
+        body = payload[2:-2]
+        if b"\xff\x00" in body:
+            hit = True
+            J.decode_jpeg(payload)  # must not raise
+    assert hit, "no fixture produced a stuffed byte; widen the scan"
+
+
+def test_unsupported_features_fail_loudly():
+    px = np.zeros((8, 8), np.uint8)
+    payload = bytearray(J.encode_jpeg(px))
+    # flip SOF0 -> SOF2 (progressive)
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF"):
+        J.decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError):
+        J.encode_jpeg(np.zeros((10, 8), np.uint8))  # non-multiple-of-8
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_decode_real_dispatch():
+    from mapreduce511_spark.multimodal import codecs
+
+    px = np.full((8, 8), 42, np.uint8)
+    w, h, dec = codecs.decode_real(J.encode_jpeg(px), "image/jpeg")
+    assert (w, h) == (8, 8)
+    with pytest.raises(NotImplementedError):
+        codecs.decode_real(b"xx", "audio/mp3")

@@ -23,12 +23,15 @@ def media(spark):
 
 
 def test_decode_real_gates_compressed_formats_only():
-    """BMP/WAV decode natively; compressed formats stay honestly
-    stubbed."""
+    """BMP/WAV/PNG/baseline-JPEG decode natively; the remaining
+    compressed formats stay honestly stubbed. A JPEG payload that
+    is not actually a JPEG fails loudly, not silently."""
     with pytest.raises(NotImplementedError):
         decode_real(b"\x00", "fake/raw")
     with pytest.raises(NotImplementedError):
-        decode_real(b"\x00", "image/jpeg")
+        decode_real(b"\x00", "audio/mp3")
+    with pytest.raises(ValueError):
+        decode_real(b"\x00\x01", "image/jpeg")
 
 
 def test_feature_bytes_match_jvm_length(spark, media):
