@@ -159,6 +159,12 @@ HEADLINE = [
     "stream_click_attribution_outer",
     "heldout_bigram_ppl",
     "doc_quality_features",
+    # round 5
+    "item_cosine_similarity_capped",
+    "semantic_dedup_kmeans_census",
+    "bpe_merge_rules_batched",
+    "multimodal_jpeg_stats",
+    "stream_state_metrics_census",
 ]
 
 
