@@ -165,6 +165,9 @@ HEADLINE = [
     "bpe_merge_rules_batched",
     "multimodal_jpeg_stats",
     "stream_state_metrics_census",
+    "quality_classifier_score",
+    "token_fertility_census",
+    "source_mixture_census",
 ]
 
 

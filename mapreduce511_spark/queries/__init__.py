@@ -90,6 +90,9 @@ _ENUMERATE_FIRST: list[str] = [
     "stream_state_metrics_census",  # rows-only (StreamingQueryProgress)
     "bpe_merge_rules_batched",  # rows-only (batched trainer)
     "multimodal_jpeg_stats",
+    "quality_classifier_score",
+    "token_fertility_census",
+    "source_mixture_census",
     # --- (3) staleness rotation: newest green row is r01 ---
     "minhash_signatures",
     "minhash_band_candidates",
@@ -106,8 +109,6 @@ _ENUMERATE_FIRST: list[str] = [
     "q5_local_supplier_volume",
     "window_order_rank",
     "running_revenue",
-    "set_ops_customers",
-    "q6_forecast_revenue",
 ]
 
 

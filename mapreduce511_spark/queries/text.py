@@ -2998,3 +2998,223 @@ def doc_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_word_len_milli"),
     )
+
+
+@register(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, lang,
+               len({_SQL_TOKENS}) AS n_tokens,
+               length(regexp_replace(text, '\\s', '', 'g'))    AS n_glyph,
+               length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+        FROM documents
+    ), scored AS (
+        SELECT lang,
+               5 * least(n_tokens, 300)
+               - 2 * (CASE WHEN n_glyph > 0
+                           THEN (1000 * n_upper) // n_glyph ELSE 1000 END)
+               - 3 * (CASE WHEN n_glyph > 0
+                           THEN (1000 * n_digit) // n_glyph ELSE 1000 END)
+               + (CASE WHEN n_tokens > 0
+                        AND n_glyph >= 3 * n_tokens
+                        AND n_glyph <= 12 * n_tokens
+                       THEN 500 ELSE -500 END)
+               - 800 AS logit_milli
+        FROM feat
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN logit_milli >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass,
+           CAST((10000 * sum(CASE WHEN logit_milli >= 0 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS pass_bp,
+           CAST(sum(logit_milli) AS BIGINT) AS sum_logit_milli,
+           CAST(min(logit_milli) AS BIGINT) AS min_logit_milli,
+           CAST(max(logit_milli) AS BIGINT) AS max_logit_milli
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED-quality-classifier INFERENCE census: a fixed-weight
+    linear classifier over the ``doc_quality_features`` signals (the
+    deployment step of the CCNet/FineWeb recipe — train offline on
+    the exported features, ship integer-milli weights back into the
+    engine as a pure map-side expression). The logit is float-free
+    (integer milli-units, cross-multiplied ratio terms, floor
+    division), so pass/fail at logit >= 0 is exact in both engines;
+    the weights here are demonstration values wired for this corpus's
+    feature ranges — production swaps the literals, not the plan.
+
+    At 100 TB: zero-shuffle scoring pass emitting |langs| rows; runs
+    fused with the Gopher rule gate in one scan (DEPLOY.md's layered
+    filter ordering).
+
+    Reference basis: extension tier — quality family closing the
+    feature-export -> classifier -> filter loop (companions:
+    ``doc_quality_features``, ``gopher_quality_rules``,
+    ``quality_weighted_sample``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokenize("text"))
+    n_glyph = F.length(F.regexp_replace("text", r"\s", ""))
+    n_upper = F.length(F.regexp_replace("text", "[^A-Z]", ""))
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    # integer milli-ratios with the oracle's floor-division semantics
+    um = F.when(n_glyph > 0, F.floor((1000 * n_upper) / n_glyph)).otherwise(
+        F.lit(1000)
+    )
+    dm = F.when(n_glyph > 0, F.floor((1000 * n_digit) / n_glyph)).otherwise(
+        F.lit(1000)
+    )
+    wordlen_ok = (
+        (n_tok > 0) & (n_glyph >= 3 * n_tok) & (n_glyph <= 12 * n_tok)
+    )
+    logit = (
+        5 * F.least(n_tok, F.lit(300))
+        - 2 * um
+        - 3 * dm
+        + F.when(wordlen_ok, 500).otherwise(-500)
+        - 800
+    ).cast("long")
+    scored = docs.select("lang", logit.alias("logit_milli"))
+    passed = F.sum(F.when(F.col("logit_milli") >= 0, 1).otherwise(0)).cast(
+        "long"
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            passed.alias("n_pass"),
+            F.expr("CAST((10000 * sum(CASE WHEN logit_milli >= 0 THEN 1"
+                   " ELSE 0 END)) DIV count(*) AS BIGINT)").alias("pass_bp"),
+            F.sum("logit_milli").cast("long").alias("sum_logit_milli"),
+            F.min("logit_milli").cast("long").alias("min_logit_milli"),
+            F.max("logit_milli").cast("long").alias("max_logit_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "token_fertility_census",
+    oracle=f"""
+    WITH d AS (
+        SELECT lang,
+               len({_SQL_TOKENS})                            AS n_tokens,
+               length(text)                                  AS n_chars,
+               octet_length(encode(text))                    AS n_bytes,
+               length(regexp_replace(text, '\\s', '', 'g'))  AS n_glyph
+        FROM documents
+    )
+    SELECT lang,
+           count(*)                          AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)     AS total_tokens,
+           CAST(sum(n_bytes) AS BIGINT)      AS total_bytes,
+           CAST((1000 * sum(n_bytes)) // sum(n_tokens) AS BIGINT)
+               AS bytes_per_token_milli,
+           CAST((1000 * sum(n_chars)) // sum(n_tokens) AS BIGINT)
+               AS chars_per_token_milli,
+           CAST((1000 * (sum(n_chars) - sum(n_glyph))) // sum(n_chars)
+                AS BIGINT) AS whitespace_milli
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+def token_fertility_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY census per language: bytes/chars per
+    whitespace token and the whitespace share — the capacity numbers
+    a tokenizer/compute budget is planned from (fertility differences
+    across languages are why token budgets != byte budgets; the
+    Chinchilla-style planning input). Integer milli-ratios via floor
+    division over exact sums, so the census is float-free.
+
+    At 100 TB: one map-side pass, |langs| output rows; the
+    ``octet_length(encode())`` / ``octet_length`` distinction (UTF-8
+    bytes vs characters) is the one subtlety, stated identically in
+    both engines.
+
+    Reference basis: extension tier — corpus statistics family
+    (companions: ``vocab_coverage_curve``, ``token_count_bpe``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.size(tokenize("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.octet_length("text").alias("n_bytes"),
+        F.length(F.regexp_replace("text", r"\s", "")).alias("n_glyph"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.expr("CAST((1000 * sum(n_bytes)) DIV sum(n_tokens) AS BIGINT)")
+            .alias("bytes_per_token_milli"),
+            F.expr("CAST((1000 * sum(n_chars)) DIV sum(n_tokens) AS BIGINT)")
+            .alias("chars_per_token_milli"),
+            F.expr(
+                "CAST((1000 * (sum(n_chars) - sum(n_glyph)))"
+                " DIV sum(n_chars) AS BIGINT)"
+            ).alias("whitespace_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "source_mixture_census",
+    oracle=f"""
+    WITH d AS (
+        SELECT source, lang, len({_SQL_TOKENS}) AS n_tokens FROM documents
+    ), per AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               count(DISTINCT lang) AS n_langs
+        FROM d GROUP BY source
+    ), tot AS (
+        SELECT sum(total_tokens) AS t FROM per
+    )
+    SELECT source, n_docs, total_tokens, n_langs,
+           CAST((1000000 * total_tokens) // tot.t AS BIGINT)
+               AS token_share_ppm
+    FROM per, tot ORDER BY source
+    """,
+)
+def source_mixture_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture composition by SOURCE: per corpus source, doc
+    and token volume, language spread, and the source's share of the
+    total token budget in ppm — the table a data-mixing plan (weights
+    per source, epoch budgets) is written against, and the
+    drift monitor between corpus snapshots. Floor-divided ppm over
+    exact token sums.
+
+    At 100 TB: map-side token count, |sources| rows, the grand total
+    rides a 1-row broadcast — no second scan.
+
+    Reference basis: extension tier — mixture/sampling family
+    (companions: ``temperature_mixture_sample``,
+    ``stratified_sample_by_lang``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", "lang", F.size(tokenize("text")).alias("n_tokens")
+    )
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    tot = per.agg(F.sum("total_tokens").alias("t"))
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "n_langs",
+            F.expr("CAST((1000000 * total_tokens) DIV t AS BIGINT)").alias(
+                "token_share_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
