@@ -108,7 +108,6 @@ _ENUMERATE_FIRST: list[str] = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "window_order_rank",
-    "running_revenue",
 ]
 
 
