@@ -95,6 +95,12 @@ PICKS = {
     "bpe_encode_census": "16-merge train loop over the vocabulary + one fused encode of word TYPES; stream totals via word-keyed join",
     "bucketed_join_revenue": "write-time shuffle only: bucketed scans feed the merge join pre-partitioned (zero join-input Exchange)",
     "heldout_bigram_ppl": "train counts collapse to vocabulary size map-side; val stream left-joins on vocab keys",
+    "item_cosine_similarity_capped": "cap^2 pair bound per customer regardless of whale size",
+    "semantic_dedup_kmeans_census": "k-means adds iters x (scan + k-dim broadcast argmax); census cost as frozen twin",
+    "quality_classifier_score": "zero-shuffle scoring scan; |langs| output rows",
+    "token_fertility_census": "map-side length/count sums; |langs| rows",
+    "source_mixture_census": "map-side token count; 1-row total broadcast",
+    "multimodal_jpeg_stats": "per-doc encode+decode in Arrow batches; embarrassingly parallel",
 }
 
 
