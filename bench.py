@@ -168,6 +168,8 @@ HEADLINE = [
     "quality_classifier_score",
     "token_fertility_census",
     "source_mixture_census",
+    "ann_pq_topk",
+    "curriculum_order_manifest",
 ]
 
 

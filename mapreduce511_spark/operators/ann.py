@@ -319,3 +319,223 @@ def ivf_search_pruned(
             F.round("s", 4).alias("cos_sim"),
         )
     )
+
+
+# --- product quantization (the memory-bound ANN scale path) ---------
+
+PQ_M = 8  # subvectors (64 dims -> 8 x 8-dim subspaces)
+PQ_K = 16  # centroids per subspace (4-bit codes)
+PQ_ITERS = 3
+
+
+def _unit(emb: DataFrame) -> DataFrame:
+    """(vec_id, u): L2-normalized embeddings — PQ trains and encodes
+    on the unit sphere so approximate dot IS approximate cosine."""
+    from mapreduce511_spark.functions.vectors import l2_norm
+
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x / l2_norm(F.col("embedding"))
+        ).alias("u"),
+    )
+
+
+def train_pq_codebooks(
+    emb: DataFrame, m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace Lloyd k-means over the unit-sphere
+    subvectors: codebooks[s][j] is the j-th 8-dim centroid of
+    subspace s. Init is the first k vectors' subvectors (vec_id
+    order); assignment is squared-L2 min with (dist, j) tie-break;
+    empty cells keep their previous centroid. All m subspaces train
+    in the SAME distributed pass per iteration (the subvector explode
+    carries (s, sub) rows). At 100 TB you train on a deterministic
+    sample — the codebook is m*k*8 floats regardless of corpus."""
+    spark = emb.sparkSession
+    d_sub = 64 // m
+    unit = _unit(emb).localCheckpoint(eager=True)
+    init = unit.orderBy("vec_id").limit(k).collect()
+    books = [
+        [[float(r.u[s * d_sub + t]) for t in range(d_sub)] for r in init]
+        for s in range(m)
+    ]
+    subs = unit.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("u", s * d_sub + 1, d_sub).alias("v"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e")
+    ).select("e.s", "e.v").localCheckpoint(eager=True)
+    for _ in range(iters):
+        cb_rows = [
+            (s, j, books[s][j]) for s in range(m) for j in range(k)
+        ]
+        cb = F.broadcast(spark.createDataFrame(cb_rows, ["s", "j", "cv"]))
+        dist = F.aggregate(
+            F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            subs.withColumn("rid", F.monotonically_increasing_id())
+            .join(cb, "s")
+            .groupBy("rid", "s")
+            .agg(
+                F.min_by(
+                    F.struct("j", "v"), F.struct(dist.alias("d"), F.col("j"))
+                ).alias("best")
+            )
+            .select("s", F.col("best.j").alias("j"), F.col("best.v").alias("v"))
+        )
+        means = (
+            assigned.select("s", "j", F.posexplode("v").alias("t", "x"))
+            .groupBy("s", "j", "t")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("s", "j")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("t", "mu"))),
+                    lambda e: e.mu,
+                ).alias("cv")
+            )
+            .collect()
+        )
+        updated = {(r.s, r.j): list(r.cv) for r in means}
+        books = [
+            [updated.get((s, j), books[s][j]) for j in range(k)]
+            for s in range(m)
+        ]
+    return books
+
+
+def pq_encode(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """(vec_id, embedding, codes): codes[s] = argmin-L2 centroid index
+    of subspace s — m nibbles replacing 64 floats (32x compression;
+    at scale the codes column is what the index stores and scans,
+    embeddings are fetched only for the re-rank candidates). Pure
+    plan-literal expressions; one corpus scan."""
+    m = len(books)
+    k = len(books[0])
+    d_sub = 64 // m
+    code_cols = []
+    for s in range(m):
+        sub = F.slice("u", s * d_sub + 1, d_sub)
+        cands = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.array(*[F.lit(x) for x in books[s][j]]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(j).alias("j"),
+                )
+                for j in range(k)
+            ]
+        )
+        # array_min on structs is lexicographic: (min dist, then min j)
+        code_cols.append(F.array_min(cands)["j"])
+    return (
+        _unit(emb)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select("vec_id", "embedding", F.array(*code_cols).alias("codes"))
+    )
+
+
+def pq_search(
+    emb: DataFrame,
+    probes: DataFrame,
+    books: list[list[list[float]]],
+    topk: int,
+    rerank: int = 32,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) search + exact re-rank: each probe
+    precomputes its m x k dot-product table against the codebooks
+    (tiny, broadcast); every corpus vector's approximate cosine is m
+    table lookups on its codes — no float vectors in the scan. The
+    top rerank*topk by ADC are re-scored with exact cosine.
+
+    ``probes`` needs (pid, pv). Scale shape: the scan touches only
+    the m-byte codes column; |probes| x n score rows fold through a
+    per-pid TakeOrdered; exact re-rank reads rerank*topk*|probes|
+    embeddings."""
+    from pyspark.sql.window import Window
+
+    from mapreduce511_spark.functions.vectors import cosine_similarity, l2_norm
+
+    m = len(books)
+    k = len(books[0])
+    d_sub = 64 // m
+    coded = pq_encode(emb, books)
+    pu = F.transform("pv", lambda x: x / l2_norm(F.col("pv")))
+    tbl = F.array(
+        *[
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(pu, s * d_sub + 1, d_sub),
+                            F.array(*[F.lit(x) for x in books[s][j]]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for j in range(k)
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    ptbl = probes.select("pid", "pv", tbl.alias("tbl"))
+    approx = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at("tbl", s + 1), F.col("codes")[s] + 1
+        )
+        approx = term if approx is None else approx + term
+    w_adc = Window.partitionBy("pid").orderBy(F.desc("adc"), F.asc("vec_id"))
+    # the ADC stage scans ONLY (vec_id, codes) — the float embeddings
+    # never enter the |probes| x n stage (that's the PQ memory story);
+    # the rerank*topk survivors fetch their embedding by key.
+    cand_ids = (
+        coded.select("vec_id", "codes")
+        .join(
+            F.broadcast(ptbl.select("pid", "tbl")),
+            F.col("vec_id") != F.col("pid"),
+        )
+        .withColumn("adc", approx)
+        .withColumn("arank", F.row_number().over(w_adc))
+        .filter(F.col("arank") <= rerank * topk)
+        .select("pid", "vec_id")
+    )
+    cand = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(cand_ids), "vec_id")
+        .join(F.broadcast(probes.select("pid", "pv")), "pid")
+    )
+    w_rank = Window.partitionBy("pid").orderBy(F.desc("s"), F.asc("vec_id"))
+    return (
+        cand.withColumn(
+            "s", cosine_similarity(F.col("pv"), F.col("embedding"))
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("pid").alias("probe_id"),
+            "rank",
+            "vec_id",
+            F.round("s", 4).alias("cos_sim"),
+        )
+    )

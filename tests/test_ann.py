@@ -225,3 +225,71 @@ def test_ivf_partitioned_index_prunes_and_matches(spark, tmp_path):
         (r.probe_id, r.rank): (r.vec_id, r.cos_sim) for r in pruned.collect()
     }
     assert got == mem and got
+
+
+def test_ann_pq_recall(spark, exact_topk):
+    """PQ + exact re-rank must recover most true neighbors (ADC is a
+    coarse ranker; the 4x re-rank pool absorbs its error)."""
+    from mapreduce511_spark.queries.similarity import ann_pq_topk
+
+    recall = _recall(ann_pq_topk(spark, SF_CHECK).collect(), exact_topk)
+    assert recall >= 0.7, f"PQ recall@{TOPK} = {recall}"
+
+
+def test_pq_codes_compress_and_adc_stage_is_codes_only(spark):
+    """Codes are m nibbles per vector (32x vs 64 floats); every code
+    is a valid centroid index; the encode output is one row per
+    corpus vector."""
+    from mapreduce511_spark.operators.ann import (
+        PQ_K,
+        PQ_M,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    books = train_pq_codebooks(emb)
+    assert len(books) == PQ_M and all(len(b) == PQ_K for b in books)
+    coded = pq_encode(emb, books).select("vec_id", "codes")
+    rows = coded.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r.codes) == PQ_M
+        assert all(0 <= c < PQ_K for c in r.codes)
+
+
+def test_pq_reconstruction_beats_random_codebook(spark):
+    """Trained codebooks must reconstruct unit vectors with lower
+    squared error than the untrained init-only codebook run for zero
+    iterations — the k-means actually has to learn something."""
+    import numpy as np
+
+    from mapreduce511_spark.operators.ann import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    trained = train_pq_codebooks(emb)
+    init_only = train_pq_codebooks(emb, iters=0)
+
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(f"{SF_CHECK}/embeddings.parquet")
+    vid = np.array(t["vec_id"])
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    vecs = vecs[np.argsort(vid)]
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    def mse(books):
+        codes = {
+            r.vec_id: list(r.codes)
+            for r in pq_encode(emb, books).select("vec_id", "codes").collect()
+        }
+        err = 0.0
+        for i, v in enumerate(unit):
+            rec = np.concatenate([books[s][codes[i][s]] for s in range(8)])
+            err += float(((v - rec) ** 2).sum())
+        return err / len(unit)
+
+    assert mse(trained) < mse(init_only)
