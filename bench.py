@@ -170,6 +170,8 @@ HEADLINE = [
     "source_mixture_census",
     "ann_pq_topk",
     "curriculum_order_manifest",
+    "unigram_lm_vocab",
+    "unigram_lm_encode_census",
 ]
 
 

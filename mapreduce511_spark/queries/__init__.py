@@ -95,6 +95,8 @@ _ENUMERATE_FIRST: list[str] = [
     "source_mixture_census",
     "ann_pq_topk",  # rows-only (learned codebooks)
     "curriculum_order_manifest",
+    "unigram_lm_vocab",  # rows-only (EM-trained)
+    "unigram_lm_encode_census",  # rows-only (EM-trained)
     # --- (3) staleness rotation: newest green row is r01 ---
     "minhash_signatures",
     "minhash_band_candidates",
@@ -106,8 +108,6 @@ _ENUMERATE_FIRST: list[str] = [
     "asof_last_signup",
     "event_value_quantiles",
     "session_window_stats",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
 ]
 
 

@@ -3331,3 +3331,79 @@ def curriculum_order_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register("unigram_lm_vocab")
+def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top pieces of a trained UNIGRAM-LM tokenizer (SentencePiece-
+    style hard-EM, ``operators/unigram_lm.py``) — the probabilistic
+    tokenizer family next to BPE's greedy merges; real pipelines ship
+    both. Rows-only (EM + prune is iterative); the whole train
+    pipeline is re-derived independently and matched EXACTLY in
+    tests/test_unigram_lm.py.
+
+    Scale shape: per-word work runs over WORD TYPES via Arrow-batched
+    kernels with the vocab-sized score table in the closure; the only
+    corpus-sized steps are the word count and the bounded substring
+    seed explode."""
+    from mapreduce511_spark.operators.unigram_lm import train_unigram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = train_unigram_lm(docs)
+    top = sorted(counts.items(), key=lambda pc: (-pc[1], pc[0]))[:64]
+    rows = [(i + 1, p, c) for i, (p, c) in enumerate(top)]
+    return spark.createDataFrame(rows, "rank long, piece string, cnt long")
+
+
+@register("unigram_lm_encode_census")
+def unigram_lm_encode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoded under the trained unigram-LM vocabulary: per
+    language, total words, total pieces, and pieces-per-word in milli
+    — the fertility number that decides whether the trained vocab is
+    worth shipping (compare against ``token_fertility_census``'s
+    whitespace baseline). Encoding segments word TYPES once and joins
+    the per-(lang, word) frequencies — the token stream is never
+    re-segmented. Rows-only (depends on the EM-trained vocab)."""
+    import pandas as pd
+
+    from mapreduce511_spark.operators.unigram_lm import (
+        MAX_PIECE_LEN,
+        _scores_from_counts,
+        train_unigram_lm,
+        viterbi_segment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = train_unigram_lm(docs)
+    scores = _scores_from_counts(counts)
+
+    lang_words = (
+        docs.select("lang", F.explode(tokenize("text")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for lang, w, c in zip(pdf["lang"], pdf["w"], pdf["cnt"]):
+                n = len(viterbi_segment(str(w), scores, MAX_PIECE_LEN))
+                rows.append((lang, int(c), n * int(c)))
+            yield pd.DataFrame(
+                rows, columns=["lang", "n_words", "n_pieces"]
+            )
+
+    seg = lang_words.mapInPandas(
+        kernel, schema="lang string, n_words long, n_pieces long"
+    )
+    return (
+        seg.groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_pieces").alias("total_pieces"),
+            F.expr(
+                "CAST((1000 * sum(n_pieces)) DIV sum(n_words) AS BIGINT)"
+            ).alias("pieces_per_word_milli"),
+        )
+        .orderBy("lang")
+    )
