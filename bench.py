@@ -172,6 +172,7 @@ HEADLINE = [
     "curriculum_order_manifest",
     "unigram_lm_vocab",
     "unigram_lm_encode_census",
+    "ann_ivf_pq_topk",
 ]
 
 

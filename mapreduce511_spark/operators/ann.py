@@ -539,3 +539,108 @@ def pq_search(
             F.round("s", 4).alias("cos_sim"),
         )
     )
+
+
+def ivf_pq_search(
+    emb: DataFrame,
+    probes: DataFrame,
+    centroids: list[list[float]],
+    books: list[list[list[float]]],
+    nprobe: int,
+    topk: int,
+    rerank: int = 32,
+) -> DataFrame:
+    """IVF-PQ: coarse cells bound the COMPUTE (only nprobe/k of the
+    corpus is ADC-scored per probe) while PQ codes bound the MEMORY
+    (the scored scan reads m-byte codes, not float vectors); the
+    survivors re-rank exactly. This is the standard billion-scale
+    layout (Jégou et al. 2011) minus residual encoding — codes
+    quantize the raw unit vectors, which costs some ADC fidelity but
+    keeps one codebook corpus-wide; the residual refinement is a
+    documented upgrade, not a structural change.
+
+    ``probes`` needs (pid, pv). At 100 TB the cell tag is the parquet
+    partition key (see ``ivf_write_partitioned``) so the ADC scan is
+    partition-pruned file IO, and the codes column is the only thing
+    read."""
+    from pyspark.sql.window import Window
+
+    from mapreduce511_spark.functions.vectors import cosine_similarity, l2_norm
+
+    m = len(books)
+    k = len(books[0])
+    d_sub = 64 // m
+    spark = emb.sparkSession
+    coded = pq_encode(emb, books).select("vec_id", "codes")
+    tagged = _with_best_cell(
+        emb.select("vec_id", "embedding"), "embedding", centroids
+    ).select("vec_id", "cell")
+    coded = coded.join(tagged, "vec_id")
+
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], ["cell", "cv"]
+    )
+    w_cell = Window.partitionBy("pid").orderBy(F.desc("csim"), F.asc("cell"))
+    pu = F.transform("pv", lambda x: x / l2_norm(F.col("pv")))
+    tbl = F.array(
+        *[
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(pu, s * d_sub + 1, d_sub),
+                            F.array(*[F.lit(x) for x in books[s][j]]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for j in range(k)
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    probe_cells = (
+        probes.join(F.broadcast(cent_df))
+        .withColumn("csim", cosine_similarity(F.col("pv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= nprobe)
+        .select("pid", "cell")
+    )
+    ptbl = probes.select("pid", tbl.alias("tbl"))
+    approx = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at("tbl", s + 1), F.col("codes")[s] + 1
+        )
+        approx = term if approx is None else approx + term
+    w_adc = Window.partitionBy("pid").orderBy(F.desc("adc"), F.asc("vec_id"))
+    cand_ids = (
+        coded.join(F.broadcast(probe_cells), "cell")
+        .join(F.broadcast(ptbl), "pid")
+        .filter(F.col("vec_id") != F.col("pid"))
+        .withColumn("adc", approx)
+        .withColumn("arank", F.row_number().over(w_adc))
+        .filter(F.col("arank") <= rerank * topk)
+        .select("pid", "vec_id")
+    )
+    cand = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(cand_ids), "vec_id")
+        .join(F.broadcast(probes.select("pid", "pv")), "pid")
+    )
+    w_rank = Window.partitionBy("pid").orderBy(F.desc("s"), F.asc("vec_id"))
+    return (
+        cand.withColumn(
+            "s", cosine_similarity(F.col("pv"), F.col("embedding"))
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("pid").alias("probe_id"),
+            "rank",
+            "vec_id",
+            F.round("s", 4).alias("cos_sim"),
+        )
+    )

@@ -97,6 +97,7 @@ _ENUMERATE_FIRST: list[str] = [
     "curriculum_order_manifest",
     "unigram_lm_vocab",  # rows-only (EM-trained)
     "unigram_lm_encode_census",  # rows-only (EM-trained)
+    "ann_ivf_pq_topk",  # rows-only (composed trained index)
     # --- (3) staleness rotation: newest green row is r01 ---
     "minhash_signatures",
     "minhash_band_candidates",
@@ -107,7 +108,6 @@ _ENUMERATE_FIRST: list[str] = [
     "sessionize_events",
     "asof_last_signup",
     "event_value_quantiles",
-    "session_window_stats",
 ]
 
 

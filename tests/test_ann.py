@@ -293,3 +293,13 @@ def test_pq_reconstruction_beats_random_codebook(spark):
         return err / len(unit)
 
     assert mse(trained) < mse(init_only)
+
+
+def test_ann_ivf_pq_recall(spark, exact_topk):
+    """Cell pruning (recall ceiling ~ the kmeans-IVF 0.88-0.96) and
+    ADC ranking compose: the combined index must still recover most
+    true neighbors."""
+    from mapreduce511_spark.queries.similarity import ann_ivf_pq_topk
+
+    recall = _recall(ann_ivf_pq_topk(spark, SF_CHECK).collect(), exact_topk)
+    assert recall >= 0.75, f"IVF-PQ recall@{TOPK} = {recall}"
