@@ -60,6 +60,11 @@ PICKS = {
     "semantic_dedup_census": "centroids broadcast; pair shuffle carries cluster-assigned vectors once",
     "temperature_mixture_sample": "rate table broadcast; census shuffle is language-dimension-sized",
     "bucketed_join_revenue": "bucketed scans: the only exchange is the nation-level aggregate",
+    "ann_lsh_topk": "multi-probe: integer band-join shuffle; 64-float arrays never shuffle",
+    "item_cosine_similarity_capped": "cap^2-bounded pair shuffle on the customer key",
+    "quality_classifier_score": "zero-shuffle scoring: scan in, |langs| rows out",
+    "curriculum_order_manifest": "two-pass rank: offsets on the distinct-logit table only",
+    "multimodal_jpeg_stats": "Arrow-batched codec: scan rows == output rows, one tiny shuffle",
 }
 
 # static epilogue kept across regenerations (measured once; the
@@ -84,6 +89,28 @@ partially interpreted:
 the same flag in `spark.executor.extraJavaOptions`. bench.py records
 both first-run (includes one-off codegen JIT) and steady-state
 per-query times so the two costs stay separable round-over-round.
+
+## Wordcount steady-time delta r03->r04: NOISE (same-session A/B, round 5)
+
+The r4 VERDICT flagged wordcount steady 0.317 s (r03) -> 0.587 s (r04)
+as a possible regression vs code-cache pressure from the suite growing
+to ~105 timed queries. Same-session A/B (one `get_spark` session,
+min-of-5 per measurement, sf0.1):
+
+| session state | wordcount steady |
+|---|---|
+| fresh (post-warmup only) | 0.394 s |
+| after running 60 headline queries | 0.230 s |
+| after running all 118 headline queries | 0.268 s |
+
+Session aging makes wordcount FASTER (deeper JIT of the shared
+scan/agg codegen), not slower — there is no code-cache cliff at this
+suite size, and `operators/wordcount.py` was untouched in r4. The
+0.587 s artifact reading was inter-session drift (the 20-30% noise
+band documented on this host, hypervisor CPU steal measured earlier),
+landing on a small absolute number. Verdict: noise; no fix needed
+(r05 bench re-measured 0.312 s / 867k tokens/s). ReservedCodeCacheSize
+headroom already set in `session.py`.
 """
 
 def _metrics(node) -> dict:
