@@ -98,6 +98,7 @@ _ENUMERATE_FIRST: list[str] = [
     "unigram_lm_vocab",  # rows-only (EM-trained)
     "unigram_lm_encode_census",  # rows-only (EM-trained)
     "ann_ivf_pq_topk",  # rows-only (composed trained index)
+    "ann_ivf_lloyd_topk",  # oracled learned-centroid IVF
     # --- (3) staleness rotation: newest green row is r01 ---
     "minhash_signatures",
     "minhash_band_candidates",
@@ -107,7 +108,6 @@ _ENUMERATE_FIRST: list[str] = [
     "tumbling_event_counts",
     "sessionize_events",
     "asof_last_signup",
-    "event_value_quantiles",
 ]
 
 
