@@ -58,6 +58,7 @@ PICKS = {
     "item_cosine_similarity_capped": "md5-ranked basket cap bounds pair volume at cap^2 per customer",
     "quality_classifier_score": "Integer-milli logit: zero-shuffle scoring scan, |langs| output rows",
     "source_mixture_census": "Map-side token count; 1-row grand total broadcast (no second scan)",
+    "ann_ivf_lloyd_topk": "Unrolled Lloyd: map-only fold assignment off 1-row centroid broadcasts; only the mean updates shuffle",
 }
 
 
