@@ -99,6 +99,7 @@ _ENUMERATE_FIRST: list[str] = [
     "unigram_lm_encode_census",  # rows-only (EM-trained)
     "ann_ivf_pq_topk",  # rows-only (composed trained index)
     "ann_ivf_lloyd_topk",  # oracled learned-centroid IVF
+    "quality_classifier_train",  # rows-only (iterative IRLS)
     # --- (3) staleness rotation: newest green row is r01 ---
     "minhash_signatures",
     "minhash_band_candidates",
@@ -107,7 +108,6 @@ _ENUMERATE_FIRST: list[str] = [
     "simhash_near_dup",
     "tumbling_event_counts",
     "sessionize_events",
-    "asof_last_signup",
 ]
 
 
