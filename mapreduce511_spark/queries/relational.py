@@ -1897,7 +1897,9 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineitem (the r03 formulation's eager count ran the self-join
     # twice).
     n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
-    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(n_edges)
+    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
+        F.broadcast(n_edges)
+    )
 
 
 @register(
@@ -1966,7 +1968,7 @@ def copurchase_triangles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tri.agg(
         (F.count("*") * 8).cast("long").alias("n_triangles_est")
-    ).crossJoin(n_edges)
+    ).crossJoin(F.broadcast(n_edges))
 
 
 @register(
@@ -2425,9 +2427,11 @@ def copurchase_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("m"),
         F.count_distinct(F.col("u")).alias("nu"),
     ).crossJoin(
-        edges.select(F.col("u").alias("x"))
-        .unionAll(edges.select(F.col("v").alias("x")))
-        .agg(F.count_distinct("x").alias("n"))
+        F.broadcast(
+            edges.select(F.col("u").alias("x"))
+            .unionAll(edges.select(F.col("v").alias("x")))
+            .agg(F.count_distinct("x").alias("n"))
+        )
     )
     row = stats.collect()[0]  # two scalars: edge count, vertex count
     k = max(2, math.ceil(2.0 * row.m / row.n))
@@ -2440,7 +2444,9 @@ def copurchase_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         core.agg(F.count("*").alias("n_core_vertices"))
-        .crossJoin(core_edges.agg(F.count("*").alias("n_core_edges")))
+        .crossJoin(
+            F.broadcast(core_edges.agg(F.count("*").alias("n_core_edges")))
+        )
         .select(
             F.lit(k).cast("long").alias("k"),
             "n_core_vertices",
