@@ -865,6 +865,163 @@ def repeated_span_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "duplicate_span_removal",
+    oracle=f"""
+    WITH toklist AS (
+        SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
+    ), tok AS (
+        SELECT doc_id, unnest(tokens) AS w,
+               unnest(range(len(tokens))) AS p
+        FROM toklist
+    ), th AS (
+        SELECT doc_id, p,
+               CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h0
+        FROM tok
+    ), sp AS (
+        SELECT doc_id, p,
+               xor(((xor(((xor(((xor(((xor(((xor(((xor(((h0) % 36028797018963968) * 32, lead(h0, 1) OVER win)) % 36028797018963968) * 32, lead(h0, 2) OVER win)) % 36028797018963968) * 32, lead(h0, 3) OVER win)) % 36028797018963968) * 32, lead(h0, 4) OVER win)) % 36028797018963968) * 32, lead(h0, 5) OVER win)) % 36028797018963968) * 32, lead(h0, 6) OVER win)) % 36028797018963968) * 32, lead(h0, 7) OVER win) AS h,
+               lead(h0, 7) OVER win IS NOT NULL AS ok
+        FROM th
+        WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+    ), spans AS (
+        SELECT doc_id, p, h FROM sp WHERE ok
+    ), dup AS (
+        SELECT h, min(doc_id) AS keeper
+        FROM (SELECT DISTINCT doc_id, h FROM spans)
+        GROUP BY h HAVING count(*) >= 2
+    ), rem AS (
+        SELECT s.doc_id, s.p, s.p + 7 AS pe
+        FROM spans s JOIN dup d ON s.h = d.h
+        WHERE s.doc_id <> d.keeper
+    ), marked AS (
+        SELECT doc_id, p, pe,
+               CASE WHEN max(pe) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) >= p
+                    THEN 0 ELSE 1 END AS new_island
+        FROM rem
+    ), islands AS (
+        SELECT doc_id, p, pe,
+               sum(new_island) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS island
+        FROM marked
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(sum(n_occ) AS BIGINT) AS removed_occurrences,
+               CAST(sum(width) AS BIGINT) AS tokens_removed
+        FROM (
+            SELECT doc_id, island,
+                   count(*) AS n_occ,
+                   max(pe) - min(p) + 1 AS width
+            FROM islands GROUP BY doc_id, island
+        ) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+           d.removed_occurrences,
+           d.tokens_removed,
+           CAST(len(t.tokens) - d.tokens_removed AS BIGINT) AS tokens_kept
+    FROM per_doc d JOIN toklist t ON d.doc_id = t.doc_id
+    """,
+)
+def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level cross-document dedup census (the Lee et al.
+    2022 'Deduplicating Training Data' removal step, after
+    ``repeated_span_screen``'s cheap anchored DETECTION): every
+    8-token span occurring in >=2 distinct documents is removed from
+    all but the smallest doc_id holding it; overlapping removals in a
+    document merge into islands (gaps-and-islands over [p, p+7]
+    intervals) so a token is never counted twice. Emits, per affected
+    document, the occurrence count, merged tokens removed, and tokens
+    kept — the accounting a 100 TB pipeline audits before rewriting
+    the corpus.
+
+    100 TB shape, in plan order: span hashes are the screen's
+    integer lead()-fold (never a span string); the duplicate table
+    groups int64 hashes only (map-side partial min/count); the
+    removal join is an int equi-join whose output is linear in
+    duplicated occurrences; interval merging is two window passes
+    per document partition. Unlike the anchored screen this keeps
+    ALL spans (removal must be exact) — the screen remains the
+    cheap first-pass filter, this the rewrite-accounting pass.
+    Hash collisions at 60/55 bits are negligible and identical in
+    the oracle (hash equality IS the defined dup relation)."""
+    from pyspark.sql import Window
+
+    from mapreduce511_spark.operators.dedup import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    toklist = docs.select("doc_id", tokenize("text").alias("tokens"))
+    toks = toklist.select(
+        "doc_id", F.posexplode("tokens").alias("p", "w")
+    )
+    th = toks.select("doc_id", "p", hash60(F.col("w")).alias("h0"))
+    wdoc = Window.partitionBy("doc_id").orderBy("p")
+    acc = F.col("h0")
+    for i in range(1, 8):
+        acc = ((acc % F.lit(36028797018963968)) * 32).bitwiseXOR(
+            F.lead("h0", i).over(wdoc)
+        )
+    spans = (
+        th.withColumn("h", acc)
+        .withColumn("ok", F.lead("h0", 7).over(wdoc).isNotNull())
+        .filter("ok")
+        .select("doc_id", "p", "h")
+        .localCheckpoint(eager=True)
+    )
+    dup = (
+        spans.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("nd") >= 2)
+        .select("h", "keeper")
+    )
+    rem = (
+        spans.join(dup, "h")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", "p", (F.col("p") + 7).alias("pe"))
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = rem.withColumn(
+        "new_island",
+        F.when(F.max("pe").over(w_prev) >= F.col("p"), 0).otherwise(1),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    per_doc = (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.count("*").alias("n_occ"),
+            (F.max("pe") - F.min("p") + 1).alias("width"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("removed_occurrences"),
+            F.sum("width").cast("long").alias("tokens_removed"),
+        )
+    )
+    return per_doc.join(
+        toklist.select("doc_id", F.size("tokens").cast("long").alias("n_tokens")),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "removed_occurrences",
+        "tokens_removed",
+        (F.col("n_tokens") - F.col("tokens_removed")).alias("tokens_kept"),
+    )
+
+
+@register(
     "context_pack_stats",
     oracle=f"""
     WITH lens AS (

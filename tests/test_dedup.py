@@ -280,3 +280,50 @@ def test_connected_components_random_graph_at_scale(spark):
         for r in connected_components(df, max_iter=60).collect()
     }
     assert got == expected
+
+
+def test_duplicate_span_removal_synthetic(spark, tmp_path):
+    """Controlled corpus: doc 1 repeats doc 0's 10-token prefix (two
+    8-token spans starting at positions 0 and 1 -> ONE merged island
+    of 9 tokens removed from doc 1, none from keeper doc 0); doc 2 is
+    all-unique. Exact accounting, keeper-kept, island merging."""
+    from mapreduce511_spark.queries.text import duplicate_span_removal
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (0, shared + " " + " ".join(f"a{i}" for i in range(30)), "en", "t", 0),
+        (1, shared + " " + " ".join(f"b{i}" for i in range(30)), "en", "t", 0),
+        (2, " ".join(f"c{i}" for i in range(40)), "en", "t", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r for r in duplicate_span_removal(spark, str(tmp_path)).collect()
+    }
+    # only doc 1 is affected: doc 0 is the keeper, doc 2 shares nothing
+    assert set(got) == {1}
+    r = got[1]
+    # spans at p=0..2 are shared (8-token windows inside the 10-token
+    # prefix): 3 occurrences merging to one island covering p=0..9
+    assert r.removed_occurrences == 3
+    assert r.tokens_removed == 10
+    assert r.n_tokens == 40
+    assert r.tokens_kept == 30
+
+
+def test_duplicate_span_removal_invariants(spark):
+    """On real data: every affected doc removes between one window
+    and everything; merged islands never double-count (removed <=
+    8 * occurrences); kept + removed == total."""
+    from mapreduce511_spark.queries.text import duplicate_span_removal
+    from tests.conftest import SF_SMOKE
+
+    rows = duplicate_span_removal(spark, SF_SMOKE).collect()
+    assert rows, "sf0.001 corpus has duplicated spans"
+    for r in rows:
+        assert 8 <= r.tokens_removed <= r.n_tokens
+        assert r.tokens_removed <= 8 * r.removed_occurrences
+        assert r.tokens_kept == r.n_tokens - r.tokens_removed
+        assert r.removed_occurrences >= 1
