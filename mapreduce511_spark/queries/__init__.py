@@ -101,12 +101,12 @@ _ENUMERATE_FIRST: list[str] = [
     "ann_ivf_lloyd_topk",  # oracled learned-centroid IVF
     "quality_classifier_train",  # rows-only (iterative IRLS)
     "duplicate_span_removal",
+    "semantic_dedup_lloyd_census",  # oracled learned-cluster dedup
     # --- (3) staleness rotation: newest green row is r01 ---
     "minhash_signatures",
     "minhash_band_candidates",
     "minhash_near_dup",
     "simhash_fingerprint",
-    "simhash_near_dup",
     "sessionize_events",
 ]
 

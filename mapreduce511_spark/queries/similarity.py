@@ -647,6 +647,69 @@ def _lloyd_assign_sql(src: str, cent: str) -> str:
     )"""
 
 
+def _lloyd_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Assign each vector of ``e`` (vec_id, v: array<double>) to its
+    best cell of ``cent`` (cell, cv): argmax by (cos, -cell) as a fold
+    over a ONE-ROW broadcast of the whole centroid set — a map-only
+    scan, no shuffle, no collect. Spark twin of ``_lloyd_assign_sql``."""
+    cent_arr = cent.agg(F.collect_list(F.struct("cell", "cv")).alias("cents"))
+    best = F.aggregate(
+        F.col("cents"),
+        F.struct(
+            F.lit(float("-inf")).alias("cs"),
+            F.lit(-1).cast("bigint").alias("cell"),
+        ),
+        lambda acc, c: F.when(
+            (cosine_similarity(F.col("v"), c["cv"]) > acc["cs"])
+            | (
+                (cosine_similarity(F.col("v"), c["cv"]) == acc["cs"])
+                & (c["cell"] < acc["cell"])
+            ),
+            F.struct(
+                cosine_similarity(F.col("v"), c["cv"]).alias("cs"),
+                c["cell"].alias("cell"),
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        e.crossJoin(F.broadcast(cent_arr))
+        .withColumn("cell", best["cell"])
+        .drop("cents")
+    )
+
+
+def _lloyd_means(assigned: DataFrame) -> DataFrame:
+    """Per-cell mean vectors via exact integer-micro sums (Spark twin
+    of ``_lloyd_means_sql``); the only shuffle of a Lloyd iteration,
+    map-side combined to k x dim rows per partition."""
+    return (
+        assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+        .withColumn("xq", F.round(F.col("x") * F.lit(1000000.0)).cast("long"))
+        .groupBy("cell", "dim")
+        .agg(((F.sum("xq") / F.count(F.lit(1))) / F.lit(1000000.0)).alias("c"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s.c,
+            ).alias("cv")
+        )
+    )
+
+
+def _lloyd_centroids(e: DataFrame) -> DataFrame:
+    """Two unrolled Lloyd iterations from the first ``_LLOYD_K``
+    vectors — the shared trainer of ``ann_ivf_lloyd_topk`` and
+    ``semantic_dedup_lloyd_census``; both engines derive bit-identical
+    centroids (see ``_lloyd_means``)."""
+    cent = e.filter(F.col("vec_id") < _LLOYD_K).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    for _ in range(_LLOYD_ITERS):
+        cent = _lloyd_means(_lloyd_assign(e, cent))
+    return cent
+
+
 def _lloyd_means_sql(assigned: str) -> str:
     """Oracle block: per-cell mean vectors via exact integer-micro
     sums — order-insensitive, so both engines get bit-identical
@@ -735,63 +798,7 @@ def ann_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-
-    def assign(cent: DataFrame) -> DataFrame:
-        # one-row broadcast of the whole centroid set; per-vector
-        # argmax by (cos, -cell) as a fold — no shuffle, no collect.
-        cent_arr = cent.agg(
-            F.collect_list(F.struct("cell", "cv")).alias("cents")
-        )
-        best = F.aggregate(
-            F.col("cents"),
-            F.struct(
-                F.lit(float("-inf")).alias("cs"),
-                F.lit(-1).cast("bigint").alias("cell"),
-            ),
-            lambda acc, c: F.when(
-                (cosine_similarity(F.col("v"), c["cv"]) > acc["cs"])
-                | (
-                    (cosine_similarity(F.col("v"), c["cv"]) == acc["cs"])
-                    & (c["cell"] < acc["cell"])
-                ),
-                F.struct(
-                    cosine_similarity(F.col("v"), c["cv"]).alias("cs"),
-                    c["cell"].alias("cell"),
-                ),
-            ).otherwise(acc),
-        )
-        return (
-            e.crossJoin(F.broadcast(cent_arr))
-            .withColumn("cell", best["cell"])
-            .drop("cents")
-        )
-
-    def means(assigned: DataFrame) -> DataFrame:
-        return (
-            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
-            .withColumn(
-                "xq", F.round(F.col("x") * F.lit(1000000.0)).cast("long")
-            )
-            .groupBy("cell", "dim")
-            .agg(
-                ((F.sum("xq") / F.count(F.lit(1))) / F.lit(1000000.0)).alias(
-                    "c"
-                )
-            )
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
-                    lambda s: s.c,
-                ).alias("cv")
-            )
-        )
-
-    cent = e.filter(F.col("vec_id") < _LLOYD_K).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
-    )
-    for _ in range(_LLOYD_ITERS):
-        cent = means(assign(cent))
+    cent = _lloyd_centroids(e)
 
     probes = e.filter(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("pid"), F.col("v").alias("pv")
@@ -806,7 +813,7 @@ def ann_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_rank = Window.partitionBy("pid").orderBy(F.desc("s"), F.asc("vec_id"))
     return (
-        assign(cent)
+        _lloyd_assign(e, cent)
         .join(F.broadcast(probe_cells), "cell")
         .filter(F.col("vec_id") != F.col("pid"))
         .withColumn("s", cosine_similarity(F.col("pv"), F.col("v")))
@@ -1934,6 +1941,85 @@ def semantic_dedup_kmeans_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("ib").alias("n_flagged"),
     )
     return _sem_census_rollup(members, dup)
+
+
+@register(
+    "semantic_dedup_lloyd_census",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), seeds AS (
+        SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {_LLOYD_K}
+    ), a1 AS {_lloyd_assign_sql("e", "seeds")},
+    c1 AS {_lloyd_means_sql("a1")},
+    a2 AS {_lloyd_assign_sql("e", "c1")},
+    c2 AS {_lloyd_means_sql("a2")},
+    af AS {_lloyd_assign_sql("e", "c2")},
+    members AS (
+        SELECT cell, count(*) AS n_members FROM af GROUP BY cell
+    ), pairs AS (
+        SELECT a.cell, b.vec_id AS ib
+        FROM af a JOIN af b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {_SQL_COS.format(a="a.v", b="b.v")} >= {_SEM_T}
+    ), dup AS (
+        SELECT cell, count(*) AS dup_pairs,
+               count(DISTINCT ib) AS n_flagged
+        FROM pairs GROUP BY cell
+    )
+    SELECT m.cell AS cluster_id, m.n_members,
+           COALESCE(d.dup_pairs, 0) AS dup_pairs,
+           COALESCE(d.n_flagged, 0) AS n_flagged,
+           CAST(round((m.n_members - COALESCE(d.n_flagged, 0)) * 10000.0
+                      / m.n_members) AS BIGINT) AS keep_bp
+    FROM members m LEFT JOIN dup d ON m.cell = d.cell
+    """,
+)
+def semantic_dedup_lloyd_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup census with LEARNED centroids UNDER THE EXACT ORACLE:
+    the cluster stage is the two-iteration unrolled Lloyd trainer
+    shared with ``ann_ivf_lloyd_topk`` (bit-identical centroids in
+    both engines via integer-micro means), so unlike
+    ``semantic_dedup_kmeans_census`` (rows-only) the learned-cluster
+    dedup census hash-matches DuckDB end to end. Every vector is
+    assigned (centroids are means, not member vectors, so no seed
+    exclusion); intra-cluster pairs with cos >= t are flagged keeping
+    the lowest vec_id — same census tail as the frozen twin.
+
+    100 TB design: training adds two map-only assignment scans and
+    two k x dim mean shuffles to the frozen twin's plan; the pair
+    stage is unchanged — an equi-join ON THE CLUSTER ID with per-task
+    work bounded by cluster size, never a global cross join. The
+    assignment is localCheckpointed once for its three consumers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    af = (
+        _lloyd_assign(e, _lloyd_centroids(e))
+        .select("vec_id", "v", "cell")
+        .localCheckpoint(eager=True)
+    )
+    members = af.groupBy("cell").agg(F.count("*").alias("n_members"))
+    a = af.select(
+        "cell", F.col("vec_id").alias("ia"), F.col("v").alias("va")
+    )
+    b = af.select(
+        "cell", F.col("vec_id").alias("ib"), F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, ["cell"])
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(cosine_similarity(F.col("va"), F.col("vb")) >= _SEM_T)
+    )
+    dup = pairs.groupBy("cell").agg(
+        F.count("*").alias("dup_pairs"),
+        F.countDistinct("ib").alias("n_flagged"),
+    )
+    return _sem_census_rollup(
+        members.withColumnRenamed("cell", "cid"),
+        dup.withColumnRenamed("cell", "cid"),
+    )
 
 
 @register("ann_ivf_pq_topk")

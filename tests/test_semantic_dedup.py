@@ -85,3 +85,23 @@ def test_kmeans_census_pairs_are_intra_cluster_bounded(spark):
     for r in rows:
         max_pairs = r.n_members * (r.n_members - 1) // 2
         assert r.dup_pairs <= max_pairs
+
+
+def test_lloyd_census_partitions_and_bounds(spark):
+    """The ORACLED learned-centroid census (shared unrolled-Lloyd
+    trainer): full partition of the corpus, per-cluster invariants —
+    plus tests/test_oracle_parity.py holds the whole census to the
+    exact DuckDB hash at both parity scales."""
+    from mapreduce511_spark.queries.similarity import (
+        _LLOYD_K,
+        semantic_dedup_lloyd_census,
+    )
+    from mapreduce511_spark.sources.tables import load_table
+
+    n_total = load_table(spark, SF_SMOKE, "embeddings").count()
+    rows = semantic_dedup_lloyd_census(spark, SF_SMOKE).collect()
+    assert {r.cluster_id for r in rows} <= set(range(_LLOYD_K))
+    assert sum(r.n_members for r in rows) == n_total
+    for r in rows:
+        assert 0 <= r.n_flagged <= min(r.dup_pairs, r.n_members)
+        assert 0 <= r.keep_bp <= 10000
