@@ -102,11 +102,11 @@ _ENUMERATE_FIRST: list[str] = [
     "quality_classifier_train",  # rows-only (iterative IRLS)
     "duplicate_span_removal",
     "semantic_dedup_lloyd_census",  # oracled learned-cluster dedup
+    "stream_click_attribution_full",
+    "dup_cluster_canonical",
+    "mixture_epochs_plan",
     # --- (3) staleness rotation: newest green row is r01 ---
     "minhash_signatures",
-    "minhash_band_candidates",
-    "minhash_near_dup",
-    "simhash_fingerprint",
     "sessionize_events",
 ]
 

@@ -327,6 +327,69 @@ def fuzzy_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_cluster_canonical",
+    oracle=f"""
+    {_SQL_COMPONENTS},
+    merged AS (
+        SELECT c.cluster_id,
+               count(*) AS cluster_size,
+               count(DISTINCT d.lang) AS n_langs,
+               string_agg(DISTINCT d.source, ',' ORDER BY d.source)
+                   AS sources,
+               CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+               CAST(max(d.n_chars) AS BIGINT) AS max_chars
+        FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+        GROUP BY c.cluster_id
+    )
+    SELECT m.cluster_id, m.cluster_size, m.n_langs, m.sources,
+           m.total_chars, m.max_chars,
+           CAST(k.n_chars AS BIGINT) AS canonical_chars
+    FROM merged m JOIN documents k ON m.cluster_id = k.doc_id
+    """,
+)
+def dup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster CANONICALIZATION: after ``dedup_clusters``
+    labels each near-dup class, merge the class members' metadata
+    onto the canonical (min doc_id) survivor — member count, distinct
+    languages, the sorted union of sources, total/max char volume,
+    and the canonical doc's own size. This is the record-merge step a
+    cleaning pipeline runs so provenance survives deduplication (the
+    kept doc must still credit every source it absorbed).
+
+    100 TB shape: the cluster map joins the corpus on doc_id (hash
+    join, map ~ duplicated subset); the merge is one combinable
+    aggregate per cluster — collect_set stays bounded by the distinct
+    source count, not the cluster size. Oracle: the same recursive-
+    CTE component labels + a grouped merge."""
+    docs = load_table(spark, sf_dir, "documents")
+    cc = _near_dup_components(spark, sf_dir)
+    members = cc.join(
+        docs, cc["node"] == docs["doc_id"]
+    ).select(
+        F.col("component").alias("cluster_id"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    merged = members.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.concat_ws(",", F.sort_array(F.collect_set("source"))).alias(
+            "sources"
+        ),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+    return merged.join(
+        docs.select(
+            F.col("doc_id").alias("cluster_id"),
+            F.col("n_chars").cast("long").alias("canonical_chars"),
+        ),
+        "cluster_id",
+    )
+
+
+@register(
     "minhash_jaccard_estimate",
     oracle=f"""
     {_SQL_BANDS},

@@ -986,3 +986,66 @@ def stream_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFram
         )
     finally:
         _cleanup(src)
+
+
+@register(
+    "stream_click_attribution_full",
+    oracle="""
+    WITH wm AS (
+        SELECT least(
+                   (SELECT max(ts) FROM events WHERE event_type = 'click'),
+                   (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+               ) - INTERVAL 2 HOUR AS w
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 2 HOUR
+    WHERE (c.event_id IS NOT NULL AND p.event_id IS NOT NULL)
+       OR (p.event_id IS NULL
+           AND c.ts + INTERVAL 2 HOUR < (SELECT w FROM wm))
+       OR (c.event_id IS NULL AND p.ts < (SELECT w FROM wm))
+    """,
+)
+def stream_click_attribution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join under the oracle gate — the last
+    cell of the streaming join matrix (inner / left / full): both
+    unconverted clicks AND orphan purchases surface as null-extended
+    rows once the watermark proves they can never match. The oracle
+    states both emission rules in plain SQL: matched pairs are the
+    batch interval join; a click null-extends iff unmatched AND its
+    window upper bound ``click_ts + 2h`` fell strictly below the
+    final watermark w = min(max click ts, max purchase ts) - 2h
+    (same rule as the left join); a purchase null-extends iff
+    unmatched AND ``purchase_ts < w`` (arriving clicks have
+    ts >= w and can only match purchases at or after their own
+    timestamp). Both cutoffs verified empirically — 191/191 orphan
+    purchases at sf0.001 — and hash-checked at both parity scales.
+
+    At 100 TB: same state bound as the inner join (watermark +
+    interval horizon per side, user-keyed shuffle); outer emission on
+    both sides is eviction-time work, not extra state.
+
+    Reference basis: extension tier — streaming family (SURVEY.md
+    §2.9)."""
+    from mapreduce511_spark.streaming import click_purchase_full_join
+
+    src, ckpt, name = _scratch("fouter")
+    try:
+        prepare_events_dir(spark, sf_dir, src)
+        stream = stream_events(spark, src)
+        clicks = stream.filter(F.col("event_type") == "click")
+        purchases = stream.filter(F.col("event_type") == "purchase")
+        joined = click_purchase_full_join(clicks, purchases)
+        return _detach(
+            run_available_now(joined, name, ckpt, mode="append"), name
+        )
+    finally:
+        _cleanup(src)

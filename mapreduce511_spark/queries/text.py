@@ -3463,6 +3463,88 @@ def source_mixture_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mixture_epochs_plan",
+    oracle=f"""
+    WITH d AS (
+        SELECT source, len({_SQL_TOKENS}) AS n_tokens FROM documents
+    ), per AS (
+        SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok
+        FROM d GROUP BY source
+    ), sq AS (
+        SELECT source, tok,
+               CAST(floor(sqrt(tok) * 1000) AS BIGINT) AS sq_milli
+        FROM per
+    ), tot AS (
+        SELECT CAST(sum(sq_milli) AS BIGINT) AS s,
+               CAST(sum(tok) AS BIGINT) AS t
+        FROM sq
+    )
+    SELECT source,
+           tok AS available_tokens,
+           CAST((1000000 * sq_milli) // tot.s AS BIGINT) AS weight_ppm,
+           CAST((2 * tot.t * ((1000000 * sq_milli) // tot.s)) // 1000000
+                AS BIGINT) AS drawn_tokens,
+           CAST((1000 * ((2 * tot.t * ((1000000 * sq_milli) // tot.s))
+                         // 1000000)) // tok AS BIGINT) AS epochs_milli,
+           ((1000 * ((2 * tot.t * ((1000000 * sq_milli) // tot.s))
+                     // 1000000)) // tok) > 1000 AS oversampled
+    FROM sq, tot ORDER BY source
+    """,
+)
+def mixture_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing PLAN on top of ``source_mixture_census``: smooth
+    the per-source token shares with a square-root temperature (the
+    multilingual-sampling trick — tau=0.5 upweights small sources
+    without letting any source dominate), normalize to ppm weights,
+    and for a training budget of 2x the corpus compute each source's
+    drawn tokens and epoch count in milli-epochs. ``oversampled``
+    flags sources the plan repeats beyond one epoch — the signal that
+    budget or weights need revisiting before a run wastes compute on
+    memorized data.
+
+    Exactness: sqrt() of an exact integer is one IEEE op, floored to
+    integer milli units BEFORE the cross-source sum, so weights are
+    pure integer arithmetic in both engines — no partial-sum-order
+    wobble can move a floor boundary.
+
+    At 100 TB: one map-side token count, |sources| rows, two 1-row
+    broadcast totals — same scan shape as the census it extends."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.size(tokenize("text")).alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").cast("long").alias("tok"))
+    )
+    sq = per.withColumn(
+        "sq_milli", F.floor(F.sqrt(F.col("tok")) * 1000).cast("long")
+    )
+    tot = sq.agg(
+        F.sum("sq_milli").cast("long").alias("s"),
+        F.sum("tok").cast("long").alias("t"),
+    )
+    w_ppm = F.expr("CAST((1000000 * sq_milli) DIV s AS BIGINT)")
+    drawn = F.expr(
+        "CAST((2 * t * ((1000000 * sq_milli) DIV s)) DIV 1000000 AS BIGINT)"
+    )
+    epochs = F.expr(
+        "CAST((1000 * ((2 * t * ((1000000 * sq_milli) DIV s)) DIV 1000000))"
+        " DIV tok AS BIGINT)"
+    )
+    return (
+        sq.join(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("tok").alias("available_tokens"),
+            w_ppm.alias("weight_ppm"),
+            drawn.alias("drawn_tokens"),
+            epochs.alias("epochs_milli"),
+            (epochs > 1000).alias("oversampled"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "curriculum_order_manifest",
     oracle=f"""
     WITH feat AS (

@@ -408,6 +408,52 @@ def click_purchase_left_join(
     )
 
 
+def click_purchase_full_join(
+    clicks: DataFrame, purchases: DataFrame, within: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — the completion of the
+    inner/left matrix: unmatched CLICKS null-extend once their join
+    window ``[click_ts, click_ts + within]`` closes below the final
+    watermark (same rule as the left join), and unmatched PURCHASES
+    null-extend once the watermark passes the purchase timestamp
+    itself (a purchase at T is matchable by clicks in [T - within, T];
+    arriving clicks have ts >= watermark, so T < watermark proves no
+    future match). Both cutoffs verified empirically at sf0.001 and
+    sf0.01 and restated exactly in the oracle.
+
+    At 100 TB the state bound is unchanged from the inner join —
+    watermark + interval horizon per side, user-keyed shuffle; outer
+    rows add no state, only eviction-time emits on both sides."""
+    c = clicks.withWatermark("ts", within).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", within).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {within}")
+        ),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def exactly_once_parquet_sink(
     stream_df: DataFrame, out_dir: str, checkpoint: str
 ):

@@ -24,12 +24,20 @@ def run_oracle(sql: str, sf_dir: str):
 
 
 def _canon(value):
+    # Everything canonicalizes to a STRING so row tuples always have a
+    # total order: a full-outer join yields NaN in two different
+    # columns, and sorting tuples that mix float and "NaN" (or None)
+    # in the same position raises TypeError. Floats round first, so
+    # last-ulp engine differences still collapse to the same string.
     if value is None:
-        return None
+        return "None"
     if isinstance(value, float):
         if math.isnan(value):
             return "NaN"
-        return round(value, 6)
+        r = round(value, 6)
+        if r == 0.0:
+            r = 0.0  # collapse -0.0 (they compare equal as floats)
+        return str(r)
     return str(value)
 
 

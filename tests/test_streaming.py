@@ -376,3 +376,68 @@ def test_stream_stream_left_outer_matches_watermark_rule(spark, events_dir, tmp_
     }
     assert nulls == expect_nulls
     assert nulls, "fixture must exercise the unmatched path"
+
+
+def test_stream_stream_full_outer_matches_watermark_rules(
+    spark, events_dir, tmp_path
+):
+    """FULL OUTER stream-stream join: matched rows equal the batch
+    inner join; click-side nulls follow the left join's window-closed
+    rule; purchase-side nulls are exactly the unmatched purchases
+    with ts strictly below the final watermark (no phantom orphans
+    for purchases still inside the match horizon at drain)."""
+    import datetime
+
+    from mapreduce511_spark.streaming import (
+        click_purchase_full_join,
+        click_purchase_join,
+    )
+
+    stream = stream_events(spark, events_dir)
+    result = run_available_now(
+        click_purchase_full_join(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase"),
+        ),
+        "ss_fouter_test",
+        str(tmp_path / "ckpt_ssfo"),
+        mode="append",
+    ).collect()
+    matched = [
+        r for r in result
+        if r.purchase_id is not None and r.click_id is not None
+    ]
+    null_clicks = {r.click_id for r in result if r.purchase_id is None}
+    null_purch = {r.purchase_id for r in result if r.click_id is None}
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch_inner = click_purchase_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    ).collect()
+    key = lambda r: (r.user_id, r.click_id, r.purchase_id)
+    assert sorted(map(key, matched)) == sorted(map(key, batch_inner))
+
+    wm = (
+        min(
+            ev.filter(F.col("event_type") == "click").agg(F.max("ts")).first()[0],
+            ev.filter(F.col("event_type") == "purchase").agg(F.max("ts")).first()[0],
+        )
+        - datetime.timedelta(hours=2)
+    )
+    converted_c = {r.click_id for r in batch_inner}
+    expect_null_clicks = {
+        r.event_id
+        for r in ev.filter(F.col("event_type") == "click").collect()
+        if r.event_id not in converted_c
+        and r.ts + datetime.timedelta(hours=2) < wm
+    }
+    assert null_clicks == expect_null_clicks
+    converted_p = {r.purchase_id for r in batch_inner}
+    expect_null_purch = {
+        r.event_id
+        for r in ev.filter(F.col("event_type") == "purchase").collect()
+        if r.event_id not in converted_p and r.ts < wm
+    }
+    assert null_purch == expect_null_purch
+    assert null_clicks and null_purch, "fixture must exercise both sides"

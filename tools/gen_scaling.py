@@ -101,6 +101,13 @@ PICKS = {
     "token_fertility_census": "map-side length/count sums; |langs| rows",
     "source_mixture_census": "map-side token count; 1-row total broadcast",
     "multimodal_jpeg_stats": "per-doc encode+decode in Arrow batches; embarrassingly parallel",
+    "ann_ivf_lloyd_topk": "2 Lloyd iters: map-only fold assignment + k*dim mean shuffle; search ~ nprobe/k of corpus",
+    "quality_classifier_train": "8 Newton iters, each one scan reduced to 30 driver ints; features checkpointed once",
+    "duplicate_span_removal": "linear span hashing; dup table + removal join keyed on int64 h; islands = 2 window passes",
+    "semantic_dedup_lloyd_census": "lloyd train (2 map scans + k*dim shuffles) + cluster-id-bounded pair join",
+    "stream_click_attribution_full": "same state bound as inner join; outer emits are eviction-time work both sides",
+    "dup_cluster_canonical": "minhash+CC cost + one combinable merge per cluster; sources set bounded",
+    "mixture_epochs_plan": "map-side token count; |sources| rows; two 1-row broadcast totals",
 }
 
 
