@@ -226,3 +226,81 @@ def train_bpe_batched(
             F.expr(fold).alias("seg"), "cnt"
         ).localCheckpoint(eager=True)
     return merges
+
+
+# --- WordPiece-style likelihood-scored trainer ----------------------
+
+
+def train_wordpiece(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> list[tuple[str, str, int, int]]:
+    """WordPiece-style tokenizer training (Schuster & Nakajima 2012 /
+    BERT): identical merge MECHANICS to ``train_bpe`` but the
+    objective is the likelihood ratio score(a,b) = freq(ab) /
+    (freq(a) * freq(b)) — merge the pair whose fusion most increases
+    corpus likelihood under a unigram segment model, not the most
+    frequent pair. (Continuation-marker rendering of the learned
+    vocabulary is presentation-layer and omitted.)
+
+    Score arithmetic is INTEGER: score_ppb = (1e9 * freq(ab)) //
+    (freq(a) * freq(b)) — exact in int64 at any partial-sum order, so
+    the argmax (ties broken on (pair_a, pair_b)) is deterministic
+    under any partitioning; ``tests/test_bpe.py`` holds the merge
+    list to a pure-Python reference doing the same integer floors.
+
+    Returns [(left, right, pair_freq, score_ppb), ...] in merge
+    order. Per iteration: one pair-count and one segment-count over
+    the vocabulary table (both map-combinable), a 1-row driver
+    argmax, one fold re-segmentation — the same driver-state bound
+    as the BPE trainer (one winning row)."""
+    from mapreduce511_spark.functions.text import tokenize
+
+    vocab = (
+        docs.select(F.explode(tokenize(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.split("w", "").alias("seg"), "cnt")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int, int]] = []
+    for _ in range(n_merges):
+        uni = (
+            vocab.select(F.explode("seg").alias("t"), "cnt")
+            .groupBy("t")
+            .agg(F.sum("cnt").alias("fc"))
+        )
+        scored = (
+            _pair_counts(vocab)
+            .join(
+                uni.select(
+                    F.col("t").alias("pair_a"), F.col("fc").alias("fa")
+                ),
+                "pair_a",
+            )
+            .join(
+                uni.select(
+                    F.col("t").alias("pair_b"), F.col("fc").alias("fb")
+                ),
+                "pair_b",
+            )
+            .withColumn(
+                "score_ppb",
+                F.expr(
+                    "CAST((1000000000 * freq) DIV (fa * fb) AS BIGINT)"
+                ),
+            )
+        )
+        top = (
+            scored.orderBy(F.desc("score_ppb"), "pair_a", "pair_b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].freq < 1:
+            break
+        a, b = top[0].pair_a, top[0].pair_b
+        merges.append((a, b, int(top[0].freq), int(top[0].score_ppb)))
+        fold = _MERGE_FOLD.format(a=_sql_str(a), b=_sql_str(b))
+        vocab = vocab.select(
+            F.expr(fold).alias("seg"), "cnt"
+        ).localCheckpoint(eager=True)
+    return merges

@@ -105,9 +105,8 @@ _ENUMERATE_FIRST: list[str] = [
     "stream_click_attribution_full",
     "dup_cluster_canonical",
     "mixture_epochs_plan",
-    # --- (3) staleness rotation: newest green row is r01 ---
-    "minhash_signatures",
-    "sessionize_events",
+    "wordpiece_first_merge",
+    "wordpiece_merge_rules",  # rows-only (iterative trainer)
 ]
 
 

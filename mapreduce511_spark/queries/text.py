@@ -1763,6 +1763,138 @@ def bpe_merge_rules_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wordpiece_first_merge",
+    oracle=f"""
+    WITH wc AS (
+        SELECT w, count(*) AS cnt
+        FROM (SELECT unnest({_SQL_TOKENS}) AS w FROM documents)
+        GROUP BY w
+    ),
+    chars AS (
+        SELECT w, cnt, string_split(w, '') AS cs FROM wc
+    ),
+    pos AS (
+        SELECT cnt, unnest(cs) AS c, unnest(range(len(cs))) AS p, w
+        FROM chars
+    ),
+    uni AS (
+        SELECT c, CAST(sum(cnt) AS BIGINT) AS fc FROM pos GROUP BY c
+    ),
+    pf AS (
+        SELECT ca, cb, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+            SELECT a.c AS ca, b.c AS cb, a.cnt
+            FROM pos a JOIN pos b ON a.w = b.w AND b.p = a.p + 1
+        ) GROUP BY ca, cb
+    )
+    SELECT pf.ca || pf.cb AS pair, pf.freq,
+           CAST((1000000000 * pf.freq) // (ua.fc * ub.fc) AS BIGINT)
+               AS score_ppb
+    FROM pf JOIN uni ua ON pf.ca = ua.c JOIN uni ub ON pf.cb = ub.c
+    ORDER BY score_ppb DESC, pair
+    LIMIT 20
+    """,
+)
+def wordpiece_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iteration one of the WORDPIECE trainer under the full oracle
+    gate (companion to ``bpe_first_merge``): top-20 adjacent character
+    pairs by the LIKELIHOOD score freq(ab)/(freq(a)*freq(b)) — the
+    objective that separates WordPiece from BPE (frequency alone).
+    The score is integer parts-per-billion (floor of an exact int64
+    product/quotient) so ranking is identical in both engines.
+
+    At 100 TB: pair and unigram counts collapse to vocabulary size
+    map-side; the score join is keyed on single characters (a tiny
+    dimension); top-20 is a TakeOrdered heap."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokenize("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.split("w", "").alias("seg"), "cnt")
+    )
+    uni = (
+        wc.select(F.explode("seg").alias("t"), "cnt")
+        .groupBy("t")
+        .agg(F.sum("cnt").cast("long").alias("fc"))
+    )
+    pairs = wc.select(
+        "cnt",
+        F.explode(
+            F.when(
+                F.size("seg") >= 2,
+                F.expr(
+                    "transform(slice(seg, 1, size(seg)-1), (x, i) ->"
+                    " struct(x AS a, seg[i+1] AS b))"
+                ),
+            ).otherwise(F.array())
+        ).alias("p"),
+    )
+    pf = pairs.groupBy(
+        F.col("p.a").alias("ca"), F.col("p.b").alias("cb")
+    ).agg(F.sum("cnt").cast("long").alias("freq"))
+    return (
+        pf.join(
+            F.broadcast(
+                uni.select(F.col("t").alias("ca"), F.col("fc").alias("fa"))
+            ),
+            "ca",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("t").alias("cb"), F.col("fc").alias("fb"))
+            ),
+            "cb",
+        )
+        .select(
+            F.concat("ca", "cb").alias("pair"),
+            "freq",
+            F.expr(
+                "CAST((1000000000 * freq) DIV (fa * fb) AS BIGINT)"
+            ).alias("score_ppb"),
+        )
+        .orderBy(F.desc("score_ppb"), "pair")
+        .limit(20)
+    )
+
+
+@register("wordpiece_merge_rules")
+def wordpiece_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 WordPiece merge rules (rank, left, right, freq,
+    score_ppb) from ``operators/bpe.py::train_wordpiece`` — the
+    likelihood-objective sibling of ``bpe_merge_rules``. Rows-only
+    for the same reason as the BPE twins (iterative: each round's
+    input depends on the previous argmax); exact merge-for-merge
+    parity against a pure-Python reference (same integer-ppb floors)
+    is asserted in tests/test_bpe.py, and ``wordpiece_first_merge``
+    is iteration one under the full oracle gate."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from mapreduce511_spark.operators.bpe import train_wordpiece
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_wordpiece(docs, 8)
+    rows = [
+        (i + 1, a, b, freq, score)
+        for i, (a, b, freq, score) in enumerate(merges)
+    ]
+    schema = StructType(
+        [
+            StructField("rank", LongType()),
+            StructField("left", StringType()),
+            StructField("right", StringType()),
+            StructField("freq", LongType()),
+            StructField("score_ppb", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
     "char_entropy_by_lang",
     oracle="""
     WITH chars AS (

@@ -222,3 +222,62 @@ def test_select_safe_batch_adversarial_cases():
     # degenerate: conflict at the very top still yields the argmax
     items = [("a", "b", 10), ("b", "c", 10)]
     assert _select_safe_batch(items) == [("a", "b", 10)]
+
+
+def _reference_wordpiece(words: Counter, n_merges: int):
+    """Pure-Python WordPiece: argmax integer-ppb likelihood score
+    (1e9 * freq(ab)) // (freq(a) * freq(b)), ties on (a, b)."""
+    vocab = {w: (list(w), c) for w, c in words.items()}
+    merges = []
+    for _ in range(n_merges):
+        pair_counts: Counter = Counter()
+        uni: Counter = Counter()
+        for seg, c in vocab.values():
+            for i, x in enumerate(seg):
+                uni[x] += c
+                if i + 1 < len(seg):
+                    pair_counts[(x, seg[i + 1])] += c
+        if not pair_counts:
+            break
+        best = min(
+            pair_counts.items(),
+            key=lambda kv: (
+                -((1_000_000_000 * kv[1]) // (uni[kv[0][0]] * uni[kv[0][1]])),
+                kv[0],
+            ),
+        )
+        (a, b), freq = best
+        score = (1_000_000_000 * freq) // (uni[a] * uni[b])
+        merges.append((a, b, freq, score))
+        for w, (seg, c) in vocab.items():
+            out = []
+            for x in seg:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = (out, c)
+    return merges
+
+
+def test_train_wordpiece_matches_reference(spark):
+    """The distributed likelihood-scored trainer must match the
+    serial reference merge for merge (integer-ppb scores included) —
+    and must genuinely diverge from BPE's frequency objective at some
+    depth on this corpus (otherwise the score adds nothing here)."""
+    from mapreduce511_spark.operators.bpe import train_wordpiece
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    words = Counter(
+        w
+        for r in docs.select("text").collect()
+        for w in r.text.split()
+    )
+    depth = 12
+    expect = _reference_wordpiece(words, depth)
+    got = train_wordpiece(docs, depth)
+    assert got == expect, (got[:4], expect[:4])
+    bpe = _reference_bpe(words, depth)
+    assert [(a, b) for a, b, *_ in got] != [
+        (a, b) for a, b, _ in bpe
+    ], "fixture corpus fails to separate the two objectives"

@@ -59,6 +59,9 @@ PICKS = {
     "quality_classifier_score": "Integer-milli logit: zero-shuffle scoring scan, |langs| output rows",
     "source_mixture_census": "Map-side token count; 1-row grand total broadcast (no second scan)",
     "ann_ivf_lloyd_topk": "Unrolled Lloyd: map-only fold assignment off 1-row centroid broadcasts; only the mean updates shuffle",
+    "duplicate_span_removal": "Int lead()-fold span hashes; dup min/count agg; island merge = 2 windows per doc",
+    "dup_cluster_canonical": "CC labels join corpus once; per-cluster combinable merge (sorted source set)",
+    "mixture_epochs_plan": "Map-side token count; integer-milli sqrt weights; two 1-row broadcasts",
 }
 
 
