@@ -3385,6 +3385,110 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_calibration_census",
+    oracle=f"""
+    WITH feat AS (
+        SELECT len({_SQL_TOKENS}) AS n_tokens,
+               length(regexp_replace(text, '\\s', '', 'g'))    AS n_glyph,
+               length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+        FROM documents
+    ), scored AS (
+        SELECT 5 * least(n_tokens, 300)
+               - 2 * (CASE WHEN n_glyph > 0
+                           THEN (1000 * n_upper) // n_glyph ELSE 1000 END)
+               - 3 * (CASE WHEN n_glyph > 0
+                           THEN (1000 * n_digit) // n_glyph ELSE 1000 END)
+               + (CASE WHEN n_tokens > 0
+                        AND n_glyph >= 3 * n_tokens
+                        AND n_glyph <= 12 * n_tokens
+                       THEN 500 ELSE -500 END)
+               - 800 AS logit_milli,
+               CASE WHEN n_tokens >= 60
+                     AND n_tokens > 0
+                     AND abs(n_glyph * 1.0 / n_tokens - 4.5) <= 0.2
+                    THEN 1 ELSE 0 END AS y
+        FROM feat
+    ), binned AS (
+        SELECT greatest(least(CAST(floor(logit_milli / 250.0) AS BIGINT),
+                              7), -8) AS bin, logit_milli, y
+        FROM scored
+    )
+    SELECT bin,
+           count(*) AS n_docs,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST((10000 * sum(y)) // count(*) AS BIGINT) AS pos_bp,
+           CAST(min(logit_milli) AS BIGINT) AS min_logit_milli,
+           CAST(max(logit_milli) AS BIGINT) AS max_logit_milli
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def quality_calibration_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION (reliability) table for the frozen quality scorer:
+    bin the integer-milli logit of ``quality_classifier_score`` into
+    250-milli buckets (clamped to [-8, 7]) and report, per bucket,
+    how often the weak gold label (the band+threshold rule
+    ``quality_classifier_train`` learns against) actually fires. A
+    monotone pos_bp column means the score ranks documents correctly;
+    a bucket whose observed rate diverges from its score is where the
+    frozen weights mislead a threshold picker — the audit run before
+    anyone tunes a cut-off on the logit.
+
+    Fully integer (floor-divided bins and basis points; the one float
+    — the mean-word-length band — is a single comparison both engines
+    evaluate identically), so the whole reliability table sits under
+    the exact hash gate. At 100 TB: one map-only scoring scan into a
+    16-bucket aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokenize("text"))
+    n_glyph = F.length(F.regexp_replace("text", r"\s", ""))
+    n_upper = F.length(F.regexp_replace("text", "[^A-Z]", ""))
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    um = F.when(n_glyph > 0, F.floor((1000 * n_upper) / n_glyph)).otherwise(
+        F.lit(1000)
+    )
+    dm = F.when(n_glyph > 0, F.floor((1000 * n_digit) / n_glyph)).otherwise(
+        F.lit(1000)
+    )
+    wordlen_ok = (
+        (n_tok > 0) & (n_glyph >= 3 * n_tok) & (n_glyph <= 12 * n_tok)
+    )
+    logit = (
+        5 * F.least(n_tok, F.lit(300))
+        - 2 * um
+        - 3 * dm
+        + F.when(wordlen_ok, 500).otherwise(-500)
+        - 800
+    ).cast("long")
+    y = (
+        (n_tok >= 60)
+        & (n_tok > 0)
+        & (F.abs(n_glyph * 1.0 / n_tok - 4.5) <= 0.2)
+    ).cast("int")
+    binned = docs.select(
+        F.greatest(
+            F.least(F.floor(logit / 250.0).cast("long"), F.lit(7)),
+            F.lit(-8),
+        ).alias("bin"),
+        logit.alias("logit_milli"),
+        y.alias("y"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.expr(
+                "CAST((10000 * sum(y)) DIV count(*) AS BIGINT)"
+            ).alias("pos_bp"),
+            F.min("logit_milli").cast("long").alias("min_logit_milli"),
+            F.max("logit_milli").cast("long").alias("max_logit_milli"),
+        )
+        .orderBy("bin")
+    )
+
+
 _LOGREG_FEATURES = ["x_len", "x_mwl", "x_band", "x_vowel"]
 _LOGREG_ITERS = 8
 _LOGREG_RIDGE = 1.0
