@@ -173,6 +173,16 @@ HEADLINE = [
     "unigram_lm_vocab",
     "unigram_lm_encode_census",
     "ann_ivf_pq_topk",
+    "ann_ivf_lloyd_topk",
+    "quality_classifier_train",
+    "duplicate_span_removal",
+    "semantic_dedup_lloyd_census",
+    "stream_click_attribution_full",
+    "dup_cluster_canonical",
+    "mixture_epochs_plan",
+    "wordpiece_first_merge",
+    "wordpiece_merge_rules",
+    "quality_calibration_census",
 ]
 
 
@@ -273,7 +283,12 @@ def main() -> None:
     ):
         exact.setdefault(r.pid, set()).add(r.vec_id)
     recalls = {}
-    for ann_name in ("ann_ivf_kmeans_topk", "ann_lsh_topk", "ann_ivf_topk"):
+    for ann_name in (
+        "ann_ivf_kmeans_topk",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "ann_ivf_lloyd_topk",
+    ):
         got: dict[int, set[int]] = {}
         for r in registry[ann_name](spark, sf_dir).collect():
             got.setdefault(r.probe_id, set()).add(r.vec_id)
