@@ -65,6 +65,10 @@ PICKS = {
     "quality_classifier_score": "zero-shuffle scoring: scan in, |langs| rows out",
     "curriculum_order_manifest": "two-pass rank: offsets on the distinct-logit table only",
     "multimodal_jpeg_stats": "Arrow-batched codec: scan rows == output rows, one tiny shuffle",
+    "ann_ivf_lloyd_topk": "fold assignment shuffles nothing; mean updates shuffle k*dim integer-quantized rows",
+    "quality_classifier_train": "per-iteration shuffle = 30 (idx, partial) rows; corpus never leaves executors",
+    "duplicate_span_removal": "span shuffle carries (h, doc, p) ints; removal join linear in dup occurrences",
+    "mixture_epochs_plan": "map-side token sums; |sources| rows + two 1-row totals",
 }
 
 # static epilogue kept across regenerations (measured once; the
