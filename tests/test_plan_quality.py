@@ -227,3 +227,34 @@ def test_temperature_sample_broadcasts_rate_table(spark):
     corpus on lang."""
     plan = _plan(spark, "temperature_mixture_sample")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Runtime pruning (DPP): a partitioned fact joined on its
+    partition column against a selectively-filtered dimension must
+    plan a dynamicpruning subquery on the fact scan — at 100 TB this
+    is what turns a full-fact join into a read of only the partitions
+    the dim's filter survives, without the user hand-writing the
+    partition predicate. Static PartitionFilters are asserted
+    elsewhere (tests/test_bucketing.py, tests/test_ann.py); this
+    covers the join-driven case."""
+    from pyspark.sql import functions as F
+
+    from mapreduce511_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    fact_path = str(tmp_path / "events_by_type")
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.write.partitionBy("event_type").parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("click", "web"), ("view", "web"), ("purchase", "money"),
+         ("signup", "money"), ("logout", "web")],
+        ["event_type", "grp"],
+    )
+    fact = spark.read.parquet(fact_path)
+    joined = fact.join(dim.filter(F.col("grp") == "money"), "event_type")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan
+    # and the pruned result is correct: only the two money types
+    want = ev.filter(F.col("event_type").isin("purchase", "signup")).count()
+    assert joined.count() == want
