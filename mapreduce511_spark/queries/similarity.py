@@ -130,7 +130,7 @@ def nearest_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COS_DUP_T = 0.45  # embedding near-dup threshold (testdata max cos ~0.5)
-_IVF_NPROBE = 4  # coarse cells searched per probe (recall@5 0.28 -> ~0.5 measured; cells are the label partition, geometrically weak on this corpus — the kmeans variant is the high-recall path)
+_IVF_NPROBE = 4  # coarse cells searched per probe (recall@5 0.28 -> ~0.5 measured; cells are the label partition, geometrically weak on this corpus — ann_ivf_lloyd_topk is the high-recall path UNDER the oracle (0.92/1.0), ann_ivf_kmeans_topk the rows-only one)
 _IVF_TOPK = 5
 _N_PROBES = 10
 

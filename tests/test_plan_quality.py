@@ -258,3 +258,49 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     # and the pruned result is correct: only the two money types
     want = ev.filter(F.col("event_type").isin("purchase", "signup")).count()
     assert joined.count() == want
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Row-level runtime filtering (the DPP sibling for non-partition
+    keys): a shuffle join whose build side carries a selective filter
+    must inject a bloom might_contain() predicate into the probe-side
+    scan, pruning fact rows BEFORE the join shuffle. At 100 TB this
+    is the difference between shuffling all of lineitem and shuffling
+    only the orderkeys that can possibly match. Thresholds are tuned
+    down for test-scale data (production defaults only engage at
+    multi-GB scans — the plan shape is what is under test)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce511_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        orders = load_table(spark, SF_SMOKE, "orders")
+        j = li.join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), plan
+        # and results are unchanged by the filter (no false negatives)
+        want = (
+            li.join(
+                orders.filter(F.col("o_orderpriority") == "1-URGENT").hint(
+                    "broadcast"
+                ),
+                li.l_orderkey == orders.o_orderkey,
+            ).count()
+        )
+        assert j.count() == want
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
