@@ -989,6 +989,87 @@ def stream_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "stream_session_window_native",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events
+    ), d AS (
+        SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts)
+                            < INTERVAL 30 MINUTE
+                       THEN 0 ELSE 1 END AS ni
+        FROM e
+    ), s AS (
+        SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM d
+    ), sess AS (
+        SELECT user_id, sid,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events,
+               CAST(sum(vc) AS BIGINT) AS total_value_cents
+        FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events,
+           total_value_cents
+    FROM sess
+    WHERE session_end < (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+    """,
+)
+def stream_session_window_native(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE ``session_window``
+    (the idiomatic API twin of the ``applyInPandasWithState``
+    sessionizer — both shapes ship, cross-checkable against the same
+    kind of batch truth): 30-minute gap, merged windows
+    [first_ts, last_ts + gap), event-time watermark 2h. The oracle
+    is classic gaps-and-islands (new session when the gap to the
+    previous event is >= 30 min — session_window's interval is
+    half-open, so an event exactly at the previous end starts a new
+    session) with the append-mode emission rule stated exactly:
+    a session surfaces iff its end fell below the final watermark
+    max(ts) - 2h (943/943 sessions at sf0.001). Values aggregate as
+    integer cents so the session sums are order-exact in both
+    engines.
+
+    At 100 TB: state is one merging window per open session per
+    user (bounded by active users x watermark horizon), user-keyed
+    shuffle — and unlike the custom-state twin the merge logic runs
+    JVM-side."""
+    src, ckpt, name = _scratch("sswin")
+    try:
+        prepare_events_dir(spark, sf_dir, src)
+        stream = stream_events(spark, src)
+        agged = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(
+                F.session_window("ts", "30 minutes"), F.col("user_id")
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "total_value_cents"
+                ),
+            )
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+                "total_value_cents",
+            )
+        )
+        return _detach(
+            run_available_now(agged, name, ckpt, mode="append"), name
+        )
+    finally:
+        _cleanup(src)
+
+
+@register(
     "stream_click_attribution_full",
     oracle="""
     WITH wm AS (
