@@ -149,6 +149,87 @@ def user_running_stats(events: DataFrame) -> DataFrame:
     )
 
 
+_TWS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value_cents", T.LongType()),
+        T.StructField("max_value_cents", T.LongType()),
+    ]
+)
+_TWS_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.LongType()),
+        T.StructField("vmax", T.LongType()),
+    ]
+)
+
+
+def _tws_processor():
+    """Build the StatefulProcessor for ``user_running_stats_tws``
+    lazily (the class exists only on PySpark >= 4.0; import inside)."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class RunningStatsProcessor(StatefulProcessor):
+        """Per-user running stats on the transformWithState API: one
+        ValueState row per user, integer-cent arithmetic so every
+        emission is exact."""
+
+        def init(self, handle) -> None:
+            self._stats = handle.getValueState("stats", _TWS_STATE)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total, vmax = (
+                self._stats.get() if self._stats.exists() else (0, 0, None)
+            )
+            for pdf in rows:
+                cents = (pdf["value"] * 100).round().astype("int64")
+                n += len(pdf)
+                total += int(cents.sum())
+                if len(pdf):
+                    m = int(cents.max())
+                    vmax = m if vmax is None or m > vmax else vmax
+            self._stats.update((n, total, vmax))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value_cents": [total],
+                    "max_value_cents": [vmax],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningStatsProcessor()
+
+
+def user_running_stats_tws(events: DataFrame) -> DataFrame:
+    """``user_running_stats`` on the transformWithState API (Spark
+    4's successor to ``applyInPandasWithState``): named ValueState
+    behind a StatefulProcessor, RocksDB-backed state store (the API
+    requires it — callers set the provider conf). Integer-cent sums
+    make every per-batch emission exact, so the final emission per
+    user equals the batch GROUP BY.
+
+    ENVIRONMENT GATE (honest, like the compressed-media codecs): the
+    TWS state-server protocol needs ``google.protobuf``, which this
+    container does not ship — the plan builds everywhere, but
+    execution requires protobuf, so this is exercised by a test that
+    skips cleanly where the dependency is absent and is NOT a
+    registered query. The ``applyInPandasWithState`` twin
+    (``user_running_stats``) is the oracle-gated production path
+    here."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_tws_processor(),
+        outputStructType=_TWS_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, name: str, checkpoint: str, mode: str | None = None
 ) -> DataFrame:

@@ -441,3 +441,74 @@ def test_stream_stream_full_outer_matches_watermark_rules(
     }
     assert null_purch == expect_null_purch
     assert null_clicks and null_purch, "fixture must exercise both sides"
+
+
+def test_user_running_stats_tws_matches_batch(spark, events_dir, tmp_path):
+    """transformWithState twin of the running-stats operator: final
+    per-user emission must equal the batch GROUP BY in integer cents.
+    Skips where the TWS state-server dependency (google.protobuf) is
+    absent — the applyInPandasWithState twin is the oracle-gated path
+    in that environment."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState needs protobuf (not shipped here)",
+    )
+    from mapreduce511_spark.streaming import user_running_stats_tws
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        stream = stream_events(spark, events_dir)
+        drained = run_available_now(
+            user_running_stats_tws(stream),
+            "tws_stats_test",
+            str(tmp_path / "ckpt_tws"),
+            mode="update",
+        )
+        final = {
+            r.user_id: r
+            for r in drained.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max_by("total_value_cents", "n_events").alias(
+                    "total_value_cents"
+                ),
+                F.max_by("max_value_cents", "n_events").alias(
+                    "max_value_cents"
+                ),
+            )
+            .collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    ev = load_table(spark, SF_SMOKE, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    batch = {
+        r.user_id: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).alias("total_value_cents"),
+            F.max(cents).alias("max_value_cents"),
+        )
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, b in batch.items():
+        g = final[uid]
+        assert (g.n_events, g.total_value_cents, g.max_value_cents) == (
+            b.n_events,
+            b.total_value_cents,
+            b.max_value_cents,
+        )
