@@ -183,6 +183,7 @@ HEADLINE = [
     "wordpiece_first_merge",
     "wordpiece_merge_rules",
     "quality_calibration_census",
+    "stream_session_window_native",
 ]
 
 
