@@ -104,3 +104,20 @@ def test_register_rejects_duplicate_names():
         @suite.register("wordcount")
         def _dup(spark, sf_dir):  # pragma: no cover
             raise AssertionError
+
+
+def test_driver_sample_window_is_exactly_50_known_names():
+    """The correctness driver samples the FIRST 50 registry entries
+    each round; _ENUMERATE_FIRST is that window. It must hold exactly
+    50 names, every one registered — a typo'd or stale name silently
+    shrinks driver coverage (the ordered dict just skips it)."""
+    from mapreduce511_spark import queries as suite
+
+    q = suite.all_queries()
+    window = suite._ENUMERATE_FIRST
+    assert len(window) == 50, len(window)
+    missing = [n for n in window if n not in q]
+    assert not missing, missing
+    assert len(set(window)) == 50, "duplicate names in the window"
+    # and the ordering actually front-loads them
+    assert list(q)[:50] == window
