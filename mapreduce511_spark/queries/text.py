@@ -3714,17 +3714,28 @@ def source_mixture_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(sum(sq_milli) AS BIGINT) AS s,
                CAST(sum(tok) AS BIGINT) AS t
         FROM sq
+    ), weighted AS (
+        -- drawn = floor(2*t*w/1e6) via t = q*1e6 + r: equals
+        -- 2*q*w + floor(2*r*w/1e6) EXACTLY, and no intermediate
+        -- exceeds ~5e13 — the naive 2*t*w product overflows int64
+        -- once the corpus passes ~4.6e12 tokens (Spark's non-ANSI
+        -- mode would wrap silently; DuckDB would error)
+        SELECT source, tok,
+               CAST((1000000 * sq_milli) // tot.s AS BIGINT) AS w_ppm,
+               CAST(2 * (tot.t // 1000000)
+                      * ((1000000 * sq_milli) // tot.s)
+                    + (2 * (tot.t % 1000000)
+                         * ((1000000 * sq_milli) // tot.s)) // 1000000
+                    AS BIGINT) AS drawn
+        FROM sq, tot
     )
     SELECT source,
            tok AS available_tokens,
-           CAST((1000000 * sq_milli) // tot.s AS BIGINT) AS weight_ppm,
-           CAST((2 * tot.t * ((1000000 * sq_milli) // tot.s)) // 1000000
-                AS BIGINT) AS drawn_tokens,
-           CAST((1000 * ((2 * tot.t * ((1000000 * sq_milli) // tot.s))
-                         // 1000000)) // tok AS BIGINT) AS epochs_milli,
-           ((1000 * ((2 * tot.t * ((1000000 * sq_milli) // tot.s))
-                     // 1000000)) // tok) > 1000 AS oversampled
-    FROM sq, tot ORDER BY source
+           w_ppm AS weight_ppm,
+           drawn AS drawn_tokens,
+           CAST((1000 * drawn) // tok AS BIGINT) AS epochs_milli,
+           ((1000 * drawn) // tok) > 1000 AS oversampled
+    FROM weighted ORDER BY source
     """,
 )
 def mixture_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3741,7 +3752,12 @@ def mixture_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: sqrt() of an exact integer is one IEEE op, floored to
     integer milli units BEFORE the cross-source sum, so weights are
     pure integer arithmetic in both engines — no partial-sum-order
-    wobble can move a floor boundary.
+    wobble can move a floor boundary. The drawn-token multiply is
+    overflow-split (t = q*1e6 + r, so drawn = 2*q*w +
+    (2*r*w) DIV 1e6, identical to floor(2*t*w/1e6)): the naive
+    product exceeds int64 past ~4.6e12 corpus tokens, which Spark's
+    non-ANSI mode would WRAP silently at exactly the scale this
+    engine targets.
 
     At 100 TB: one map-side token count, |sources| rows, two 1-row
     broadcast totals — same scan shape as the census it extends."""
@@ -3760,19 +3776,26 @@ def mixture_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_ppm = F.expr("CAST((1000000 * sq_milli) DIV s AS BIGINT)")
     drawn = F.expr(
-        "CAST((2 * t * ((1000000 * sq_milli) DIV s)) DIV 1000000 AS BIGINT)"
+        "CAST(2 * (t DIV 1000000) * ((1000000 * sq_milli) DIV s)"
+        " + (2 * (t % 1000000) * ((1000000 * sq_milli) DIV s))"
+        " DIV 1000000 AS BIGINT)"
     )
-    epochs = F.expr(
-        "CAST((1000 * ((2 * t * ((1000000 * sq_milli) DIV s)) DIV 1000000))"
-        " DIV tok AS BIGINT)"
-    )
-    return (
+    weighted = (
         sq.join(F.broadcast(tot))
         .select(
             "source",
-            F.col("tok").alias("available_tokens"),
+            "tok",
             w_ppm.alias("weight_ppm"),
-            drawn.alias("drawn_tokens"),
+            drawn.alias("drawn"),
+        )
+    )
+    epochs = F.expr("CAST((1000 * drawn) DIV tok AS BIGINT)")
+    return (
+        weighted.select(
+            "source",
+            F.col("tok").alias("available_tokens"),
+            "weight_ppm",
+            F.col("drawn").alias("drawn_tokens"),
             epochs.alias("epochs_milli"),
             (epochs > 1000).alias("oversampled"),
         )
