@@ -242,11 +242,15 @@ def train_wordpiece(
     frequent pair. (Continuation-marker rendering of the learned
     vocabulary is presentation-layer and omitted.)
 
-    Score arithmetic is INTEGER: score_ppb = (1e9 * freq(ab)) //
-    (freq(a) * freq(b)) — exact in int64 at any partial-sum order, so
-    the argmax (ties broken on (pair_a, pair_b)) is deterministic
-    under any partitioning; ``tests/test_bpe.py`` holds the merge
-    list to a pure-Python reference doing the same integer floors.
+    Score arithmetic: score_ppb = floor(1e9 * freq(ab) /
+    (freq(a) * freq(b))) as ONE double expression — the counts
+    feeding it are exact int64 sums (order-independent), the double
+    multiply/divide/floor are the same IEEE ops everywhere, and ties
+    break on (pair_a, pair_b), so the argmax is deterministic under
+    any partitioning. All-integer (1e9*freq) DIV (fa*fb) would
+    overflow int64 once unigram counts pass ~3e9 — silently, under
+    Spark's non-ANSI default. ``tests/test_bpe.py`` holds the merge
+    list to a pure-Python reference doing the identical float ops.
 
     Returns [(left, right, pair_freq, score_ppb), ...] in merge
     order. Per iteration: one pair-count and one segment-count over
@@ -284,9 +288,16 @@ def train_wordpiece(
                 "pair_b",
             )
             .withColumn(
+                # floor-ppb of ONE double expression, not integer
+                # division: 1e9*freq and fa*fb overflow int64 once
+                # unigram counts pass ~3e9 (any real corpus), and
+                # non-ANSI Spark would wrap silently. Identical IEEE
+                # ops in the argmax, the first-merge oracle, and the
+                # python reference; (pair_a, pair_b) breaks ties.
                 "score_ppb",
                 F.expr(
-                    "CAST((1000000000 * freq) DIV (fa * fb) AS BIGINT)"
+                    "CAST(floor((1000000000.0 * freq)"
+                    " / (CAST(fa AS DOUBLE) * fb)) AS BIGINT)"
                 ),
             )
         )

@@ -1787,7 +1787,8 @@ def bpe_merge_rules_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) GROUP BY ca, cb
     )
     SELECT pf.ca || pf.cb AS pair, pf.freq,
-           CAST((1000000000 * pf.freq) // (ua.fc * ub.fc) AS BIGINT)
+           CAST(floor((1000000000.0 * pf.freq)
+                      / (CAST(ua.fc AS DOUBLE) * ub.fc)) AS BIGINT)
                AS score_ppb
     FROM pf JOIN uni ua ON pf.ca = ua.c JOIN uni ub ON pf.cb = ub.c
     ORDER BY score_ppb DESC, pair
@@ -1799,8 +1800,13 @@ def wordpiece_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate (companion to ``bpe_first_merge``): top-20 adjacent character
     pairs by the LIKELIHOOD score freq(ab)/(freq(a)*freq(b)) — the
     objective that separates WordPiece from BPE (frequency alone).
-    The score is integer parts-per-billion (floor of an exact int64
-    product/quotient) so ranking is identical in both engines.
+    The score is floor-ppb of ONE double expression (multiply,
+    divide, floor — identical IEEE ops in both engines, ties broken
+    on the pair string): an all-integer 1e9*freq/(fa*fb) would
+    overflow int64 once unigram counts pass ~3e9 — i.e. on exactly
+    the corpus this engine targets — and Spark's non-ANSI mode would
+    wrap silently. Doubles rank correctly to 1 ulp and the pair
+    tie-break absorbs any equal-score ordering.
 
     At 100 TB: pair and unigram counts collapse to vocabulary size
     map-side; the score join is keyed on single characters (a tiny
@@ -1849,7 +1855,8 @@ def wordpiece_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat("ca", "cb").alias("pair"),
             "freq",
             F.expr(
-                "CAST((1000000000 * freq) DIV (fa * fb) AS BIGINT)"
+                "CAST(floor((1000000000.0 * freq)"
+                " / (CAST(fa AS DOUBLE) * fb)) AS BIGINT)"
             ).alias("score_ppb"),
         )
         .orderBy(F.desc("score_ppb"), "pair")

@@ -5,6 +5,7 @@ left-to-right) exactly, merge for merge."""
 
 from __future__ import annotations
 
+import math
 from collections import Counter
 
 from mapreduce511_spark.operators.bpe import train_bpe
@@ -178,8 +179,6 @@ def test_train_bpe_batched_matches_sequential_depth_64(spark):
     chain guard) are what make this an identity, not an
     approximation; tools/bench_bpe_depth.py measures the round
     reduction."""
-    from collections import Counter
-
     from pyspark.sql import functions as F
 
     from mapreduce511_spark.functions.text import tokenize
@@ -225,8 +224,11 @@ def test_select_safe_batch_adversarial_cases():
 
 
 def _reference_wordpiece(words: Counter, n_merges: int):
-    """Pure-Python WordPiece: argmax integer-ppb likelihood score
-    (1e9 * freq(ab)) // (freq(a) * freq(b)), ties on (a, b)."""
+    """Pure-Python WordPiece: argmax floor-ppb likelihood score
+    floor(1e9 * freq(ab) / (freq(a) * freq(b))) — the IDENTICAL
+    double expression the distributed trainer evaluates (an
+    all-integer floor-division would overflow int64 at corpus-scale
+    counts), ties on (a, b)."""
     vocab = {w: (list(w), c) for w, c in words.items()}
     merges = []
     for _ in range(n_merges):
@@ -242,12 +244,17 @@ def _reference_wordpiece(words: Counter, n_merges: int):
         best = min(
             pair_counts.items(),
             key=lambda kv: (
-                -((1_000_000_000 * kv[1]) // (uni[kv[0][0]] * uni[kv[0][1]])),
+                -math.floor(
+                    (1_000_000_000.0 * kv[1])
+                    / (float(uni[kv[0][0]]) * uni[kv[0][1]])
+                ),
                 kv[0],
             ),
         )
         (a, b), freq = best
-        score = (1_000_000_000 * freq) // (uni[a] * uni[b])
+        score = math.floor(
+            (1_000_000_000.0 * freq) / (float(uni[a]) * uni[b])
+        )
         merges.append((a, b, freq, score))
         for w, (seg, c) in vocab.items():
             out = []
