@@ -828,6 +828,120 @@ def ann_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BITEXT_SRC_LABEL = 0
+_BITEXT_TGT_LABEL = 1
+_BITEXT_MARGIN_MILLI = 1200  # keep pairs >= 1.2x the top-4 mean
+_BITEXT_MIN_COS = 0.1
+
+
+@register(
+    "bitext_margin_mining",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), a AS (
+        SELECT vec_id AS src_id, v AS va FROM e
+        WHERE label = {_BITEXT_SRC_LABEL}
+    ), b AS (
+        SELECT vec_id AS tgt_id, v AS vb FROM e
+        WHERE label = {_BITEXT_TGT_LABEL}
+    ), s AS (
+        SELECT src_id, tgt_id,
+               {_SQL_COS.format(a="va", b="vb")} AS c,
+               row_number() OVER (
+                   PARTITION BY src_id
+                   ORDER BY {_SQL_COS.format(a="va", b="vb")} DESC,
+                            tgt_id
+               ) AS rn
+        FROM a, b
+    ), g AS (
+        SELECT src_id,
+               max(CASE WHEN rn = 1 THEN tgt_id END) AS tgt_id,
+               max(CASE WHEN rn = 1 THEN c END) AS c1,
+               max(CASE WHEN rn = 2 THEN c END) AS c2,
+               max(CASE WHEN rn = 3 THEN c END) AS c3,
+               max(CASE WHEN rn = 4 THEN c END) AS c4
+        FROM s WHERE rn <= 4 GROUP BY src_id
+    )
+    SELECT src_id, tgt_id,
+           round(c1, 4) AS cos_sim,
+           CAST(floor(1000.0 * 4.0 * c1 / (c1 + c2 + c3 + c4))
+                AS BIGINT) AS margin_milli
+    FROM g
+    WHERE c1 >= {_BITEXT_MIN_COS}
+      AND floor(1000.0 * 4.0 * c1 / (c1 + c2 + c3 + c4))
+          >= {_BITEXT_MARGIN_MILLI}
+    """,
+)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARGIN-BASED bitext/pair mining (Artetxe & Schwenk 2019 — the
+    LASER/CCMatrix alignment rule): for each source-side vector
+    (label 0) find its best target-side neighbor (label 1), but keep
+    the pair only when the top-1 cosine clears 1.2x the MEAN of its
+    own top-4 — the ratio margin that suppresses hubness (a vector
+    that is everyone's neighbor has a high top-1 but an equally high
+    top-4 mean, so its margin collapses to ~1000). Absolute-cosine
+    thresholds can't express this; the margin is the component that
+    makes mined pairs usable as training data.
+
+    Determinism: the top-4 are pivoted into FIXED columns (rank
+    conditional aggregates), so the 4-term mean is one explicit
+    c1+c2+c3+c4 expression — identical IEEE ops in both engines —
+    never an avg() whose accumulation order could wobble; floor-milli
+    gates on the same expression.
+
+    This is the EXACT kernel (one cross-label block): scale runs the
+    identical margin over IVF-bounded candidates — probe the Lloyd /
+    k-means cells with the source side, restrict the corpus scan to
+    the target label (partition pruning when stored label-partitioned),
+    and the top-4 window is unchanged. Pair volume here is
+    |label-0| x |label-1|, the in-block cost that composition
+    bounds."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.filter(F.col("label") == _BITEXT_SRC_LABEL).select(
+        F.col("vec_id").alias("src_id"), F.col("v").alias("va")
+    )
+    b = e.filter(F.col("label") == _BITEXT_TGT_LABEL).select(
+        F.col("vec_id").alias("tgt_id"), F.col("v").alias("vb")
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("c"), F.asc("tgt_id"))
+    ranked = (
+        a.join(F.broadcast(b))
+        .withColumn("c", cosine_similarity(F.col("va"), F.col("vb")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+    )
+    g = ranked.groupBy("src_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("tgt_id"))).alias("tgt_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("c1"),
+        F.max(F.when(F.col("rn") == 2, F.col("c"))).alias("c2"),
+        F.max(F.when(F.col("rn") == 3, F.col("c"))).alias("c3"),
+        F.max(F.when(F.col("rn") == 4, F.col("c"))).alias("c4"),
+    )
+    margin = F.floor(
+        1000.0 * 4.0 * F.col("c1")
+        / (F.col("c1") + F.col("c2") + F.col("c3") + F.col("c4"))
+    )
+    return (
+        g.filter(
+            (F.col("c1") >= _BITEXT_MIN_COS)
+            & (margin >= _BITEXT_MARGIN_MILLI)
+        )
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round("c1", 4).alias("cos_sim"),
+            margin.cast("long").alias("margin_milli"),
+        )
+    )
+
+
 @register("ann_pq_topk")
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via PRODUCT QUANTIZATION with exact re-rank (Jégou et al.
