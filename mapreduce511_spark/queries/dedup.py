@@ -390,6 +390,93 @@ def dup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contrastive_triplet_export",
+    oracle=f"""
+    {_SQL_BANDS},
+    {_SQL_VERIFY},
+    pairs AS (
+        SELECT i.doc_a, i.doc_b, round({_SQL_JACCARD}, 4) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE {_SQL_JACCARD} >= {_JACCARD_T}
+    ),
+    n AS (SELECT count(*) AS c FROM documents),
+    seeded AS (
+        SELECT p.doc_a AS anchor, p.doc_b AS positive, p.jaccard,
+               CAST(('0x' || substr(
+                   md5(p.doc_a || '_' || p.doc_b), 1, 15)) AS BIGINT)
+                   % n.c AS h0,
+               n.c AS c
+        FROM pairs p, n
+    )
+    SELECT anchor, positive,
+           CASE WHEN h0 NOT IN (anchor, positive) THEN h0
+                WHEN (h0 + 1) % c NOT IN (anchor, positive)
+                    THEN (h0 + 1) % c
+                ELSE (h0 + 2) % c END AS negative,
+           jaccard
+    FROM seeded
+    """,
+)
+def contrastive_triplet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRASTIVE training-pair export — the step that turns the
+    dedup pipeline's byproduct into embedding-model training data
+    (SimCSE/E5-style): every verified near-dup pair becomes an
+    (anchor, positive) example, and the negative is drawn
+    DETERMINISTICALLY from the corpus by hashing the pair id into the
+    contiguous [0, n) doc_id space (skip-ahead +1/+2 mod n if the
+    draw collides with the anchor or positive — n >= 3 always
+    terminates). Hash-seeded negatives are reproducible at any
+    parallelism — no rand(), same discipline as every sampler here —
+    and uniform, so they are random in-batch negatives, with the
+    usual small false-negative rate contrastive recipes accept.
+
+    100 TB shape: the pair stage is the capped MinHash pipeline
+    unchanged; negative assignment is a map-side hash (doc_ids
+    contiguous per partition-spec — a rank join replaces the modulo
+    where they are not); output is one row per mined pair. No new
+    shuffle beyond the dedup pipeline's own."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = doc_shingles(docs)
+    cand = band_candidates(minhash_bands(minhash_signatures_wide(shingles)))
+    pairs = (
+        verify_jaccard(cand, shingles)
+        .filter(F.col("jaccard") >= _JACCARD_T)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    n = docs.agg(F.count("*").alias("c"))
+    from mapreduce511_spark.operators.dedup import hash60
+
+    seeded = (
+        pairs.join(F.broadcast(n))
+        .withColumn(
+            "h0",
+            hash60(F.concat_ws("_", F.col("doc_a"), F.col("doc_b")))
+            % F.col("c"),
+        )
+    )
+    neg = (
+        F.when(
+            ~F.col("h0").isin(F.col("doc_a"), F.col("doc_b")), F.col("h0")
+        )
+        .when(
+            ~((F.col("h0") + 1) % F.col("c")).isin(
+                F.col("doc_a"), F.col("doc_b")
+            ),
+            (F.col("h0") + 1) % F.col("c"),
+        )
+        .otherwise((F.col("h0") + 2) % F.col("c"))
+    )
+    return seeded.select(
+        F.col("doc_a").alias("anchor"),
+        F.col("doc_b").alias("positive"),
+        neg.alias("negative"),
+        "jaccard",
+    )
+
+
+@register(
     "minhash_jaccard_estimate",
     oracle=f"""
     {_SQL_BANDS},
