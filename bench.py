@@ -184,6 +184,8 @@ HEADLINE = [
     "wordpiece_merge_rules",
     "quality_calibration_census",
     "stream_session_window_native",
+    "bitext_margin_mining",
+    "contrastive_triplet_export",
 ]
 
 

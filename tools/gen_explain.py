@@ -62,6 +62,8 @@ PICKS = {
     "duplicate_span_removal": "Int lead()-fold span hashes; dup min/count agg; island merge = 2 windows per doc",
     "dup_cluster_canonical": "CC labels join corpus once; per-cluster combinable merge (sorted source set)",
     "mixture_epochs_plan": "Map-side token count; integer-milli sqrt weights; two 1-row broadcasts",
+    "bitext_margin_mining": "Broadcast target block; per-source rank window; fixed-column top-4 pivot",
+    "contrastive_triplet_export": "MinHash pair stage + map-side hash-seeded negatives (1-row count broadcast)",
 }
 
 

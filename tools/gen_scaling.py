@@ -108,6 +108,11 @@ PICKS = {
     "stream_click_attribution_full": "same state bound as inner join; outer emits are eviction-time work both sides",
     "dup_cluster_canonical": "minhash+CC cost + one combinable merge per cluster; sources set bounded",
     "mixture_epochs_plan": "map-side token count; |sources| rows; two 1-row broadcast totals",
+    "wordpiece_first_merge": "vocab-sized pair/unigram counts map-side; char-keyed score join; top-20 heap",
+    "quality_calibration_census": "one map-only scoring scan into 16 buckets",
+    "stream_session_window_native": "state ~ open sessions x watermark horizon; user-keyed shuffle",
+    "bitext_margin_mining": "in-block exact kernel: |A| x |B| pair scoring (IVF-bounded at scale)",
+    "contrastive_triplet_export": "dedup-pipeline cost + map-side hash negatives; rows ~ mined pairs",
 }
 
 
