@@ -186,6 +186,7 @@ HEADLINE = [
     "stream_session_window_native",
     "bitext_margin_mining",
     "contrastive_triplet_export",
+    "histogram_quantile_census",
 ]
 
 

@@ -129,3 +129,19 @@ def test_hll_registers_merge_distributively(spark):
     )
     assert whole.exceptAll(merged).count() == 0
     assert merged.exceptAll(whole).count() == 0
+
+
+def test_histogram_quantile_error_bound(spark):
+    """The 1024-bin histogram readout must sit within one bin width
+    of the exact quantile: rel_err_span_bp <= 10 (1/1024 of the value
+    span ~ 9.8 bp) for every probed quantile."""
+    from mapreduce511_spark.queries.sketches import (
+        histogram_quantile_census,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = histogram_quantile_census(spark, SF_SMOKE).collect()
+    assert {r.q_bp for r in rows} == {5000, 9000, 9900}
+    for r in rows:
+        assert 0 <= r.rel_err_span_bp <= 10, r
+        assert r.abs_err >= 0
