@@ -64,6 +64,7 @@ PICKS = {
     "mixture_epochs_plan": "Map-side token count; integer-milli sqrt weights; two 1-row broadcasts",
     "bitext_margin_mining": "Broadcast target block; per-source rank window; fixed-column top-4 pivot",
     "contrastive_triplet_export": "MinHash pair stage + map-side hash-seeded negatives (1-row count broadcast)",
+    "histogram_quantile_census": "1024-cell combinable histogram off 1-row min/max broadcast; cumulative walk over bins",
 }
 
 

@@ -113,6 +113,7 @@ PICKS = {
     "stream_session_window_native": "state ~ open sessions x watermark horizon; user-keyed shuffle",
     "bitext_margin_mining": "in-block exact kernel: |A| x |B| pair scoring (IVF-bounded at scale)",
     "contrastive_triplet_export": "dedup-pipeline cost + map-side hash negatives; rows ~ mined pairs",
+    "histogram_quantile_census": "two scans (min/max + histogram); sketch state fixed at 1024 cells",
 }
 
 

@@ -69,6 +69,8 @@ PICKS = {
     "quality_classifier_train": "per-iteration shuffle = 30 (idx, partial) rows; corpus never leaves executors",
     "duplicate_span_removal": "span shuffle carries (h, doc, p) ints; removal join linear in dup occurrences",
     "mixture_epochs_plan": "map-side token sums; |sources| rows + two 1-row totals",
+    "histogram_quantile_census": "histogram shuffle = <=1024 (bin, count) rows regardless of input",
+    "bitext_margin_mining": "target block broadcasts; shuffle = per-source top-4 scalars",
 }
 
 # static epilogue kept across regenerations (measured once; the
