@@ -109,6 +109,18 @@ def decode_real(payload: bytes, fmt: str) -> object:
 
 SYNTH_DOC_LIMIT = 400  # docs 0..399: even -> BMP image, odd -> WAV audio
 
+# JPEG fixture geometry/pixel formula — single definition shared by
+# synth_jpeg_media AND the multimodal_jpeg_stats oracle f-string (r5
+# ADVICE: a hardcoded copy in the oracle desynchronizes silently and
+# surfaces only as an opaque hash mismatch):
+#   wb = 1 + d % JPEG_GRID_WB_MOD,  hb = 1 + (d*5) % JPEG_GRID_HB_MOD
+#   block value v = (d*JPEG_PX_A + bx*JPEG_PX_BX + by*JPEG_PX_BY) % 256
+JPEG_GRID_WB_MOD = 4
+JPEG_GRID_HB_MOD = 3
+JPEG_PX_A = 31
+JPEG_PX_BX = 7
+JPEG_PX_BY = 13
+
 
 def _synth_payload(doc_id: int) -> tuple[bytes, str, int, int]:
     """(payload, fmt, width, height) for one doc. Image channel bytes
@@ -208,12 +220,12 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
                 d = int(d)
                 if d >= SYNTH_DOC_LIMIT:
                     continue
-                wb = 1 + d % 4
-                hb = 1 + (d * 5) % 3
+                wb = 1 + d % JPEG_GRID_WB_MOD
+                hb = 1 + (d * 5) % JPEG_GRID_HB_MOD
                 px = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
                 for by in range(hb):
                     for bx in range(wb):
-                        v = (d * 31 + bx * 7 + by * 13) % 256
+                        v = (d * JPEG_PX_A + bx * JPEG_PX_BX + by * JPEG_PX_BY) % 256
                         px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = v
                 rows.append((d, jpeg.encode_jpeg(px), jpeg.JPEG_FMT))
         yield pd.DataFrame(rows, columns=["doc_id", "content", "fmt"])

@@ -1,6 +1,6 @@
 """IVF index construction with learned (k-means) centroids.
 
-``queries/similarity.py:ann_ivf_topk`` demonstrates the IVF plumbing
+``queries/similarity.py:ann_ivf_label_baseline`` demonstrates the IVF plumbing
 with label cells (oracle-checkable, but the testdata's labels are not
 geometric clusters — only ~8% of true NNs share their probe's label).
 This module learns real coarse centroids with deterministic Lloyd
@@ -57,9 +57,9 @@ def _with_best_cell(df: DataFrame, vec_col: str, centroids: list[list[float]]) -
     ).drop("_sims")
 
 
-# Session-lifetime cache of trained index artifacts, keyed by the
-# input file set + hyperparameters. Training is deterministic, so a
-# cached result is bit-identical to a recomputation — and a real
+# Session-lifetime cache of trained index artifacts, keyed by a
+# CONTENT fingerprint + hyperparameters. Training is deterministic,
+# so a cached result is bit-identical to a recomputation — and a real
 # deployment trains an index ONCE per corpus snapshot, so repeated
 # query invocations (bench steady passes, test suites) paying full
 # EM retraining would misrepresent the operator's steady cost.
@@ -67,7 +67,23 @@ _TRAIN_CACHE: dict = {}
 
 
 def _cache_key(emb: DataFrame, *params) -> tuple:
-    return (tuple(sorted(emb.inputFiles())), *params)
+    """Content-fingerprint cache key (r5 ADVICE): the old key was
+    sorted(inputFiles()), which ignored any transformation on the
+    frame (emb.filter(...) reads the same files) and collapsed to ()
+    for in-memory frames — two different createDataFrame corpora with
+    the same hyperparameters would silently share trained artifacts,
+    and an in-place parquet rewrite would never invalidate. One
+    order-insensitive agg scan (count + xxhash64 sum over every
+    column the trainer consumes) keys on the actual row content; its
+    cost is one corpus pass, trivial next to iterative training."""
+    fp = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0) sum: int64 hash sums overflow long under ANSI
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in emb.columns]).cast("decimal(38,0)")
+        ).alias("h"),
+    ).first()
+    return (int(fp.n), int(fp.h or 0), tuple(emb.columns), *params)
 
 
 def train_centroids(

@@ -12,6 +12,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce511_spark.multimodal import (
+    JPEG_GRID_HB_MOD,
+    JPEG_GRID_WB_MOD,
+    JPEG_PX_A,
+    JPEG_PX_BX,
+    JPEG_PX_BY,
+    SYNTH_DOC_LIMIT,
     attach_fake_media,
     extract_features,
     sample_frames,
@@ -71,12 +77,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_stats",
-    oracle="""
+    oracle=f"""
     WITH img AS (
         SELECT doc_id,
                CAST(8 + doc_id % 9 AS INT) AS w,
                CAST(8 + (doc_id * 3) % 9 AS INT) AS h
-        FROM documents WHERE doc_id < 400 AND doc_id % 2 = 0
+        FROM documents WHERE doc_id < {SYNTH_DOC_LIMIT} AND doc_id % 2 = 0
     ), iidx AS (
         SELECT doc_id, w, h,
                unnest(generate_series(0, CAST(w * h * 3 - 1 AS BIGINT))) AS i
@@ -93,7 +99,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ipx GROUP BY doc_id, w, h
     ), aud AS (
         SELECT doc_id, 256 + doc_id % 64 AS n
-        FROM documents WHERE doc_id < 400 AND doc_id % 2 = 1
+        FROM documents WHERE doc_id < {SYNTH_DOC_LIMIT} AND doc_id % 2 = 1
     ), aidx AS (
         SELECT doc_id, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i
         FROM aud
@@ -131,12 +137,12 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_png_stats",
-    oracle="""
+    oracle=f"""
     WITH img AS (
         SELECT doc_id,
                CAST(6 + doc_id % 11 AS INT) AS w,
                CAST(6 + (doc_id * 5) % 7 AS INT) AS h
-        FROM documents WHERE doc_id < 400
+        FROM documents WHERE doc_id < {SYNTH_DOC_LIMIT}
     ), idx AS (
         SELECT doc_id, w, h,
                unnest(generate_series(0, CAST(w * h * 3 - 1 AS BIGINT))) AS i
@@ -182,12 +188,15 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_jpeg_stats",
-    oracle="""
+    # f-string shares ONE definition of the fixture geometry/pixel
+    # formula with synth_jpeg_media (r5 ADVICE — a hardcoded copy here
+    # would desynchronize silently on any fixture change).
+    oracle=f"""
     WITH img AS (
         SELECT doc_id,
-               CAST(1 + doc_id % 4 AS INT) AS wb,
-               CAST(1 + (doc_id * 5) % 3 AS INT) AS hb
-        FROM documents WHERE doc_id < 400
+               CAST(1 + doc_id % {JPEG_GRID_WB_MOD} AS INT) AS wb,
+               CAST(1 + (doc_id * 5) % {JPEG_GRID_HB_MOD} AS INT) AS hb
+        FROM documents WHERE doc_id < {SYNTH_DOC_LIMIT}
     ), blk AS (
         SELECT doc_id, wb, hb,
                unnest(generate_series(0, CAST(wb * hb - 1 AS BIGINT))) AS bi
@@ -195,8 +204,8 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), px AS (
         SELECT doc_id, wb, hb,
                least(255, greatest(0,
-                 2 * CAST(floor(((doc_id * 31 + (bi % wb) * 7
-                                  + (bi // wb) * 13) % 256 - 128) / 2.0
+                 2 * CAST(floor(((doc_id * {JPEG_PX_A} + (bi % wb) * {JPEG_PX_BX}
+                                  + (bi // wb) * {JPEG_PX_BY}) % 256 - 128) / 2.0
                                 + 0.5) AS BIGINT) + 128)) AS p
         FROM blk
     )

@@ -30,7 +30,9 @@ def _canon(value):
     # in the same position raises TypeError. Floats round first, so
     # last-ulp engine differences still collapse to the same string.
     if value is None:
-        return "None"
+        # sentinel no str(value) can produce (r5 ADVICE: "None" would
+        # make a NULL collide with the literal string 'None')
+        return "\x00NULL"
     if isinstance(value, float):
         if math.isnan(value):
             return "NaN"

@@ -57,30 +57,36 @@ def test_ann_lsh_recall(spark, exact_topk):
 
 
 def test_ann_ivf_label_cells_beat_random_scan(spark, exact_topk):
-    """The label-cell IVF demo scans nprobe/k of the corpus; the
-    testdata's labels are NOT geometric clusters (~8% of true NNs
-    share their probe's label), so absolute recall is bounded — the
-    meaningful assertion is that it still beats a random same-size
-    subset scan (recall = fraction scanned)."""
-    from mapreduce511_spark.queries.similarity import _IVF_NPROBE, ann_ivf_topk
+    """The label-cell IVF demo (``ann_ivf_label_baseline`` — renamed
+    from ``ann_ivf_topk`` in r6 so the plain name no longer points at
+    the weakest index) scans nprobe/k of the corpus; the testdata's
+    labels are NOT geometric clusters (~8% of true NNs share their
+    probe's label), so absolute recall is bounded — the meaningful
+    assertion is that it still beats a random same-size subset scan
+    (recall = fraction scanned)."""
+    from mapreduce511_spark.queries.similarity import (
+        _IVF_NPROBE,
+        ann_ivf_label_baseline,
+    )
     from mapreduce511_spark.sources.tables import load_table
 
     k_cells = (
         load_table(spark, SF_CHECK, "embeddings").select("label").distinct().count()
     )
-    recall = _recall(ann_ivf_topk(spark, SF_CHECK).collect(), exact_topk)
+    recall = _recall(ann_ivf_label_baseline(spark, SF_CHECK).collect(), exact_topk)
     assert recall >= _IVF_NPROBE / k_cells, f"label-IVF recall@{TOPK} = {recall}"
 
 
 def test_ann_ivf_lloyd_recall(spark, exact_topk):
-    """The ORACLED learned-centroid IVF (two unrolled Lloyd rounds,
-    integer-micro quantized means) must beat the label-cell variant
-    decisively (measured 0.92 at sf0.01, 1.0 at sf0.1 vs 0.46), while
-    tests/test_oracle_parity.py holds it to the exact DuckDB hash."""
+    """The CANONICAL IVF (oracled learned centroids: two unrolled
+    Lloyd rounds, integer-micro quantized means) must hold the r5
+    VERDICT bar for a canonical index — recall@5 >= 0.9 (measured
+    0.92 at sf0.01, 1.0 at sf0.1) — while tests/test_oracle_parity.py
+    holds it to the exact DuckDB hash."""
     from mapreduce511_spark.queries.similarity import ann_ivf_lloyd_topk
 
     recall = _recall(ann_ivf_lloyd_topk(spark, SF_CHECK).collect(), exact_topk)
-    assert recall >= 0.75, f"lloyd-IVF recall@{TOPK} = {recall}"
+    assert recall >= 0.9, f"lloyd-IVF recall@{TOPK} = {recall}"
 
 
 def test_ann_ivf_kmeans_recall(spark, exact_topk):
