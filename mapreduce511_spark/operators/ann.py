@@ -1,4 +1,5 @@
-"""IVF index construction with learned (k-means) centroids.
+"""ANN index construction: learned (k-means) IVF centroids, product
+quantization, and build-once persisted index artifacts.
 
 ``queries/similarity.py:ann_ivf_label_baseline`` demonstrates the IVF plumbing
 with label cells (oracle-checkable, but the testdata's labels are not
@@ -23,6 +24,10 @@ from mapreduce511_spark.functions.vectors import cosine_similarity
 
 K_CELLS = 16
 KMEANS_ITERS = 3
+
+PQ_M = 8  # subvectors (64 dims -> 8 x 8-dim subspaces)
+PQ_K = 16  # centroids per subspace (4-bit codes)
+PQ_ITERS = 3
 
 
 def _round_half_away(x, decimals: int = 4):
@@ -354,11 +359,89 @@ def ivf_search_pruned(
     )
 
 
-# --- product quantization (the memory-bound ANN scale path) ---------
+# --- persisted index artifacts (build once, query many) -------------
+#
+# r5 VERDICT item 2: in-query training + encode misstates the 100 TB
+# cost model — nobody trains per query. These helpers write the
+# encoded corpus to parquet ONCE per corpus snapshot (content-
+# fingerprint keyed, like _TRAIN_CACHE) so the registered PQ queries'
+# steady cost is candidates-only, mirroring the IVF parquet index
+# (ivf_write_partitioned/ivf_search_pruned) that already worked this
+# way. Index artifacts live under the session warehouse dir
+# (gitignored; overwritten per content key).
 
-PQ_M = 8  # subvectors (64 dims -> 8 x 8-dim subspaces)
-PQ_K = 16  # centroids per subspace (4-bit codes)
-PQ_ITERS = 3
+_INDEX_CACHE: dict = {}
+
+
+def _artifact_root(spark) -> str:
+    import os
+
+    raw = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    path = raw[len("file:"):] if raw.startswith("file:") else raw
+    return os.path.join(path, "ann_index")
+
+
+def _index_path(spark, key: tuple, prefix: str) -> str:
+    import hashlib
+    import os
+
+    tag = hashlib.sha1(repr(key).encode()).hexdigest()[:16]
+    return os.path.join(_artifact_root(spark), f"{prefix}_{tag}")
+
+
+def ensure_ivf_index(
+    emb: DataFrame, k: int = K_CELLS, iters: int = KMEANS_ITERS
+) -> tuple[str, list[list[float]]]:
+    """Train coarse centroids and persist the cell-partitioned IVF
+    index ONCE per corpus snapshot; returns (path, centroids). Repeat
+    invocations (bench steady passes, repeated queries) hit the
+    content-keyed cache and pay only the partition-pruned search."""
+    key = _cache_key(emb, "ivf_index", k, iters)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    centroids = train_centroids(emb, k, iters)
+    path = _index_path(emb.sparkSession, key, "ivf")
+    ivf_write_partitioned(emb, centroids, path)
+    _INDEX_CACHE[key] = (path, centroids)
+    return path, centroids
+
+
+def ensure_pq_index(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    with_cells: bool = False,
+    k_cells: int = K_CELLS,
+) -> tuple[str, list[list[list[float]]], list[list[float]] | None]:
+    """Train PQ codebooks (and coarse centroids when ``with_cells``),
+    encode the corpus, and persist (vec_id, embedding, codes[, cell])
+    parquet ONCE per corpus snapshot; returns (path, books,
+    centroids|None). With cells the index is partitioned by cell so
+    the ADC scan partition-prunes; either way the ADC stage reads
+    only the (vec_id, codes) columns (parquet column pruning) and the
+    float embeddings are fetched solely for the re-rank pool."""
+    key = _cache_key(emb, "pq_index", m, k, iters, with_cells, k_cells)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    books = train_pq_codebooks(emb, m, k, iters)
+    centroids = train_centroids(emb, k_cells) if with_cells else None
+    coded = pq_encode(emb, books)
+    path = _index_path(emb.sparkSession, key, "ivfpq" if with_cells else "pq")
+    if with_cells:
+        tagged = _with_best_cell(
+            emb.select("vec_id", "embedding"), "embedding", centroids
+        ).select("vec_id", "cell")
+        coded.join(tagged, "vec_id").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(path)
+    else:
+        coded.write.mode("overwrite").parquet(path)
+    _INDEX_CACHE[key] = (path, books, centroids)
+    return path, books, centroids
+
+
+# --- product quantization (the memory-bound ANN scale path) ---------
 
 
 def _unit(emb: DataFrame) -> DataFrame:
@@ -490,6 +573,86 @@ def pq_encode(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
     )
 
 
+def _pq_probe_table_col(books: list[list[list[float]]], pv_col: str = "pv") -> Column:
+    """A probe's m x k dot-product table against the codebooks (probe
+    unit-normalized first): tbl[s][j] = <pu_sub_s, books[s][j]>. Tiny
+    (m*k doubles per probe) and broadcast with the probe row, so ADC
+    scoring is pure table lookups on the corpus codes."""
+    from mapreduce511_spark.functions.vectors import l2_norm
+
+    m = len(books)
+    k = len(books[0])
+    d_sub = 64 // m
+    pu = F.transform(pv_col, lambda x: x / l2_norm(F.col(pv_col)))
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(pu, s * d_sub + 1, d_sub),
+                            F.array(*[F.lit(x) for x in books[s][j]]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for j in range(k)
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+
+
+def _probe_tables_df(probes: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """(pid, tbl) with each probe's m x k dot table computed DRIVER-
+    SIDE in pure Python — bit-identical to ``_pq_probe_table_col``
+    (same left-to-right IEEE fold order as zip_with/aggregate, same
+    0.0 init, same x/sqrt(fold(x*x)) normalization), but as literal
+    DATA instead of an m*k-fold expression tree. The expression twin
+    costs seconds of Catalyst analysis + codegen PER QUERY (measured:
+    the dominant cost of the indexed search path at toy scale); the
+    probe side is tiny by construction (|probes| rows), so computing
+    its tables on the driver is the standard query-side prep every
+    ANN system does, and the executors see only lookups."""
+    import math
+
+    m = len(books)
+    k = len(books[0])
+    d_sub = 64 // m
+    rows = []
+    for r in probes.select("pid", "pv").collect():
+        pv = [float(x) for x in r.pv]
+        acc = 0.0
+        for x in pv:
+            acc += x * x
+        nrm = math.sqrt(acc)
+        pu = [x / nrm for x in pv]
+        tbl = []
+        for s in range(m):
+            row = []
+            for j in range(k):
+                d = 0.0
+                for t in range(d_sub):
+                    d += pu[s * d_sub + t] * books[s][j][t]
+                row.append(d)
+            tbl.append(row)
+        rows.append((int(r.pid), tbl))
+    return probes.sparkSession.createDataFrame(
+        rows, "pid long, tbl array<array<double>>"
+    )
+
+
+def _pq_adc_col(m: int) -> Column:
+    """Approximate cosine = sum of m table lookups tbl[s][codes[s]]."""
+    approx = None
+    for s in range(m):
+        term = F.element_at(F.element_at("tbl", s + 1), F.col("codes")[s] + 1)
+        approx = term if approx is None else approx + term
+    return approx
+
+
 def pq_search(
     emb: DataFrame,
     probes: DataFrame,
@@ -509,39 +672,12 @@ def pq_search(
     embeddings."""
     from pyspark.sql.window import Window
 
-    from mapreduce511_spark.functions.vectors import cosine_similarity, l2_norm
+    from mapreduce511_spark.functions.vectors import cosine_similarity
 
     m = len(books)
-    k = len(books[0])
-    d_sub = 64 // m
     coded = pq_encode(emb, books)
-    pu = F.transform("pv", lambda x: x / l2_norm(F.col("pv")))
-    tbl = F.array(
-        *[
-            F.array(
-                *[
-                    F.aggregate(
-                        F.zip_with(
-                            F.slice(pu, s * d_sub + 1, d_sub),
-                            F.array(*[F.lit(x) for x in books[s][j]]),
-                            lambda a, b: a * b,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    for j in range(k)
-                ]
-            )
-            for s in range(m)
-        ]
-    )
-    ptbl = probes.select("pid", "pv", tbl.alias("tbl"))
-    approx = None
-    for s in range(m):
-        term = F.element_at(
-            F.element_at("tbl", s + 1), F.col("codes")[s] + 1
-        )
-        approx = term if approx is None else approx + term
+    ptbl = probes.select("pid", "pv", _pq_probe_table_col(books).alias("tbl"))
+    approx = _pq_adc_col(m)
     w_adc = Window.partitionBy("pid").orderBy(F.desc("adc"), F.asc("vec_id"))
     # the ADC stage scans ONLY (vec_id, codes) — the float embeddings
     # never enter the |probes| x n stage (that's the PQ memory story);
@@ -559,6 +695,143 @@ def pq_search(
     )
     cand = (
         emb.select("vec_id", "embedding")
+        .join(F.broadcast(cand_ids), "vec_id")
+        .join(F.broadcast(probes.select("pid", "pv")), "pid")
+    )
+    w_rank = Window.partitionBy("pid").orderBy(F.desc("s"), F.asc("vec_id"))
+    return (
+        cand.withColumn(
+            "s", cosine_similarity(F.col("pv"), F.col("embedding"))
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("pid").alias("probe_id"),
+            "rank",
+            "vec_id",
+            F.round("s", 4).alias("cos_sim"),
+        )
+    )
+
+
+def pq_search_indexed(
+    spark,
+    index_path: str,
+    probes: DataFrame,
+    books: list[list[list[float]]],
+    topk: int,
+    rerank: int = 32,
+) -> DataFrame:
+    """ADC + exact re-rank against a PERSISTED PQ index (see
+    ``ensure_pq_index``): identical output to ``pq_search`` on the
+    same corpus, but the steady query cost is candidates-only — no
+    training, no encode. The ADC scan reads ONLY the (vec_id, codes)
+    columns of the index parquet (column pruning — the m-byte codes
+    story holds at the IO layer, not just in the plan); the float
+    embeddings column is read solely for the rerank*topk survivors."""
+    from pyspark.sql.window import Window
+
+    from mapreduce511_spark.functions.vectors import cosine_similarity
+    from mapreduce511_spark.sources.tables import read_parquet_checked
+
+    idx = read_parquet_checked(spark, index_path)
+    ptbl = _probe_tables_df(probes, books)
+    w_adc = Window.partitionBy("pid").orderBy(F.desc("adc"), F.asc("vec_id"))
+    cand_ids = (
+        idx.select("vec_id", "codes")
+        .join(F.broadcast(ptbl), F.col("vec_id") != F.col("pid"))
+        .withColumn("adc", _pq_adc_col(len(books)))
+        .withColumn("arank", F.row_number().over(w_adc))
+        .filter(F.col("arank") <= rerank * topk)
+        .select("pid", "vec_id")
+    )
+    cand = (
+        idx.select("vec_id", "embedding")
+        .join(F.broadcast(cand_ids), "vec_id")
+        .join(F.broadcast(probes.select("pid", "pv")), "pid")
+    )
+    w_rank = Window.partitionBy("pid").orderBy(F.desc("s"), F.asc("vec_id"))
+    return (
+        cand.withColumn(
+            "s", cosine_similarity(F.col("pv"), F.col("embedding"))
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("pid").alias("probe_id"),
+            "rank",
+            "vec_id",
+            F.round("s", 4).alias("cos_sim"),
+        )
+    )
+
+
+def ivf_pq_search_indexed(
+    spark,
+    index_path: str,
+    probes: DataFrame,
+    centroids: list[list[float]],
+    books: list[list[list[float]]],
+    nprobe: int,
+    topk: int,
+    rerank: int = 32,
+) -> DataFrame:
+    """IVF-PQ against a PERSISTED cell-partitioned index (see
+    ``ensure_pq_index(with_cells=True)``): identical output to
+    ``ivf_pq_search``, with the 100 TB cost attribution — the probed
+    cell ids become an IN-filter on the partition column (Spark
+    PartitionFilters: only nprobe/k of the index directories are
+    listed/read) and the ADC scan reads only the codes column."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    from mapreduce511_spark.functions.vectors import cosine_similarity
+    from mapreduce511_spark.sources.tables import read_parquet_checked
+
+    # probe -> cell assignment DRIVER-SIDE (|probes| x k cosines in
+    # pure Python, bit-identical fold order to the expression twin —
+    # see _probe_tables_df): the query-side prep is tiny by
+    # construction, and doing it as data instead of a plan saves the
+    # per-query Catalyst/codegen cost AND a Spark job for the
+    # distinct-cells collect that drives partition pruning.
+    def _cos(pv, cv):
+        d = na = nb = 0.0
+        for a, b in zip(pv, cv):
+            d += a * b
+        for a in pv:
+            na += a * a
+        for b in cv:
+            nb += b * b
+        return d / (math.sqrt(na) * math.sqrt(nb))
+
+    pairs = []
+    for r in probes.select("pid", "pv").collect():
+        pv = [float(x) for x in r.pv]
+        ranked = sorted(
+            ((_cos(pv, cv), ci) for ci, cv in enumerate(centroids)),
+            key=lambda t: (-t[0], t[1]),
+        )
+        pairs.extend((int(r.pid), int(ci)) for _, ci in ranked[:nprobe])
+    probe_cells = spark.createDataFrame(pairs, "pid long, cell int")
+    cells = sorted({c for _, c in pairs})
+    idx = read_parquet_checked(spark, index_path).filter(
+        F.col("cell").isin(cells)
+    )
+    ptbl = _probe_tables_df(probes, books)
+    w_adc = Window.partitionBy("pid").orderBy(F.desc("adc"), F.asc("vec_id"))
+    cand_ids = (
+        idx.select("cell", "vec_id", "codes")
+        .join(F.broadcast(probe_cells), "cell")
+        .join(F.broadcast(ptbl), "pid")
+        .filter(F.col("vec_id") != F.col("pid"))
+        .withColumn("adc", _pq_adc_col(len(books)))
+        .withColumn("arank", F.row_number().over(w_adc))
+        .filter(F.col("arank") <= rerank * topk)
+        .select("pid", "vec_id")
+    )
+    cand = (
+        idx.select("vec_id", "embedding")
         .join(F.broadcast(cand_ids), "vec_id")
         .join(F.broadcast(probes.select("pid", "pv")), "pid")
     )
@@ -602,11 +875,9 @@ def ivf_pq_search(
     read."""
     from pyspark.sql.window import Window
 
-    from mapreduce511_spark.functions.vectors import cosine_similarity, l2_norm
+    from mapreduce511_spark.functions.vectors import cosine_similarity
 
     m = len(books)
-    k = len(books[0])
-    d_sub = 64 // m
     spark = emb.sparkSession
     coded = pq_encode(emb, books).select("vec_id", "codes")
     tagged = _with_best_cell(
@@ -618,26 +889,6 @@ def ivf_pq_search(
         [(i, c) for i, c in enumerate(centroids)], ["cell", "cv"]
     )
     w_cell = Window.partitionBy("pid").orderBy(F.desc("csim"), F.asc("cell"))
-    pu = F.transform("pv", lambda x: x / l2_norm(F.col("pv")))
-    tbl = F.array(
-        *[
-            F.array(
-                *[
-                    F.aggregate(
-                        F.zip_with(
-                            F.slice(pu, s * d_sub + 1, d_sub),
-                            F.array(*[F.lit(x) for x in books[s][j]]),
-                            lambda a, b: a * b,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    for j in range(k)
-                ]
-            )
-            for s in range(m)
-        ]
-    )
     probe_cells = (
         probes.join(F.broadcast(cent_df))
         .withColumn("csim", cosine_similarity(F.col("pv"), F.col("cv")))
@@ -645,13 +896,8 @@ def ivf_pq_search(
         .filter(F.col("rn") <= nprobe)
         .select("pid", "cell")
     )
-    ptbl = probes.select("pid", tbl.alias("tbl"))
-    approx = None
-    for s in range(m):
-        term = F.element_at(
-            F.element_at("tbl", s + 1), F.col("codes")[s] + 1
-        )
-        approx = term if approx is None else approx + term
+    ptbl = probes.select("pid", _pq_probe_table_col(books).alias("tbl"))
+    approx = _pq_adc_col(m)
     w_adc = Window.partitionBy("pid").orderBy(F.desc("adc"), F.asc("vec_id"))
     cand_ids = (
         coded.join(F.broadcast(probe_cells), "cell")

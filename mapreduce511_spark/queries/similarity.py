@@ -634,6 +634,34 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(emb, probes, centroids, nprobe=4, topk=_IVF_TOPK)
 
 
+@register("ann_ivf_indexed_topk")
+def ann_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYMENT-SHAPED IVF: search a persisted cell-partitioned
+    parquet index (``ensure_ivf_index`` — learned kmeans centroids,
+    built once per corpus snapshot) with partition pruning, so only
+    the nprobe probed cell directories are listed and read per query
+    batch (PartitionFilters, plan-asserted in tests/test_ann.py).
+    Identical results to the in-memory ``ann_ivf_kmeans_topk`` (same
+    centroids, same exact-cosine scoring — set-equality tested); this
+    registers the on-disk index path the other IVF docstrings promise
+    as THE steady-state query cost at 100 TB: nprobe/k of the corpus
+    read, zero training in the query path. Rows-only (learned
+    centroids); recall bounds shared with the kmeans twin."""
+    from mapreduce511_spark.operators.ann import (
+        ensure_ivf_index,
+        ivf_search_pruned,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path, centroids = ensure_ivf_index(emb)
+    probes = emb.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
+    )
+    return ivf_search_pruned(
+        spark, path, probes, centroids, nprobe=4, topk=_IVF_TOPK
+    )
+
+
 _LLOYD_K = 16  # seed cells: the first k vectors by vec_id
 _LLOYD_ITERS = 2  # unrolled Lloyd rounds — identical in both engines
 
@@ -967,18 +995,28 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fetched only for re-rank survivors), and it composes with IVF
     cells (IVF-PQ) for the compute bound too.
 
+    r6: the index is BUILT ONCE per corpus snapshot and persisted
+    (``ensure_pq_index`` — codebooks + encoded codes as parquet,
+    content-fingerprint keyed), so the query path is candidates-only
+    ADC + re-rank; in-query training/encode was the suite's #2 wall
+    cost and misstated the 100 TB cost model (r5 VERDICT item 2).
+    ``tests/test_ann.py`` asserts indexed == in-query output.
+
     Rows-only (iterative codebook training, same class as
     ``ann_ivf_kmeans_topk``); tests/test_ann.py bounds recall@5
     against the exact baseline and asserts the ADC stage's scan
     carries no float vectors."""
-    from mapreduce511_spark.operators.ann import pq_search, train_pq_codebooks
+    from mapreduce511_spark.operators.ann import (
+        ensure_pq_index,
+        pq_search_indexed,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    books = train_pq_codebooks(emb)
+    path, books, _ = ensure_pq_index(emb)
     probes = emb.filter(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
     )
-    return pq_search(emb, probes, books, topk=_IVF_TOPK)
+    return pq_search_indexed(spark, path, probes, books, topk=_IVF_TOPK)
 
 
 @register(
@@ -2155,20 +2193,26 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     already ships. Measured recall@5: 0.88 (sf0.01) / 0.90 (sf0.1) —
     BETTER than whole-corpus PQ (0.82) at 4x less ADC compute,
     because cell pruning removes exactly the far-away vectors ADC
-    mis-ranks. Rows-only (both trainings iterative);
-    tests/test_ann.py bounds recall."""
+    mis-ranks.
+
+    r6: served from the PERSISTED cell-partitioned index
+    (``ensure_pq_index(with_cells=True)`` — built once per corpus
+    snapshot): the probed cells partition-prune the parquet scan
+    (PartitionFilters) and the ADC stage reads only the codes column,
+    so steady query cost is candidates-only — in-query training was
+    the suite's #1 wall cost (r5 VERDICT item 2). Rows-only (both
+    trainings iterative); tests/test_ann.py bounds recall and asserts
+    indexed == in-query output."""
     from mapreduce511_spark.operators.ann import (
-        ivf_pq_search,
-        train_centroids,
-        train_pq_codebooks,
+        ensure_pq_index,
+        ivf_pq_search_indexed,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = train_centroids(emb)
-    books = train_pq_codebooks(emb)
+    path, books, centroids = ensure_pq_index(emb, with_cells=True)
     probes = emb.filter(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
     )
-    return ivf_pq_search(
-        emb, probes, centroids, books, nprobe=4, topk=_IVF_TOPK
+    return ivf_pq_search_indexed(
+        spark, path, probes, centroids, books, nprobe=4, topk=_IVF_TOPK
     )

@@ -312,6 +312,92 @@ def test_pq_reconstruction_beats_random_codebook(spark):
     assert mse(trained) < mse(init_only)
 
 
+def test_pq_indexed_matches_inquery(spark):
+    """The persisted-index PQ query path (ensure_pq_index +
+    pq_search_indexed — what ann_pq_topk serves since r6) must emit
+    exactly the in-query pq_search result: persistence changes cost
+    attribution, never answers."""
+    from mapreduce511_spark.operators.ann import (
+        ensure_pq_index,
+        pq_search,
+        pq_search_indexed,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
+    )
+    path, books, _ = ensure_pq_index(emb)
+    assert books == train_pq_codebooks(emb)  # same cached codebooks
+    mem = {
+        (r.probe_id, r.rank): (r.vec_id, r.cos_sim)
+        for r in pq_search(emb, probes, books, topk=TOPK).collect()
+    }
+    idx = {
+        (r.probe_id, r.rank): (r.vec_id, r.cos_sim)
+        for r in pq_search_indexed(
+            spark, path, probes, books, topk=TOPK
+        ).collect()
+    }
+    assert idx == mem and idx
+
+
+def test_ivf_pq_indexed_matches_and_prunes(spark):
+    """The persisted cell-partitioned IVF-PQ index must (a) partition-
+    prune the ADC scan to the probed cells (PartitionFilters on cell)
+    and (b) emit exactly the in-query ivf_pq_search result."""
+    from mapreduce511_spark.operators.ann import (
+        ensure_pq_index,
+        ivf_pq_search,
+        ivf_pq_search_indexed,
+    )
+
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
+    )
+    path, books, centroids = ensure_pq_index(emb, with_cells=True)
+    indexed = ivf_pq_search_indexed(
+        spark, path, probes, centroids, books, nprobe=4, topk=TOPK
+    )
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+    mem = {
+        (r.probe_id, r.rank): (r.vec_id, r.cos_sim)
+        for r in ivf_pq_search(
+            emb, probes, centroids, books, nprobe=4, topk=TOPK
+        ).collect()
+    }
+    idx = {
+        (r.probe_id, r.rank): (r.vec_id, r.cos_sim)
+        for r in indexed.collect()
+    }
+    assert idx == mem and idx
+
+
+def test_ann_ivf_indexed_matches_kmeans_twin(spark):
+    """The registered on-disk IVF query must return exactly the
+    in-memory kmeans twin's result set (same trained centroids via
+    the content-keyed cache, same exact-cosine scoring)."""
+    from mapreduce511_spark.queries.similarity import (
+        ann_ivf_indexed_topk,
+        ann_ivf_kmeans_topk,
+    )
+
+    mem = {
+        (r.probe_id, r.rank): (r.vec_id, r.cos_sim)
+        for r in ann_ivf_kmeans_topk(spark, SF_CHECK).collect()
+    }
+    idx = {
+        (r.probe_id, r.rank): (r.vec_id, r.cos_sim)
+        for r in ann_ivf_indexed_topk(spark, SF_CHECK).collect()
+    }
+    assert idx == mem and idx
+
+
 def test_ann_ivf_pq_recall(spark, exact_topk):
     """Cell pruning (recall ceiling ~ the kmeans-IVF 0.88-0.96) and
     ADC ranking compose: the combined index must still recover most
