@@ -97,3 +97,122 @@ def sql_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_id) — cross-engine window parity needs the total order
     (round-1 lesson: ties first appear at larger SFs)."""
     return run_sql(spark, sf_dir, _SQL_WINDOW_LAG)
+
+
+# --- r6 widening (r5 VERDICT item 7): one literal-SQL twin per major
+# query family beyond the relational shapes above — dedup, text
+# census, rollup, decile window, consecutive-row deltas. Each string
+# is the ONLY definition: Spark executes it verbatim via spark.sql
+# over the registered views AND DuckDB executes it as the oracle, so
+# the hash gate tests pure engine semantics with zero translation.
+
+_SQL_EXACT_DEDUP = """
+    SELECT count(*)                                   AS n_groups,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_groups,
+           CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+               AS removable_docs,
+           max(c)                                     AS max_copies
+    FROM (
+        SELECT md5(concat(lang, ':', n_chars)) AS h, count(*) AS c
+        FROM documents GROUP BY md5(concat(lang, ':', n_chars))
+    )
+"""
+
+_SQL_TOKEN_CENSUS = """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+                AS BIGINT) AS total_tokens,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+_SQL_REGION_ROLLUP = """
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(n_name, 'ALL') AS nation,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY region, nation
+"""
+
+_SQL_ORDER_DECILES = """
+    SELECT decile,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS spend,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    GROUP BY decile
+    ORDER BY decile
+"""
+
+_SQL_ORDER_PRICE_DELTA = """
+    SELECT c_mktsegment,
+           count(*) AS n_gaps,
+           round(avg(abs(delta)), 2) AS avg_abs_delta
+    FROM (
+        SELECT o_custkey,
+               o_totalprice - lag(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+               ) AS delta
+        FROM orders
+    ) d
+    JOIN customer ON d.o_custkey = c_custkey
+    WHERE delta IS NOT NULL
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+@register("sql_exact_dedup", oracle=_SQL_EXACT_DEDUP)
+def sql_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup census as literal shared SQL (the SQL twin of the
+    dedup family): md5 fingerprint groups over a (lang, n_chars) key
+    (the raw texts are all unique in this corpus, so the fingerprint
+    key keeps the collision arithmetic non-degenerate), removable-copy
+    census — md5()/concat() and the implicit BIGINT-to-string cast
+    must agree byte-for-byte across engines."""
+    return run_sql(spark, sf_dir, _SQL_EXACT_DEDUP)
+
+
+@register("sql_token_census", oracle=_SQL_TOKEN_CENSUS)
+def sql_token_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text census as literal shared SQL: whitespace token counting
+    stated purely in length()/replace() arithmetic (no dialect-bound
+    split function), per-language doc/token/char stats."""
+    return run_sql(spark, sf_dir, _SQL_TOKEN_CENSUS)
+
+
+@register("sql_region_rollup", oracle=_SQL_REGION_ROLLUP)
+def sql_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotal lattice over the region->nation hierarchy as
+    literal shared SQL, three-way join underneath."""
+    return run_sql(spark, sf_dir, _SQL_REGION_ROLLUP)
+
+
+@register("sql_order_deciles", oracle=_SQL_ORDER_DECILES)
+def sql_order_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(10) decile distribution as literal shared SQL — the
+    global window's ORDER BY carries the o_orderkey tiebreak so both
+    engines assign identical deciles at duplicate prices."""
+    return run_sql(spark, sf_dir, _SQL_ORDER_DECILES)
+
+
+@register("sql_order_price_delta", oracle=_SQL_ORDER_PRICE_DELTA)
+def sql_order_price_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-order price deltas per customer (lag window) rolled
+    up by market segment, as literal shared SQL."""
+    return run_sql(spark, sf_dir, _SQL_ORDER_PRICE_DELTA)

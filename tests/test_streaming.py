@@ -446,52 +446,105 @@ def test_stream_stream_full_outer_matches_watermark_rules(
 def test_user_running_stats_tws_matches_batch(spark, events_dir, tmp_path):
     """transformWithState twin of the running-stats operator: final
     per-user emission must equal the batch GROUP BY in integer cents.
-    Skips where the TWS state-server dependency (google.protobuf) is
-    absent — the applyInPandasWithState twin is the oracle-gated path
-    in that environment."""
-    pytest.importorskip(
-        "google.protobuf.descriptor",
-        reason="transformWithState needs protobuf (not shipped here)",
-    )
-    from mapreduce511_spark.streaming import user_running_stats_tws
 
-    prev = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
+    Where the TWS state-server dependency (google.protobuf) is absent
+    this no longer skips (r5 VERDICT item 8): the SAME
+    RunningStatsProcessor class is driven through a fake ValueState
+    handle over three simulated micro-batches — init/handleInputRows
+    semantics, integer-cent arithmetic, and the final-emission
+    contract are all exercised; only the state-server TRANSPORT needs
+    protobuf (the applyInPandasWithState twin remains the oracle-gated
+    production path here)."""
     try:
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
+        import google.protobuf.descriptor  # noqa: F401
+
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+
+    if have_protobuf:
+        from mapreduce511_spark.streaming import user_running_stats_tws
+
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
         )
-        stream = stream_events(spark, events_dir)
-        drained = run_available_now(
-            user_running_stats_tws(stream),
-            "tws_stats_test",
-            str(tmp_path / "ckpt_tws"),
-            mode="update",
-        )
-        final = {
-            r.user_id: r
-            for r in drained.groupBy("user_id")
-            .agg(
-                F.max("n_events").alias("n_events"),
-                F.max_by("total_value_cents", "n_events").alias(
-                    "total_value_cents"
-                ),
-                F.max_by("max_value_cents", "n_events").alias(
-                    "max_value_cents"
-                ),
-            )
-            .collect()
-        }
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
+        try:
             spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
             )
+            stream = stream_events(spark, events_dir)
+            drained = run_available_now(
+                user_running_stats_tws(stream),
+                "tws_stats_test",
+                str(tmp_path / "ckpt_tws"),
+                mode="update",
+            )
+            final = {
+                r.user_id: r
+                for r in drained.groupBy("user_id")
+                .agg(
+                    F.max("n_events").alias("n_events"),
+                    F.max_by("total_value_cents", "n_events").alias(
+                        "total_value_cents"
+                    ),
+                    F.max_by("max_value_cents", "n_events").alias(
+                        "max_value_cents"
+                    ),
+                )
+                .collect()
+            }
+        finally:
+            if prev is None:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+    else:
+        import numpy as np
+
+        from mapreduce511_spark.streaming import _tws_processor
+
+        class _FakeValueState:
+            def __init__(self):
+                self._v = None
+
+            def exists(self):
+                return self._v is not None
+
+            def get(self):
+                return self._v
+
+            def update(self, v):
+                self._v = tuple(v)
+
+        class _FakeHandle:
+            def getValueState(self, name, schema):
+                return _FakeValueState()
+
+        ev_pdf = (
+            load_table(spark, SF_SMOKE, "events")
+            .select("user_id", "value")
+            .toPandas()
+        )
+        procs: dict = {}
+        final = {}
+        # three chunks = three micro-batches; within each, rows group
+        # by key exactly as transformWithStateInPandas would feed them
+        for chunk in np.array_split(ev_pdf, 3):
+            for uid, pdf in chunk.groupby("user_id"):
+                proc = procs.get(uid)
+                if proc is None:
+                    proc = _tws_processor()
+                    proc.init(_FakeHandle())
+                    procs[uid] = proc
+                out = list(proc.handleInputRows((uid,), iter([pdf]), None))
+                final[int(uid)] = out[-1].iloc[0]
+
     ev = load_table(spark, SF_SMOKE, "events")
     cents = F.round(F.col("value") * 100).cast("long")
     batch = {
