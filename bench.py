@@ -192,6 +192,19 @@ HEADLINE = [
 ]
 
 
+def _full_headline(registry) -> list[str]:
+    """EVERY registered query is timed (r5 VERDICT item 4: 107 of 252
+    were invisible to the 2x gate). The explicit HEADLINE list above
+    keeps its historical ordering for round-over-round comparability;
+    this appends the rest of the registry so a new registration can
+    never be silently untimed — n_queries == registry size by
+    construction."""
+    ordered = [n for n in HEADLINE if n in registry]
+    seen = set(ordered)
+    ordered += [n for n in registry if n not in seen]
+    return ordered
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from mapreduce511_spark import queries as suite
@@ -210,7 +223,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     steady_times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in _full_headline(registry):
         fn = registry.get(name)
         if fn is None:
             continue

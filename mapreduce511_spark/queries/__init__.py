@@ -48,65 +48,66 @@ def register(name: str, oracle: str | None = None):
 # Registration order is otherwise preserved, and the set of names is
 # identical either way.
 _ENUMERATE_FIRST: list[str] = [
-    # ROUND 5 rebuild (computed from CORRECTNESS_r01..r04): exactly
-    # 50 names.  Order: (1) the 27 queries with no CORRECTNESS row in
-    # ANY round — 24 oracled + 3 rows-only-by-design — this empties
-    # the never-driver-checked backlog; (2) queries added or changed
-    # in round 5; (3) staleness rotation (newest green row is r01).
-    # Everything re-verifies in tests/test_oracle_parity.py each
-    # session regardless.
-    # --- (1) never driver-checked, rounds 1-4 ---
-    "minhash_jaccard_estimate",
-    "lsh_recall_curve",
-    "asof_next_purchase_census",
-    "variant_props_quantiles",
-    "scd2_purchase_enrichment",
-    "user_first_path_census",
-    "ab_conversion_ztest",
-    "item_cosine_similarity",
-    "theil_sen_price_slope",
-    "approx_percentile_error_census",  # rows-only by design
-    "table_stats_census",
-    "copurchase_clustering",
-    "bucketed_join_revenue",
-    "embedding_top_component",  # rows-only by design
-    "tfidf_cosine_pairs",
-    "semantic_dedup_census",
-    "winnow_near_dup_candidates",
-    "stream_hourly_hll_users",
-    "stream_incremental_mv",
-    "stream_click_attribution_outer",
-    "collocation_pmi_top20",
-    "good_turing_unseen_mass",
-    "gopher_quality_rules",
-    "temperature_mixture_sample",
-    "bpe_encode_census",  # rows-only by design
-    "heldout_bigram_ppl",
-    "doc_quality_features",
-    # --- (2) new or changed in round 5 ---
-    "ann_lsh_topk",  # multi-probe rewrite this round
-    "item_cosine_similarity_capped",
-    "semantic_dedup_kmeans_census",  # rows-only (learned centroids)
-    "stream_state_metrics_census",  # rows-only (StreamingQueryProgress)
-    "bpe_merge_rules_batched",  # rows-only (batched trainer)
-    "multimodal_jpeg_stats",
-    "quality_classifier_score",
-    "token_fertility_census",
-    "source_mixture_census",
-    "ann_pq_topk",  # rows-only (learned codebooks)
-    "curriculum_order_manifest",
-    "unigram_lm_vocab",  # rows-only (EM-trained)
-    "unigram_lm_encode_census",  # rows-only (EM-trained)
-    "ann_ivf_pq_topk",  # rows-only (composed trained index)
-    "ann_ivf_lloyd_topk",  # oracled learned-centroid IVF
-    "quality_classifier_train",  # rows-only (iterative IRLS)
-    "duplicate_span_removal",
-    "semantic_dedup_lloyd_census",  # oracled learned-cluster dedup
-    "stream_click_attribution_full",
-    "dup_cluster_canonical",
-    "mixture_epochs_plan",
-    "wordpiece_first_merge",
-    "wordpiece_merge_rules",  # rows-only (iterative trainer)
+    # ROUND 6 rebuild (computed from CORRECTNESS_r01..r05): exactly
+    # 50 names.  Order: (1) the 12 queries with no CORRECTNESS row in
+    # ANY round — the 5 added after r5's window froze, the r6 rename
+    # + the 6 new r6 queries — this re-empties the never-checked
+    # backlog; (2) staleness rotation: the 38 alphabetically-first of
+    # the 48 queries whose newest green row is r01 (the remaining 10
+    # front-load r7).  Everything re-verifies in
+    # tests/test_oracle_parity.py each session regardless.
+    # --- (1) never driver-checked ---
+    "contrastive_triplet_export",
+    "bitext_margin_mining",
+    "histogram_quantile_census",
+    "stream_session_window_native",
+    "quality_calibration_census",
+    "ann_ivf_label_baseline",  # r6 rename of ann_ivf_topk (r01 green)
+    "ann_ivf_indexed_topk",  # rows-only (persisted IVF index, r6)
+    "sql_exact_dedup",
+    "sql_token_census",
+    "sql_region_rollup",
+    "sql_order_deciles",
+    "sql_order_price_delta",
+    # --- (2) staleness rotation (newest green row is r01) ---
+    "anti_join_customers",
+    "asof_last_signup",
+    "cube_order_stats",
+    "distinct_part_types",
+    "event_value_quantiles",
+    "json_props_stats",
+    "latest_event_per_user_type",
+    "log_averaged_cpu_series",
+    "log_averaged_mem_series",
+    "log_chart_prep_cpu",
+    "log_job_counters",
+    "log_monitor_timeseries",
+    "log_phase_cpu",
+    "log_progress_series",
+    "log_report_cpu_wide",
+    "log_report_map_wide",
+    "log_report_overlap_wide",
+    "log_report_reduce_wide",
+    "log_report_shuffle_wide",
+    "log_report_time_wide",
+    "log_result_raw",
+    "log_run_inventory",
+    "log_shuffle_invariants",
+    "log_shuffle_rate",
+    "log_stage_metrics",
+    "minhash_band_candidates",
+    "minhash_near_dup",
+    "minhash_signatures",
+    "multimodal_features",
+    "part_revenue_topk",
+    "pivot_order_status",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "rollup_orders",
+    "running_revenue",
+    "semi_join_customers",
 ]
 
 
