@@ -235,6 +235,47 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_jpeg420_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, content, fmt) with real 4:2:0 chroma-subsampled
+    baseline JPEGs for doc_id < SYNTH_DOC_LIMIT. Each image is a grid
+    of CONSTANT 16x16 MCUs (wb x hb MCUs, same grid/pixel constants
+    as the 4:4:4 twin), all three RGB channels equal to v — so Y = v
+    exactly and Cb = Cr = 128 exactly (the BT.601 coefficients sum to
+    1 / 0 and the encoder snaps), the downsampled chroma stays
+    constant, and the decoded pixel has the SAME closed form as the
+    grayscale DC chain: p = clamp(2*floor((v-128)/2 + 0.5) + 128) on
+    every RGB channel. That puts the whole 4:2:0 machinery — 2x2 luma
+    MCU interleave, chroma downsample, per-component DC prediction,
+    replication upsampling, YCbCr round trip — under the exact DuckDB
+    oracle gate while the oracle knows only the per-MCU formula."""
+    import numpy as np
+
+    from mapreduce511_spark.multimodal import jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d >= SYNTH_DOC_LIMIT:
+                    continue
+                wb = 1 + d % JPEG_GRID_WB_MOD
+                hb = 1 + (d * 5) % JPEG_GRID_HB_MOD
+                px = np.zeros((hb * 16, wb * 16, 3), dtype=np.uint8)
+                for by in range(hb):
+                    for bx in range(wb):
+                        v = (d * JPEG_PX_A + bx * JPEG_PX_BX + by * JPEG_PX_BY) % 256
+                        px[by * 16:(by + 1) * 16, bx * 16:(bx + 1) * 16, :] = v
+                rows.append(
+                    (d, jpeg.encode_jpeg(px, subsampling="420"), jpeg.JPEG_FMT)
+                )
+        yield pd.DataFrame(rows, columns=["doc_id", "content", "fmt"])
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, content binary, fmt string"
+    )
+
+
 DECODED_SCHEMA = (
     "doc_id long, kind string, width int, height int, n_vals long, "
     "sum_val long, min_val long, max_val long, hist_sum long"

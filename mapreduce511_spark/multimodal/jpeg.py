@@ -1,12 +1,15 @@
 """Baseline-sequential JPEG codec — stdlib + numpy only.
 
 Scope (honest): baseline DCT (SOF0), 8-bit samples, Huffman entropy
-coding, 1-component grayscale or N-component 4:4:4 (all sampling
-factors 1x1), no restart markers, no progressive/arithmetic modes.
-That covers every JPEG this repo's fixtures emit and the common
-"quality-saved RGB without chroma subsampling" class; anything else
-raises ``ValueError`` loudly (the honest-gate discipline of
-``codecs.decode_real``).
+coding, 1-component grayscale or 3-component with sampling factors in
+{1, 2} — 4:4:4, 4:2:0 (2x2 luma MCUs + replication upsampling, the
+dominant real-corpus JPEG class, added r6 per the r5 VERDICT) and
+4:2:2; whole-MCU dimensions only; no restart markers, no
+progressive/arithmetic modes. Anything else raises ``ValueError``
+loudly (the honest-gate discipline of ``codecs.decode_real``).
+Chroma upsampling is sample REPLICATION (each chroma sample covers
+its 2x2 or 2x1 pixel footprint) — the deterministic choice a SQL
+oracle can restate, equivalent to libjpeg's -nosmooth path.
 
 Determinism discipline: the only float stages are the DCT/IDCT;
 coefficients and reconstructed samples are SNAPPED to exact integers
@@ -271,12 +274,31 @@ def _encode_channel_coeffs(
     return pred
 
 
-def encode_jpeg(pixels: np.ndarray, q: np.ndarray = QTABLE_LUM) -> bytes:
-    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 (h, w multiples
-    of 8) as baseline JPEG — 4:4:4, one shared quant + Huffman table
-    set (the Annex K luminance tables), interleaved single scan."""
+def _downsample2(ch: np.ndarray) -> np.ndarray:
+    """2x2 box downsample with explicit deterministic arithmetic:
+    mean of the 4 covered samples, snapped and half-up rounded (the
+    inputs are whole numbers, so the mean is an exact multiple of
+    0.25 and the rounding is boundary-stable)."""
+    h, w = ch.shape
+    m = ch.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3)) / 4.0
+    return np.clip(_round_half_up(_snap(m)), 0, 255)
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    q: np.ndarray = QTABLE_LUM,
+    subsampling: str = "444",
+) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as baseline
+    JPEG with one shared quant + Huffman table set (the Annex K
+    luminance tables), interleaved single scan. ``subsampling``:
+    "444" (all 1x1 — h, w multiples of 8) or "420" (2x2 luma MCUs,
+    2x2-box-downsampled chroma — h, w multiples of 16)."""
     if pixels.ndim == 2:
-        channels = [pixels]
+        channels = [pixels.astype(np.float64)]
+        samps = [(1, 1)]
+        if subsampling != "444":
+            raise ValueError("grayscale has no chroma to subsample")
     elif pixels.ndim == 3 and pixels.shape[2] == 3:
         # JFIF YCbCr (BT.601), explicit half-up rounding
         rgb = pixels.astype(np.float64)
@@ -284,13 +306,25 @@ def encode_jpeg(pixels: np.ndarray, q: np.ndarray = QTABLE_LUM) -> bytes:
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        channels = [
+        y, cb, cr = (
             np.clip(_round_half_up(_snap(ch)), 0, 255) for ch in (y, cb, cr)
-        ]
+        )
+        if subsampling == "444":
+            channels = [y, cb, cr]
+            samps = [(1, 1), (1, 1), (1, 1)]
+        elif subsampling == "420":
+            if pixels.shape[0] % 16 or pixels.shape[1] % 16:
+                raise ValueError("4:2:0 needs dimensions multiple of 16")
+            channels = [y, _downsample2(cb), _downsample2(cr)]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
     else:
         raise ValueError("pixels must be (h, w) or (h, w, 3)")
     h, w = channels[0].shape
-    if h % 8 or w % 8:
+    h_max = max(s[0] for s in samps)
+    v_max = max(s[1] for s in samps)
+    if h % (8 * v_max) or w % (8 * h_max):
         raise ValueError("dimensions must be multiples of 8")
     nc = len(channels)
 
@@ -302,7 +336,8 @@ def encode_jpeg(pixels: np.ndarray, q: np.ndarray = QTABLE_LUM) -> bytes:
     # SOF0
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
-        sof += struct.pack(">BBB", ci + 1, 0x11, 0)  # 1x1 sampling, qtable 0
+        hi, vi = samps[ci]
+        sof += struct.pack(">BBB", ci + 1, (hi << 4) | vi, 0)
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     # DHT: DC table 0, AC table 0
     dc_payload = bytes([0x00] + DC_BITS + DC_VALS)
@@ -318,17 +353,27 @@ def encode_jpeg(pixels: np.ndarray, q: np.ndarray = QTABLE_LUM) -> bytes:
     dc_codes = _build_codes(DC_BITS, DC_VALS)
     ac_codes = _build_codes(AC_BITS, AC_VALS)
     writer = _BitWriter()
-    coeffs = [block_coefficients(np.asarray(ch, dtype=np.float64), q) for ch in channels]
+    coeffs = [
+        block_coefficients(np.asarray(ch, dtype=np.float64), q)
+        for ch in channels
+    ]
     preds = [0] * nc
-    by, bx = h // 8, w // 8
-    # interleaved MCU = one 8x8 block per component (all 1x1)
-    for r in range(by):
-        for c in range(bx):
+    mcu_y, mcu_x = h // (8 * v_max), w // (8 * h_max)
+    # interleaved MCU: vi x hi blocks per component, row-major
+    for my in range(mcu_y):
+        for mx in range(mcu_x):
             for ci in range(nc):
-                preds[ci] = _encode_channel_coeffs(
-                    coeffs[ci][r:r + 1, c:c + 1], writer, dc_codes, ac_codes,
-                    preds[ci],
-                )
+                hi, vi = samps[ci]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        r, c = my * vi + byi, mx * hi + bxi
+                        preds[ci] = _encode_channel_coeffs(
+                            coeffs[ci][r:r + 1, c:c + 1],
+                            writer,
+                            dc_codes,
+                            ac_codes,
+                            preds[ci],
+                        )
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -365,7 +410,17 @@ def _parse_segments(payload: bytes):
 def decode_jpeg_coeffs(payload: bytes):
     """Decode through the LOSSLESS layers only: returns (w, h,
     [per-component quantized coefficient arrays], [quant tables]) —
-    the entropy-exact surface the round-trip tests compare."""
+    the entropy-exact surface the round-trip tests compare. Each
+    component's array is at ITS OWN block grid (a 4:2:0 chroma plane
+    has 1/4 the luma blocks)."""
+    w, h, _comps, coeffs, qlist = _decode_coeffs_full(payload)
+    return w, h, coeffs, qlist
+
+
+def _decode_coeffs_full(payload: bytes):
+    """(w, h, comps, coeffs, qlist) with comps = [(cid, hi, vi, tq)]
+    — the general interleaved-MCU decode for sampling factors in
+    {1, 2} (4:4:4 is the Hmax = Vmax = 1 special case)."""
     segs, sos, data = _parse_segments(payload)
     qtables: dict[int, np.ndarray] = {}
     dc_dec: dict[int, dict] = {}
@@ -391,11 +446,13 @@ def decode_jpeg_coeffs(payload: bytes):
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(
-                        "only 1x1 sampling (no chroma subsampling) supported"
+                        f"sampling factors {hi}x{vi} unsupported"
+                        " (1 and 2 only: 4:4:4 / 4:2:2 / 4:2:0)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hi, vi, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -419,9 +476,14 @@ def decode_jpeg_coeffs(payload: bytes):
             raise ValueError("restart intervals unsupported")
     if comps is None or h is None:
         raise ValueError("JPEG missing SOF0")
-    if h % 8 or w % 8:
-        raise ValueError("non-multiple-of-8 dimensions unsupported")
     nc = len(comps)
+    h_max = max(c[1] for c in comps)
+    v_max = max(c[2] for c in comps)
+    if h % (8 * v_max) or w % (8 * h_max):
+        raise ValueError(
+            "non-whole-MCU dimensions unsupported "
+            f"({w}x{h} with {h_max}x{v_max} max sampling)"
+        )
     ns = sos[0]
     if ns != nc:
         raise ValueError("partial scans unsupported")
@@ -430,58 +492,74 @@ def decode_jpeg_coeffs(payload: bytes):
         cs, tt = sos[1 + 2 * si], sos[2 + 2 * si]
         tabsel[cs] = (tt >> 4, tt & 0xF)
     reader = _BitReader(data)
-    by, bx = h // 8, w // 8
-    coeffs = [np.zeros((by, bx, 8, 8), dtype=np.int64) for _ in range(nc)]
+    mcu_y, mcu_x = h // (8 * v_max), w // (8 * h_max)
+    coeffs = [
+        np.zeros((mcu_y * vi, mcu_x * hi, 8, 8), dtype=np.int64)
+        for _cid, hi, vi, _tq in comps
+    ]
     preds = [0] * nc
-    for r in range(by):
-        for c in range(bx):
-            for ci, (cid, _tq) in enumerate(comps):
+    for my in range(mcu_y):
+        for mx in range(mcu_x):
+            for ci, (cid, hi, vi, _tq) in enumerate(comps):
                 td, ta = tabsel[cid]
-                s = reader.read_symbol(dc_dec[td])
-                diff = _extend(reader.read_bits(s), s) if s else 0
-                preds[ci] += diff
-                zz = np.zeros(64, dtype=np.int64)
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    sym = reader.read_symbol(ac_dec[ta])
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run overflows block")
-                    zz[k] = _extend(reader.read_bits(size), size)
-                    k += 1
-                blk = np.zeros((8, 8), dtype=np.int64)
-                for kk, (i, j) in enumerate(_ZZ):
-                    blk[i, j] = zz[kk]
-                coeffs[ci][r, c] = blk
-    qlist = [qtables[tq] for _cid, tq in comps]
-    return w, h, coeffs, qlist
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        s = reader.read_symbol(dc_dec[td])
+                        diff = (
+                            _extend(reader.read_bits(s), s) if s else 0
+                        )
+                        preds[ci] += diff
+                        zz = np.zeros(64, dtype=np.int64)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = reader.read_symbol(ac_dec[ta])
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0xF
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run overflows block")
+                            zz[k] = _extend(reader.read_bits(size), size)
+                            k += 1
+                        blk = np.zeros((8, 8), dtype=np.int64)
+                        for kk, (i, j) in enumerate(_ZZ):
+                            blk[i, j] = zz[kk]
+                        coeffs[ci][my * vi + byi, mx * hi + bxi] = blk
+    qlist = [qtables[tq] for _cid, _hi, _vi, tq in comps]
+    return w, h, comps, coeffs, qlist
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Full decode: (w, h, pixels) with pixels (h, w) uint8 for
-    grayscale or (h, w, 3) uint8 RGB for 3-component 4:4:4."""
-    w, h, coeffs, qlist = decode_jpeg_coeffs(payload)
+    grayscale or (h, w, 3) uint8 RGB for 3-component 4:4:4 / 4:2:2 /
+    4:2:0 (subsampled chroma upsampled by replication)."""
+    w, h, comps, coeffs, qlist = _decode_coeffs_full(payload)
     nc = len(coeffs)
-    by, bx = h // 8, w // 8
+    h_max = max(c[1] for c in comps)
+    v_max = max(c[2] for c in comps)
     planes = []
     for ci in range(nc):
-        plane = np.zeros((h, w))
+        _cid, hi, vi, _tq = comps[ci]
+        by, bx = coeffs[ci].shape[:2]
+        plane = np.zeros((by * 8, bx * 8))
         q = qlist[ci]
         for r in range(by):
             for c in range(bx):
                 deq = coeffs[ci][r, c] * q
                 blk = _snap(_DCT.T @ deq.astype(np.float64) @ _DCT)
                 plane[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = blk
-        planes.append(
-            np.clip(_round_half_up(plane) + 128.0, 0, 255)
-        )
+        full = np.clip(_round_half_up(plane) + 128.0, 0, 255)
+        # replication upsampling to the luma grid (deterministic,
+        # SQL-restatable: each chroma sample covers its footprint)
+        if vi != v_max:
+            full = np.repeat(full, v_max // vi, axis=0)
+        if hi != h_max:
+            full = np.repeat(full, h_max // hi, axis=1)
+        planes.append(full)
     if nc == 1:
         return w, h, planes[0].astype(np.uint8)
     if nc == 3:

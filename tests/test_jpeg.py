@@ -102,3 +102,86 @@ def test_decode_real_dispatch():
     assert (w, h) == (8, 8)
     with pytest.raises(NotImplementedError):
         codecs.decode_real(b"xx", "audio/mp3")
+
+
+# --- 4:2:0 chroma subsampling (r6, r5 VERDICT item 6) ----------------
+
+
+def test_420_entropy_layer_exact():
+    """The interleaved 4-Y+Cb+Cr MCU walk must reproduce every
+    component's quantized coefficients bit-for-bit — luma at the full
+    block grid, chroma at the 2x2-downsampled grid. Random pixels
+    maximize AC activity through the subsampled path too."""
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, (32, 16, 3)).astype(np.uint8)
+    payload = J.encode_jpeg(px, subsampling="420")
+    w, h, coeffs, qs = J.decode_jpeg_coeffs(payload)
+    assert (w, h) == (16, 32)
+    assert coeffs[0].shape[:2] == (4, 2)  # luma: full grid
+    assert coeffs[1].shape[:2] == (2, 1)  # chroma: quarter grid
+    # rebuild expected coefficients from the encoder's own channel
+    # pipeline (BT.601 + snap/half-up + 2x2 box downsample)
+    rgb = px.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = np.clip(J._round_half_up(J._snap(0.299 * r + 0.587 * g + 0.114 * b)), 0, 255)
+    cb = np.clip(
+        J._round_half_up(J._snap(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0)),
+        0,
+        255,
+    )
+    cr = np.clip(
+        J._round_half_up(J._snap(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0)),
+        0,
+        255,
+    )
+    for ci, ch in enumerate([y, J._downsample2(cb), J._downsample2(cr)]):
+        assert np.array_equal(coeffs[ci], J.block_coefficients(ch)), ci
+    assert all(np.array_equal(q, J.QTABLE_LUM) for q in qs)
+
+
+def test_420_constant_mcus_match_closed_form():
+    """Constant gray 16x16 MCUs: Y = v and Cb = Cr = 128 exactly, so
+    every decoded RGB channel must equal the grayscale DC closed form
+    p = clamp(2*floor((v-128)/2 + 0.5) + 128) — the invariant the
+    multimodal_jpeg420_stats oracle states. Varying MCU values force
+    non-zero per-component DC prediction chains through the
+    interleave."""
+    px = np.zeros((32, 48, 3), dtype=np.uint8)
+    vals = {}
+    for by in range(2):
+        for bx in range(3):
+            v = (9 * 31 + bx * 7 + by * 13) % 256
+            vals[(by, bx)] = v
+            px[by * 16:(by + 1) * 16, bx * 16:(bx + 1) * 16, :] = v
+    w, h, dec = J.decode_jpeg(J.encode_jpeg(px, subsampling="420"))
+    assert (w, h) == (48, 32) and dec.shape == (32, 48, 3)
+    for (by, bx), v in vals.items():
+        q = int(np.floor((v - 128) / 2 + 0.5))
+        p = min(255, max(0, 2 * q + 128))
+        got = dec[by * 16:(by + 1) * 16, bx * 16:(bx + 1) * 16, :]
+        assert (got == p).all(), (v, p, np.unique(got))
+
+
+def test_420_smooth_image_decode_error_bounded():
+    """Smooth chroma survives subsampling: a horizontal luma gradient
+    with constant color reconstructs within a few levels per channel."""
+    x = np.linspace(40, 215, 32)
+    px = np.stack([np.tile(x, (32, 1))] * 3, axis=-1).astype(np.uint8)
+    _, _, dec = J.decode_jpeg(J.encode_jpeg(px, subsampling="420"))
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 12
+
+
+def test_420_gates_fail_loudly():
+    with pytest.raises(ValueError, match="multiple of 16"):
+        J.encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsampling="420")
+    with pytest.raises(ValueError, match="chroma"):
+        J.encode_jpeg(np.zeros((16, 16), np.uint8), subsampling="420")
+    with pytest.raises(ValueError, match="unsupported subsampling"):
+        J.encode_jpeg(np.zeros((16, 16, 3), np.uint8), subsampling="411")
+    # sampling factors > 2 in the header must be rejected
+    payload = bytearray(J.encode_jpeg(np.zeros((16, 16, 3), np.uint8),
+                                      subsampling="420"))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 11] = 0x33  # comp 1 sampling 3x3
+    with pytest.raises(ValueError, match="sampling factors"):
+        J.decode_jpeg(bytes(payload))
