@@ -207,7 +207,15 @@ def sql_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_order_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(10) decile distribution as literal shared SQL — the
     global window's ORDER BY carries the o_orderkey tiebreak so both
-    engines assign identical deciles at duplicate prices."""
+    engines assign identical deciles at duplicate prices.
+
+    HONEST SCALE NOTE: an exact global ntile is a single-partition
+    sort in any engine (Spark plans one window task) — fine for a
+    report over a reduced table, wrong for 100 TB of raw rows. The
+    distributed formulation is percentile BOUNDARIES + a range join
+    (see ``order_percentile_bands``, which this repo ships as the
+    scale path); this query exists as the SQL-surface parity twin of
+    the report idiom."""
     return run_sql(spark, sf_dir, _SQL_ORDER_DECILES)
 
 

@@ -65,6 +65,12 @@ PICKS = {
     "bitext_margin_mining": "Broadcast target block; per-source rank window; fixed-column top-4 pivot",
     "contrastive_triplet_export": "MinHash pair stage + map-side hash-seeded negatives (1-row count broadcast)",
     "histogram_quantile_census": "1024-cell combinable histogram off 1-row min/max broadcast; cumulative walk over bins",
+    # round 6
+    "ann_pq_topk": "Persisted PQ index: codes-only ADC scan (ReadSchema has no embedding), driver-computed probe tables, exact re-rank fetches survivors",
+    "ann_ivf_pq_topk": "IVF-PQ off the cell-partitioned index: PartitionFilters prunes to the probed cells; ADC reads codes only",
+    "ann_ivf_indexed_topk": "Persisted IVF parquet index: PartitionFilters cell pruning, broadcast probe cells, windowed top-k over candidates",
+    "sql_region_rollup": "Literal shared SQL: ROLLUP as one Expand over one fact scan, dims broadcast",
+    "multimodal_jpeg420_stats": "Arrow-batched 4:2:0 JPEG decode where the bytes live; single combinable aggregate, no shuffle of pixels",
 }
 
 
