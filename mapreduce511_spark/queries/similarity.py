@@ -1226,31 +1226,25 @@ def ensemble_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     between engines. vec_id and doc_id share the testdata's id space
     (row i's embedding encodes document i).
 
-    Scale shape: candidates come from the embedding side first
-    (at 100 TB: LSH bands or the blocked GEMM, not this exact
-    self-join), then ONE hash join per side attaches token sets only
-    for candidate ids — the text of non-candidates is never read."""
-    from mapreduce511_spark.functions.vectors import dot, l2_norm
+    Scale shape (made literal in r6): the candidate stage IS the
+    both-sides-blocked GEMM (``operators/ann.py:cosine_pairs_blocked``
+    — bounded task memory, no nested-loop self-join; this was the
+    expression-based exact self-join before, 23.7 s at sf0.1 vs 3 s
+    now, and the docstring already named the GEMM as the 100 TB
+    path), then ONE hash join per side attaches token sets only for
+    candidate ids — the text of non-candidates is never read. Oracle
+    exactness carries the same measured-margin argument as
+    ``embedding_near_dup_blocked``: GEMM association order could
+    differ by ~1e-15 at the threshold/rounding boundary, the
+    testdata's margins are ~1e-3."""
+    from mapreduce511_spark.operators.ann import cosine_pairs_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
-    with_norm = emb.select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
-    )
-    a = with_norm.select(
-        F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = with_norm.select(
-        F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    cand = (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("cos", cos)
-        .filter(F.col("cos") >= _COS_DUP_T)
-        .select("doc_a", "doc_b", "cos")
+    cand = cosine_pairs_blocked(emb, _COS_DUP_T).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        "cos_sim",
     )
     toks = docs.select(
         "doc_id", F.array_distinct(tokenize("text")).alias("tk")
@@ -1265,10 +1259,7 @@ def ensemble_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_common", n_common.cast("long"))
         .withColumn("n_union", n_union.cast("long"))
         .filter(F.col("n_common") * 10 >= F.col("n_union") * 3)
-        .select(
-            "doc_a", "doc_b", F.round("cos", 4).alias("cos_sim"),
-            "n_common", "n_union",
-        )
+        .select("doc_a", "doc_b", "cos_sim", "n_common", "n_union")
     )
 
 
