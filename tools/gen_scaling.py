@@ -114,6 +114,15 @@ PICKS = {
     "bitext_margin_mining": "in-block exact kernel: |A| x |B| pair scoring (IVF-bounded at scale)",
     "contrastive_triplet_export": "dedup-pipeline cost + map-side hash negatives; rows ~ mined pairs",
     "histogram_quantile_census": "two scans (min/max + histogram); sketch state fixed at 1024 cells",
+    # round 6
+    "ann_pq_topk": "index build amortized (persisted parquet, content-keyed); query = codes-only ADC scan + bounded re-rank",
+    "ann_ivf_pq_topk": "persisted cell-partitioned index: PartitionFilters reads nprobe/k of codes; re-rank bounded",
+    "ann_ivf_indexed_topk": "persisted IVF parquet: partition-pruned scan ~ nprobe/k of corpus per probe batch",
+    "concurrent_user_spans": "hour-bucket equi-join, one bucket per pair (no distinct); cost ~ fan-out + output pairs",
+    "ensemble_near_dup": "blocked-GEMM candidates (bounded task memory) + token verify on candidate ids only",
+    "sql_region_rollup": "literal shared SQL: ROLLUP Expand over one fact scan; dims broadcast",
+    "sql_token_census": "literal shared SQL: linear length arithmetic; |langs| output rows",
+    "multimodal_jpeg420_stats": "per-doc 4:2:0 encode+decode in Arrow batches; embarrassingly parallel",
 }
 
 
