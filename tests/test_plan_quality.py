@@ -304,3 +304,50 @@ def test_runtime_bloom_filter_join_pruning(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_pq_adc_scan_reads_codes_only(spark):
+    """ann_pq_topk's ADC stage must scan ONLY (vec_id, codes) from
+    the persisted index — the m-byte-codes memory story must hold at
+    the IO layer, not just in prose: every index FileScan that reads
+    codes must not also read the float embeddings."""
+    plan = _plan(spark, "ann_pq_topk")
+    scans = [
+        seg.split("\n", 1)[0]
+        for seg in plan.split("ReadSchema: ")[1:]
+    ]
+    code_scans = [s for s in scans if "codes" in s]
+    assert code_scans, f"no codes scan found: {scans}"
+    for s in code_scans:
+        assert "embedding" not in s, s
+
+
+def test_ivf_pq_index_scan_partition_prunes(spark):
+    """ann_ivf_pq_topk must carry PartitionFilters with a cell INSET
+    on its index scans — the probed cells bound the file IO."""
+    plan = _plan(spark, "ann_ivf_pq_topk")
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:200]
+    assert "cell" in pf and "INSET" in pf, pf
+
+
+def test_ensemble_candidates_avoid_nested_loop(spark):
+    """ensemble_near_dup's candidate stage is the blocked GEMM (r6):
+    the plan must contain no BroadcastNestedLoopJoin (the old exact
+    self-join shape) — candidates co-locate via the block-pair
+    shuffle and everything else is a hash join."""
+    plan = _plan(spark, "ensemble_near_dup")
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "FlatMapGroupsInPandas" in plan  # the GEMM stage
+
+
+def test_concurrent_spans_has_no_pair_distinct(spark):
+    """concurrent_user_spans emits each pair in exactly one hour
+    bucket (join condition pins hour(greatest(s_a, s_b))), so the
+    plan must contain NO distinct aggregate over the pair stream —
+    the r5-era 24x-fanout dedup shuffle is structurally gone. The
+    only aggregates allowed are the partial/final pair of the span
+    groupBy on each join side."""
+    plan = _plan(spark, "concurrent_user_spans")
+    assert plan.count("HashAggregate") <= 4, plan.count("HashAggregate")
+    assert "greatest" in plan  # the bucket-pinning condition survived
