@@ -160,11 +160,20 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce511_spark.functions.vectors import dot, l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # precompute each vector's norm ONCE before pairing: the naive
-    # cosine-per-pair recomputes both norms for every pair (3 array
-    # passes/pair); with norms attached it's 1 dot per pair. Same
-    # doubles (norm is the same expression either way).
-    with_norm = emb.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+    # precompute each vector's norm AND the float->double cast ONCE
+    # per row before pairing: the naive cosine-per-pair recomputes
+    # both norms for every pair (3 array passes/pair) and the fold
+    # casts both arrays element-wise per pair; with norms attached
+    # and doubles pre-cast it's 1 cast-free dot per pair. Same
+    # doubles (cast(float as double) is exact; norm is the same
+    # expression either way). An expanded 64-term scalar sum was
+    # tried and is 3x SLOWER (128 element_at calls/pair fall out of
+    # whole-stage codegen) — the zip_with fold is the right kernel.
+    with_norm = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
     a = with_norm.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
         F.col("nrm").alias("na"),
