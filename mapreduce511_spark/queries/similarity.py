@@ -2216,3 +2216,34 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_search_indexed(
         spark, path, probes, centroids, books, nprobe=4, topk=_IVF_TOPK
     )
+
+
+@register("ann_ivf_pq_residual_topk")
+def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with RESIDUAL encoding (Jégou et al. 2011) — the
+    refinement the plain IVF-PQ docstring documents: PQ codebooks
+    quantize r = u - centroid[cell] instead of the raw unit vectors,
+    so the same 4-bit/subspace budget spends its resolution on what
+    the coarse cells could not express. The approximate score is
+    <pu, centroid[cell]> (a per-(probe, cell) driver constant) plus
+    the usual m residual-table lookups, so the plan shape is
+    unchanged from ``ann_ivf_pq_topk``: persisted cell-partitioned
+    index, PartitionFilters pruning, codes-only ADC scan, exact
+    re-rank. Rows-only (both trainings iterative); tests/test_ann.py
+    pins recall at least as high as the raw-vector IVF-PQ at the
+    registered rerank=32 (both 0.88, nprobe-bounded) AND the strict
+    residual-ADC edge at tight re-rank (0.56 vs 0.42 at rerank=2,
+    sf0.01)."""
+    from mapreduce511_spark.operators.ann import (
+        ensure_pq_residual_index,
+        ivf_pq_residual_search_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path, books, centroids = ensure_pq_residual_index(emb)
+    probes = emb.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
+    )
+    return ivf_pq_residual_search_indexed(
+        spark, path, probes, centroids, books, nprobe=4, topk=_IVF_TOPK
+    )

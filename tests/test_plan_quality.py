@@ -331,6 +331,22 @@ def test_ivf_pq_index_scan_partition_prunes(spark):
     assert "cell" in pf and "INSET" in pf, pf
 
 
+def test_ivf_pq_residual_scan_prunes_and_reads_codes_only(spark):
+    """ann_ivf_pq_residual_topk inherits BOTH index-scan guarantees:
+    PartitionFilters cell INSET pruning (the probed cells bound the
+    IO) and a codes-only ReadSchema on the ADC scan (the residual
+    tables change the arithmetic, not the IO shape)."""
+    plan = _plan(spark, "ann_ivf_pq_residual_topk")
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:200]
+    assert "cell" in pf and "INSET" in pf, pf
+    scans = [seg.split("\n", 1)[0] for seg in plan.split("ReadSchema: ")[1:]]
+    code_scans = [s for s in scans if "codes" in s]
+    assert code_scans, f"no codes scan found: {scans}"
+    for s in code_scans:
+        assert "embedding" not in s, s
+
+
 def test_ensemble_candidates_avoid_nested_loop(spark):
     """ensemble_near_dup's candidate stage is the blocked GEMM (r6):
     the plan must contain no BroadcastNestedLoopJoin (the old exact

@@ -69,6 +69,7 @@ PICKS = {
     "ann_pq_topk": "Persisted PQ index: codes-only ADC scan (ReadSchema has no embedding), driver-computed probe tables, exact re-rank fetches survivors",
     "ann_ivf_pq_topk": "IVF-PQ off the cell-partitioned index: PartitionFilters prunes to the probed cells; ADC reads codes only",
     "ann_ivf_indexed_topk": "Persisted IVF parquet index: PartitionFilters cell pruning, broadcast probe cells, windowed top-k over candidates",
+    "ann_ivf_pq_residual_topk": "IVFADC residual index: per-(probe,cell) additive centroid term + codes-only residual ADC; same pruned plan as IVF-PQ",
     "sql_region_rollup": "Literal shared SQL: ROLLUP as one Expand over one fact scan, dims broadcast",
     "multimodal_jpeg420_stats": "Arrow-batched 4:2:0 JPEG decode where the bytes live; single combinable aggregate, no shuffle of pixels",
 }

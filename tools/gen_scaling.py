@@ -118,6 +118,7 @@ PICKS = {
     "ann_pq_topk": "index build amortized (persisted parquet, content-keyed); query = codes-only ADC scan + bounded re-rank",
     "ann_ivf_pq_topk": "persisted cell-partitioned index: PartitionFilters reads nprobe/k of codes; re-rank bounded",
     "ann_ivf_indexed_topk": "persisted IVF parquet: partition-pruned scan ~ nprobe/k of corpus per probe batch",
+    "ann_ivf_pq_residual_topk": "residual codes buy recall at the same m*k budget; scan/prune identical to IVF-PQ",
     "concurrent_user_spans": "hour-bucket equi-join, one bucket per pair (no distinct); cost ~ fan-out + output pairs",
     "ensemble_near_dup": "blocked-GEMM candidates (bounded task memory) + token verify on candidate ids only",
     "sql_region_rollup": "literal shared SQL: ROLLUP Expand over one fact scan; dims broadcast",
