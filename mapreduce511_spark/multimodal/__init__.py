@@ -276,6 +276,57 @@ def synth_jpeg420_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_jpeg_progressive_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, content, fmt) with real PROGRESSIVE (SOF2) 4:2:0
+    JPEGs for doc_id < SYNTH_DOC_LIMIT — same constant-MCU fixture
+    grid as ``synth_jpeg420_media``, encoded through the full
+    spectral-selection + successive-approximation scan script
+    (``jpeg_progressive.py``), with a restart interval of 2 MCUs.
+    Constant MCUs make every AC scan an image-wide EOB run and split
+    the DC value across a first scan at Al=1 plus a refinement bit,
+    so a correct decode must get EOBn runs (chopped at each RSTn —
+    runs never cross a restart), per-scan DC prediction with
+    per-restart resets, the point transforms and the multi-SOS
+    segment walk right to land on the SAME closed form as the
+    baseline twin; general content is proven coefficient-exact in
+    tests/test_jpeg.py."""
+    import numpy as np
+
+    from mapreduce511_spark.multimodal import jpeg
+    from mapreduce511_spark.multimodal.jpeg_progressive import (
+        encode_jpeg_progressive,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d >= SYNTH_DOC_LIMIT:
+                    continue
+                wb = 1 + d % JPEG_GRID_WB_MOD
+                hb = 1 + (d * 5) % JPEG_GRID_HB_MOD
+                px = np.zeros((hb * 16, wb * 16, 3), dtype=np.uint8)
+                for by in range(hb):
+                    for bx in range(wb):
+                        v = (d * JPEG_PX_A + bx * JPEG_PX_BX + by * JPEG_PX_BY) % 256
+                        px[by * 16:(by + 1) * 16, bx * 16:(bx + 1) * 16, :] = v
+                rows.append(
+                    (
+                        d,
+                        encode_jpeg_progressive(
+                            px, subsampling="420", restart_interval=2
+                        ),
+                        jpeg.JPEG_FMT,
+                    )
+                )
+        yield pd.DataFrame(rows, columns=["doc_id", "content", "fmt"])
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, content binary, fmt string"
+    )
+
+
 DECODED_SCHEMA = (
     "doc_id long, kind string, width int, height int, n_vals long, "
     "sum_val long, min_val long, max_val long, hist_sum long"

@@ -115,11 +115,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 def decode_real(payload: bytes, fmt: str):
     """Real decode dispatch. BMP, WAV, (non-interlaced RGB8) PNG and
-    baseline-sequential JPEG (SOF0: 4:4:4, 4:2:2 and 4:2:0 chroma
-    subsampling — see ``jpeg.py`` for the honest scope) are
-    implemented natively; the remaining compressed formats (MP3/H.264,
-    progressive/arithmetic JPEG) stay honestly stubbed until real
-    codec libraries exist in the environment."""
+    JPEG — baseline SOF0 and progressive SOF2, each with 4:4:4 /
+    4:2:2 / 4:2:0 chroma subsampling (see ``jpeg.py`` for the honest
+    scope) — are implemented natively; the remaining compressed
+    formats (MP3/H.264, arithmetic-coded JPEG) stay honestly stubbed
+    until real codec libraries exist in the environment."""
     if fmt in (BMP_FMT, "bmp"):
         return decode_bmp(payload)
     if fmt in (WAV_FMT, "wav"):
@@ -132,8 +132,8 @@ def decode_real(payload: bytes, fmt: str):
         return decode_jpeg(payload)
     raise NotImplementedError(
         f"no native decoder for {fmt!r}: this environment has no "
-        "image/audio codec libraries; BMP, WAV, RGB8 PNG and baseline "
-        "4:4:4 JPEG decode natively"
+        "image/audio codec libraries; BMP, WAV, RGB8 PNG and JPEG "
+        "(baseline + progressive) decode natively"
     )
 
 

@@ -1,12 +1,15 @@
-"""Baseline-sequential JPEG codec — stdlib + numpy only.
+"""JPEG codec (baseline SOF0 + progressive SOF2) — stdlib + numpy.
 
-Scope (honest): baseline DCT (SOF0), 8-bit samples, Huffman entropy
-coding, 1-component grayscale or 3-component with sampling factors in
-{1, 2} — 4:4:4, 4:2:0 (2x2 luma MCUs + replication upsampling, the
-dominant real-corpus JPEG class, added r6 per the r5 VERDICT) and
-4:2:2; whole-MCU dimensions only; no restart markers, no
-progressive/arithmetic modes. Anything else raises ``ValueError``
-loudly (the honest-gate discipline of ``codecs.decode_real``).
+Scope (honest): baseline DCT (SOF0) and progressive DCT (SOF2,
+spectral selection + successive approximation — decode here, encoder
+in ``jpeg_progressive.py``), 8-bit samples, Huffman entropy coding,
+1-component grayscale or 3-component with sampling factors in {1, 2}
+— 4:4:4, 4:2:0 (2x2 luma MCUs + replication upsampling, the dominant
+real-corpus JPEG class, added r6 per the r5 VERDICT) and 4:2:2;
+restart markers (DRI/RSTn with modulo-8 sequence checking) in both
+modes; whole-MCU dimensions only; no hierarchical/lossless/arithmetic
+modes. Anything else raises ``ValueError`` loudly (the honest-gate
+discipline of ``codecs.decode_real``).
 Chroma upsampling is sample REPLICATION (each chroma sample covers
 its 2x2 or 2x1 pixel footprint) — the deterministic choice a SQL
 oracle can restate, equivalent to libjpeg's -nosmooth path.
@@ -147,10 +150,21 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+    def marker(self, byte2: int) -> None:
+        """Append a bare marker (0xFF <byte2>) — byte-aligned and
+        NEVER stuffed, per F.1.2.3 (restart markers interleave with
+        entropy data at byte boundaries)."""
+        self.pad_to_byte()
+        self.buf.append(0xFF)
+        self.buf.append(byte2)
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.buf)
 
 
@@ -174,8 +188,9 @@ class _BitReader:
                 self.pos += 1
                 if marker != 0x00:
                     raise ValueError(
-                        f"unexpected marker 0xFF{marker:02X} in entropy data"
-                        " (restart intervals unsupported)"
+                        f"unexpected marker 0xFF{marker:02X} in entropy"
+                        " data (a restart marker is only legal at the"
+                        " declared interval boundary)"
                     )
             self.acc = b
             self.nbits = 8
@@ -187,6 +202,28 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def restart(self, expect: int) -> None:
+        """Consume an RSTn at an interval boundary: discard the
+        padding bits of the current byte, then require the marker
+        with the expected modulo-8 sequence number."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError(
+                "expected a restart marker at the declared interval"
+            )
+        got = self.data[self.pos + 1] & 0x7
+        if got != expect & 0x7:
+            raise ValueError(
+                f"restart marker out of sequence (RST{got}, "
+                f"expected RST{expect & 0x7})"
+            )
+        self.pos += 2
 
     def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
         code = 0
@@ -284,16 +321,22 @@ def _downsample2(ch: np.ndarray) -> np.ndarray:
     return np.clip(_round_half_up(_snap(m)), 0, 255)
 
 
-def encode_jpeg(
-    pixels: np.ndarray,
-    q: np.ndarray = QTABLE_LUM,
-    subsampling: str = "444",
-) -> bytes:
-    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as baseline
-    JPEG with one shared quant + Huffman table set (the Annex K
-    luminance tables), interleaved single scan. ``subsampling``:
-    "444" (all 1x1 — h, w multiples of 8) or "420" (2x2 luma MCUs,
-    2x2-box-downsampled chroma — h, w multiples of 16)."""
+def _downsample2h(ch: np.ndarray) -> np.ndarray:
+    """Horizontal-only 2x1 box downsample (4:2:2): mean of each
+    horizontal pair, exact multiple of 0.5, same snap + half-up
+    rounding discipline as the 2x2 variant."""
+    h, w = ch.shape
+    m = ch.reshape(h, w // 2, 2).sum(axis=2) / 2.0
+    return np.clip(_round_half_up(_snap(m)), 0, 255)
+
+
+def _to_planes(
+    pixels: np.ndarray, subsampling: str
+) -> tuple[list[np.ndarray], list[tuple[int, int]]]:
+    """(channels, sampling factors) for a (h, w) grayscale or
+    (h, w, 3) RGB input: JFIF YCbCr conversion (BT.601, half-up
+    rounding) and optional 4:2:0 chroma downsampling — the shared
+    front half of the baseline and progressive encoders."""
     if pixels.ndim == 2:
         channels = [pixels.astype(np.float64)]
         samps = [(1, 1)]
@@ -317,10 +360,35 @@ def encode_jpeg(
                 raise ValueError("4:2:0 needs dimensions multiple of 16")
             channels = [y, _downsample2(cb), _downsample2(cr)]
             samps = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "422":
+            if pixels.shape[0] % 8 or pixels.shape[1] % 16:
+                raise ValueError(
+                    "4:2:2 needs height multiple of 8, width of 16"
+                )
+            channels = [y, _downsample2h(cb), _downsample2h(cr)]
+            samps = [(2, 1), (1, 1), (1, 1)]
         else:
             raise ValueError(f"unsupported subsampling {subsampling!r}")
     else:
         raise ValueError("pixels must be (h, w) or (h, w, 3)")
+    return channels, samps
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    q: np.ndarray = QTABLE_LUM,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as baseline
+    JPEG with one shared quant + Huffman table set (the Annex K
+    luminance tables), interleaved single scan. ``subsampling``:
+    "444" (all 1x1 — h, w multiples of 8) or "420" (2x2 luma MCUs,
+    2x2-box-downsampled chroma — h, w multiples of 16).
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every that many MCUs (byte-aligned, DC prediction reset — what
+    camera JPEGs ship for error resilience)."""
+    channels, samps = _to_planes(pixels, subsampling)
     h, w = channels[0].shape
     h_max = max(s[0] for s in samps)
     v_max = max(s[1] for s in samps)
@@ -344,6 +412,8 @@ def encode_jpeg(
     ac_payload = bytes([0x10] + AC_BITS + AC_VALS)
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dc_payload)) + dc_payload
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(ac_payload)) + ac_payload
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     sos = bytes([nc]) + b"".join(
         bytes([ci + 1, 0x00]) for ci in range(nc)
@@ -359,9 +429,14 @@ def encode_jpeg(
     ]
     preds = [0] * nc
     mcu_y, mcu_x = h // (8 * v_max), w // (8 * h_max)
+    n_mcu = 0
     # interleaved MCU: vi x hi blocks per component, row-major
     for my in range(mcu_y):
         for mx in range(mcu_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                writer.marker(0xD0 + (n_mcu // restart_interval - 1) % 8)
+                preds = [0] * nc
+            n_mcu += 1
             for ci in range(nc):
                 hi, vi = samps[ci]
                 for byi in range(vi):
@@ -379,32 +454,47 @@ def encode_jpeg(
     return bytes(out)
 
 
-def _parse_segments(payload: bytes):
-    """Yield (marker, body) for each segment before SOS; return
-    (segments, sos_body, entropy_data)."""
+def _walk_segments(payload: bytes):
+    """Yield (marker, body, entropy) in stream order — ``entropy`` is
+    the byte-stuffed coded data following an SOS body (scan ends at
+    the first 0xFF followed by anything other than a stuffing 0x00 or
+    a bare RSTn), ``None`` for every other marker. Multi-SOS aware:
+    progressive JPEGs carry one SOS per scan, and DHT/DQT segments may
+    legally appear between scans."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
-    segs = []
+    saw_sos = False
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
-            break
+            if not saw_sos:
+                break
+            return
         if 0xD0 <= marker <= 0xD7:  # RSTn — bare
             continue
         (ln,) = struct.unpack(">H", payload[pos:pos + 2])
         body = payload[pos + 2:pos + ln]
         pos += ln
-        if marker == 0xDA:  # SOS: entropy data follows until EOI
-            end = payload.rfind(b"\xff\xd9")
-            if end < 0:
-                raise ValueError("JPEG missing EOI")
-            return segs, body, payload[pos:end]
-        segs.append((marker, body))
-    raise ValueError("JPEG has no SOS segment")
+        if marker == 0xDA:  # SOS: entropy-coded data follows
+            saw_sos = True
+            start = pos
+            while pos < len(payload) - 1:
+                if (
+                    payload[pos] == 0xFF
+                    and payload[pos + 1] != 0x00
+                    and not (0xD0 <= payload[pos + 1] <= 0xD7)
+                ):
+                    break
+                pos += 1
+            yield marker, body, payload[start:pos]
+        else:
+            yield marker, body, None
+    raise ValueError("JPEG has no SOS segment" if not saw_sos
+                     else "JPEG missing EOI")
 
 
 def decode_jpeg_coeffs(payload: bytes):
@@ -420,14 +510,19 @@ def decode_jpeg_coeffs(payload: bytes):
 def _decode_coeffs_full(payload: bytes):
     """(w, h, comps, coeffs, qlist) with comps = [(cid, hi, vi, tq)]
     — the general interleaved-MCU decode for sampling factors in
-    {1, 2} (4:4:4 is the Hmax = Vmax = 1 special case)."""
-    segs, sos, data = _parse_segments(payload)
+    {1, 2} (4:4:4 is the Hmax = Vmax = 1 special case). Handles both
+    baseline (SOF0, single interleaved scan) and progressive (SOF2,
+    spectral-selection + successive-approximation scans per T.81
+    Annex G — the coefficient arrays accumulate across scans)."""
     qtables: dict[int, np.ndarray] = {}
     dc_dec: dict[int, dict] = {}
     ac_dec: dict[int, dict] = {}
     comps = None
     h = w = None
-    for marker, body in segs:
+    progressive = False
+    coeffs = None
+    restart_interval = 0
+    for marker, body, entropy in _walk_segments(payload):
         if marker == 0xDB:  # DQT — may hold several tables
             p = 0
             while p < len(body):
@@ -439,10 +534,11 @@ def _decode_coeffs_full(payload: bytes):
                     tbl[i, j] = body[p + 1 + k]
                 qtables[tq] = tbl
                 p += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
-                raise ValueError("only 8-bit baseline JPEG supported")
+                raise ValueError("only 8-bit samples supported")
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
@@ -453,11 +549,11 @@ def _decode_coeffs_full(payload: bytes):
                         " (1 and 2 only: 4:4:4 / 4:2:2 / 4:2:0)"
                     )
                 comps.append((cid, hi, vi, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG process (SOF marker 0xFF{marker:02X});"
-                " only baseline SOF0 is implemented"
+                " baseline SOF0 and progressive SOF2 are implemented"
             )
         elif marker == 0xC4:  # DHT — may hold several tables
             p = 0
@@ -472,34 +568,64 @@ def _decode_coeffs_full(payload: bytes):
                 else:
                     ac_dec[th] = dec
                 p += 17 + nvals
-        elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI — restart every N MCUs
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            if comps is None or h is None:
+                raise ValueError("JPEG SOS before SOF")
+            h_max = max(c[1] for c in comps)
+            v_max = max(c[2] for c in comps)
+            if h % (8 * v_max) or w % (8 * h_max):
+                raise ValueError(
+                    "non-whole-MCU dimensions unsupported "
+                    f"({w}x{h} with {h_max}x{v_max} max sampling)"
+                )
+            mcu_y, mcu_x = h // (8 * v_max), w // (8 * h_max)
+            if coeffs is None:
+                coeffs = [
+                    np.zeros((mcu_y * vi, mcu_x * hi, 8, 8), dtype=np.int64)
+                    for _cid, hi, vi, _tq in comps
+                ]
+            if progressive:
+                _decode_progressive_scan(
+                    body, entropy, comps, coeffs, dc_dec, ac_dec,
+                    mcu_y, mcu_x, restart_interval,
+                )
+            else:
+                _decode_baseline_scan(
+                    body, entropy, comps, coeffs, dc_dec, ac_dec,
+                    mcu_y, mcu_x, restart_interval,
+                )
     if comps is None or h is None:
-        raise ValueError("JPEG missing SOF0")
+        raise ValueError("JPEG missing SOF")
+    if coeffs is None:
+        raise ValueError("JPEG has no scan")
+    qlist = [qtables[tq] for _cid, _hi, _vi, tq in comps]
+    return w, h, comps, coeffs, qlist
+
+
+def _decode_baseline_scan(
+    sos, data, comps, coeffs, dc_dec, ac_dec, mcu_y, mcu_x, dri=0
+):
+    """The single fully-interleaved baseline scan (ns == nc), with
+    RSTn handling every ``dri`` MCUs (byte realign + DC reset)."""
     nc = len(comps)
-    h_max = max(c[1] for c in comps)
-    v_max = max(c[2] for c in comps)
-    if h % (8 * v_max) or w % (8 * h_max):
-        raise ValueError(
-            "non-whole-MCU dimensions unsupported "
-            f"({w}x{h} with {h_max}x{v_max} max sampling)"
-        )
     ns = sos[0]
     if ns != nc:
-        raise ValueError("partial scans unsupported")
+        raise ValueError("partial baseline scans unsupported")
     tabsel = {}
     for si in range(ns):
         cs, tt = sos[1 + 2 * si], sos[2 + 2 * si]
         tabsel[cs] = (tt >> 4, tt & 0xF)
     reader = _BitReader(data)
-    mcu_y, mcu_x = h // (8 * v_max), w // (8 * h_max)
-    coeffs = [
-        np.zeros((mcu_y * vi, mcu_x * hi, 8, 8), dtype=np.int64)
-        for _cid, hi, vi, _tq in comps
-    ]
     preds = [0] * nc
+    n_mcu = 0
     for my in range(mcu_y):
         for mx in range(mcu_x):
+            if dri and n_mcu and n_mcu % dri == 0:
+                reader.restart(n_mcu // dri - 1)
+                preds = [0] * nc
+            n_mcu += 1
             for ci, (cid, hi, vi, _tq) in enumerate(comps):
                 td, ta = tabsel[cid]
                 for byi in range(vi):
@@ -529,8 +655,183 @@ def _decode_coeffs_full(payload: bytes):
                         for kk, (i, j) in enumerate(_ZZ):
                             blk[i, j] = zz[kk]
                         coeffs[ci][my * vi + byi, mx * hi + bxi] = blk
-    qlist = [qtables[tq] for _cid, _hi, _vi, tq in comps]
-    return w, h, comps, coeffs, qlist
+
+
+def _refine_nonzero(blk, i, j, reader, p1, m1):
+    """One AC-refinement correction bit for an already-nonzero
+    coefficient (T.81 G.2 / the jdphuff algorithm): a 1-bit moves the
+    value one quantum AWAY from zero iff the p1 bit is not already
+    set; two's-complement += works for both signs."""
+    if reader.read_bit() and (blk[i, j] & p1) == 0:
+        blk[i, j] += p1 if blk[i, j] >= 0 else m1
+
+
+def _decode_progressive_scan(
+    sos, data, comps, coeffs, dc_dec, ac_dec, mcu_y, mcu_x, dri=0
+):
+    """One progressive scan (T.81 Annex G.2): DC scans (Ss = 0) may
+    interleave components; AC scans are single-component over that
+    component's own block grid. Ah = 0 scans establish coefficients
+    at point-transform precision Al; Ah > 0 scans refine one bit
+    (Al = Ah - 1). EOB runs span blocks within a scan but never a
+    restart: every ``dri`` MCUs (blocks, for non-interleaved scans)
+    an RSTn realigns the reader and resets DC prediction/EOB run."""
+    ns = sos[0]
+    scomps = []
+    for si in range(ns):
+        cs, tt = sos[1 + 2 * si], sos[2 + 2 * si]
+        ci = next(
+            i for i, (cid, *_r) in enumerate(comps) if cid == cs
+        )
+        scomps.append((ci, tt >> 4, tt & 0xF))
+    ss, se, ahal = sos[1 + 2 * ns], sos[2 + 2 * ns], sos[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0xF
+    if se > 63 or ss > se:
+        raise ValueError(f"bad spectral selection {ss}..{se}")
+    reader = _BitReader(data)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se = 0")
+        preds = [0] * len(scomps)
+        n_unit = 0
+        if ns == 1:
+            # non-interleaved: the component's own block grid
+            ci, td, _ta = scomps[0]
+            grid = coeffs[ci]
+            for r in range(grid.shape[0]):
+                for c in range(grid.shape[1]):
+                    if dri and n_unit and n_unit % dri == 0:
+                        reader.restart(n_unit // dri - 1)
+                        preds = [0] * len(scomps)
+                    n_unit += 1
+                    _dc_one(grid, r, c, reader, dc_dec.get(td),
+                            preds, 0, ah, al)
+        else:
+            for my in range(mcu_y):
+                for mx in range(mcu_x):
+                    if dri and n_unit and n_unit % dri == 0:
+                        reader.restart(n_unit // dri - 1)
+                        preds = [0] * len(scomps)
+                    n_unit += 1
+                    for idx, (ci, td, _ta) in enumerate(scomps):
+                        _cid, hi, vi, _tq = comps[ci]
+                        for byi in range(vi):
+                            for bxi in range(hi):
+                                _dc_one(
+                                    coeffs[ci], my * vi + byi,
+                                    mx * hi + bxi, reader,
+                                    dc_dec.get(td), preds, idx, ah, al,
+                                )
+        return
+    if ns != 1:
+        raise ValueError("progressive AC scans are single-component")
+    ci, _td, ta = scomps[0]
+    grid = coeffs[ci]
+    table = ac_dec[ta]
+    p1, m1 = 1 << al, (-1) << al
+    eobrun = 0
+    n_unit = 0
+    for r in range(grid.shape[0]):
+        for c in range(grid.shape[1]):
+            if dri and n_unit and n_unit % dri == 0:
+                if eobrun:
+                    raise ValueError("EOB run crosses a restart marker")
+                reader.restart(n_unit // dri - 1)
+            n_unit += 1
+            blk = grid[r, c]
+            if ah == 0:
+                eobrun = _ac_first_block(
+                    blk, reader, table, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _ac_refine_block(
+                    blk, reader, table, ss, se, p1, m1, eobrun
+                )
+
+
+def _dc_one(grid, r, c, reader, dc_table, preds, idx, ah, al):
+    if ah == 0:  # first DC scan: baseline diff coding at >> Al
+        s = reader.read_symbol(dc_table)
+        diff = _extend(reader.read_bits(s), s) if s else 0
+        preds[idx] += diff
+        grid[r, c][0, 0] = preds[idx] << al
+    else:  # refinement: one raw bit per block
+        if reader.read_bit():
+            grid[r, c][0, 0] |= 1 << al
+
+
+def _ac_first_block(blk, reader, table, ss, se, al, eobrun):
+    """First AC scan for one block (G.2.2: run-length + EOB runs;
+    values arrive at magnitude-shifted precision << Al)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = reader.read_symbol(table)
+        run, size = sym >> 4, sym & 0xF
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) - 1  # this block consumes one
+            if run:
+                eobrun += reader.read_bits(run)
+            return eobrun
+        k += run
+        if k > se:
+            raise ValueError("AC run overflows spectral band")
+        i, j = _ZZ[k]
+        blk[i, j] = _extend(reader.read_bits(size), size) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(blk, reader, table, ss, se, p1, m1, eobrun):
+    """AC refinement for one block (G.2.3 / jdphuff
+    decode_mcu_AC_refine): newly-nonzero coefficients arrive as
+    (run, 1) symbols with a sign bit; every already-nonzero
+    coefficient passed — including during ZRL skips and EOB runs —
+    consumes one correction bit."""
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = reader.read_symbol(table)
+            run, size = sym >> 4, sym & 0xF
+            newval = 0
+            if size:
+                if size != 1:
+                    raise ValueError(
+                        "AC refinement symbol with size > 1"
+                    )
+                newval = p1 if reader.read_bit() else m1
+            elif run != 15:
+                eobrun = 1 << run  # current block handled below
+                if run:
+                    eobrun += reader.read_bits(run)
+                break
+            # advance over `run` zero-history coefficients, emitting
+            # correction bits for nonzero-history ones along the way
+            while k <= se:
+                i, j = _ZZ[k]
+                if blk[i, j] != 0:
+                    _refine_nonzero(blk, i, j, reader, p1, m1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval and k <= se:
+                i, j = _ZZ[k]
+                blk[i, j] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            i, j = _ZZ[k]
+            if blk[i, j] != 0:
+                _refine_nonzero(blk, i, j, reader, p1, m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:

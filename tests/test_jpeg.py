@@ -83,9 +83,9 @@ def test_byte_stuffing_round_trip():
 def test_unsupported_features_fail_loudly():
     px = np.zeros((8, 8), np.uint8)
     payload = bytearray(J.encode_jpeg(px))
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF3 (lossless — progressive SOF2 is supported now)
     i = payload.find(b"\xff\xc0")
-    payload[i + 1] = 0xC2
+    payload[i + 1] = 0xC3
     with pytest.raises(ValueError, match="SOF"):
         J.decode_jpeg(bytes(payload))
     with pytest.raises(ValueError):
@@ -185,3 +185,229 @@ def test_420_gates_fail_loudly():
     payload[i + 11] = 0x33  # comp 1 sampling 3x3
     with pytest.raises(ValueError, match="sampling factors"):
         J.decode_jpeg(bytes(payload))
+
+
+# --- progressive SOF2 (r6: spectral selection + succ. approx.) -------
+
+
+from mapreduce511_spark.multimodal.jpeg_progressive import (  # noqa: E402
+    encode_jpeg_progressive,
+)
+
+
+def _coeffs_equal(a_list, b_list):
+    return all(np.array_equal(a, b) for a, b in zip(a_list, b_list))
+
+
+def test_progressive_entropy_layer_exact_grayscale():
+    """The full scan script reconstructs every coefficient EXACTLY —
+    progressive changes the entropy layer only."""
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, (16, 24), np.int64).astype(np.uint8)
+    _, _, coeffs, _ = J.decode_jpeg_coeffs(encode_jpeg_progressive(px))
+    assert np.array_equal(coeffs[0], J.block_coefficients(px.astype(float)))
+
+
+def test_progressive_matches_baseline_pixels():
+    """Same quantization, same coefficients => byte-identical decoded
+    pixels vs the baseline encoder, for gray / RGB 4:4:4 / RGB 4:2:0."""
+    rng = np.random.default_rng(7)
+    cases = [
+        (rng.integers(0, 256, (16, 24), np.int64).astype(np.uint8), "444"),
+        (rng.integers(0, 256, (32, 32, 3), np.int64).astype(np.uint8), "444"),
+        (rng.integers(0, 256, (32, 48, 3), np.int64).astype(np.uint8), "420"),
+    ]
+    for px, sub in cases:
+        _, _, base = J.decode_jpeg(J.encode_jpeg(px, subsampling=sub))
+        _, _, prog = J.decode_jpeg(
+            encode_jpeg_progressive(px, subsampling=sub)
+        )
+        assert np.array_equal(base, prog), (px.shape, sub)
+
+
+def test_progressive_sparse_content_eob_runs():
+    """Mostly-empty spectra drive image-wide EOB runs (EOBn symbols
+    with extra bits) in both first and refinement AC scans; smooth
+    gradients drive ZRL paths. All must stay coefficient-exact."""
+    fixtures = [
+        np.full((128, 128), 130, np.uint8),  # EOBn runs >> 1
+        np.tile(np.linspace(0, 255, 64), (40, 1)).astype(np.uint8),
+        np.tile(np.linspace(0, 255, 64), (40, 1)).T.copy().astype(np.uint8),
+    ]
+    fixtures[0][0:8, 0:8] = 135  # one nonzero block amid the run
+    hot = np.full((32, 32), 128, np.uint8)
+    hot[7::8, 7::8] = 255  # isolated high-frequency -> ZRL
+    fixtures.append(hot)
+    rng = np.random.default_rng(3)
+    for s in range(6):  # low-amplitude noise: heavy refinement traffic
+        fixtures.append(
+            (128 + rng.normal(0, 3 + s, (48, 48))).clip(0, 255)
+            .astype(np.uint8)
+        )
+    for px in fixtures:
+        _, _, coeffs, _ = J.decode_jpeg_coeffs(encode_jpeg_progressive(px))
+        assert np.array_equal(
+            coeffs[0], J.block_coefficients(px.astype(float))
+        )
+
+
+def test_progressive_custom_script_spectral_only():
+    """Spectral selection without successive approximation (all Al=0)
+    is also valid progressive — and exact in one pass per band."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (24, 24), np.int64).astype(np.uint8)
+    scans = [((0,), 0, 0, 0, 0), ((0,), 1, 9, 0, 0), ((0,), 10, 63, 0, 0)]
+    _, _, coeffs, _ = J.decode_jpeg_coeffs(
+        encode_jpeg_progressive(px, scans=scans)
+    )
+    assert np.array_equal(coeffs[0], J.block_coefficients(px.astype(float)))
+
+
+def test_progressive_constant_mcus_match_closed_form():
+    """The fixture-corpus shape: constant 4:2:0 MCUs decode to the DC
+    closed form p = clamp(2*floor((v-128)/2 + 0.5) + 128) on every
+    RGB channel — the invariant the SQL oracle states."""
+    for v in (0, 3, 127, 128, 129, 254, 255):
+        px = np.full((16, 16, 3), v, np.uint8)
+        _, _, dec = J.decode_jpeg(
+            encode_jpeg_progressive(px, subsampling="420")
+        )
+        p = min(255, max(0, 2 * int(np.floor((v - 128) / 2 + 0.5)) + 128))
+        assert (dec == p).all(), (v, p, np.unique(dec))
+
+
+def test_progressive_gates_fail_loudly():
+    with pytest.raises(ValueError, match="single-component"):
+        encode_jpeg_progressive(
+            np.zeros((16, 16, 3), np.uint8),
+            scans=[((0, 1), 1, 63, 0, 0)],
+        )
+    with pytest.raises(ValueError, match="Se = 0"):
+        encode_jpeg_progressive(
+            np.zeros((16, 16), np.uint8), scans=[((0,), 0, 5, 0, 0)]
+        )
+
+
+def test_progressive_decode_real_dispatch():
+    from mapreduce511_spark.multimodal import codecs
+
+    px = np.full((8, 8), 42, np.uint8)
+    w, h, dec = codecs.decode_real(
+        encode_jpeg_progressive(px), "image/jpeg"
+    )
+    assert (w, h) == (8, 8)
+    base = codecs.decode_real(J.encode_jpeg(px), "image/jpeg")[2]
+    assert np.array_equal(dec, base)
+
+
+# --- restart markers (DRI/RSTn — r6: camera-JPEG error resilience) ---
+
+
+def test_restart_markers_round_trip_baseline():
+    """DRI + RSTn every N MCUs: byte realign, DC prediction reset,
+    modulo-8 marker sequence — decoded output must be byte-identical
+    to the no-restart encode, and the markers must actually be there."""
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (24, 40), np.int64).astype(np.uint8)
+    ref = J.decode_jpeg(J.encode_jpeg(px))[2]
+    for ri in (1, 2, 3, 7):
+        enc = J.encode_jpeg(px, restart_interval=ri)
+        n_rst = sum(
+            1
+            for i in range(len(enc) - 1)
+            if enc[i] == 0xFF and 0xD0 <= enc[i + 1] <= 0xD7
+        )
+        n_mcu = (24 // 8) * (40 // 8)
+        assert n_rst == (n_mcu - 1) // ri, (ri, n_rst)
+        assert np.array_equal(J.decode_jpeg(enc)[2], ref)
+    rgb = rng.integers(0, 256, (32, 48, 3), np.int64).astype(np.uint8)
+    ref = J.decode_jpeg(J.encode_jpeg(rgb, subsampling="420"))[2]
+    got = J.decode_jpeg(
+        J.encode_jpeg(rgb, subsampling="420", restart_interval=2)
+    )[2]
+    assert np.array_equal(got, ref)
+
+
+def test_restart_markers_round_trip_progressive():
+    """Restarts inside progressive scans: EOB runs (and buffered
+    refinement correction bits) must flush BEFORE each marker — the
+    smooth/sparse fixtures force image-wide runs that the interval
+    chops repeatedly."""
+    fixtures = [
+        np.tile(np.linspace(0, 255, 64), (40, 1)).astype(np.uint8),
+        np.full((128, 128), 130, np.uint8),
+    ]
+    fixtures[1][0:8, 0:8] = 135
+    rng = np.random.default_rng(9)
+    fixtures.append(
+        rng.integers(0, 256, (24, 40), np.int64).astype(np.uint8)
+    )
+    for px in fixtures:
+        ref = J.decode_jpeg(J.encode_jpeg(px))[2]
+        for ri in (2, 5):
+            got = J.decode_jpeg(
+                encode_jpeg_progressive(px, restart_interval=ri)
+            )[2]
+            assert np.array_equal(got, ref), (px.shape, ri)
+
+
+def test_restart_marker_sequence_enforced():
+    """A swapped RSTn must be rejected — the modulo-8 sequence is the
+    corruption detector restart markers exist for."""
+    px = np.zeros((8, 32), np.uint8)
+    for bx, v in enumerate((200, 10, 250, 100)):
+        px[:, bx * 8:(bx + 1) * 8] = v
+    enc = bytearray(J.encode_jpeg(px, restart_interval=1))
+    idx = [
+        i
+        for i in range(len(enc) - 1)
+        if enc[i] == 0xFF and 0xD0 <= enc[i + 1] <= 0xD7
+    ]
+    assert len(idx) == 3
+    enc[idx[0] + 1] = 0xD5  # out-of-sequence RST5 where RST0 belongs
+    with pytest.raises(ValueError, match="out of sequence"):
+        J.decode_jpeg(bytes(enc))
+
+
+# --- 4:2:2 (r6: encoder closes the decode-only honesty gap) ----------
+
+
+def test_422_entropy_layer_exact_both_modes():
+    """4:2:2 (2x1 luma MCUs, horizontally-downsampled chroma) must be
+    coefficient-exact through both entropy layers — before r6 the
+    4:2:2 decode path existed with no encoder to exercise it."""
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, (24, 32, 3), np.int64).astype(np.uint8)
+    rgb = px.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = np.clip(J._round_half_up(J._snap(0.299 * r + 0.587 * g + 0.114 * b)), 0, 255)
+    cb = np.clip(
+        J._round_half_up(J._snap(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0)),
+        0, 255,
+    )
+    cr = np.clip(
+        J._round_half_up(J._snap(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0)),
+        0, 255,
+    )
+    chans = [y, J._downsample2h(cb), J._downsample2h(cr)]
+    for enc in (
+        J.encode_jpeg(px, subsampling="422"),
+        encode_jpeg_progressive(px, subsampling="422"),
+    ):
+        _, _, coeffs, _ = J.decode_jpeg_coeffs(enc)
+        assert coeffs[0].shape[:2] == (3, 4)  # luma full grid
+        assert coeffs[1].shape[:2] == (3, 2)  # chroma half width
+        for ci in range(3):
+            assert np.array_equal(
+                coeffs[ci], J.block_coefficients(chans[ci])
+            ), ci
+
+
+def test_422_constant_mcus_match_closed_form():
+    """Constant gray 8x16 MCUs keep the DC closed form on every RGB
+    channel through the 2x1 interleave + horizontal upsampling."""
+    for v in (0, 77, 128, 129, 255):
+        px = np.full((8, 16, 3), v, np.uint8)
+        _, _, dec = J.decode_jpeg(J.encode_jpeg(px, subsampling="422"))
+        p = min(255, max(0, 2 * int(np.floor((v - 128) / 2 + 0.5)) + 128))
+        assert (dec == p).all(), (v, p, np.unique(dec))

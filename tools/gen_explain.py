@@ -72,6 +72,7 @@ PICKS = {
     "ann_ivf_pq_residual_topk": "IVFADC residual index: per-(probe,cell) additive centroid term + codes-only residual ADC; same pruned plan as IVF-PQ",
     "sql_region_rollup": "Literal shared SQL: ROLLUP as one Expand over one fact scan, dims broadcast",
     "multimodal_jpeg420_stats": "Arrow-batched 4:2:0 JPEG decode where the bytes live; single combinable aggregate, no shuffle of pixels",
+    "multimodal_jpeg_progressive_stats": "Arrow-batched progressive (SOF2) JPEG decode; same shuffle-free per-doc aggregate shape as the baseline twin",
 }
 
 

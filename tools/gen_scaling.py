@@ -124,6 +124,7 @@ PICKS = {
     "sql_region_rollup": "literal shared SQL: ROLLUP Expand over one fact scan; dims broadcast",
     "sql_token_census": "literal shared SQL: linear length arithmetic; |langs| output rows",
     "multimodal_jpeg420_stats": "per-doc 4:2:0 encode+decode in Arrow batches; embarrassingly parallel",
+    "multimodal_jpeg_progressive_stats": "per-doc multi-scan SOF2 encode+decode in Arrow batches; embarrassingly parallel",
 }
 
 
