@@ -888,3 +888,168 @@ def histogram_quantile_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rel_err_span_bp"),
     )
+
+
+_KMV_K = 64
+_KMV_SEG_A = "1-URGENT"
+_KMV_SEG_B = "5-LOW"
+_KMV_EST_NUM = (_KMV_K - 1) * (1 << 48)  # (k-1) * 2^48, fits BIGINT
+
+
+@register(
+    "kmv_set_ops_census",
+    oracle=f"""
+    WITH a AS (
+        SELECT DISTINCT CAST(('0x' || substr(
+                   md5(CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+        FROM orders WHERE o_orderpriority = '{_KMV_SEG_A}'
+    ), b AS (
+        SELECT DISTINCT CAST(('0x' || substr(
+                   md5(CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+        FROM orders WHERE o_orderpriority = '{_KMV_SEG_B}'
+    ), u AS (
+        SELECT h FROM a UNION SELECT h FROM b
+    ), ka AS (SELECT h FROM a ORDER BY h LIMIT {_KMV_K}),
+    kb AS (SELECT h FROM b ORDER BY h LIMIT {_KMV_K}),
+    ku AS (SELECT h FROM u ORDER BY h LIMIT {_KMV_K}),
+    sa AS (SELECT count(*) AS m_a, max(h) AS kth_a FROM ka),
+    sb AS (SELECT count(*) AS m_b, max(h) AS kth_b FROM kb),
+    su AS (SELECT count(*) AS m_u, max(h) AS kth_u FROM ku),
+    ci AS (
+        SELECT count(*) AS cnt_inter FROM ku
+        WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)
+    ), ex AS (
+        SELECT (SELECT count(*) FROM a) AS exact_a,
+               (SELECT count(*) FROM b) AS exact_b,
+               (SELECT count(*) FROM u) AS exact_union,
+               (SELECT count(*) FROM a JOIN b USING (h)) AS exact_inter
+    ), est AS (
+        SELECT *,
+            CASE WHEN m_a < {_KMV_K} THEN m_a
+                 ELSE {_KMV_EST_NUM} // kth_a END AS est_a,
+            CASE WHEN m_b < {_KMV_K} THEN m_b
+                 ELSE {_KMV_EST_NUM} // kth_b END AS est_b,
+            CASE WHEN m_u < {_KMV_K} THEN m_u
+                 ELSE {_KMV_EST_NUM} // kth_u END AS est_union
+        FROM sa, sb, su, ci, ex
+    )
+    SELECT CAST({_KMV_K} AS BIGINT) AS k,
+           exact_a, est_a, exact_b, est_b, exact_union, est_union,
+           exact_inter,
+           (cnt_inter * est_union) // m_u AS est_inter,
+           (1000 * exact_inter) // exact_union AS jaccard_milli_exact,
+           (1000 * cnt_inter) // m_u AS jaccard_milli_est
+    FROM est
+    """,
+)
+def kmv_set_ops_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / theta-style) distinct sketches with
+    SET OPERATIONS — the capability HLL structurally lacks: besides
+    union cardinality, a KMV sketch estimates the INTERSECTION (and
+    so Jaccard) of two audiences, because the k smallest hashes of
+    the union are a uniform sample of the combined distinct domain
+    (Beyer et al., SIGMOD'07; the Apache DataSketches theta
+    construction).
+
+    Sketch state per side is k = 64 hash longs — mergeable by "keep
+    the k smallest of the union", which is exactly how the union
+    sketch is built. Estimators, all integer arithmetic: with m =
+    |sketch| and kth = largest retained 48-bit hash, est = m when
+    m < k (sketch holds the whole domain — exact by construction)
+    else (k-1)*2^48 div kth; est_inter = cnt*est_union div m_u where
+    cnt counts union-sketch members found in BOTH sides' full hash
+    sets; jaccard_milli_est = 1000*cnt div m_u. Hashes are the first
+    12 md5 hex chars (bit-identical in both engines), so the DuckDB
+    oracle restates the ENTIRE sketch — k-min selection, thresholds,
+    floor divisions — and the driver hash-checks estimates exactly,
+    sampling error and all.
+
+    At 100 TB: per-side distinct-hash dedup is one hash shuffle;
+    k-min is a TakeOrdered (combinable per partition — each partition
+    offers its local k smallest); membership probes are semi-joins
+    against k = 64 broadcast rows. Driver state: 3 sketches of 64
+    longs. The exact_* columns exist for the error readout and would
+    be dropped at scale (they cost the countDistincts the sketch
+    avoids).
+
+    Reference basis: §2.4 approx family (companions:
+    ``hll_distinct_trigrams`` union-only cardinality,
+    ``cms_heavy_bigrams`` frequency, ``histogram_quantile_census``
+    quantiles)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def seg_hashes(t: str) -> DataFrame:
+        return (
+            orders.filter(F.col("o_orderpriority") == t)
+            .select(
+                _hex_long(
+                    F.md5(F.col("o_custkey").cast("string")), 1, 12
+                ).alias("h")
+            )
+            .distinct()
+        )
+
+    ha, hb = seg_hashes(_KMV_SEG_A), seg_hashes(_KMV_SEG_B)
+    hu = ha.union(hb).distinct()
+
+    def sketch(h: DataFrame, tag: str) -> DataFrame:
+        return (
+            h.orderBy("h")
+            .limit(_KMV_K)
+            .agg(
+                F.count("*").alias(f"m_{tag}"),
+                F.max("h").alias(f"kth_{tag}"),
+            )
+        )
+
+    s_union_kmin = hu.orderBy("h").limit(_KMV_K)
+    cnt_inter = (
+        s_union_kmin.join(ha, "h", "left_semi")
+        .join(hb, "h", "left_semi")
+        .agg(F.count("*").alias("cnt_inter"))
+    )
+    exacts = (
+        ha.agg(F.count("*").alias("exact_a"))
+        .crossJoin(F.broadcast(hb.agg(F.count("*").alias("exact_b"))))
+        .crossJoin(F.broadcast(hu.agg(F.count("*").alias("exact_union"))))
+        .crossJoin(
+            F.broadcast(
+                ha.join(hb, "h").agg(F.count("*").alias("exact_inter"))
+            )
+        )
+    )
+    row = (
+        sketch(ha, "a")
+        .crossJoin(F.broadcast(sketch(hb, "b")))
+        .crossJoin(F.broadcast(sketch(hu, "u")))
+        .crossJoin(F.broadcast(cnt_inter))
+        .crossJoin(F.broadcast(exacts))
+    )
+
+    def est(tag: str) -> Column:
+        return (
+            F.when(F.col(f"m_{tag}") < _KMV_K, F.col(f"m_{tag}"))
+            .otherwise(F.expr(f"{_KMV_EST_NUM} div kth_{tag}"))
+        )
+
+    with_est = row.select(
+        "*",
+        est("a").alias("est_a"),
+        est("b").alias("est_b"),
+        est("u").alias("est_union"),
+    )
+    return with_est.select(
+        F.lit(_KMV_K).cast("long").alias("k"),
+        "exact_a",
+        "est_a",
+        "exact_b",
+        "est_b",
+        "exact_union",
+        F.col("est_union"),
+        "exact_inter",
+        F.expr("(cnt_inter * est_union) div m_u").alias("est_inter"),
+        F.expr("(1000 * exact_inter) div exact_union").alias(
+            "jaccard_milli_exact"
+        ),
+        F.expr("(1000 * cnt_inter) div m_u").alias("jaccard_milli_est"),
+    )

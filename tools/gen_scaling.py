@@ -125,6 +125,7 @@ PICKS = {
     "sql_token_census": "literal shared SQL: linear length arithmetic; |langs| output rows",
     "multimodal_jpeg420_stats": "per-doc 4:2:0 encode+decode in Arrow batches; embarrassingly parallel",
     "multimodal_jpeg_progressive_stats": "per-doc multi-scan SOF2 encode+decode in Arrow batches; embarrassingly parallel",
+    "kmv_set_ops_census": "sketch state fixed at 3 x 64 longs; per-side dedup is the only data-sized shuffle",
 }
 
 
