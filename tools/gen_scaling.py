@@ -126,6 +126,7 @@ PICKS = {
     "multimodal_jpeg420_stats": "per-doc 4:2:0 encode+decode in Arrow batches; embarrassingly parallel",
     "multimodal_jpeg_progressive_stats": "per-doc multi-scan SOF2 encode+decode in Arrow batches; embarrassingly parallel",
     "kmv_set_ops_census": "sketch state fixed at 3 x 64 longs; per-side dedup is the only data-sized shuffle",
+    "priority_sample_census": "sample fixed at k+1 = 33 rows via combinable TakeOrdered; map-side exact-total agg",
 }
 
 
