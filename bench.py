@@ -307,6 +307,8 @@ def main() -> None:
         "ann_lsh_topk",
         "ann_ivf_label_baseline",  # r01-r05 key: ann_ivf_topk_recall_at_5
         "ann_ivf_lloyd_topk",
+        "ann_ivf_pq_topk",
+        "ann_ivf_pq_residual_topk",  # r6: IVFADC residual encoding
     ):
         got: dict[int, set[int]] = {}
         for r in registry[ann_name](spark, sf_dir).collect():
