@@ -393,7 +393,12 @@ def encode_jpeg(
     h_max = max(s[0] for s in samps)
     v_max = max(s[1] for s in samps)
     if h % (8 * v_max) or w % (8 * h_max):
-        raise ValueError("dimensions must be multiples of 8")
+        # the real requirement is the MCU size (16 px on the
+        # subsampled axes for 4:2:0/4:2:2, 8 px for 4:4:4)
+        raise ValueError(
+            f"dimensions must be multiples of the MCU size "
+            f"({8 * v_max}x{8 * h_max} for {subsampling})"
+        )
     nc = len(channels)
 
     out = bytearray()

@@ -71,16 +71,18 @@ def _with_best_cell(df: DataFrame, vec_col: str, centroids: list[list[float]]) -
 _TRAIN_CACHE: dict = {}
 
 
-def _cache_key(emb: DataFrame, *params) -> tuple:
-    """Content-fingerprint cache key (r5 ADVICE): the old key was
-    sorted(inputFiles()), which ignored any transformation on the
-    frame (emb.filter(...) reads the same files) and collapsed to ()
-    for in-memory frames — two different createDataFrame corpora with
-    the same hyperparameters would silently share trained artifacts,
-    and an in-place parquet rewrite would never invalidate. One
-    order-insensitive agg scan (count + xxhash64 sum over every
-    column the trainer consumes) keys on the actual row content; its
-    cost is one corpus pass, trivial next to iterative training."""
+# Memo of computed content fingerprints, keyed by (logical plan,
+# input-file stat signature). The plan string captures every
+# transformation on the frame (emb.filter(...) has a different plan
+# than emb), and the stat signature (path, size, mtime_ns per file)
+# captures on-disk content, so an in-place parquet rewrite
+# invalidates. Bounded: one entry per distinct (plan, snapshot).
+_FP_MEMO: dict = {}
+
+
+def _content_fingerprint(emb: DataFrame) -> tuple:
+    """One order-insensitive agg scan (count + xxhash64 sum over every
+    column the trainer consumes) keying on actual row content."""
     fp = emb.agg(
         F.count(F.lit(1)).alias("n"),
         # decimal(38,0) sum: int64 hash sums overflow long under ANSI
@@ -88,7 +90,46 @@ def _cache_key(emb: DataFrame, *params) -> tuple:
             F.xxhash64(*[F.col(c) for c in emb.columns]).cast("decimal(38,0)")
         ).alias("h"),
     ).first()
-    return (int(fp.n), int(fp.h or 0), tuple(emb.columns), *params)
+    return (int(fp.n), int(fp.h or 0))
+
+
+def _cache_key(emb: DataFrame, *params) -> tuple:
+    """Content-fingerprint cache key (r5 ADVICE): keyed on the actual
+    row content (count + order-insensitive xxhash64 sum), never on
+    inputFiles alone — emb.filter(...) reads the same files, and
+    in-memory frames have none.
+
+    r7 (r6 ADVICE): the content scan is MEMOIZED per (logical plan,
+    input-file size/mtime signature), so repeated invocations of the
+    indexed ANN queries pay file-metadata stat() calls, not a
+    data-sized fingerprint pass — at 100 TB a per-query full scan
+    would dominate the pruned search the index exists to provide.
+    The content scan re-runs only when the plan or the on-disk
+    snapshot actually changes, and always for in-memory frames with
+    no input files (createDataFrame corpora are driver-sized by
+    construction, so the scan is trivial there)."""
+    import os
+
+    files = tuple(sorted(emb.inputFiles()))
+    memo_key = None
+    if files:
+        sig = []
+        for f in files:
+            p = f[len("file:"):] if f.startswith("file:") else f
+            try:
+                st = os.stat(p)
+                sig.append((f, st.st_size, st.st_mtime_ns))
+            except OSError:
+                sig.append((f, -1, -1))
+        plan = emb._jdf.queryExecution().logical().toString()
+        memo_key = (plan, tuple(sig))
+        if memo_key in _FP_MEMO:
+            n, h = _FP_MEMO[memo_key]
+            return (n, h, tuple(emb.columns), *params)
+    n, h = _content_fingerprint(emb)
+    if memo_key is not None:
+        _FP_MEMO[memo_key] = (n, h)
+    return (n, h, tuple(emb.columns), *params)
 
 
 def train_centroids(
@@ -194,7 +235,7 @@ def cosine_pairs_blocked(
     Float association differs from the sequential zip_with path, so
     boundary pairs within ~1e-12 of the threshold may differ from the
     exact variant — callers needing oracle-exactness use
-    ``embedding_near_dup``."""
+    ``embedding_near_dup_exact_spec``."""
     import pandas as pd
 
     spark = emb.sparkSession

@@ -210,9 +210,12 @@ def verify_jaccard(
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     jac = F.col("both") / (F.col("sz_a") + F.col("sz_b") - F.col("both"))
+    # sizes is one row per document — corpus-linear, so no broadcast
+    # hint (hints are honored regardless of size; AQE broadcasts when
+    # the side is actually small).
     return (
-        inter.join(F.broadcast(za), "doc_a")
-        .join(F.broadcast(zb), "doc_b")
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
 

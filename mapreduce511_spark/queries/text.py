@@ -2517,8 +2517,11 @@ def token_kl_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_l = F.col("cnt") / F.col("tot").cast("double")
     p_c = F.col("ccnt") / F.col("ctot").cast("double")
     return (
+        # cc is one row per distinct word — vocabulary-sized, grows
+        # with the corpus: no broadcast hint (AQE decides). lt is
+        # per-language and ctot is 1 row: hints are safe.
         lc.join(F.broadcast(lt), "lang")
-        .join(F.broadcast(cc), "word")
+        .join(cc, "word")
         .crossJoin(F.broadcast(ctot))
         .groupBy("lang")
         .agg(
@@ -2600,8 +2603,11 @@ def chi2_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = lc.groupBy("word").agg(F.sum("a").alias("word_tot"))
     n = lc.agg(F.sum("a").alias("n"))
     cells = (
+        # wt is one row per distinct word — vocabulary-sized, grows
+        # with the corpus: no broadcast hint. lt is per-language and
+        # n is 1 row: hints are safe.
         lc.join(F.broadcast(lt), "lang")
-        .join(F.broadcast(wt), "word")
+        .join(wt, "word")
         .crossJoin(F.broadcast(n))
         .select(
             "lang",
@@ -2813,8 +2819,11 @@ def collocation_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        bi.join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        # u1/u2 are one row per distinct unigram — vocabulary-sized,
+        # grows with the corpus: no broadcast hints. ut/bt are 1-row
+        # totals: hints are safe.
+        bi.join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(ut))
         .crossJoin(F.broadcast(bt))
         .select(

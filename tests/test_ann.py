@@ -131,16 +131,16 @@ def test_blocked_pairs_match_exact(spark):
     differ — none exist in this data)."""
     from mapreduce511_spark.queries.similarity import (
         embedding_near_dup,
-        embedding_near_dup_blocked,
+        embedding_near_dup_exact_spec,
     )
 
     exact = {
         (r.vec_a, r.vec_b): r.cos_sim
-        for r in embedding_near_dup(spark, SF_CHECK).collect()
+        for r in embedding_near_dup_exact_spec(spark, SF_CHECK).collect()
     }
     blocked = {
         (r.vec_a, r.vec_b): r.cos_sim
-        for r in embedding_near_dup_blocked(spark, SF_CHECK).collect()
+        for r in embedding_near_dup(spark, SF_CHECK).collect()
     }
     assert set(exact) == set(blocked)
     for k in exact:
@@ -460,3 +460,48 @@ def test_residual_adc_beats_raw_at_tight_rerank(spark, exact_topk):
         exact_topk,
     )
     assert res >= raw + 0.05, f"residual ADC {res} vs raw {raw}"
+
+
+def test_ann_ivf_lloyd_indexed_matches_oracled_twin(spark):
+    """The persisted-Lloyd-index query must return EXACTLY the oracled
+    in-query twin's result set — the index stores the twin's own
+    ``_lloyd_assign`` cell tags and the centroids round-trip as IEEE
+    doubles, so this equality is bitwise, not approximate. Also
+    asserts the plan partition-prunes on the probed cells."""
+    from mapreduce511_spark.queries.similarity import (
+        ann_ivf_lloyd_indexed_topk,
+        ann_ivf_lloyd_topk,
+    )
+
+    indexed = ann_ivf_lloyd_indexed_topk(spark, SF_CHECK)
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+    mem = {
+        (r.probe_id, r.rank): (r.vec_id, r.cos_sim)
+        for r in ann_ivf_lloyd_topk(spark, SF_CHECK).collect()
+    }
+    idx = {
+        (r.probe_id, r.rank): (r.vec_id, r.cos_sim)
+        for r in indexed.collect()
+    }
+    assert idx == mem and idx
+
+
+def test_semantic_dedup_lloyd_indexed_matches_oracled_twin(spark):
+    """The persisted-assignment SemDeDup census must equal the oracled
+    in-query twin row-for-row (the index IS the twin's assignment,
+    materialized)."""
+    from mapreduce511_spark.queries.similarity import (
+        semantic_dedup_lloyd_census,
+        semantic_dedup_lloyd_indexed,
+    )
+
+    twin = {
+        tuple(r) for r in semantic_dedup_lloyd_census(spark, SF_CHECK).collect()
+    }
+    idx = {
+        tuple(r) for r in semantic_dedup_lloyd_indexed(spark, SF_CHECK).collect()
+    }
+    assert idx == twin and idx

@@ -19,6 +19,7 @@ def test_scaling_md_keeps_epilogue_sections():
     for section in (
         "## Duplication stress",
         "## Histogram-sketch merge stress",
+        "## KLL-sampler merge stress",
     ):
         assert section in text, (
             f"SCALING.md lost its {section!r} section — gen_scaling.py "

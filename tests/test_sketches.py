@@ -206,3 +206,95 @@ def test_priority_sample_unbiased_estimator_bound(spark):
     assert r.rel_err_milli < 600, r.rel_err_milli
     assert r.est_total_cents > 0
     assert r.n_items > r.k
+
+
+def test_kll_sampler_merge_is_exact(spark):
+    """The KLL-sampler sketch merges EXACTLY: building per-shard
+    sketches on an arbitrary 8-way hash partitioning, summing the
+    level histograms, re-picking the height H from the merged counts
+    and re-filtering the union of shard survivor sets must reproduce
+    the single-pass sketch bit-for-bit (same H, same survivor (v, id)
+    set) — the property that makes it a one-tiny-shuffle aggregate at
+    100 TB. Also checks H_merged >= every shard H (the monotonicity
+    the re-filter relies on: a shard's survivor set is a superset of
+    its slice of the merged one)."""
+    from tests.conftest import SF_CHECK
+
+    from mapreduce511_spark.queries.sketches import _KLL_K, _hex_long
+    from mapreduce511_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    events = load_table(spark, SF_CHECK, "events")
+    lv = events.select(
+        F.col("event_id").alias("id"),
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+        _hex_long(F.md5(F.col("event_id").cast("string")), 1, 12).alias("h"),
+    ).select(
+        "id",
+        "v",
+        F.expr("least(bit_count((h & -h) - 1), 48)").cast("int").alias("tz"),
+        F.pmod(F.xxhash64("id"), F.lit(8)).alias("shard"),
+    )
+    rows = lv.collect()
+
+    def sketch(items):
+        hist: dict[int, int] = {}
+        for r in items:
+            hist[r.tz] = hist.get(r.tz, 0) + 1
+        hlev = 49
+        for L in range(0, 49):
+            if sum(c for t, c in hist.items() if t >= L) <= _KLL_K:
+                hlev = L
+                break
+        kept = {(r.v, r.id) for r in items if r.tz >= hlev}
+        return hist, hlev, kept
+
+    g_hist, g_h, g_kept = sketch(rows)
+
+    # per-shard sketches
+    shard_states = []
+    for s in range(8):
+        shard_states.append(sketch([r for r in rows if r.shard == s]))
+
+    # merge: sum histograms, re-pick H, re-filter the survivor union
+    m_hist: dict[int, int] = {}
+    for h, _, _ in shard_states:
+        for t, c in h.items():
+            m_hist[t] = m_hist.get(t, 0) + c
+    m_h = 49
+    for L in range(0, 49):
+        if sum(c for t, c in m_hist.items() if t >= L) <= _KLL_K:
+            m_h = L
+            break
+    assert m_hist == g_hist
+    assert m_h == g_h
+    for _, sh, _ in shard_states:
+        assert m_h >= sh, (m_h, sh)
+    union = set()
+    for (h, sh, kept) in shard_states:
+        union |= kept
+    # re-filter needs tz; rebuild the tz lookup from the rows
+    tz_of = {(r.v, r.id): r.tz for r in rows}
+    merged_kept = {k for k in union if tz_of[k] >= m_h}
+    assert merged_kept == g_kept
+    assert 0 < len(g_kept) <= _KLL_K
+
+
+def test_kll_quantile_rank_error_bound(spark):
+    """k=256 uniform-sample quantiles carry ~sqrt(ln(2/d)/(2k)) ≈ 6-7%
+    additive rank error with high probability; 1500 bp is the loose
+    multi-sigma gate a broken height/threshold pick blows through. The
+    census must also report internally-consistent integers (target
+    ranks follow the phi definition; kept count <= k unless the whole
+    corpus fits)."""
+    from tests.conftest import SF_CHECK
+
+    from mapreduce511_spark.queries.sketches import _KLL_K, kll_quantile_census
+
+    rows = kll_quantile_census(spark, SF_CHECK).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.rank_err_bp < 1500, (r.phi_bp, r.rank_err_bp)
+        assert r.target_rank == (r.phi_bp * r.n_items + 9999) // 10000
+        assert r.n_kept <= max(_KLL_K, 1)
+        assert r.h_level >= 0
