@@ -224,3 +224,181 @@ def sql_order_price_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consecutive-order price deltas per customer (lag window) rolled
     up by market segment, as literal shared SQL."""
     return run_sql(spark, sf_dir, _SQL_ORDER_PRICE_DELTA)
+
+
+# --- r7 widening (r6 VERDICT item 8): one literal-SQL twin for each
+# family a SQL-first user still lacked — streaming (batch-twin
+# sessionization), sketches (equi-width histogram quantiles), graph
+# (co-purchase degree distribution), sampling (temperature mixture
+# weights), multimodal (frame-sample geometry). Dialect notes: the
+# shared subset avoids engine-specific integer division (`//` vs
+# `div`) via CAST(floor(a/b)), epoch extraction via direct
+# timestamp-interval comparison (`ts - prev > INTERVAL 30 MINUTE`
+# parses identically), and byte-length vs char-length divergence via
+# length(text) (chars in both engines).
+
+_SQL_SESSIONIZE = """
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+    ), marks AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM seq
+    ), sess AS (
+        SELECT user_id,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS session_id
+        FROM marks
+    ), sized AS (
+        SELECT user_id, session_id, count(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           round(avg(n_events), 4) AS avg_events,
+           max(n_events) AS max_events
+    FROM sized
+"""
+
+_SQL_HISTOGRAM_QUANTILE = """
+    WITH v AS (
+        SELECT value FROM events WHERE value IS NOT NULL
+    ), mm AS (
+        SELECT min(value) AS mn, max(value) AS mx, count(*) AS n FROM v
+    ), b AS (
+        SELECT CAST(least(floor((value - mn) * 1024.0 / (mx - mn)), 1023.0)
+                    AS BIGINT) AS bin
+        FROM v, mm WHERE mx > mn
+    ), h AS (
+        SELECT bin, count(*) AS c FROM b GROUP BY bin
+    ), cum AS (
+        SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM h
+    )
+    SELECT q.q AS q_bp,
+           min(cum.bin) AS first_bin,
+           round((SELECT mn FROM mm)
+                 + (min(cum.bin) + 1) * ((SELECT mx FROM mm)
+                                         - (SELECT mn FROM mm)) / 1024.0,
+                 4) AS est_value
+    FROM (SELECT 5000 AS q UNION ALL SELECT 9000 UNION ALL SELECT 9900) q
+    JOIN cum ON cum.cum * 10000.0 >= q.q * (SELECT n FROM mm)
+    GROUP BY q.q
+"""
+
+_SQL_COPURCHASE_DEGREE = """
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+        SELECT u AS node, count(*) AS d FROM (
+            SELECT u, v FROM pairs
+            UNION ALL
+            SELECT v AS u, u AS v FROM pairs
+        ) GROUP BY u
+    )
+    SELECT d AS degree, count(*) AS n_nodes
+    FROM deg GROUP BY d
+    ORDER BY degree
+"""
+
+_SQL_MIXTURE_WEIGHTS = """
+    WITH lc AS (
+        SELECT lang, CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT sum(chars) AS t FROM lc
+    ), p AS (
+        SELECT lang, chars,
+               power(chars / (SELECT t * 1.0 FROM tot), 0.7) AS smoothed
+        FROM lc
+    ), z AS (
+        SELECT sum(smoothed) AS z FROM p
+    )
+    SELECT lang, chars,
+           CAST(floor(10000 * chars / (SELECT t * 1.0 FROM tot)) AS BIGINT)
+               AS raw_bp,
+           CAST(floor(10000 * smoothed / (SELECT z FROM z)) AS BIGINT)
+               AS temp_bp
+    FROM p
+    ORDER BY lang
+"""
+
+_SQL_FRAME_GEOMETRY = """
+    WITH d AS (
+        SELECT doc_id, length(text) AS len FROM documents
+    ), f AS (
+        SELECT doc_id, len,
+               greatest(CAST(floor(len / 64.0) AS BIGINT), 1) AS n
+        FROM d
+    ), g AS (
+        SELECT doc_id, len, n,
+               CAST(floor((n - 1) / 4.0) AS BIGINT) + 1 AS s
+        FROM f
+    )
+    SELECT CAST(sum(s) AS BIGINT) AS n_sampled_frames,
+           CAST(sum(64 * (s - 1)
+                    + least(64, greatest(len - 4 * (s - 1) * 64, 0)))
+                AS BIGINT) AS sampled_bytes,
+           count(*) AS n_assets
+    FROM g
+"""
+
+
+@register("sql_sessionize", oracle=_SQL_SESSIONIZE)
+def sql_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization census as literal shared SQL — the
+    batch twin of the streaming family's 30-minute-gap sessions
+    (``stream_closed_sessions`` / ``sessionize_events``), stated as
+    lag + interval comparison + cumulative-sum windows. The session
+    boundary compares ``ts - prev_ts > INTERVAL 30 MINUTE`` directly
+    (timestamp subtraction yields a comparable day-time interval in
+    both engines; epoch-extraction functions do NOT share a
+    spelling)."""
+    return run_sql(spark, sf_dir, _SQL_SESSIONIZE)
+
+
+@register("sql_histogram_quantile", oracle=_SQL_HISTOGRAM_QUANTILE)
+def sql_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch family's literal-SQL twin: the 1024-cell equi-width
+    histogram of ``histogram_quantile_census`` with its ceil-rank
+    quantile readout (p50/p90/p99), stated once in pure floor/least
+    arithmetic (no engine-specific integer division or bucketing
+    function) and executed verbatim by both engines."""
+    return run_sql(spark, sf_dir, _SQL_HISTOGRAM_QUANTILE)
+
+
+@register("sql_copurchase_degree", oracle=_SQL_COPURCHASE_DEGREE)
+def sql_copurchase_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph family's literal-SQL twin: degree distribution of the
+    co-purchase graph (distinct part pairs sharing an order, both
+    orientations unioned, per-node degree, then the degree histogram
+    the triangle/k-core analyses start from)."""
+    return run_sql(spark, sf_dir, _SQL_COPURCHASE_DEGREE)
+
+
+@register("sql_mixture_weights", oracle=_SQL_MIXTURE_WEIGHTS)
+def sql_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampling family's literal-SQL twin: temperature-smoothed
+    (T=0.7 power) per-language mixture weights in basis points next
+    to the raw character shares — the rebalancing computation behind
+    ``temperature_mixture_sample``, floor-quantized so the output is
+    integer-exact."""
+    return run_sql(spark, sf_dir, _SQL_MIXTURE_WEIGHTS)
+
+
+@register("sql_frame_geometry", oracle=_SQL_FRAME_GEOMETRY)
+def sql_frame_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal family's literal-SQL twin: the every-4th-64-unit
+    frame-sampling schedule of ``multimodal_frame_sample`` in closed
+    form (frame count, sampled-frame count, sampled payload) over
+    length(text) — char length, the unit both engines define
+    identically; the binary demux itself stays Spark-side where the
+    codecs live."""
+    return run_sql(spark, sf_dir, _SQL_FRAME_GEOMETRY)

@@ -34,3 +34,57 @@ def test_gen_scaling_preserves_epilogue_logic():
     the NEXT regeneration, so pin the mechanism too."""
     src = (REPO / "tools" / "gen_scaling.py").read_text()
     assert 'old.find("\\n## ")' in src and "epilogue" in src
+
+
+_PROFILE_SECTIONS = (
+    "## Session-lifetime JIT effect",
+    "## Wordcount steady-time delta r03->r04: NOISE",
+    "## r04->r05 suite movers: NOISE",
+    "## localCheckpoint on shared subtrees: measured REGRESSION",
+    "### r7 update: verdict REVERSED for tfidf under the unhinted plan",
+)
+
+
+def test_profile_md_keeps_adjudication_sections():
+    """PROFILE.md's hand-measured adjudication sections (JIT code-cache
+    sizing, the three noise/regression A/B verdicts and the r7
+    reversal) must survive regeneration — they are the evidence the
+    round-over-round perf judgements rest on (r6 VERDICT item 10)."""
+    text = (REPO / "PROFILE.md").read_text()
+    for section in _PROFILE_SECTIONS:
+        assert section in text, (
+            f"PROFILE.md lost its {section!r} section — "
+            "tools/profile_queries.py regenerated without it; restore "
+            "from git history and re-sync the generator's EPILOGUE"
+        )
+
+
+def test_profile_generator_carries_adjudication_sections():
+    """The generator's static EPILOGUE must contain every adjudication
+    section, so a regen CANNOT drop them (content test above would
+    only catch it after the fact)."""
+    src = (REPO / "tools" / "profile_queries.py").read_text()
+    for section in _PROFILE_SECTIONS:
+        assert section in src, (
+            f"tools/profile_queries.py EPILOGUE lost {section!r}"
+        )
+
+
+def test_explain_md_pins_persisted_index_plans():
+    """EXPLAIN.md must keep the persisted-index plan sections WITH
+    their load-bearing plan fragments: partition pruning on the probed
+    cells and the codes-only ADC scan. A gen_explain.py edit that
+    drops these queries (or a plan change that silently loses the
+    pruning) must fail here, not in the next verdict."""
+    text = (REPO / "EXPLAIN.md").read_text()
+    for section in (
+        "## ann_pq_topk",
+        "## ann_ivf_pq_topk",
+        "## ann_ivf_indexed_topk",
+    ):
+        assert section in text, f"EXPLAIN.md lost {section!r}"
+    # key assertion strings inside those plans
+    assert "PartitionFilters: [cell#" in text, "cell pruning gone"
+    assert "ReadSchema: struct<vec_id:bigint,codes:array<int>>" in text, (
+        "codes-only ADC scan gone"
+    )

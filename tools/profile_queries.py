@@ -117,6 +117,89 @@ band documented on this host, hypervisor CPU steal measured earlier),
 landing on a small absolute number. Verdict: noise; no fix needed
 (r05 bench re-measured 0.312 s / 867k tokens/s). ReservedCodeCacheSize
 headroom already set in `session.py`.
+
+## r04->r05 suite movers: NOISE (same-session min-of-5, round 6)
+
+The r5 VERDICT flagged three unexplained steady-time movers between
+the r04 and r05 bench artifacts, in queries whose plans did not
+change: `copurchase_kcore_census` 2.93 -> 4.86 s (+66%),
+`near_dup_containment` 1.53 -> 2.62 s (+72%), and the r01-subset
+steady total 15.1 -> 17.3 s (+15%). A stash A/B is not applicable
+(both arms would run identical code — nothing in these queries
+changed r04->r05); the adjudicating evidence is a same-session
+min-of-5 on the current tree (one `get_spark` session, sf0.1,
+post-warmup):
+
+| query | r04 artifact | r05 artifact | r6 same-session min-of-5 |
+|---|---|---|---|
+| copurchase_kcore_census | 2.93 s | 4.86 s | **3.21 s** (runs 9.4/4.1/3.4/3.2/3.5) |
+| near_dup_containment | 1.53 s | 2.62 s | **1.72 s** (runs 3.0/2.2/1.7/1.7/1.7) |
+| wordcount (control) | 0.587 s | 0.361 s | **0.264 s** |
+
+Both movers return to their r04 neighborhood with zero code changes,
+and the per-run spread WITHIN one session (9.4 -> 3.2 s on kcore's
+first-to-best) is itself larger than the r04->r05 artifact delta —
+the bench's min-of-2 steady pass simply sampled the host's
+hypervisor-steal noise band (20-30%, measured in round 4) on top of
+an iterative query whose first run carries localCheckpoint
+materialization. Verdict: noise, consistent with the r4 wordcount
+scare (PROFILE.md "Wordcount steady-time delta r03->r04"); no fix
+needed. The r01-subset drift follows from the same band summed over
+30 queries.
+
+## localCheckpoint on shared subtrees: measured REGRESSION, reverted (round 6)
+
+Hypothesis: tfidf_cosine_pairs' plan shows 12 FileScans / 12 Generates
+(the (doc, gram, tf) subtree feeds six consumers with zero exchange
+reuse), so materializing it once with `localCheckpoint(eager=True)`
+should cut the wall time. Same applies to the shingle posting tables
+in near_dup_jaccard_capped/prefix (8 scans each) and the count tables
+in cms_heavy_bigrams / bigram_entropy_rate.
+
+Same-session stash-based A/B (min-of-3 steady, sf0.1, local[32],
+quiet host — the only protocol that survives the established 20-30%
+artifact-to-artifact noise band):
+
+| query | no checkpoint | checkpointed | verdict |
+|---|---|---|---|
+| tfidf_cosine_pairs | 11.58 s | 12.29 s | regression |
+| near_dup_jaccard_capped | 6.57 s | 9.34 s | regression (+42%) |
+| near_dup_jaccard_prefix | 4.56 s | 4.08 s | ~wash |
+| cms_heavy_bigrams | 3.89 s | 3.96 s | wash |
+| bigram_entropy_rate | 3.73 s | 3.97 s | wash |
+
+Why the scan counts mislead: each "duplicate" subtree run scans only
+the pruned columns its consumer needs inside one whole-stage-codegen
+span, while the checkpoint materializes full-width rows to executor
+storage, pays serialization both ways, and cuts codegen fusion at the
+boundary. Catalyst's recompute is CHEAPER than block-store round trips
+for these vocabulary-heavy intermediates. The wall cost of these
+queries at sf0.1 is the posting self-join volume, not the scans.
+
+Decision: edits reverted (never committed). The at-scale story stays
+the explicit one: persist shared indexes as parquet artifacts (the
+ANN-index pattern), don't localCheckpoint per query. Existing
+localCheckpoint uses in the tree (graph CC lineage, Lloyd trainer
+init, blocked-GEMM corpus) serve iteration/lineage correctness, not
+scan dedup, and are unaffected.
+
+### r7 update: verdict REVERSED for tfidf under the unhinted plan
+
+Round 7 removed the forced broadcasts of corpus-linear sides in the
+similarity family (r6 VERDICT item 3). Under the resulting
+shuffle-join plan the r6 A/B's conclusion inverts for
+tfidf_cosine_pairs: recomputing the (doc, gram, tf) subtree now means
+re-SHUFFLING it for every sort-merge consumer, not just re-scanning
+pruned columns inside codegen — measured same-session steady at
+sf0.1: 48.0 s un-hinted without checkpoint, 21.1 s with
+tf+wts localCheckpointed (the df-capped twin, which checkpoints the
+same way, runs 5.9 s). tfidf_cosine_pairs and
+tfidf_cosine_pairs_capped therefore carry the checkpoints; the
+near_dup_jaccard family keeps its r6 no-checkpoint decision (its
+sizes joins stay cheap because `shingles` was already checkpointed).
+The general rule stands with a sharper condition: localCheckpoint a
+shared subtree only when its consumers SHUFFLE it (broadcast or
+codegen-fused consumers recompute cheaper).
 """
 
 def _metrics(node) -> dict:
