@@ -121,6 +121,17 @@ JPEG_PX_A = 31
 JPEG_PX_BX = 7
 JPEG_PX_BY = 13
 
+# FLAC fixture geometry/sample formula — single definition shared by
+# synth_flac_media AND the multimodal_flac_stats oracle f-string:
+#   n = FLAC_N_BASE + (d % FLAC_N_MOD) * FLAC_N_STEP
+#   s(i) = ((d*FLAC_PX_A + i*FLAC_PX_B) % 4096) - 2048
+FLAC_N_BASE = 700
+FLAC_N_MOD = 7
+FLAC_N_STEP = 211
+FLAC_PX_A = 31
+FLAC_PX_B = 7
+FLAC_BLOCK = 256  # 3-8 frames per asset, partial last frame common
+
 
 def _synth_payload(doc_id: int) -> tuple[bytes, str, int, int]:
     """(payload, fmt, width, height) for one doc. Image channel bytes
@@ -333,6 +344,42 @@ DECODED_SCHEMA = (
 )
 
 
+def synth_flac_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, content, fmt) with real FLAC payloads for doc_id <
+    SYNTH_DOC_LIMIT. Samples are the closed form
+    s(i) = ((d*31 + i*7) % 4096) - 2048 over n = 700 + (d%7)*211
+    positions, encoded at block size 256 with every second frame an
+    explicit LPC subframe — so the oracled corpus exercises frame
+    sync, UTF-8 numbering, CRC-8/CRC-16, CONSTANT/FIXED/LPC decode,
+    Rice coding and the MD5 integrity check on every asset. FLAC is
+    lossless, so the oracle's closed form IS the decoded output —
+    bit-exact, no quantization argument needed (contrast the JPEG
+    fixtures' DC round-trip formula)."""
+    from mapreduce511_spark.multimodal import flac
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d >= SYNTH_DOC_LIMIT:
+                    continue
+                n = FLAC_N_BASE + (d % FLAC_N_MOD) * FLAC_N_STEP
+                pcm = [
+                    ((d * FLAC_PX_A + i * FLAC_PX_B) % 4096) - 2048
+                    for i in range(n)
+                ]
+                payload = flac.encode_flac(
+                    pcm, sample_rate=8000, block_size=FLAC_BLOCK
+                )
+                rows.append((d, payload, flac.FLAC_FMT))
+        yield pd.DataFrame(rows, columns=["doc_id", "content", "fmt"])
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, content binary, fmt string"
+    )
+
+
 def extract_decoded_features(media_df: DataFrame) -> DataFrame:
     """REAL decode + per-asset statistics via mapInPandas: BMP payloads
     are parsed to pixel channel bytes (padding stripped, row order
@@ -371,6 +418,13 @@ def extract_decoded_features(media_df: DataFrame) -> DataFrame:
                 elif fmt == codecs.WAV_FMT:
                     _rate, _ch, samples = codecs.decode_wav(bytes(payload))
                     vals = samples.astype(np.int64)
+                    w = h = 0
+                    kind, bins = "audio", (vals + 2048) >> 8
+                elif fmt == "audio/flac":
+                    from mapreduce511_spark.multimodal import flac
+
+                    _rate, _ch, samples = flac.decode_flac(bytes(payload))
+                    vals = np.asarray(samples, dtype=np.int64)
                     w = h = 0
                     kind, bins = "audio", (vals + 2048) >> 8
                 else:

@@ -114,16 +114,28 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def decode_real(payload: bytes, fmt: str):
-    """Real decode dispatch. BMP, WAV, (non-interlaced RGB8) PNG and
+    """Real decode dispatch. BMP, WAV, FLAC (16-bit mono — lossless,
+    CRC+MD5-verified, see ``flac.py``), (non-interlaced RGB8) PNG and
     JPEG — baseline SOF0 and progressive SOF2, each with 4:4:4 /
     4:2:2 / 4:2:0 chroma subsampling (see ``jpeg.py`` for the honest
-    scope) — are implemented natively; the remaining compressed
-    formats (MP3/H.264, arithmetic-coded JPEG) stay honestly stubbed
-    until real codec libraries exist in the environment."""
+    scope) — are implemented natively. MP3/H.264 and arithmetic-coded
+    JPEG stay honestly stubbed: their entropy tables (ISO 11172-3
+    Huffman tables, T.81 QM-coder Qe states) are FIXED BY THE SPEC
+    and not carried in the bitstream, so without the standards text
+    or a reference codec in this environment a reimplementation
+    would be self-consistent but externally unverifiable (an
+    encoder/decoder pair sharing wrong tables round-trips perfectly);
+    FLAC was lifted instead because every code parameter it needs
+    travels in the stream (flac.py's header note has the full
+    argument)."""
     if fmt in (BMP_FMT, "bmp"):
         return decode_bmp(payload)
     if fmt in (WAV_FMT, "wav"):
         return decode_wav(payload)
+    if fmt in ("audio/flac", "flac"):
+        from mapreduce511_spark.multimodal.flac import decode_flac
+
+        return decode_flac(payload)
     if fmt in (PNG_FMT, "png"):
         return decode_png(payload)
     if fmt in ("image/jpeg", "jpeg", "jpg"):
@@ -132,8 +144,8 @@ def decode_real(payload: bytes, fmt: str):
         return decode_jpeg(payload)
     raise NotImplementedError(
         f"no native decoder for {fmt!r}: this environment has no "
-        "image/audio codec libraries; BMP, WAV, RGB8 PNG and JPEG "
-        "(baseline + progressive) decode natively"
+        "image/audio codec libraries; BMP, WAV, FLAC, RGB8 PNG and "
+        "JPEG (baseline + progressive) decode natively"
     )
 
 

@@ -1,0 +1,539 @@
+"""Native FLAC codec (16-bit mono subset): encoder + full decoder.
+
+Implemented from the public xiph.org FLAC format specification
+(https://xiph.org/flac/format.html). Scope — the honest contract:
+
+- STREAMINFO metadata block (with the REAL MD5 of the unencoded
+  samples, which the decoder re-computes and verifies: a built-in
+  end-to-end integrity gate the lossy codecs can't offer);
+- fixed-blocksize frames, mono, 16-bit; frame headers carry a
+  UTF-8-coded frame number, explicit 16-bit blocksize, CRC-8;
+  frame footer CRC-16 over the whole frame;
+- subframes: CONSTANT, VERBATIM, FIXED orders 0-4, and LPC with
+  in-stream quantized coefficients — integer-exact reconstruction
+  x[n] = res[n] + (sum qlp[j]*x[n-1-j]) >> shift;
+- residuals: Rice method 0 (4-bit params), any partition order,
+  including the 5-bit raw-bits escape.
+
+Why FLAC is the codec lifted in r7 rather than MP3 (the r6 VERDICT's
+nomination): MP3's Huffman tables are FIXED BY THE SPEC and not
+carried in the bitstream; without the ISO 11172-3 tables available in
+this environment a reimplementation would have to invent them, and an
+encoder/decoder pair sharing the same wrong tables round-trips
+perfectly while decoding every real-world MP3 incorrectly — a
+self-consistency no oracle can catch. FLAC has NO spec-fixed code
+tables: Rice parameters, predictor orders and LPC coefficients all
+travel in the stream (the same property that made JPEG safe — its
+Huffman/quant tables ride in DHT/DQT segments), the only fixed
+constants are the CRC polynomials (CRC-8 poly 0x07, CRC-16 poly
+0x8005, both init 0, non-reflected — stated by the spec and
+documented here) and the binomial fixed-predictor coefficients
+(1; 2,-1; 3,-3,1; 4,-6,4,-1 — derivable, not data). And FLAC is
+LOSSLESS, so the decode path is verified bit-for-bit against the
+synthesized input's closed form by the DuckDB oracle — a stronger
+gate than any lossy codec admits. MP3/H.264 and arithmetic-coded
+JPEG (QM-coder Qe table: spec-fixed data, same problem) stay gated
+in ``codecs.decode_real``.
+
+Reference basis: extension tier — multimodal decode family (no
+analog in /root/reference, which is text-only).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+FLAC_FMT = "audio/flac"
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 (FLAC frame
+    header CRC)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), init 0 (FLAC
+    frame footer CRC)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+def _utf8_number(n: int) -> bytes:
+    """FLAC's UTF-8-style coded number (frame index)."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    bits = n.bit_length()
+    n_bytes = 2
+    while bits > 6 * (n_bytes - 1) + (7 - n_bytes):
+        n_bytes += 1
+    lead = (0xFF << (8 - n_bytes)) & 0xFF
+    shift = 6 * (n_bytes - 1)
+    out.append(lead | (n >> shift))
+    for i in range(n_bytes - 1):
+        shift -= 6
+        out.append(0x80 | ((n >> shift) & 0x3F))
+    return bytes(out)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        if bits == 0:
+            return
+        value &= (1 << bits) - 1
+        self.acc = (self.acc << bits) | value
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_signed(self, value: int, bits: int) -> None:
+        self.write(value & ((1 << bits) - 1), bits)
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a one
+
+    def write_bytes(self, data: bytes) -> None:
+        assert self.nbits == 0, "byte write must be aligned"
+        self.buf += data
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def getvalue(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, bits: int) -> int:
+        v = 0
+        for _ in range(bits):
+            if self.byte >= len(self.data):
+                raise ValueError("FLAC bitstream truncated")
+            b = (self.data[self.byte] >> (7 - self.bit)) & 1
+            v = (v << 1) | b
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+    def read_signed(self, bits: int) -> int:
+        v = self.read(bits)
+        if v >= 1 << (bits - 1):
+            v -= 1 << bits
+        return v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+def _rice_param(residuals: list[int]) -> int:
+    """Smallest-cost 4-bit Rice parameter estimate (mean-based)."""
+    if not residuals:
+        return 0
+    total = sum(_zigzag(r) for r in residuals)
+    mean = total / len(residuals)
+    p = 0
+    while (1 << (p + 1)) < mean + 1 and p < 14:
+        p += 1
+    return p
+
+
+def _zigzag(r: int) -> int:
+    return (r << 1) if r >= 0 else (((-r) << 1) - 1)
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
+
+
+def _write_residual(
+    w: _BitWriter,
+    residuals: list[int],
+    block_size: int | None = None,
+    order: int = 0,
+    partition_order: int = 0,
+) -> None:
+    """Rice method 0 with per-partition params and the raw-bits escape
+    when Rice would be pathological. ``partition_order`` > 0 requires
+    (block_size, order) to size the spec's short first partition."""
+    w.write(0, 2)  # coding method 00: 4-bit Rice
+    w.write(partition_order, 4)
+    n_parts = 1 << partition_order
+    if partition_order == 0:
+        parts = [residuals]
+    else:
+        per = block_size >> partition_order
+        parts, at = [], 0
+        for i in range(n_parts):
+            count = per - (order if i == 0 else 0)
+            parts.append(residuals[at : at + count])
+            at += count
+        assert at == len(residuals)
+    for part in parts:
+        p = _rice_param(part)
+        max_u = max((_zigzag(r) for r in part), default=0)
+        # escape to raw if any quotient would be absurd (incompressible)
+        if p >= 15 or (max_u >> p) > 64:
+            nbits = max(max_u.bit_length() + 1, 2)
+            w.write(0xF, 4)  # escape
+            w.write(nbits, 5)
+            for r in part:
+                w.write_signed(r, nbits)
+            continue
+        w.write(p, 4)
+        for r in part:
+            u = _zigzag(r)
+            w.write_unary(u >> p)
+            w.write(u & ((1 << p) - 1), p)
+
+
+def _read_residual(r: _BitReader, block_size: int, order: int) -> list[int]:
+    """Per spec: the block splits into 2^po partitions of
+    block_size >> po samples each, except the FIRST partition, which
+    is short by the predictor order (warmup samples are not residual-
+    coded)."""
+    method = r.read(2)
+    if method not in (0, 1):
+        raise ValueError(f"reserved residual coding method {method}")
+    plen = 4 if method == 0 else 5
+    po = r.read(4)
+    n_parts = 1 << po
+    if block_size % n_parts or (block_size >> po) <= order:
+        raise ValueError("invalid residual partition order")
+    out: list[int] = []
+    for part in range(n_parts):
+        count = (block_size >> po) - (order if part == 0 else 0)
+        param = r.read(plen)
+        if param == (1 << plen) - 1:
+            nbits = r.read(5)
+            out.extend(r.read_signed(nbits) for _ in range(count))
+        else:
+            for _ in range(count):
+                q = r.read_unary()
+                u = (q << param) | r.read(param)
+                out.append(_unzigzag(u))
+    return out
+
+
+def _fixed_residuals(samples: list[int], order: int) -> list[int]:
+    res = list(samples)
+    for _ in range(order):
+        res = [res[i] - res[i - 1] for i in range(1, len(res))]
+    return res
+
+
+def _usable_po(po: int, block_size: int, order: int) -> int:
+    """Largest partition order <= po the spec allows for this block
+    (2^po must divide block_size and leave the first partition
+    non-empty after the warmup samples) — partial last frames fall
+    back toward 0."""
+    while po > 0 and (
+        block_size % (1 << po) or (block_size >> po) <= order
+    ):
+        po -= 1
+    return po
+
+
+def encode_flac(
+    samples: list[int],
+    sample_rate: int = 8000,
+    block_size: int = 1024,
+    lpc_every: int = 2,
+    partition_order: int = 0,
+) -> bytes:
+    """Encode 16-bit mono PCM as a FLAC stream. Per block the encoder
+    picks CONSTANT when flat, else the best FIXED order 0-4 by
+    residual magnitude — and every ``lpc_every``-th block instead
+    writes the order-2 predictor as an explicit LPC subframe
+    (coefficients 2,-1, shift 0, precision 4) so the general LPC
+    decode path is exercised by every fixture, not just by tests."""
+    n = len(samples)
+    for s in samples:
+        if not -32768 <= s <= 32767:
+            raise ValueError("16-bit PCM required")
+    md5 = hashlib.md5(
+        b"".join(struct.pack("<h", s) for s in samples)
+    ).digest()
+
+    out = bytearray(b"fLaC")
+    # STREAMINFO (last metadata block, type 0, length 34)
+    si = _BitWriter()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)  # min frame size unknown
+    si.write(0, 24)  # max frame size unknown
+    si.write(sample_rate, 20)
+    si.write(0, 3)  # channels - 1
+    si.write(15, 5)  # bits per sample - 1
+    si.write(n, 36)
+    body = si.getvalue() + md5
+    out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+
+    frame_idx = 0
+    pos = 0
+    while pos < n:
+        blk = samples[pos : pos + block_size]
+        bs = len(blk)
+        w = _BitWriter()
+        w.write(0b11111111111110, 14)
+        w.write(0, 1)  # reserved
+        w.write(0, 1)  # fixed blocksize stream
+        w.write(0b0111, 4)  # blocksize: 16-bit at end of header
+        w.write(0b0000, 4)  # sample rate: from STREAMINFO
+        w.write(0b0000, 4)  # channel assignment: mono
+        w.write(0b100, 3)  # sample size: 16 bits
+        w.write(0, 1)  # reserved
+        # header continues byte-aligned pieces through the bit writer
+        for b in _utf8_number(frame_idx):
+            w.write(b, 8)
+        w.write(bs - 1, 16)
+        header_so_far = w.getvalue()  # all fields above are whole bytes
+        w.write(_crc8(header_so_far), 8)
+
+        use_lpc = lpc_every > 0 and frame_idx % lpc_every == 1 and bs > 2
+        if all(s == blk[0] for s in blk):
+            w.write(0, 1)
+            w.write(0b000000, 6)  # CONSTANT
+            w.write(0, 1)
+            w.write_signed(blk[0], 16)
+        elif use_lpc:
+            order, coefs, shift, prec = 2, [2, -1], 0, 4
+            w.write(0, 1)
+            w.write(0b100000 | (order - 1), 6)  # LPC, order bits+1
+            w.write(0, 1)
+            for s in blk[:order]:
+                w.write_signed(s, 16)
+            w.write(prec - 1, 4)
+            w.write_signed(shift, 5)
+            for c in coefs:
+                w.write_signed(c, prec)
+            res = [
+                blk[i]
+                - ((sum(coefs[j] * blk[i - 1 - j] for j in range(order))) >> shift)
+                for i in range(order, bs)
+            ]
+            po = _usable_po(partition_order, bs, order)
+            _write_residual(w, res, bs, order, po)
+        else:
+            best_order, best_res, best_cost = 0, blk, None
+            for order in range(0, min(5, bs)):
+                res = _fixed_residuals(blk, order)
+                cost = sum(abs(x) for x in res)
+                if best_cost is None or cost < best_cost:
+                    best_order, best_res, best_cost = order, res, cost
+            w.write(0, 1)
+            w.write(0b001000 | best_order, 6)  # FIXED
+            w.write(0, 1)
+            for s in blk[:best_order]:
+                w.write_signed(s, 16)
+            po = _usable_po(partition_order, bs, best_order)
+            _write_residual(w, best_res, bs, best_order, po)
+        w.align()
+        frame = w.getvalue()
+        out += frame + struct.pack(">H", _crc16(frame))
+        frame_idx += 1
+        pos += bs
+    return bytes(out)
+
+
+def decode_flac(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode a FLAC stream (the subset above, plus any partition
+    order / Rice escape / LPC configuration a conforming encoder may
+    emit within mono 16-bit fixed-blocksize streams). Verifies both
+    frame CRCs and the STREAMINFO MD5 of the decoded samples — a
+    single flipped bit anywhere fails loudly. Returns
+    (sample_rate, n_channels, samples)."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("FLAC metadata truncated")
+        hdr = payload[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        length = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + length]
+        if btype == 0:
+            streaminfo = body
+        pos += 4 + length
+        if last:
+            break
+    if streaminfo is None or len(streaminfo) != 34:
+        raise ValueError("missing STREAMINFO")
+    r = _BitReader(streaminfo)
+    r.read(16)  # min block size
+    max_bs = r.read(16)
+    r.read(24)
+    r.read(24)
+    sample_rate = r.read(20)
+    n_channels = r.read(3) + 1
+    bps = r.read(5) + 1
+    total = r.read(36)
+    md5_expect = streaminfo[18:34]
+    if n_channels != 1 or bps != 16:
+        raise NotImplementedError("only mono 16-bit FLAC implemented")
+
+    samples: list[int] = []
+    while pos < len(payload) and len(samples) < total:
+        frame_start = pos
+        br = _BitReader(payload, pos)
+        if br.read(14) != 0b11111111111110:
+            raise ValueError("lost frame sync")
+        br.read(1)
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        chan = br.read(4)
+        size_code = br.read(3)
+        br.read(1)
+        if chan != 0 or size_code != 0b100:
+            raise NotImplementedError("only mono 16-bit frames")
+        # UTF-8 frame number
+        first = br.read(8)
+        if first < 0x80:
+            pass
+        else:
+            extra = 0
+            mask = 0x40
+            while first & mask:
+                extra += 1
+                mask >>= 1
+            for _ in range(extra):
+                if br.read(8) & 0xC0 != 0x80:
+                    raise ValueError("bad UTF-8 frame number")
+        if bs_code == 0b0110:
+            bs = br.read(8) + 1
+        elif bs_code == 0b0111:
+            bs = br.read(16) + 1
+        elif bs_code == 0b0001:
+            bs = 192
+        elif 0b0010 <= bs_code <= 0b0101:
+            bs = 576 << (bs_code - 2)
+        elif bs_code >= 0b1000:
+            bs = 256 << (bs_code - 8)
+        else:
+            raise ValueError("reserved blocksize code")
+        if sr_code == 0b1100:
+            br.read(8)
+        elif sr_code in (0b1101, 0b1110):
+            br.read(16)
+        crc8 = br.read(8)
+        header_bytes = payload[frame_start : br.byte]
+        # CRC-8 covers the header up to (not including) its own byte
+        if _crc8(header_bytes[:-1]) != crc8:
+            raise ValueError("frame header CRC-8 mismatch")
+        if bs > max_bs:
+            raise ValueError("frame blocksize exceeds STREAMINFO max")
+
+        # one subframe (mono)
+        if br.read(1) != 0:
+            raise ValueError("bad subframe padding bit")
+        stype = br.read(6)
+        wasted = br.read(1)
+        shift_wasted = 0
+        if wasted:
+            shift_wasted = 1 + br.read_unary()
+        eff_bits = 16 - shift_wasted
+        if stype == 0b000000:
+            v = br.read_signed(eff_bits)
+            blk = [v] * bs
+        elif stype == 0b000001:
+            blk = [br.read_signed(eff_bits) for _ in range(bs)]
+        elif 0b001000 <= stype <= 0b001100:
+            order = stype - 0b001000
+            warm = [br.read_signed(eff_bits) for _ in range(order)]
+            res = _read_residual(br, bs, order)
+            blk = list(warm)
+            coefs = _FIXED_COEFS[order]
+            for i in range(order, bs):
+                pred = sum(
+                    coefs[j] * blk[i - 1 - j] for j in range(order)
+                )
+                blk.append(res[i - order] + pred)
+        elif stype & 0b100000:
+            order = (stype & 0b011111) + 1
+            warm = [br.read_signed(eff_bits) for _ in range(order)]
+            prec = br.read(4) + 1
+            if prec == 16:
+                raise ValueError("invalid LPC precision")
+            shift = br.read_signed(5)
+            coefs = [br.read_signed(prec) for _ in range(order)]
+            res = _read_residual(br, bs, order)
+            blk = list(warm)
+            for i in range(order, bs):
+                pred = (
+                    sum(coefs[j] * blk[i - 1 - j] for j in range(order))
+                    >> shift
+                )
+                blk.append(res[i - order] + pred)
+        else:
+            raise ValueError(f"reserved subframe type {stype:06b}")
+        if shift_wasted:
+            blk = [s << shift_wasted for s in blk]
+        br.align()
+        frame_bytes = payload[frame_start : br.byte]
+        crc16 = int.from_bytes(payload[br.byte : br.byte + 2], "big")
+        if _crc16(frame_bytes) != crc16:
+            raise ValueError("frame CRC-16 mismatch")
+        pos = br.byte + 2
+        samples.extend(blk)
+
+    if len(samples) != total:
+        raise ValueError(f"decoded {len(samples)} of {total} samples")
+    md5 = hashlib.md5(
+        b"".join(struct.pack("<h", s) for s in samples)
+    ).digest()
+    if md5 != md5_expect:
+        raise ValueError("decoded-audio MD5 mismatch")
+    return sample_rate, 1, samples
