@@ -75,6 +75,14 @@ PICKS = {
     "multimodal_jpeg_progressive_stats": "Arrow-batched progressive (SOF2) JPEG decode; same shuffle-free per-doc aggregate shape as the baseline twin",
     "kmv_set_ops_census": "Per-side distinct-hash shuffle + TakeOrdered k-min; 64-row broadcast semi-joins; 1-row sketch aggregates crossJoined broadcast",
     "priority_sample_census": "TakeOrdered top-(k+1) priorities (no global window over data); estimator over 33 broadcast rows; one exact-total scan",
+    # round 7
+    "embedding_near_dup": "Plain name now the both-sides-blocked GEMM (r7 swap): block-pair shuffle + FlatMapGroupsInPandas, no nested-loop self-join",
+    "tfidf_cosine_pairs_capped": "df-capped candidate postings; exact verify joins bounded by candidates; no corpus-linear broadcast hints",
+    "kll_quantile_census": "Hash-level sampler: 49-row combinable level histogram; windows over <= k survivors; 3-broadcast-row exact-rank scan",
+    "ann_ivf_lloyd_indexed_topk": "Persisted Lloyd index: PartitionFilters cell pruning, 16 broadcast centroid rows, windowed top-k over candidates",
+    "semantic_dedup_lloyd_indexed": "Persisted Lloyd assignment: one index scan + cluster-id equi-join pair stage (training amortized into the build)",
+    "multimodal_flac_stats": "Arrow-batched lossless FLAC decode where the bytes live; shuffle-free per-asset aggregate (same shape as the JPEG twins)",
+    "sql_histogram_quantile": "Literal shared SQL: equi-width histogram + cumulative-window ceil-rank readout",
 }
 
 
