@@ -154,3 +154,17 @@ def test_compression_actually_compresses_smooth_signals():
     pcm = [int(20000 * math.sin(i / 50)) for i in range(8192)]
     enc = encode_flac(pcm, block_size=1024)
     assert len(enc) < 0.5 * 2 * len(pcm), len(enc)
+
+
+def test_foreign_metadata_blocks_skipped():
+    """Real-world FLAC files carry PADDING/VORBIS_COMMENT blocks
+    between STREAMINFO and the frames; the decoder must walk past any
+    metadata block type."""
+    pcm = [((i * 9) % 1000) - 500 for i in range(1500)]
+    enc = bytearray(encode_flac(pcm))
+    assert enc[4] == 0x80  # STREAMINFO marked last
+    enc[4] = 0x00  # ...no longer last
+    pad = bytes([0x81]) + (10).to_bytes(3, "big") + b"\x00" * 10
+    si_end = 4 + 4 + 34
+    spliced = bytes(enc[:si_end]) + pad + bytes(enc[si_end:])
+    assert decode_flac(spliced)[2] == pcm

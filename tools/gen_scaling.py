@@ -127,6 +127,14 @@ PICKS = {
     "multimodal_jpeg_progressive_stats": "per-doc multi-scan SOF2 encode+decode in Arrow batches; embarrassingly parallel",
     "kmv_set_ops_census": "sketch state fixed at 3 x 64 longs; per-side dedup is the only data-sized shuffle",
     "priority_sample_census": "sample fixed at k+1 = 33 rows via combinable TakeOrdered; map-side exact-total agg",
+    # round 7
+    "embedding_near_dup": "blocked GEMM under the plain name (r7 swap): shuffle ~ n_blocks x corpus, task memory bounded",
+    "tfidf_cosine_pairs_capped": "df-capped postings bound the candidate join; verify ~ candidates x doc terms",
+    "kll_quantile_census": "level histogram fixed at <=49 rows; survivors <= k; one conditional-count readout scan",
+    "ann_ivf_lloyd_indexed_topk": "build-once persisted index; steady = partition-pruned candidates only",
+    "semantic_dedup_lloyd_indexed": "persisted assignment scan + cluster-id-bounded pair join",
+    "multimodal_flac_stats": "fixed 400-asset fixture corpus; Arrow-batched decode, no pixel/sample shuffle",
+    "sql_sessionize": "per-user windows; shuffle keyed on user_id, one pass",
 }
 
 
