@@ -191,9 +191,10 @@ shuffle-join plan the r6 A/B's conclusion inverts for
 tfidf_cosine_pairs: recomputing the (doc, gram, tf) subtree now means
 re-SHUFFLING it for every sort-merge consumer, not just re-scanning
 pruned columns inside codegen — measured same-session steady at
-sf0.1: 48.0 s un-hinted without checkpoint, 21.1 s with
-tf+wts localCheckpointed (the df-capped twin, which checkpoints the
-same way, runs 5.9 s). tfidf_cosine_pairs and
+sf0.1 (local[8] — same-arm comparison, not comparable to the
+local[32] tables above): 48.0 s un-hinted without checkpoint, 21.1 s
+with tf+wts localCheckpointed (the df-capped twin, which checkpoints
+the same way, runs 5.9 s on that arm). tfidf_cosine_pairs and
 tfidf_cosine_pairs_capped therefore carry the checkpoints; the
 near_dup_jaccard family keeps its r6 no-checkpoint decision (its
 sizes joins stay cheap because `shingles` was already checkpointed).
