@@ -121,3 +121,19 @@ def test_driver_sample_window_is_exactly_50_known_names():
     assert len(set(window)) == 50, "duplicate names in the window"
     # and the ordering actually front-loads them
     assert list(q)[:50] == window
+
+
+def test_bench_canary_is_frozen_and_registered():
+    """bench.py's _CANARY is the self-adjudicating round-over-round
+    comparator (r6 VERDICT item 4): exactly 20 names, every one
+    registered — a rename that forgets the canary would KeyError the
+    whole bench, and an accidental add/remove would silently break
+    round comparability."""
+    import bench
+    from mapreduce511_spark import queries as suite
+
+    q = suite.all_queries()
+    assert len(bench._CANARY) == 20
+    assert len(set(bench._CANARY)) == 20
+    missing = [n for n in bench._CANARY if n not in q]
+    assert not missing, missing
