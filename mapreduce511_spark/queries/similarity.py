@@ -1602,7 +1602,14 @@ def near_dup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce511_spark.operators.dedup import doc_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    shingles = doc_shingles(docs)
+    # shingles feeds FOUR consumers (df census, the ranked prefix,
+    # sizes, and the full verify sets) — checkpoint so the tokenize +
+    # ngram explode + distinct executes once. Without the r6-era
+    # forced broadcast of `sizes` this recomputation became a
+    # shuffle-per-consumer (measured 14.1 s vs 5.4 s at sf0.1 — the
+    # PROFILE.md r7 rule: checkpoint a shared subtree when its
+    # consumers SHUFFLE it).
+    shingles = doc_shingles(docs).localCheckpoint(eager=True)
     # global canonical order: rarest shingles first (df asc, sh asc)
     df_counts = shingles.groupBy("sh").agg(F.count("*").alias("df"))
     ordered = shingles.join(df_counts, "sh")
