@@ -131,6 +131,10 @@ FLAC_N_STEP = 211
 FLAC_PX_A = 31
 FLAC_PX_B = 7
 FLAC_BLOCK = 256  # 3-8 frames per asset, partial last frame common
+# stereo right-channel formula: r(i) = ((d*FLAC_PX_A2 + i*FLAC_PX_B2)
+# % 4096) - 2048 (left reuses the mono formula)
+FLAC_PX_A2 = 17
+FLAC_PX_B2 = 11
 
 
 def _synth_payload(doc_id: int) -> tuple[bytes, str, int, int]:
@@ -371,6 +375,44 @@ def synth_flac_media(docs: DataFrame) -> DataFrame:
                 ]
                 payload = flac.encode_flac(
                     pcm, sample_rate=8000, block_size=FLAC_BLOCK
+                )
+                rows.append((d, payload, flac.FLAC_FMT))
+        yield pd.DataFrame(rows, columns=["doc_id", "content", "fmt"])
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, content binary, fmt string"
+    )
+
+
+def synth_flac_stereo_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, content, fmt) with real STEREO FLAC payloads for
+    doc_id < SYNTH_DOC_LIMIT. Channels are the closed forms
+    l(i) = ((d*31 + i*7) % 4096) - 2048 and
+    r(i) = ((d*17 + i*11) % 4096) - 2048 over the same n as the mono
+    fixture; the encoder cycles the channel assignment
+    LR -> left/side -> right/side -> mid/side per frame, so every
+    stereo decorrelation mode the spec defines sits under the exact
+    oracle (lossless: the closed forms ARE the decoded output)."""
+    from mapreduce511_spark.multimodal import flac
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d >= SYNTH_DOC_LIMIT:
+                    continue
+                n = FLAC_N_BASE + (d % FLAC_N_MOD) * FLAC_N_STEP
+                left = [
+                    ((d * FLAC_PX_A + i * FLAC_PX_B) % 4096) - 2048
+                    for i in range(n)
+                ]
+                right = [
+                    ((d * FLAC_PX_A2 + i * FLAC_PX_B2) % 4096) - 2048
+                    for i in range(n)
+                ]
+                payload = flac.encode_flac_stereo(
+                    left, right, sample_rate=8000, block_size=FLAC_BLOCK
                 )
                 rows.append((d, payload, flac.FLAC_FMT))
         yield pd.DataFrame(rows, columns=["doc_id", "content", "fmt"])

@@ -283,6 +283,92 @@ def _usable_po(po: int, block_size: int, order: int) -> int:
     return po
 
 
+def _write_subframe(
+    w: _BitWriter,
+    blk: list[int],
+    bits: int,
+    use_lpc: bool,
+    partition_order: int,
+) -> None:
+    """One subframe at ``bits`` effective sample width (17 for a
+    stereo side channel): CONSTANT when flat, the order-2 LPC path
+    when requested, else the best FIXED order 0-4 by residual
+    magnitude."""
+    bs = len(blk)
+    if all(s == blk[0] for s in blk):
+        w.write(0, 1)
+        w.write(0b000000, 6)  # CONSTANT
+        w.write(0, 1)
+        w.write_signed(blk[0], bits)
+        return
+    if use_lpc and bs > 2:
+        order, coefs, shift, prec = 2, [2, -1], 0, 4
+        w.write(0, 1)
+        w.write(0b100000 | (order - 1), 6)  # LPC, order bits+1
+        w.write(0, 1)
+        for s in blk[:order]:
+            w.write_signed(s, bits)
+        w.write(prec - 1, 4)
+        w.write_signed(shift, 5)
+        for c in coefs:
+            w.write_signed(c, prec)
+        res = [
+            blk[i]
+            - ((sum(coefs[j] * blk[i - 1 - j] for j in range(order))) >> shift)
+            for i in range(order, bs)
+        ]
+        po = _usable_po(partition_order, bs, order)
+        _write_residual(w, res, bs, order, po)
+        return
+    best_order, best_res, best_cost = 0, blk, None
+    for order in range(0, min(5, bs)):
+        res = _fixed_residuals(blk, order)
+        cost = sum(abs(x) for x in res)
+        if best_cost is None or cost < best_cost:
+            best_order, best_res, best_cost = order, res, cost
+    w.write(0, 1)
+    w.write(0b001000 | best_order, 6)  # FIXED
+    w.write(0, 1)
+    for s in blk[:best_order]:
+        w.write_signed(s, bits)
+    po = _usable_po(partition_order, bs, best_order)
+    _write_residual(w, best_res, bs, best_order, po)
+
+
+def _stream_header(
+    block_size: int, sample_rate: int, n_channels: int, total: int, md5: bytes
+) -> bytes:
+    out = bytearray(b"fLaC")
+    si = _BitWriter()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)  # min frame size unknown
+    si.write(0, 24)  # max frame size unknown
+    si.write(sample_rate, 20)
+    si.write(n_channels - 1, 3)
+    si.write(15, 5)  # bits per sample - 1
+    si.write(total, 36)
+    body = si.getvalue() + md5
+    out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+    return bytes(out)
+
+
+def _frame_header(w: _BitWriter, chan_code: int, frame_idx: int, bs: int) -> None:
+    w.write(0b11111111111110, 14)
+    w.write(0, 1)  # reserved
+    w.write(0, 1)  # fixed blocksize stream
+    w.write(0b0111, 4)  # blocksize: 16-bit at end of header
+    w.write(0b0000, 4)  # sample rate: from STREAMINFO
+    w.write(chan_code, 4)
+    w.write(0b100, 3)  # sample size: 16 bits
+    w.write(0, 1)  # reserved
+    for b in _utf8_number(frame_idx):
+        w.write(b, 8)
+    w.write(bs - 1, 16)
+    header_so_far = w.getvalue()  # all fields above are whole bytes
+    w.write(_crc8(header_so_far), 8)
+
+
 def encode_flac(
     samples: list[int],
     sample_rate: int = 8000,
@@ -303,95 +389,145 @@ def encode_flac(
     md5 = hashlib.md5(
         b"".join(struct.pack("<h", s) for s in samples)
     ).digest()
-
-    out = bytearray(b"fLaC")
-    # STREAMINFO (last metadata block, type 0, length 34)
-    si = _BitWriter()
-    si.write(block_size, 16)
-    si.write(block_size, 16)
-    si.write(0, 24)  # min frame size unknown
-    si.write(0, 24)  # max frame size unknown
-    si.write(sample_rate, 20)
-    si.write(0, 3)  # channels - 1
-    si.write(15, 5)  # bits per sample - 1
-    si.write(n, 36)
-    body = si.getvalue() + md5
-    out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+    out = bytearray(_stream_header(block_size, sample_rate, 1, n, md5))
 
     frame_idx = 0
     pos = 0
     while pos < n:
         blk = samples[pos : pos + block_size]
-        bs = len(blk)
         w = _BitWriter()
-        w.write(0b11111111111110, 14)
-        w.write(0, 1)  # reserved
-        w.write(0, 1)  # fixed blocksize stream
-        w.write(0b0111, 4)  # blocksize: 16-bit at end of header
-        w.write(0b0000, 4)  # sample rate: from STREAMINFO
-        w.write(0b0000, 4)  # channel assignment: mono
-        w.write(0b100, 3)  # sample size: 16 bits
-        w.write(0, 1)  # reserved
-        # header continues byte-aligned pieces through the bit writer
-        for b in _utf8_number(frame_idx):
-            w.write(b, 8)
-        w.write(bs - 1, 16)
-        header_so_far = w.getvalue()  # all fields above are whole bytes
-        w.write(_crc8(header_so_far), 8)
-
-        use_lpc = lpc_every > 0 and frame_idx % lpc_every == 1 and bs > 2
-        if all(s == blk[0] for s in blk):
-            w.write(0, 1)
-            w.write(0b000000, 6)  # CONSTANT
-            w.write(0, 1)
-            w.write_signed(blk[0], 16)
-        elif use_lpc:
-            order, coefs, shift, prec = 2, [2, -1], 0, 4
-            w.write(0, 1)
-            w.write(0b100000 | (order - 1), 6)  # LPC, order bits+1
-            w.write(0, 1)
-            for s in blk[:order]:
-                w.write_signed(s, 16)
-            w.write(prec - 1, 4)
-            w.write_signed(shift, 5)
-            for c in coefs:
-                w.write_signed(c, prec)
-            res = [
-                blk[i]
-                - ((sum(coefs[j] * blk[i - 1 - j] for j in range(order))) >> shift)
-                for i in range(order, bs)
-            ]
-            po = _usable_po(partition_order, bs, order)
-            _write_residual(w, res, bs, order, po)
-        else:
-            best_order, best_res, best_cost = 0, blk, None
-            for order in range(0, min(5, bs)):
-                res = _fixed_residuals(blk, order)
-                cost = sum(abs(x) for x in res)
-                if best_cost is None or cost < best_cost:
-                    best_order, best_res, best_cost = order, res, cost
-            w.write(0, 1)
-            w.write(0b001000 | best_order, 6)  # FIXED
-            w.write(0, 1)
-            for s in blk[:best_order]:
-                w.write_signed(s, 16)
-            po = _usable_po(partition_order, bs, best_order)
-            _write_residual(w, best_res, bs, best_order, po)
+        _frame_header(w, 0b0000, frame_idx, len(blk))
+        use_lpc = lpc_every > 0 and frame_idx % lpc_every == 1
+        _write_subframe(w, blk, 16, use_lpc, partition_order)
         w.align()
         frame = w.getvalue()
         out += frame + struct.pack(">H", _crc16(frame))
         frame_idx += 1
-        pos += bs
+        pos += len(blk)
     return bytes(out)
+
+
+# stereo channel-assignment codes (frame header, 4 bits)
+_CH_LR = 0b0001  # 2 independent channels
+_CH_LS = 0b1000  # left + side (side = L - R, bps+1 bits)
+_CH_RS = 0b1001  # side + right
+_CH_MS = 0b1010  # mid + side (mid = (L+R)>>1; LSB recovered from side)
+
+
+def encode_flac_stereo(
+    left: list[int],
+    right: list[int],
+    sample_rate: int = 8000,
+    block_size: int = 1024,
+    lpc_every: int = 2,
+    partition_order: int = 0,
+) -> bytes:
+    """Encode 16-bit STEREO PCM, cycling the channel assignment
+    LR -> LS -> RS -> MS per frame so every stereo decorrelation mode
+    the spec defines is exercised by every multi-frame stream. Side
+    channels are coded at bps+1 = 17 bits (the spec's extra bit for
+    the difference signal); mid/side reconstruction is integer-exact
+    (mid stores (L+R)>>1, the lost LSB rides the side's parity)."""
+    if len(left) != len(right):
+        raise ValueError("stereo channels must be equal length")
+    for s in list(left) + list(right):
+        if not -32768 <= s <= 32767:
+            raise ValueError("16-bit PCM required")
+    n = len(left)
+    inter = bytearray()
+    for lv, rv in zip(left, right):
+        inter += struct.pack("<hh", lv, rv)
+    md5 = hashlib.md5(bytes(inter)).digest()
+    out = bytearray(_stream_header(block_size, sample_rate, 2, n, md5))
+
+    modes = (_CH_LR, _CH_LS, _CH_RS, _CH_MS)
+    frame_idx = 0
+    pos = 0
+    while pos < n:
+        lb = left[pos : pos + block_size]
+        rb = right[pos : pos + block_size]
+        code = modes[frame_idx % 4]
+        if code == _CH_LR:
+            chans = [(lb, 16), (rb, 16)]
+        elif code == _CH_LS:
+            side = [lv - rv for lv, rv in zip(lb, rb)]
+            chans = [(lb, 16), (side, 17)]
+        elif code == _CH_RS:
+            side = [lv - rv for lv, rv in zip(lb, rb)]
+            chans = [(side, 17), (rb, 16)]
+        else:  # mid/side
+            side = [lv - rv for lv, rv in zip(lb, rb)]
+            mid = [(lv + rv) >> 1 for lv, rv in zip(lb, rb)]
+            chans = [(mid, 16), (side, 17)]
+        w = _BitWriter()
+        _frame_header(w, code, frame_idx, len(lb))
+        use_lpc = lpc_every > 0 and frame_idx % lpc_every == 1
+        for blk, bits in chans:
+            _write_subframe(w, blk, bits, use_lpc, partition_order)
+        w.align()
+        frame = w.getvalue()
+        out += frame + struct.pack(">H", _crc16(frame))
+        frame_idx += 1
+        pos += len(lb)
+    return bytes(out)
+
+
+def _read_subframe(br: _BitReader, bs: int, bits: int) -> list[int]:
+    """One subframe at ``bits`` effective sample width."""
+    if br.read(1) != 0:
+        raise ValueError("bad subframe padding bit")
+    stype = br.read(6)
+    wasted = br.read(1)
+    shift_wasted = 0
+    if wasted:
+        shift_wasted = 1 + br.read_unary()
+    eff_bits = bits - shift_wasted
+    if stype == 0b000000:
+        v = br.read_signed(eff_bits)
+        blk = [v] * bs
+    elif stype == 0b000001:
+        blk = [br.read_signed(eff_bits) for _ in range(bs)]
+    elif 0b001000 <= stype <= 0b001100:
+        order = stype - 0b001000
+        warm = [br.read_signed(eff_bits) for _ in range(order)]
+        res = _read_residual(br, bs, order)
+        blk = list(warm)
+        coefs = _FIXED_COEFS[order]
+        for i in range(order, bs):
+            pred = sum(coefs[j] * blk[i - 1 - j] for j in range(order))
+            blk.append(res[i - order] + pred)
+    elif stype & 0b100000:
+        order = (stype & 0b011111) + 1
+        warm = [br.read_signed(eff_bits) for _ in range(order)]
+        prec = br.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid LPC precision")
+        shift = br.read_signed(5)
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        res = _read_residual(br, bs, order)
+        blk = list(warm)
+        for i in range(order, bs):
+            pred = (
+                sum(coefs[j] * blk[i - 1 - j] for j in range(order)) >> shift
+            )
+            blk.append(res[i - order] + pred)
+    else:
+        raise ValueError(f"reserved subframe type {stype:06b}")
+    if shift_wasted:
+        blk = [s << shift_wasted for s in blk]
+    return blk
 
 
 def decode_flac(payload: bytes) -> tuple[int, int, list[int]]:
     """Decode a FLAC stream (the subset above, plus any partition
-    order / Rice escape / LPC configuration a conforming encoder may
-    emit within mono 16-bit fixed-blocksize streams). Verifies both
-    frame CRCs and the STREAMINFO MD5 of the decoded samples — a
-    single flipped bit anywhere fails loudly. Returns
-    (sample_rate, n_channels, samples)."""
+    order / Rice escape / LPC / stereo-decorrelation configuration a
+    conforming encoder may emit within 16-bit fixed-blocksize mono or
+    stereo streams — all four channel assignments: independent,
+    left-side, right-side, mid-side). Verifies both frame CRCs and
+    the STREAMINFO MD5 of the decoded samples — a single flipped bit
+    anywhere fails loudly. Returns (sample_rate, n_channels,
+    samples) with stereo samples interleaved L0 R0 L1 R1 ... (the
+    order the MD5 signature is defined over)."""
     if payload[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
     pos = 4
@@ -421,11 +557,11 @@ def decode_flac(payload: bytes) -> tuple[int, int, list[int]]:
     bps = r.read(5) + 1
     total = r.read(36)
     md5_expect = streaminfo[18:34]
-    if n_channels != 1 or bps != 16:
-        raise NotImplementedError("only mono 16-bit FLAC implemented")
+    if n_channels not in (1, 2) or bps != 16:
+        raise NotImplementedError("only 16-bit mono/stereo FLAC implemented")
 
     samples: list[int] = []
-    while pos < len(payload) and len(samples) < total:
+    while pos < len(payload) and len(samples) < total * n_channels:
         frame_start = pos
         br = _BitReader(payload, pos)
         if br.read(14) != 0b11111111111110:
@@ -437,8 +573,12 @@ def decode_flac(payload: bytes) -> tuple[int, int, list[int]]:
         chan = br.read(4)
         size_code = br.read(3)
         br.read(1)
-        if chan != 0 or size_code != 0b100:
-            raise NotImplementedError("only mono 16-bit frames")
+        if size_code != 0b100:
+            raise NotImplementedError("only 16-bit frames")
+        if n_channels == 1 and chan != 0:
+            raise ValueError("channel assignment disagrees with STREAMINFO")
+        if n_channels == 2 and chan not in (_CH_LR, _CH_LS, _CH_RS, _CH_MS):
+            raise ValueError(f"unsupported stereo assignment {chan:04b}")
         # UTF-8 frame number
         first = br.read(8)
         if first < 0x80:
@@ -476,51 +616,35 @@ def decode_flac(payload: bytes) -> tuple[int, int, list[int]]:
         if bs > max_bs:
             raise ValueError("frame blocksize exceeds STREAMINFO max")
 
-        # one subframe (mono)
-        if br.read(1) != 0:
-            raise ValueError("bad subframe padding bit")
-        stype = br.read(6)
-        wasted = br.read(1)
-        shift_wasted = 0
-        if wasted:
-            shift_wasted = 1 + br.read_unary()
-        eff_bits = 16 - shift_wasted
-        if stype == 0b000000:
-            v = br.read_signed(eff_bits)
-            blk = [v] * bs
-        elif stype == 0b000001:
-            blk = [br.read_signed(eff_bits) for _ in range(bs)]
-        elif 0b001000 <= stype <= 0b001100:
-            order = stype - 0b001000
-            warm = [br.read_signed(eff_bits) for _ in range(order)]
-            res = _read_residual(br, bs, order)
-            blk = list(warm)
-            coefs = _FIXED_COEFS[order]
-            for i in range(order, bs):
-                pred = sum(
-                    coefs[j] * blk[i - 1 - j] for j in range(order)
-                )
-                blk.append(res[i - order] + pred)
-        elif stype & 0b100000:
-            order = (stype & 0b011111) + 1
-            warm = [br.read_signed(eff_bits) for _ in range(order)]
-            prec = br.read(4) + 1
-            if prec == 16:
-                raise ValueError("invalid LPC precision")
-            shift = br.read_signed(5)
-            coefs = [br.read_signed(prec) for _ in range(order)]
-            res = _read_residual(br, bs, order)
-            blk = list(warm)
-            for i in range(order, bs):
-                pred = (
-                    sum(coefs[j] * blk[i - 1 - j] for j in range(order))
-                    >> shift
-                )
-                blk.append(res[i - order] + pred)
+        if n_channels == 1:
+            blk = _read_subframe(br, bs, 16)
         else:
-            raise ValueError(f"reserved subframe type {stype:06b}")
-        if shift_wasted:
-            blk = [s << shift_wasted for s in blk]
+            # per-channel effective widths: side channels carry bps+1
+            if chan == _CH_LR:
+                widths = (16, 16)
+            elif chan == _CH_LS:
+                widths = (16, 17)
+            elif chan == _CH_RS:
+                widths = (17, 16)
+            else:
+                widths = (16, 17)
+            c0 = _read_subframe(br, bs, widths[0])
+            c1 = _read_subframe(br, bs, widths[1])
+            if chan == _CH_LR:
+                lch, rch = c0, c1
+            elif chan == _CH_LS:
+                lch = c0
+                rch = [lv - sv for lv, sv in zip(c0, c1)]
+            elif chan == _CH_RS:
+                rch = c1
+                lch = [rv + sv for sv, rv in zip(c0, c1)]
+            else:  # mid/side: recover the (L+R) LSB from side parity
+                lch, rch = [], []
+                for m, s in zip(c0, c1):
+                    mm = (m << 1) | (s & 1)
+                    lch.append((mm + s) >> 1)
+                    rch.append((mm - s) >> 1)
+            blk = [x for pair in zip(lch, rch) for x in pair]
         br.align()
         frame_bytes = payload[frame_start : br.byte]
         crc16 = int.from_bytes(payload[br.byte : br.byte + 2], "big")
@@ -529,11 +653,13 @@ def decode_flac(payload: bytes) -> tuple[int, int, list[int]]:
         pos = br.byte + 2
         samples.extend(blk)
 
-    if len(samples) != total:
-        raise ValueError(f"decoded {len(samples)} of {total} samples")
+    if len(samples) != total * n_channels:
+        raise ValueError(
+            f"decoded {len(samples)} of {total * n_channels} samples"
+        )
     md5 = hashlib.md5(
         b"".join(struct.pack("<h", s) for s in samples)
     ).digest()
     if md5 != md5_expect:
         raise ValueError("decoded-audio MD5 mismatch")
-    return sample_rate, 1, samples
+    return sample_rate, n_channels, samples

@@ -388,7 +388,9 @@ from mapreduce511_spark.multimodal import (  # noqa: E402
     FLAC_N_MOD,
     FLAC_N_STEP,
     FLAC_PX_A,
+    FLAC_PX_A2,
     FLAC_PX_B,
+    FLAC_PX_B2,
 )
 
 
@@ -450,3 +452,61 @@ def multimodal_flac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_decoded_features(synth_flac_media(docs))
+
+
+@register(
+    "multimodal_flac_stereo_stats",
+    # STEREO twin: both channel closed forms unioned; lossless, so
+    # the oracle equals the interleaved decoded samples bit-for-bit.
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id,
+               {FLAC_N_BASE} + (doc_id % {FLAC_N_MOD}) * {FLAC_N_STEP} AS n
+        FROM documents WHERE doc_id < {SYNTH_DOC_LIMIT}
+    ), s AS (
+        SELECT doc_id, n,
+               unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i
+        FROM a
+    ), px AS (
+        SELECT doc_id, n,
+               (doc_id * {FLAC_PX_A} + i * {FLAC_PX_B}) % 4096 - 2048 AS v
+        FROM s
+        UNION ALL
+        SELECT doc_id, n,
+               (doc_id * {FLAC_PX_A2} + i * {FLAC_PX_B2}) % 4096 - 2048 AS v
+        FROM s
+    )
+    SELECT doc_id, 'audio' AS kind,
+           CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+           count(*) AS n_vals,
+           CAST(sum(v) AS BIGINT) AS sum_val,
+           CAST(min(v) AS BIGINT) AS min_val,
+           CAST(max(v) AS BIGINT) AS max_val,
+           CAST(sum((v + 2048) // 256 + 1) AS BIGINT) AS hist_sum
+    FROM px GROUP BY doc_id, n
+    """,
+)
+def multimodal_flac_stereo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEREO FLAC decode under the exact oracle gate: the fixture
+    encoder cycles all four channel assignments the spec defines
+    (independent L/R, left/side, right/side, mid/side — side channels
+    at bps+1 = 17 bits; mid/side recovers the lost LSB from the
+    side's parity, integer-exact), so inter-channel decorrelation,
+    the wider side subframes AND the per-frame assignment switching
+    all sit inside the DuckDB hash. Complements
+    ``multimodal_flac_stats`` (mono: frame sync, Rice, predictors,
+    CRCs, MD5). Real FLAC corpora are overwhelmingly stereo — this is
+    the class the family would actually ingest.
+
+    At 100 TB: decode runs where the bytes live (mapInPandas over
+    Arrow batches, no driver collect), same as the whole codec family.
+
+    Reference basis: extension tier — multimodal decode family (no
+    analog in /root/reference, which is text-only)."""
+    from mapreduce511_spark.multimodal import (
+        extract_decoded_features,
+        synth_flac_stereo_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_decoded_features(synth_flac_stereo_media(docs))

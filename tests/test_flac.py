@@ -168,3 +168,67 @@ def test_foreign_metadata_blocks_skipped():
     si_end = 4 + 4 + 34
     spliced = bytes(enc[:si_end]) + pad + bytes(enc[si_end:])
     assert decode_flac(spliced)[2] == pcm
+
+
+# --- stereo ----------------------------------------------------------
+
+from mapreduce511_spark.multimodal.flac import encode_flac_stereo  # noqa: E402
+
+
+def _stereo_roundtrip(L, R, **kw):
+    enc = encode_flac_stereo(L, R, **kw)
+    rate, ch, dec = decode_flac(enc)
+    assert ch == 2
+    assert dec == [x for p in zip(L, R) for x in p]
+    return enc
+
+
+def test_stereo_all_assignments_roundtrip():
+    """The fixture encoder cycles LR / left-side / right-side /
+    mid-side per frame; >= 8 frames guarantees every mode occurs
+    twice. Correlated channels must also compress materially better
+    than raw (the point of decorrelation)."""
+    import math as m
+
+    L = [int(15000 * m.sin(i / 17)) for i in range(8 * 256)]
+    R = [v + ((i * 13) % 81) - 40 for i, v in enumerate(L)]
+    enc = _stereo_roundtrip(L, R, block_size=256)
+    assert len(enc) < 0.7 * 4 * len(L), len(enc)
+
+
+def test_stereo_extremes_and_independent():
+    """Side channel needs 17 bits exactly at the +-32767/-32768
+    extremes (|L-R| up to 65535); independent full-range noise must
+    still round-trip via the escape path."""
+    _stereo_roundtrip([32767, -32768] * 500, [-32768, 32767] * 500)
+    rng = random.Random(5)
+    _stereo_roundtrip(
+        [rng.randint(-32768, 32767) for _ in range(1200)],
+        [rng.randint(-32768, 32767) for _ in range(1200)],
+        block_size=512,
+    )
+
+
+def test_stereo_mid_side_lsb_recovery():
+    """mid/side stores (L+R)>>1 — odd sums lose a bit that must come
+    back from the side's parity. Force the MS frame (index 3 of the
+    cycle) onto odd-sum content."""
+    L = [2 * i + 1 for i in range(4 * 64)]  # L+R odd everywhere
+    R = [-2 * i for i in range(4 * 64)]
+    _stereo_roundtrip([v % 3000 for v in L], [v % 3000 for v in R], block_size=64)
+
+
+def test_stereo_corruption_detected():
+    enc = bytearray(
+        encode_flac_stereo(
+            [i % 50 for i in range(2000)], [(-i) % 60 for i in range(2000)]
+        )
+    )
+    enc[len(enc) // 2] ^= 4
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_flac(bytes(enc))
+
+
+def test_stereo_unequal_lengths_rejected():
+    with pytest.raises(ValueError):
+        encode_flac_stereo([1, 2], [1])
