@@ -283,6 +283,30 @@ def _usable_po(po: int, block_size: int, order: int) -> int:
     return po
 
 
+def _wasted_bits(blk: list[int], bits: int) -> int:
+    """Shared trailing-zero bit count across the (non-constant) block
+    — the spec's 'wasted bits' shift that narrows every later field."""
+    k = bits - 1
+    for s in blk:
+        if s == 0:
+            continue
+        tz = (s & -s).bit_length() - 1
+        k = min(k, tz)
+        if k == 0:
+            return 0
+    return k
+
+
+def _write_wasted(w: _BitWriter, k: int) -> None:
+    """The 1-bit flag, then (k-1) in unary when set (spec example:
+    k=3 -> flag 1 then '001')."""
+    if k == 0:
+        w.write(0, 1)
+    else:
+        w.write(1, 1)
+        w.write_unary(k - 1)
+
+
 def _write_subframe(
     w: _BitWriter,
     blk: list[int],
@@ -293,7 +317,9 @@ def _write_subframe(
     """One subframe at ``bits`` effective sample width (17 for a
     stereo side channel): CONSTANT when flat, the order-2 LPC path
     when requested, else the best FIXED order 0-4 by residual
-    magnitude."""
+    magnitude. Blocks whose samples share k trailing zero bits are
+    coded with the spec's wasted-bits shift (every warmup/residual
+    field narrows by k)."""
     bs = len(blk)
     if all(s == blk[0] for s in blk):
         w.write(0, 1)
@@ -301,13 +327,17 @@ def _write_subframe(
         w.write(0, 1)
         w.write_signed(blk[0], bits)
         return
+    k = _wasted_bits(blk, bits)
+    if k:
+        blk = [s >> k for s in blk]
+    eff = bits - k
     if use_lpc and bs > 2:
         order, coefs, shift, prec = 2, [2, -1], 0, 4
         w.write(0, 1)
         w.write(0b100000 | (order - 1), 6)  # LPC, order bits+1
-        w.write(0, 1)
+        _write_wasted(w, k)
         for s in blk[:order]:
-            w.write_signed(s, bits)
+            w.write_signed(s, eff)
         w.write(prec - 1, 4)
         w.write_signed(shift, 5)
         for c in coefs:
@@ -328,9 +358,9 @@ def _write_subframe(
             best_order, best_res, best_cost = order, res, cost
     w.write(0, 1)
     w.write(0b001000 | best_order, 6)  # FIXED
-    w.write(0, 1)
+    _write_wasted(w, k)
     for s in blk[:best_order]:
-        w.write_signed(s, bits)
+        w.write_signed(s, eff)
     po = _usable_po(partition_order, bs, best_order)
     _write_residual(w, best_res, bs, best_order, po)
 

@@ -232,3 +232,20 @@ def test_stereo_corruption_detected():
 def test_stereo_unequal_lengths_rejected():
     with pytest.raises(ValueError):
         encode_flac_stereo([1, 2], [1])
+
+
+def test_wasted_bits_roundtrip_and_actually_save():
+    """Samples sharing k trailing zero bits take the wasted-bits
+    shift: the stream must round-trip exactly AND be materially
+    smaller than the same content offset by 1 (which kills the shared
+    zeros) — proving the path is live, not decorative."""
+    pcm = [8 * (((i * 7) % 512) - 256) for i in range(3000)]
+    enc = encode_flac(pcm, block_size=512)
+    assert decode_flac(enc)[2] == pcm
+    plain = encode_flac([v + 1 for v in pcm], block_size=512)
+    assert len(enc) < 0.8 * len(plain), (len(enc), len(plain))
+    # stereo: per-channel wasted bits (left 4 bits, right 2 bits)
+    L = [16 * (i % 100) for i in range(2048)]
+    R = [4 * ((i * 3) % 200 - 100) for i in range(2048)]
+    dec = decode_flac(encode_flac_stereo(L, R, block_size=256))[2]
+    assert dec == [x for t in zip(L, R) for x in t]
