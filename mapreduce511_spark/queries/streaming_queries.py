@@ -1130,3 +1130,193 @@ def stream_click_attribution_full(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     finally:
         _cleanup(src)
+
+
+_SKLL_K = 64  # per-window survivor budget
+_SKLL_HMIN = 2  # height floor: the stream collects survivors at tz >= 2
+
+
+@register(
+    "stream_kll_quantiles",
+    oracle=f"""
+    WITH raw AS (
+        SELECT date_trunc('day', ts) AS w,
+               CAST(round(value * 1000) AS BIGINT) AS v,
+               event_id AS id,
+               CAST(('0x' || substr(
+                   md5(CAST(event_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+        FROM events WHERE value IS NOT NULL
+    ), lv AS (
+        SELECT w, v, id, least(bit_count((h & -h) - 1), 48) AS tz FROM raw
+    ), hist AS (
+        SELECT w, tz, count(*) AS c FROM lv GROUP BY w, tz
+    ), surv AS (
+        SELECT w, tz, sum(c) OVER (PARTITION BY w ORDER BY tz DESC) AS s
+        FROM hist
+    ), hh AS (
+        SELECT w, min(tz) AS hlev FROM surv
+        WHERE tz >= {_SKLL_HMIN} AND s <= {_SKLL_K} GROUP BY w
+    ), kept AS (
+        SELECT lv.w, lv.v, lv.id, hh.hlev
+        FROM lv JOIN hh ON lv.w = hh.w
+        WHERE lv.tz >= hh.hlev
+    ), ranked AS (
+        SELECT w, hlev, v,
+               row_number() OVER (PARTITION BY w ORDER BY v, id) AS rn,
+               count(*) OVER (PARTITION BY w) AS m
+        FROM kept
+    ), pick AS (
+        SELECT w, hlev, m, v FROM ranked WHERE rn = (m + 1) // 2
+    ), ex AS (
+        SELECT w, n, v FROM (
+            SELECT w, v,
+                   row_number() OVER (PARTITION BY w ORDER BY v, id) AS rn,
+                   count(*) OVER (PARTITION BY w) AS n
+            FROM lv)
+        WHERE rn = (n + 1) // 2
+    )
+    SELECT ex.w AS window_start, ex.n AS n_events, pick.hlev AS h_level,
+           pick.m AS n_kept, pick.v AS est_p50_milli, ex.v AS exact_p50_milli
+    FROM ex JOIN pick ON ex.w = pick.w
+    ORDER BY window_start
+    """,
+)
+def stream_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KLL sampler INSIDE the stream — mergeability IS
+    streamability: per-day windowed state is the sketch itself
+    (<= 49 (tz, count) rows plus the survivors at the height floor
+    tz >= 2), maintained by the streaming engine as one windowed
+    aggregate and evicted by the watermark; the value stream is never
+    held in state. The sketch definition gains a HEIGHT FLOOR
+    (H = smallest level >= 2 with <= k survivors) so the
+    collected survivor set provably supersets the final kept set —
+    the same monotonicity the batch merge test relies on; the oracle
+    restates the floored definition identically, so parity stays
+    exact. Readout (height pick, ceil-rank median) runs as the batch
+    post-step, like ``stream_hourly_hll_users``'s harmonic estimate;
+    the exact per-window median rides along for the census.
+
+    collect_list's arrival order is micro-batch-dependent — the
+    downstream rank orders by (v, id), so the emitted result is
+    order-free (the reason the sketch can live in a shuffle-free
+    streaming agg at all).
+
+    Reference basis: §2.9 streaming surface x §2.4 approx-aggregate
+    note — the r7 rank sketch under stream execution (companions:
+    ``stream_hourly_hll_users``, ``kll_quantile_census``)."""
+    from pyspark.sql.window import Window
+
+    from mapreduce511_spark.queries.sketches import _hex_long
+
+    src, ckpt, name = _scratch("kllstream")
+    try:
+        prepare_events_dir(spark, sf_dir, src)
+        stream = stream_events(spark, src, max_files_per_trigger=4)
+        lv = (
+            stream.filter(F.col("value").isNotNull())
+            .select(
+                "ts",
+                F.round(F.col("value") * 1000).cast("long").alias("v"),
+                F.col("event_id").alias("id"),
+                _hex_long(
+                    F.md5(F.col("event_id").cast("string")), 1, 12
+                ).alias("h"),
+            )
+            .select(
+                "ts",
+                "v",
+                "id",
+                F.expr("least(bit_count((h & -h) - 1), 48)")
+                .cast("int")
+                .alias("tz"),
+            )
+        )
+        windowed = (
+            lv.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day").alias("w"), "tz")
+            .agg(
+                F.count("*").alias("c"),
+                F.collect_list(
+                    F.when(F.col("tz") >= _SKLL_HMIN, F.struct("v", "id"))
+                ).alias("surv"),
+            )
+            .select(F.col("w.start").alias("window_start"), "tz", "c", "surv")
+        )
+        state = _detach(run_available_now(windowed, name, ckpt), name)
+        state = state.localCheckpoint(eager=True)  # 2 consumers below
+        w_sfx = Window.partitionBy("window_start").orderBy(
+            F.desc("tz")
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        surv_cnt = state.withColumn("s", F.sum("c").over(w_sfx))
+        hh = (
+            surv_cnt.filter(
+                (F.col("tz") >= _SKLL_HMIN) & (F.col("s") <= _SKLL_K)
+            )
+            .groupBy("window_start")
+            .agg(F.min("tz").alias("hlev"))
+        )
+        kept = (
+            state.join(hh, "window_start")
+            .filter(F.col("tz") >= F.col("hlev"))
+            .select("window_start", "hlev", F.explode("surv").alias("p"))
+            .select(
+                "window_start",
+                "hlev",
+                F.col("p.v").alias("v"),
+                F.col("p.id").alias("id"),
+            )
+        )
+        w_rank = Window.partitionBy("window_start").orderBy("v", "id")
+        ranked = kept.select(
+            "window_start",
+            "hlev",
+            "v",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count("*").over(Window.partitionBy("window_start")).alias("m"),
+        )
+        pick = ranked.filter(F.col("rn") == F.expr("(m + 1) div 2")).select(
+            "window_start",
+            F.col("hlev").alias("h_level"),
+            F.col("m").alias("n_kept"),
+            F.col("v").alias("est_p50_milli"),
+        )
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .select(
+                F.date_trunc("day", F.col("ts")).alias("window_start"),
+                F.round(F.col("value") * 1000).cast("long").alias("v"),
+                F.col("event_id").alias("id"),
+            )
+        )
+        w_ex = Window.partitionBy("window_start").orderBy("v", "id")
+        exact = (
+            ev.select(
+                "window_start",
+                "v",
+                F.row_number().over(w_ex).alias("rn"),
+                F.count("*")
+                .over(Window.partitionBy("window_start"))
+                .alias("n"),
+            )
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select(
+                "window_start",
+                F.col("n").alias("n_events"),
+                F.col("v").alias("exact_p50_milli"),
+            )
+        )
+        return (
+            exact.join(pick, "window_start")
+            .select(
+                "window_start",
+                "n_events",
+                "h_level",
+                "n_kept",
+                "est_p50_milli",
+                "exact_p50_milli",
+            )
+            .orderBy("window_start")
+        )
+    finally:
+        _cleanup(src)
