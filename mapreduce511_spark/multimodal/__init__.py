@@ -379,8 +379,13 @@ def synth_flac_media(docs: DataFrame) -> DataFrame:
                 rows.append((d, payload, flac.FLAC_FMT))
         yield pd.DataFrame(rows, columns=["doc_id", "content", "fmt"])
 
-    return docs.select("doc_id").mapInPandas(
-        batches, schema="doc_id long, content binary, fmt string"
+    # the source parquet is 1-2 files; without a repartition the
+    # pure-Python codec runs on 1-2 cores — spread the 400 assets
+    return (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") < SYNTH_DOC_LIMIT)
+        .repartition(32)
+        .mapInPandas(batches, schema="doc_id long, content binary, fmt string")
     )
 
 
@@ -417,8 +422,12 @@ def synth_flac_stereo_media(docs: DataFrame) -> DataFrame:
                 rows.append((d, payload, flac.FLAC_FMT))
         yield pd.DataFrame(rows, columns=["doc_id", "content", "fmt"])
 
-    return docs.select("doc_id").mapInPandas(
-        batches, schema="doc_id long, content binary, fmt string"
+    # see synth_flac_media: spread the pure-Python codec across cores
+    return (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") < SYNTH_DOC_LIMIT)
+        .repartition(32)
+        .mapInPandas(batches, schema="doc_id long, content binary, fmt string")
     )
 
 
