@@ -42,6 +42,7 @@ _PROFILE_SECTIONS = (
     "## r04->r05 suite movers: NOISE",
     "## localCheckpoint on shared subtrees: measured REGRESSION",
     "### r7 update: verdict REVERSED for tfidf under the unhinted plan",
+    "## r06->r07 pre-check movers: NOISE",
 )
 
 

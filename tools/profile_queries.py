@@ -201,6 +201,28 @@ sizes joins stay cheap because `shingles` was already checkpointed).
 The general rule stands with a sharper condition: localCheckpoint a
 shared subtree only when its consumers SHUFFLE it (broadcast or
 codegen-fused consumers recompute cheaper).
+
+## r06->r07 pre-check movers: NOISE (same-session min-of-5, round 7)
+
+The r7 builder's own pre-round bench showed two untouched queries
+moving >30% (q21_waiting_supplier 1.04 -> 1.56 s +50%,
+q9_product_profit 1.67 -> 2.24 s +34%; plans unchanged, no code in
+their paths edited this round). Same-session min-of-5 on the final r7
+tree (local[32], sf0.1, post-warmup):
+
+| query | r06 artifact | r07 pre-check | r7 same-session min-of-5 |
+|---|---|---|---|
+| q21_waiting_supplier | 1.04 s | 1.56 s | **1.16 s** (runs 6.7/1.6/1.3/1.2/1.2) |
+| q9_product_profit | 1.67 s | 2.24 s | **1.51 s** (runs 2.3/1.8/1.8/1.8/1.5) |
+| wordcount (control) | 0.361 s | 0.385 s | **0.32 s** |
+
+Both return to (q9: below) their r06 neighborhood with zero code
+changes — the established 20-30% hypervisor-steal band again, and the
+q21 first-run spread (6.7 -> 1.2 s) dwarfs the artifact delta. From r7
+on the frozen `canary_min3_s` block in bench.py makes this class of
+judgement self-adjudicating for the canary set; non-canary movers get
+this min-of-5 treatment on demand.
+
 """
 
 def _metrics(node) -> dict:
