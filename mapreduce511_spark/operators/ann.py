@@ -256,7 +256,7 @@ def cosine_pairs_blocked(
 
     out_schema = "vec_a long, vec_b long, cos_sim double"
 
-    def gemm_pair(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def gemm_pair(key, pdf):  # applyInPandas: (key, pdf) -> pdf
         import numpy as np
 
         pa, pb = key
