@@ -135,6 +135,9 @@ PICKS = {
     "semantic_dedup_lloyd_indexed": "persisted assignment scan + cluster-id-bounded pair join",
     "multimodal_flac_stats": "fixed 400-asset fixture corpus; Arrow-batched decode, no pixel/sample shuffle",
     "sql_sessionize": "per-user windows; shuffle keyed on user_id, one pass",
+    "multimodal_flac_stereo_stats": "fixed 400-asset fixture; all 4 stereo assignments decoded in Arrow batches",
+    "bitext_margin_mining_ivf": "Lloyd-cell-bounded candidates: |src| x (nprobe/k) x |tgt| expected pair volume",
+    "stream_kll_quantiles": "windowed state = 49 level counts + height-floored survivors; readout over <= k rows/window",
 }
 
 
