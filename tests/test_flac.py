@@ -249,3 +249,26 @@ def test_wasted_bits_roundtrip_and_actually_save():
     R = [4 * ((i * 3) % 200 - 100) for i in range(2048)]
     dec = decode_flac(encode_flac_stereo(L, R, block_size=256))[2]
     assert dec == [x for t in zip(L, R) for x in t]
+
+
+def test_roundtrip_hypothesis_mono_and_stereo():
+    """Property test: ANY 16-bit PCM list round-trips exactly, at
+    several block sizes, mono and stereo (hypothesis drives the
+    search toward boundary values)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pcm_lists = st.lists(
+        st.integers(min_value=-32768, max_value=32767), max_size=700
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(pcm=pcm_lists, bs=st.sampled_from([64, 192, 256]))
+    def check(pcm, bs):
+        assert decode_flac(encode_flac(pcm, block_size=bs))[2] == pcm
+        n = len(pcm) // 2
+        L, R = pcm[:n], pcm[n : 2 * n]
+        dec = decode_flac(encode_flac_stereo(L, R, block_size=bs))[2]
+        assert dec == [x for p in zip(L, R) for x in p]
+
+    check()
