@@ -505,3 +505,79 @@ def test_semantic_dedup_lloyd_indexed_matches_oracled_twin(spark):
         tuple(r) for r in semantic_dedup_lloyd_indexed(spark, SF_CHECK).collect()
     }
     assert idx == twin and idx
+
+
+def test_fingerprint_memo_invalidates_on_rewrite(spark, tmp_path):
+    """r7 memoizes the ANN content fingerprint per (logical plan,
+    file-stat signature). An in-place parquet rewrite with different
+    content MUST produce a different cache key (the failure mode the
+    r5 inputFiles key had) — i.e. the memo can never serve a stale
+    fingerprint for changed bytes."""
+    import time as _time
+
+    from mapreduce511_spark.operators.ann import _cache_key
+
+    p = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)], ["vec_id", "embedding"]
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    df1 = spark.read.parquet(p)
+    k1 = _cache_key(df1, "t", 1)
+    k1_again = _cache_key(spark.read.parquet(p), "t", 1)
+    assert k1 == k1_again  # memo hit: same plan shape, same files
+    _time.sleep(0.05)  # ensure mtime_ns moves even on coarse clocks
+    spark.createDataFrame(
+        [(i, [float(-i), 2.0]) for i in range(50)], ["vec_id", "embedding"]
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    k2 = _cache_key(spark.read.parquet(p), "t", 1)
+    assert k2 != k1, "rewritten parquet must invalidate the fingerprint"
+    # and a transformation on the same files is a different key too
+    k3 = _cache_key(
+        spark.read.parquet(p).filter("vec_id < 10"), "t", 1
+    )
+    assert k3 != k2
+
+
+def test_bitext_ivf_candidates_are_cell_bounded(spark):
+    """The IVF-bounded margin miner's candidate volume must be a real
+    cut of the exact kernel's |src| x |tgt| block — the scale claim,
+    measured: candidates = sum over sources of the target mass in
+    their nprobe probed cells."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from mapreduce511_spark.queries import similarity as S
+
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ev = e.select("vec_id", "v")
+    cent = S._lloyd_centroids(ev)
+    af = S._lloyd_assign(ev, cent)
+    src = e.filter(F.col("label") == S._BITEXT_SRC_LABEL).select(
+        F.col("vec_id").alias("src_id"), F.col("v").alias("va")
+    )
+    w_cell = Window.partitionBy("src_id").orderBy(F.desc("csim"), F.asc("cell"))
+    probe_cells = (
+        src.join(F.broadcast(cent))
+        .withColumn(
+            "csim",
+            S.cosine_similarity(F.col("va"), F.col("cv")),
+        )
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= S._IVF_NPROBE)
+        .select("src_id", "cell")
+    )
+    tgt_cells = af.join(
+        e.filter(F.col("label") == S._BITEXT_TGT_LABEL).select("vec_id"),
+        "vec_id",
+    ).select("cell")
+    n_src = src.count()
+    n_tgt = tgt_cells.count()
+    n_cand = probe_cells.join(
+        tgt_cells.groupBy("cell").agg(F.count("*").alias("m")), "cell"
+    ).agg(F.sum("m")).first()[0]
+    # nprobe=4 of k=16 cells: expect ~25% of the full block; 60% is
+    # the loose bar a broken cell assignment blows through
+    assert n_cand < 0.6 * n_src * n_tgt, (n_cand, n_src * n_tgt)
