@@ -4006,3 +4006,126 @@ def unigram_lm_encode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_DECON_N = 8  # n-gram width (PaLM/Llama-class decontamination uses 8-13)
+_DECON_EVAL_BUCKETS = 10  # md5 bucket 0 of 10 = the held-out eval split
+
+
+@register(
+    "decontamination_census",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '')
+                   AS tokens,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % {_DECON_EVAL_BUCKETS} AS b
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, b,
+               unnest(range(1, len(tokens) - {_DECON_N - 2})) AS i,
+               tokens
+        FROM toks WHERE len(tokens) >= {_DECON_N}
+    ), g AS (
+        SELECT DISTINCT doc_id, b,
+               array_to_string(tokens[i : i + {_DECON_N - 1}], ' ') AS g
+        FROM pos
+    ), ev AS (SELECT doc_id, g FROM g WHERE b = 0),
+    tr AS (SELECT doc_id, g FROM g WHERE b <> 0),
+    sizes AS (
+        SELECT sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS n_eval_docs,
+               sum(CASE WHEN b <> 0 THEN 1 ELSE 0 END) AS n_train_docs
+        FROM toks
+    ), hits AS (
+        SELECT count(DISTINCT tr.doc_id) AS contaminated_train_docs,
+               count(DISTINCT ev.doc_id) AS leaked_eval_docs,
+               count(DISTINCT tr.g) AS shared_ngrams
+        FROM tr JOIN ev USING (g)
+    )
+    SELECT CAST(n_eval_docs AS BIGINT) AS n_eval_docs,
+           CAST(n_train_docs AS BIGINT) AS n_train_docs,
+           contaminated_train_docs, leaked_eval_docs, shared_ngrams,
+           CAST((10000 * contaminated_train_docs) // n_train_docs
+                AS BIGINT) AS removal_bp
+    FROM sizes, hits
+    """,
+)
+def decontamination_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN-vs-EVAL DECONTAMINATION — the op the GPT-3/PaLM/Llama
+    reports run before training: any training document sharing an
+    n-gram (n = 8 here; the published pipelines use 8-13) with a
+    held-out evaluation document is flagged for removal. Distinct
+    from ``contamination_screen`` (a fixed probe list IN-filter) and
+    from the dedup family (symmetric near-dup pairs): decontamination
+    is an ASYMMETRIC join between two corpora where the eval side is
+    tiny and the verdict is per-train-document. The census reports
+    split sizes, contaminated train docs, leaked eval docs, distinct
+    shared n-grams, and the removal rate in basis points. The eval
+    split is the deterministic md5 doc_id bucket 0/10, so both
+    engines derive the identical split.
+
+    100 TB shape: the eval side is benchmark-sized (thousands of
+    docs), so its distinct n-gram set BROADCASTS and the whole screen
+    is one map-side semi-join over the training scan — no shuffle of
+    the training n-grams at all; here both sides ride a hash
+    equi-join on the gram (the same plan AQE picks when the eval side
+    is small). Nothing is quadratic: cost ~ train n-gram volume +
+    matches.
+
+    Reference basis: extension tier — LLM-pipeline data hygiene
+    (companions: ``contamination_screen`` probe screening,
+    ``duplicate_span_removal`` substring dedup,
+    ``deterministic_split`` the split machinery)."""
+    from mapreduce511_spark.operators.dedup import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        tokenize("text").alias("toks"),
+        (
+            hash60(F.col("doc_id").cast("string")) % _DECON_EVAL_BUCKETS
+        ).alias("b"),
+    )
+    grams = (
+        toks.filter(F.size("toks") >= _DECON_N)
+        .select(
+            "doc_id",
+            "b",
+            F.explode(
+                F.array_distinct(word_ngrams(F.col("toks"), _DECON_N))
+            ).alias("g"),
+        )
+    )
+    ev = grams.filter(F.col("b") == 0).select(
+        F.col("doc_id").alias("eval_doc"), "g"
+    )
+    tr = grams.filter(F.col("b") != 0).select(
+        F.col("doc_id").alias("train_doc"), "g"
+    )
+    hits = tr.join(ev, "g").agg(
+        F.countDistinct("train_doc").alias("contaminated_train_docs"),
+        F.countDistinct("eval_doc").alias("leaked_eval_docs"),
+        F.countDistinct("g").alias("shared_ngrams"),
+    )
+    sizes = toks.agg(
+        F.sum(F.when(F.col("b") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_eval_docs"),
+        F.sum(F.when(F.col("b") != 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_train_docs"),
+    )
+    return (
+        sizes.crossJoin(F.broadcast(hits))
+        .select(
+            "n_eval_docs",
+            "n_train_docs",
+            "contaminated_train_docs",
+            "leaked_eval_docs",
+            "shared_ngrams",
+            F.expr(
+                "(10000 * contaminated_train_docs) div n_train_docs"
+            ).alias("removal_bp"),
+        )
+    )

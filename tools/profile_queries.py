@@ -71,6 +71,14 @@ PICKS = {
     "mixture_epochs_plan": "map-side token sums; |sources| rows + two 1-row totals",
     "histogram_quantile_census": "histogram shuffle = <=1024 (bin, count) rows regardless of input",
     "bitext_margin_mining": "target block broadcasts; shuffle = per-source top-4 scalars",
+    # round 7
+    "embedding_near_dup": "blocked GEMM (plain name since r7): shuffle = n_blocks x corpus, pairs emitted in-task",
+    "tfidf_cosine_pairs_capped": "df-capped posting join; checkpointed tf/wts so the bigram explode runs once",
+    "kll_quantile_census": "level-histogram shuffle <= 49 rows; survivor shuffle <= k; one readout scan",
+    "ann_ivf_lloyd_indexed_topk": "steady path: partition-pruned index scan + 16-row centroid broadcast",
+    "multimodal_flac_stats": "Arrow-batched lossless decode; 32-way repartition spreads the codec",
+    "bitext_margin_mining_ivf": "cell-id equi-join candidates (~nprobe/k of the block); Lloyd mean updates are the only wide shuffle",
+    "stream_kll_quantiles": "windowed state = level counts + floored survivors; batch post-step over <= k rows/window",
 }
 
 # static epilogue kept across regenerations (measured once; the
