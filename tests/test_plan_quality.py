@@ -551,6 +551,7 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("queries/text.py", "collocation_pmi_top20", "bt"): "1-row",
     ("queries/text.py", "collocation_pmi_top20", "ut"): "1-row",
     ("queries/text.py", "curriculum_order_manifest", "n"): "1-row",
+    ("queries/text.py", "decontamination_census", "hits"): "1-row",
     ("queries/text.py", "curriculum_order_manifest", "offsets"): "k-rows: one per distinct quantized logit",
     ("queries/text.py", "entropy", "tot"): "1-row",
     ("queries/text.py", "heavy_hitter_tokens", "totals"): "per-lang",
