@@ -650,3 +650,57 @@ def resize_assets(media_df: DataFrame, factor: int = 2) -> DataFrame:
     return media_df.select("doc_id", "content", "media").mapInPandas(
         batches, schema=out_schema
     )
+
+
+# GIF fixture geometry/pixel formula — single definition shared by
+# synth_gif_media AND the multimodal_gif_stats oracle f-string:
+#   w = 6 + d % 9, h = 6 + (d*5) % 7, palette of GIF_NCOLORS entries
+#   index p(i) = (d*GIF_PX_A + i*GIF_PX_B) % GIF_NCOLORS over w*h
+#   channel bytes: r = (p*37)%256, g = (p*59)%256, b = (p*83)%256
+#   every 4th asset ((d % 4) == 1) is INTERLACED
+GIF_NCOLORS = 16
+GIF_PX_A = 11
+GIF_PX_B = 7
+
+
+def synth_gif_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, content, fmt) with real single-image GIF payloads for
+    doc_id < SYNTH_DOC_LIMIT — real LZW (variable code width, clear
+    codes, sub-block packing), every 4th asset interlaced so the
+    4-pass row order decodes under the oracle gate (the census's
+    position-weighted checksum makes row order load-bearing)."""
+    from mapreduce511_spark.multimodal import gif
+
+    palette = [
+        ((c * 37) % 256, (c * 59) % 256, (c * 83) % 256)
+        for c in range(GIF_NCOLORS)
+    ]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d >= SYNTH_DOC_LIMIT:
+                    continue
+                w = 6 + d % 9
+                h = 6 + (d * 5) % 7
+                grid = [
+                    [
+                        (d * GIF_PX_A + (y * w + x) * GIF_PX_B) % GIF_NCOLORS
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                payload = gif.encode_gif(
+                    grid, palette, interlace=(d % 4 == 1)
+                )
+                rows.append((d, payload, gif.GIF_FMT))
+        yield pd.DataFrame(rows, columns=["doc_id", "content", "fmt"])
+
+    return (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") < SYNTH_DOC_LIMIT)
+        .repartition(32)
+        .mapInPandas(batches, schema="doc_id long, content binary, fmt string")
+    )

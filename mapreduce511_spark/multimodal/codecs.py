@@ -136,6 +136,10 @@ def decode_real(payload: bytes, fmt: str):
         from mapreduce511_spark.multimodal.flac import decode_flac
 
         return decode_flac(payload)
+    if fmt in ("image/gif", "gif"):
+        from mapreduce511_spark.multimodal.gif import decode_gif
+
+        return decode_gif(payload)
     if fmt in (PNG_FMT, "png"):
         return decode_png(payload)
     if fmt in ("image/jpeg", "jpeg", "jpg"):
@@ -144,8 +148,8 @@ def decode_real(payload: bytes, fmt: str):
         return decode_jpeg(payload)
     raise NotImplementedError(
         f"no native decoder for {fmt!r}: this environment has no "
-        "image/audio codec libraries; BMP, WAV, FLAC, RGB8 PNG and "
-        "JPEG (baseline + progressive) decode natively"
+        "image/audio codec libraries; BMP, WAV, FLAC, GIF, RGB8 PNG "
+        "and JPEG (baseline + progressive) decode natively"
     )
 
 

