@@ -49,12 +49,12 @@ def register(name: str, oracle: str | None = None):
 # identical either way.
 _ENUMERATE_FIRST: list[str] = [
     # ROUND 7 rebuild (computed from CORRECTNESS_r01..r06): exactly
-    # 50 names.  Order: (1) the 16 queries with no CORRECTNESS row in
-    # ANY round — the r7 rename + the 15 new r7 queries; (2) oldest-
+    # 50 names.  Order: (1) the 17 queries with no CORRECTNESS row in
+    # ANY round — the r7 rename + the 16 new r7 queries; (2) oldest-
     # first staleness rotation (r6 VERDICT item 5): the 15 queries
-    # whose newest green row is r01, then the 19 alphabetically-first
-    # of the 47 whose newest is r02 (the remaining 28 r02s front-load
-    # r8; 16 window slots necessarily go to new queries this round,
+    # whose newest green row is r01, then the 18 alphabetically-first
+    # of the 47 whose newest is r02 (the remaining 29 r02s front-load
+    # r8; 17 window slots necessarily go to new queries this round,
     # so the backlog drains over two rounds).  embedding_near_dup
     # (plan swapped to the blocked GEMM in r7) and near_dup_jaccard
     # (broadcast hints dropped in r7) both sit inside the r02 slice,
@@ -78,6 +78,7 @@ _ENUMERATE_FIRST: list[str] = [
     "stream_kll_quantiles",  # the r7 rank sketch under stream execution
     "decontamination_census",  # train-vs-eval n-gram overlap screen (r7)
     "multimodal_gif_stats",  # GIF/LZW decode under the exact oracle (r7)
+    "kll_compactor_quantile_census",  # full KLL, rows-only + error columns (r7)
     # --- (2a) staleness rotation: newest green row is r01 ---
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
@@ -112,7 +113,6 @@ _ENUMERATE_FIRST: list[str] = [
     "funnel_view_to_purchase",
     "fuzzy_dedup_survivors",
     "incremental_dedup_admit",
-    "language_id",
     "near_dup_jaccard",  # r7: unhinted size joins
 ]
 

@@ -1340,3 +1340,76 @@ def kll_quantile_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank_err_bp"),
         )
     )
+
+
+_KLLC_K = 200  # compactor accuracy knob (eps ~ 1/k-class)
+
+
+@register("kll_compactor_quantile_census")
+def kll_compactor_quantile_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL KLL (compactor cascade, Karnin-Lang-Liberty FOCS'16) over
+    the order-value stream — the k-for-k STRONGER sibling of the
+    oracled ``kll_quantile_census`` sampler (eps ~ 1/k vs 1/sqrt(k):
+    at k=200 the compactor holds ~0.5% interval rank error where the
+    k=256 sampler holds ~1-7%). Build is the classic mergeable-summary
+    deployment (``operators/kll.py::sketch_column``): one sketch per
+    partition via mapPartitions — the value stream never leaves its
+    executor — then a driver merge of |partitions| O(k)-item
+    summaries.
+
+    ROWS-ONLY by necessity, stated honestly: any one-pass compactor's
+    retained set depends on arrival order, which a declarative oracle
+    cannot restate (the reason the oracled twin derandomizes to the
+    sampler). The census therefore carries its own verdict in exact
+    integers: per phi, the estimate's TRUE rank interval (one
+    conditional-count scan against 3 broadcast rows) and the interval
+    error in basis points vs the target rank — and
+    tests/test_kll_compactor.py bounds that error across uniform /
+    Zipf / sorted-adversarial / constant-heavy streams, merges, and
+    this exact distributed build.
+
+    Reference basis: extension tier — §2.4 approx family."""
+    from mapreduce511_spark.operators.kll import sketch_column
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    sk = sketch_column(w, "v", k=_KLLC_K)
+    picks = [
+        (phi_bp, int(sk.quantile(phi_bp / 10000.0)))
+        for phi_bp in _KLL_PHIS
+    ]
+    pick_df = spark.createDataFrame(picks, "phi_bp int, est_value long")
+    ranks = (
+        w.crossJoin(F.broadcast(pick_df))
+        .groupBy("phi_bp", "est_value")
+        .agg(
+            F.sum(F.when(F.col("v") < F.col("est_value"), 1).otherwise(0))
+            .cast("long")
+            .alias("rank_lo"),
+            F.sum(F.when(F.col("v") <= F.col("est_value"), 1).otherwise(0))
+            .cast("long")
+            .alias("rank_hi"),
+        )
+    )
+    ex = w.agg(F.count("*").alias("n_items"))
+    return (
+        ranks.crossJoin(F.broadcast(ex))
+        .select(
+            "phi_bp",
+            "n_items",
+            F.lit(sk.size()).cast("long").alias("sketch_items"),
+            "est_value",
+            F.expr("(phi_bp * n_items + 9999) div 10000").alias("target_rank"),
+            "rank_lo",
+            "rank_hi",
+            F.expr(
+                "(10000 * greatest(0,"
+                " rank_lo - (phi_bp * n_items + 9999) div 10000,"
+                " (phi_bp * n_items + 9999) div 10000 - rank_hi))"
+                " div n_items"
+            ).alias("interval_err_bp"),
+        )
+        .orderBy("phi_bp")
+    )

@@ -530,6 +530,8 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("queries/sketches.py", "histogram_quantile_census", "ex"): "1-row",
     ("queries/sketches.py", "histogram_quantile_census", "mm"): "1-row",
     ("queries/sketches.py", "hll_rolling_7d_users", "days.select(F.col('day').alias('wend'))"): "k-rows: day range",
+    ("queries/sketches.py", "kll_compactor_quantile_census", "pick_df"): "const: 3 quantile picks",
+    ("queries/sketches.py", "kll_compactor_quantile_census", "ex"): "1-row",
     ("queries/sketches.py", "kll_quantile_census", "hh"): "1-row: chosen height",
     ("queries/sketches.py", "kll_quantile_census", "ranked"): "k-rows: <= k survivors",
     ("queries/sketches.py", "kll_quantile_census", "pick"): "k-rows: 3 quantile picks",
