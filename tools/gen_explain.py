@@ -83,6 +83,12 @@ PICKS = {
     "semantic_dedup_lloyd_indexed": "Persisted Lloyd assignment: one index scan + cluster-id equi-join pair stage (training amortized into the build)",
     "multimodal_flac_stats": "Arrow-batched lossless FLAC decode where the bytes live; shuffle-free per-asset aggregate (same shape as the JPEG twins)",
     "sql_histogram_quantile": "Literal shared SQL: equi-width histogram + cumulative-window ceil-rank readout",
+    "decontamination_census": "Asymmetric gram equi-join between md5 splits; 1-row hits broadcast; nothing quadratic",
+    "multimodal_gif_stats": "Arrow-batched LZW decode where the bytes live; shuffle-free per-asset aggregate",
+    "kll_compactor_quantile_census": "mapPartitions sketches -> driver merge; exact-rank readout = one scan vs 3 broadcast rows",
+    "bitext_margin_mining_ivf": "Lloyd-cell equi-join candidates; per-source rank window; no corpus-linear broadcast",
+    "stream_kll_quantiles": "windowed sketch state; readout windows over <= k survivors per window",
+    "multimodal_flac_stereo_stats": "Arrow-batched stereo FLAC decode; 32-way repartitioned fixture synth",
 }
 
 

@@ -138,6 +138,9 @@ PICKS = {
     "multimodal_flac_stereo_stats": "fixed 400-asset fixture; all 4 stereo assignments decoded in Arrow batches",
     "bitext_margin_mining_ivf": "Lloyd-cell-bounded candidates: |src| x (nprobe/k) x |tgt| expected pair volume",
     "stream_kll_quantiles": "windowed state = 49 level counts + height-floored survivors; readout over <= k rows/window",
+    "decontamination_census": "train gram volume + matches; eval side broadcasts at scale",
+    "multimodal_gif_stats": "fixed 400-asset fixture; LZW decode in Arrow batches",
+    "kll_compactor_quantile_census": "per-partition O(k) sketches; driver merge independent of n",
 }
 
 

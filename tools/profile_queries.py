@@ -79,6 +79,9 @@ PICKS = {
     "multimodal_flac_stats": "Arrow-batched lossless decode; 32-way repartition spreads the codec",
     "bitext_margin_mining_ivf": "cell-id equi-join candidates (~nprobe/k of the block); Lloyd mean updates are the only wide shuffle",
     "stream_kll_quantiles": "windowed state = level counts + floored survivors; batch post-step over <= k rows/window",
+    "decontamination_census": "gram-keyed equi-join; shuffle ~ distinct grams per side",
+    "multimodal_gif_stats": "Arrow-batched LZW; one tiny aggregate shuffle",
+    "kll_compactor_quantile_census": "sketch collect = |partitions| x O(k) items; one readout scan",
 }
 
 # static epilogue kept across regenerations (measured once; the
