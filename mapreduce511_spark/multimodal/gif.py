@@ -119,6 +119,13 @@ def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
         prefix = (px,)
     if prefix:
         w.write(table[prefix], width)
+        # The decoder adds one more dictionary entry for this final code
+        # before it reads EOI; if that entry lands exactly on a power of
+        # two, the decoder's width grows and it reads EOI one bit wider
+        # than a naive encoder writes it. Mirror the decoder's growth
+        # check so EOI is emitted at the width the decoder will read.
+        if next_code == (1 << width) and width < 12:
+            width += 1
     w.write(eoi, width)
     return w.flush()
 

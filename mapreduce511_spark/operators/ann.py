@@ -71,12 +71,14 @@ def _with_best_cell(df: DataFrame, vec_col: str, centroids: list[list[float]]) -
 _TRAIN_CACHE: dict = {}
 
 
-# Memo of computed content fingerprints, keyed by (logical plan,
-# input-file stat signature). The plan string captures every
+# Memo of computed content fingerprints, keyed by logical plan and
+# storing (stat signature, n, h). The plan string captures every
 # transformation on the frame (emb.filter(...) has a different plan
 # than emb), and the stat signature (path, size, mtime_ns per file)
 # captures on-disk content, so an in-place parquet rewrite
-# invalidates. Bounded: one entry per distinct (plan, snapshot).
+# invalidates. Keyed by plan with only the LATEST snapshot kept, so
+# repeated rewrites of a fingerprinted corpus replace the entry
+# instead of accumulating one per snapshot over the session's life.
 _FP_MEMO: dict = {}
 
 
@@ -111,24 +113,33 @@ def _cache_key(emb: DataFrame, *params) -> tuple:
     import os
 
     files = tuple(sorted(emb.inputFiles()))
-    memo_key = None
+    plan_key = None
+    sig = None
     if files:
-        sig = []
+        sig_l = []
         for f in files:
             p = f[len("file:"):] if f.startswith("file:") else f
             try:
                 st = os.stat(p)
-                sig.append((f, st.st_size, st.st_mtime_ns))
+                sig_l.append((f, st.st_size, st.st_mtime_ns))
             except OSError:
-                sig.append((f, -1, -1))
-        plan = emb._jdf.queryExecution().logical().toString()
-        memo_key = (plan, tuple(sig))
-        if memo_key in _FP_MEMO:
-            n, h = _FP_MEMO[memo_key]
-            return (n, h, tuple(emb.columns), *params)
+                # Unstat-able URI (hdfs://, s3a://, ...): the stat
+                # signature can't see rewrites there, so memoizing
+                # under a sentinel would serve a stale fingerprint
+                # forever. Skip memoization and re-fingerprint.
+                sig_l = None
+                break
+        if sig_l is not None:
+            sig = tuple(sig_l)
+            plan_key = emb._jdf.queryExecution().logical().toString()
+            memo = _FP_MEMO.get(plan_key)
+            if memo is not None and memo[0] == sig:
+                n, h = memo[1], memo[2]
+                return (n, h, tuple(emb.columns), *params)
     n, h = _content_fingerprint(emb)
-    if memo_key is not None:
-        _FP_MEMO[memo_key] = (n, h)
+    if plan_key is not None:
+        # latest snapshot only: rewrites replace, never accumulate
+        _FP_MEMO[plan_key] = (sig, n, h)
     return (n, h, tuple(emb.columns), *params)
 
 

@@ -1183,11 +1183,15 @@ _SKLL_HMIN = 2  # height floor: the stream collects survivors at tz >= 2
 )
 def stream_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The KLL sampler INSIDE the stream — mergeability IS
-    streamability: per-day windowed state is the sketch itself
-    (<= 49 (tz, count) rows plus the survivors at the height floor
-    tz >= 2), maintained by the streaming engine as one windowed
-    aggregate and evicted by the watermark; the value stream is never
-    held in state. The sketch definition gains a HEIGHT FLOOR
+    streamability: per-day windowed state is <= 49 (tz, count) rows
+    plus the collect_list of survivors at the height floor tz >= 2,
+    maintained by the streaming engine as one windowed aggregate and
+    evicted by the watermark. The floor is a STATE-vs-MONOTONICITY
+    trade, stated honestly: survivors at tz >= 2 are an expected ~25%
+    of each window's events, so state is O(n/4) per window — not
+    O(k) like the batch compactor — in exchange for the supersetting
+    guarantee below; raising the floor adaptively would shrink state
+    but break merge monotonicity. The sketch definition's HEIGHT FLOOR
     (H = smallest level >= 2 with <= k survivors) so the
     collected survivor set provably supersets the final kept set —
     the same monotonicity the batch merge test relies on; the oracle

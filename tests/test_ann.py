@@ -581,3 +581,60 @@ def test_bitext_ivf_candidates_are_cell_bounded(spark):
     # nprobe=4 of k=16 cells: expect ~25% of the full block; 60% is
     # the loose bar a broken cell assignment blows through
     assert n_cand < 0.6 * n_src * n_tgt, (n_cand, n_src * n_tgt)
+
+
+def test_fingerprint_memo_skips_unstatable_uris(spark, tmp_path, monkeypatch):
+    """r8 (r7 ADVICE): when an input file can't be stat()ed (remote
+    URIs — hdfs://, s3a://), the stat signature can't observe
+    rewrites, so _cache_key must SKIP memoization and re-fingerprint
+    every call rather than memoize under a sentinel that would serve
+    a stale trained index forever."""
+    import os as _os
+
+    from mapreduce511_spark.operators import ann as _ann
+
+    p = str(tmp_path / "emb_unstat")
+    spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], ["vec_id", "embedding"]
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    real_stat = _os.stat
+
+    def deny(path, *a, **kw):
+        if "emb_unstat" in str(path):
+            raise OSError("simulated remote URI: stat unavailable")
+        return real_stat(path, *a, **kw)
+
+    before = dict(_ann._FP_MEMO)
+    monkeypatch.setattr(_os, "stat", deny)
+    try:
+        k1 = _ann._cache_key(df, "t", 1)
+    finally:
+        monkeypatch.setattr(_os, "stat", real_stat)
+    assert _ann._FP_MEMO == before, (
+        "unstat-able inputs must not be memoized"
+    )
+    assert k1 == _ann._cache_key(spark.read.parquet(p), "t", 1)
+
+
+def test_fingerprint_memo_bounded_per_plan(spark, tmp_path):
+    """r8 (r7 ADVICE): _FP_MEMO keeps only the LATEST snapshot per
+    logical plan — rewriting the same corpus N times must not grow
+    the memo by N entries."""
+    import time as _time
+
+    from mapreduce511_spark.operators import ann as _ann
+
+    p = str(tmp_path / "emb_bounded")
+    sizes = []
+    for gen in range(3):
+        spark.createDataFrame(
+            [(i, [float(i * (gen + 1)), 1.0]) for i in range(20)],
+            ["vec_id", "embedding"],
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        _time.sleep(0.05)
+        _ann._cache_key(spark.read.parquet(p), "t", 1)
+        sizes.append(len(_ann._FP_MEMO))
+    assert sizes[0] == sizes[1] == sizes[2], (
+        f"memo grew across rewrites of one plan: {sizes}"
+    )

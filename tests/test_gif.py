@@ -133,3 +133,27 @@ def test_roundtrip_hypothesis():
         _roundtrip(rows, _pal(nc), interlace)
 
     check()
+
+
+def test_lzw_eoi_width_boundary():
+    """Regression: when the decoder's post-final-code dictionary entry
+    lands exactly on a power of two, it grows the code width BEFORE
+    reading EOI — the encoder must emit EOI at that grown width.  This
+    exact sequence used to desync ('GIF LZW stream truncated')."""
+    from mapreduce511_spark.multimodal.gif import _lzw_decode, _lzw_encode
+
+    seq = [2, 0, 1, 2, 1, 0, 3, 0, 1, 2, 0, 2, 0, 0, 3]
+    assert _lzw_decode(_lzw_encode(seq, 2), 2, len(seq)) == seq
+
+
+def test_lzw_raw_fuzz():
+    """Raw LZW round-trip fuzz across min-code-sizes and lengths,
+    including streams long enough to cross clear-code boundaries."""
+    from mapreduce511_spark.multimodal.gif import _lzw_decode, _lzw_encode
+
+    rng = random.Random(511)
+    for trial in range(400):
+        mcs = rng.choice([2, 3, 4, 8])
+        n = 20000 if trial % 80 == 0 else rng.choice([5, 17, 100, 800])
+        seq = [rng.randrange(1 << mcs) for _ in range(n)]
+        assert _lzw_decode(_lzw_encode(seq, mcs), mcs, n) == seq
