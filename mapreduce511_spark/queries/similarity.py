@@ -1878,7 +1878,7 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "tfidf_cosine_pairs",
+    "tfidf_cosine_pairs_exact_spec",
     oracle="""
     WITH toks AS (
         SELECT doc_id,
@@ -1928,12 +1928,18 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
 )
-def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tfidf_cosine_pairs_exact_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEIGHTED lexical near-dup: tf-idf cosine over word bigrams via
-    the shared-term inverted index — the similarity the Jaccard
-    family can't express (set overlap treats 'the the the' and a rare
-    technical phrase as equal evidence; idf weighting is why
-    boilerplate stops dominating). Top-20 pairs with cosine >= 0.6.
+    the shared-term inverted index — EXACT SPEC, not a production
+    path (renamed from the plain ``tfidf_cosine_pairs`` in r8 per the
+    r7 VERDICT: a plain-named query must not carry an unbounded
+    candidate stage when a capped sibling exists; unlike the
+    ``embedding_near_dup`` swap, the df-cap changes answers, so the
+    exact definition keeps its oracle under the suffixed name).
+    The similarity the Jaccard family can't express (set overlap
+    treats 'the the the' and a rare technical phrase as equal
+    evidence; idf weighting is why boilerplate stops dominating).
+    Top-20 pairs with cosine >= 0.6.
 
     Numeric discipline: idf is quantized to integer milli-nats
     (floor(1000·ln(N/df)) — floor, not round, so no rounding-mode
@@ -1944,12 +1950,13 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     final per-pair display division. Zero-weight terms (df = N) drop
     out exactly.
 
-    Scale shape: candidate volume is Σ df² over the posting lists —
-    same skew profile as ``near_dup_jaccard``. This plain query is the
-    exact-spec; at scale use ``tfidf_cosine_pairs_capped`` (df-capped
-    candidate postings, exact verify — same recipe as
-    ``near_dup_jaccard_capped``). Norms and df are corpus-linear
-    tables and ride UNHINTED joins (AQE broadcasts when small).
+    Scale shape: candidate volume is UNBOUNDED Σ df² over the posting
+    lists — same skew profile as ``near_dup_jaccard``, kept solely as
+    the oracle-checkable definition. At scale use
+    ``tfidf_cosine_pairs_capped`` (df-capped candidate postings,
+    exact verify — same recipe as ``near_dup_jaccard_capped``).
+    Norms and df are corpus-linear tables and ride UNHINTED joins
+    (AQE broadcasts when small).
 
     Reference basis: extension tier — near-dup detection
     (SURVEY.md §7 M7 dedup family)."""
@@ -2118,10 +2125,12 @@ _TFIDF_DF_CAP = 20  # bigrams in more docs than this skip candidate gen
     """,
 )
 def tfidf_cosine_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``tfidf_cosine_pairs`` with DF-CAPPED candidate generation —
-    the 100 TB shape (r6 VERDICT item 2: the plain query's candidate
-    volume is uncapped Σ df² over the posting lists, the #2 suite
-    wall cost). Bigrams whose document frequency exceeds
+    """``tfidf_cosine_pairs_exact_spec`` with DF-CAPPED candidate
+    generation — the 100 TB shape and the recommended plain entry
+    (r6 VERDICT item 2: the exact-spec query's candidate volume is
+    uncapped Σ df² over the posting lists, the #2 suite wall cost;
+    r7 VERDICT item 1 renamed the exact query to ``_exact_spec``).
+    Bigrams whose document frequency exceeds
     ``_TFIDF_DF_CAP`` are excluded from CANDIDATE generation (a df-K
     term alone contributes O(K²) candidate pairs; boilerplate bigrams
     at corpus scale make that quadratic); surviving candidate pairs

@@ -89,12 +89,14 @@ def test_incremental_mv_merges_multiple_batches(spark):
 def test_tfidf_cosine_identical_docs(spark, tmp_path):
     """Two identical docs share every weighted bigram -> cosine 1.0;
     a disjoint-vocabulary doc never pairs with them."""
-    from mapreduce511_spark.queries.similarity import tfidf_cosine_pairs
+    from mapreduce511_spark.queries.similarity import (
+        tfidf_cosine_pairs_exact_spec,
+    )
 
     a = "alpha beta gamma delta epsilon zeta eta theta " * 4
     b = "one two three four five six seven eight nine ten " * 4
     _docs_parquet(tmp_path / "documents.parquet", [a, a, b])
-    rows = tfidf_cosine_pairs(spark, str(tmp_path)).collect()
+    rows = tfidf_cosine_pairs_exact_spec(spark, str(tmp_path)).collect()
     pairs = {(r.doc_a, r.doc_b): r.cosine for r in rows}
     assert pairs == {(0, 1): 1.0}
 

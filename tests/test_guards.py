@@ -137,3 +137,63 @@ def test_bench_canary_is_frozen_and_registered():
     assert len(set(bench._CANARY)) == 20
     missing = [n for n in bench._CANARY if n not in q]
     assert not missing, missing
+
+
+_UNBOUNDED_MARKERS = (
+    "UNBOUNDED",
+    "uncapped",
+    "quadratic by construction",
+)
+
+
+def test_no_plain_name_steers_to_unbounded_candidates():
+    """r8 (r7 VERDICT item 1) — mechanical registry-steering rule:
+    when a scale-safe ``_capped``/``_blocked`` sibling exists, the
+    plain-named query must not be the one whose docstring declares an
+    unbounded candidate stage. The plain name is what a user reaches
+    for first; the deliberately-definitional variant carries the
+    ``_exact_spec`` suffix (the ``embedding_near_dup`` /
+    ``tfidf_cosine_pairs`` precedents)."""
+    from mapreduce511_spark.queries import all_queries
+
+    qs = all_queries()
+    offenders = []
+    for name, fn in qs.items():
+        if name.endswith("_exact_spec"):
+            continue  # honestly suffixed: allowed to be definitional
+        has_scale_sibling = any(
+            name + suf in qs for suf in ("_capped", "_blocked")
+        )
+        if not has_scale_sibling:
+            continue
+        doc = fn.__doc__ or ""
+        if any(m in doc for m in _UNBOUNDED_MARKERS):
+            offenders.append(name)
+    assert not offenders, (
+        f"plain-named queries declaring an unbounded candidate stage "
+        f"while a capped/blocked sibling exists: {offenders} — rename "
+        f"to <name>_exact_spec and make the capped sibling the "
+        f"recommended entry"
+    )
+    # the rule has teeth: the suffixed spec queries DO carry the
+    # marker (i.e. the historical offenders would have been caught)
+    spec = qs["tfidf_cosine_pairs_exact_spec"].__doc__ or ""
+    assert any(m in spec for m in _UNBOUNDED_MARKERS)
+
+
+def test_exact_spec_declarations_carry_the_suffix():
+    """Any query whose docstring declares itself 'EXACT SPEC' /
+    'EXACT SMALL-N SPEC' (the capital-letters self-declaration the
+    spec-tier queries use) must be registered under a name ending in
+    ``_exact_spec`` — so bench's spec-tier breakout and the steering
+    rule above can key on the NAME alone."""
+    from mapreduce511_spark.queries import all_queries
+
+    offenders = [
+        n
+        for n, fn in all_queries().items()
+        if "EXACT SPEC" in (fn.__doc__ or "")
+        or "EXACT SMALL-N SPEC" in (fn.__doc__ or "")
+        if not n.endswith("_exact_spec")
+    ]
+    assert not offenders, offenders

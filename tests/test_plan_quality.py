@@ -446,7 +446,7 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("queries/similarity.py", "semantic_dedup_census", "cent"): "k-rows: frozen centroids",
     ("queries/similarity.py", "semantic_dedup_kmeans_census", "spark.createDataFrame(cent_rows, ['cid', 'cv']).select('cid', 'cv', l2_norm(F.col('cv')).alias('cn'))"): "k-rows: trained centroids",
     ("queries/similarity.py", "similarity_topk", "probe"): "1-row: single probe vector",
-    ("queries/similarity.py", "tfidf_cosine_pairs", "nd"): "1-row",
+    ("queries/similarity.py", "tfidf_cosine_pairs_exact_spec", "nd"): "1-row",
     ("queries/similarity.py", "tfidf_cosine_pairs_capped", "nd"): "1-row",
     # --- retrieval
     ("queries/retrieval.py", "_bm25_scores", "df"): "k-rows: df of the fixed BM25 query terms only",
