@@ -1084,7 +1084,12 @@ def bitext_margin_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is read cell-pruned when stored cell-partitioned (the
     persisted-Lloyd-index layout ``_ensure_lloyd_index`` writes), and
     nothing broadcasts a corpus-linear side — the candidate join is
-    an equi-join ON THE CELL ID."""
+    an equi-join ON THE CELL ID.
+
+    This oracled variant retrains Lloyd IN-QUERY so DuckDB can
+    restate it — it is the correctness twin. The steady production
+    path is ``bitext_margin_mining_ivf_indexed`` (r8), which serves
+    the same mining pass from the persisted Lloyd index."""
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2675,6 +2680,90 @@ def semantic_dedup_lloyd_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sem_census_rollup(
         members.withColumnRenamed("cell", "cid"),
         dup.withColumnRenamed("cell", "cid"),
+    )
+
+
+@register("bitext_margin_mining_ivf_indexed")
+def bitext_margin_mining_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bitext_margin_mining_ivf`` served from the PERSISTED Lloyd
+    index (r8, r7 VERDICT item 2): the two Lloyd training iterations
+    and the corpus cell assignment are amortized into
+    ``_ensure_lloyd_index``'s build-once artifact — exactly the swap
+    ``ann_ivf_lloyd_indexed_topk`` and ``semantic_dedup_lloyd_indexed``
+    made in r7 — so the steady query is: 16 cached centroid rows
+    broadcast against the SOURCE side for probe-cell selection, a
+    partition-pruned scan of the probed cells of the cell-partitioned
+    parquet for the TARGET side (PartitionFilters on `cell`), and the
+    same candidate equi-join ON THE CELL ID + fixed-column top-4
+    ratio margin. At 100 TB this is the CCMatrix-style daily mining
+    pass: training cost is paid once per corpus snapshot, mining cost
+    is candidates-only.
+
+    Rows-only by the same reasoning as its two r7 siblings (the
+    artifact path is session state DuckDB can't see); row-equality
+    against the ORACLED in-query twin is asserted in
+    tests/test_ann.py — the stronger check, since the twin itself is
+    hash-green against the exact SQL restatement."""
+    from pyspark.sql.window import Window
+
+    from mapreduce511_spark.sources.tables import read_parquet_checked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path, cent_rows = _ensure_lloyd_index(emb)
+    # 16 cached centroid rows: driver round-trip is exact (IEEE
+    # doubles), so probe-cell argmax matches the in-query twin bitwise
+    cent = spark.createDataFrame(cent_rows, ["cell", "cv"])
+    src = emb.filter(F.col("label") == _BITEXT_SRC_LABEL).select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    w_cell = Window.partitionBy("src_id").orderBy(
+        F.desc("csim"), F.asc("cell")
+    )
+    probe_cells = (
+        src.join(F.broadcast(cent))
+        .withColumn("csim", cosine_similarity(F.col("va"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("src_id", "va", "cell")
+    )
+    cells = [r.cell for r in probe_cells.select("cell").distinct().collect()]
+    tgt_ids = emb.filter(F.col("label") == _BITEXT_TGT_LABEL).select("vec_id")
+    tgt = (
+        read_parquet_checked(spark, path)
+        .filter(F.col("cell").isin(cells))  # partition-pruned scan
+        .join(tgt_ids, "vec_id")
+        .select(F.col("vec_id").alias("tgt_id"), F.col("v").alias("vb"), "cell")
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("c"), F.asc("tgt_id"))
+    ranked = (
+        probe_cells.join(tgt, "cell")
+        .withColumn("c", cosine_similarity(F.col("va"), F.col("vb")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+    )
+    g = ranked.groupBy("src_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("tgt_id"))).alias("tgt_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("c1"),
+        F.max(F.when(F.col("rn") == 2, F.col("c"))).alias("c2"),
+        F.max(F.when(F.col("rn") == 3, F.col("c"))).alias("c3"),
+        F.max(F.when(F.col("rn") == 4, F.col("c"))).alias("c4"),
+    )
+    margin = F.floor(
+        1000.0 * 4.0 * F.col("c1")
+        / (F.col("c1") + F.col("c2") + F.col("c3") + F.col("c4"))
+    )
+    return (
+        g.filter(
+            (F.col("c1") >= _BITEXT_MIN_COS)
+            & (margin >= _BITEXT_MARGIN_MILLI)
+        )
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round("c1", 4).alias("cos_sim"),
+            margin.cast("long").alias("margin_milli"),
+        )
     )
 
 

@@ -638,3 +638,31 @@ def test_fingerprint_memo_bounded_per_plan(spark, tmp_path):
     assert sizes[0] == sizes[1] == sizes[2], (
         f"memo grew across rewrites of one plan: {sizes}"
     )
+
+
+def test_bitext_ivf_indexed_matches_oracled_twin(spark):
+    """r8 (r7 VERDICT item 2): the persisted-index bitext mining pass
+    must equal the ORACLED in-query twin row-for-row (same centroids
+    via the driver IEEE-double round-trip, same cell tags — the index
+    stores the twin's own ``_lloyd_assign`` output), and its plan
+    must partition-prune the target scan on the probed cells."""
+    from mapreduce511_spark.queries.similarity import (
+        bitext_margin_mining_ivf,
+        bitext_margin_mining_ivf_indexed,
+    )
+
+    indexed = bitext_margin_mining_ivf_indexed(spark, SF_CHECK)
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    # the INDEX scan (not the unpartitioned embeddings scans, whose
+    # PartitionFilters are empty) must carry a non-empty cell filter
+    idx_lines = [
+        ln for ln in plan.splitlines() if "ann_index" in ln and "FileScan" in ln
+    ]
+    assert idx_lines and all(
+        "PartitionFilters: [cell" in ln for ln in idx_lines
+    ), idx_lines or plan[:500]
+    twin = {
+        tuple(r) for r in bitext_margin_mining_ivf(spark, SF_CHECK).collect()
+    }
+    idx = {tuple(r) for r in indexed.collect()}
+    assert idx == twin and idx
