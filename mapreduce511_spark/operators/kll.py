@@ -154,24 +154,39 @@ class KLLSketch:
 
 
 def sketch_column(df, col: str, k: int = 200) -> KLLSketch:
-    """Distributed build: one KLL sketch per partition
-    (``mapPartitions`` — the value stream never leaves its executor),
-    then a driver-side merge of the tiny summaries. Returns the merged
+    """Distributed build: one KLL sketch per partition, then a
+    driver-side merge of the tiny summaries. Returns the merged
     sketch. This is the standard mergeable-summary deployment: at
-    100 TB the shuffle is |partitions| sketches of O(k) items, not the
-    data."""
-    rdd = df.select(col).rdd
+    100 TB the shuffle is |partitions| sketches of O(k) items, not
+    the data.
 
-    def build(it):
+    r8 (r7 VERDICT item 6): ingestion is ``mapInPandas`` — values
+    arrive as Arrow batches and are handed to the compactor as native
+    Python scalars via ``tolist()`` (sketch updates are inherently
+    sequential, but the per-row ``Row`` deserialization of the old
+    ``rdd.mapPartitions`` path is gone; this was the engine's last
+    non-Arrow data path). Each partition emits its sketch as one
+    JSON row (``json.dumps`` round-trips doubles exactly via repr)."""
+    import json
+
+    def build(batches):
+        import pandas as pd
+
         s = KLLSketch(k)
-        for row in it:
-            v = row[0]
-            if v is not None:
+        for pdf in batches:
+            # dropna keeps parity with the old per-row None skip;
+            # tolist() yields native Python scalars, so retained
+            # values compare/serialize exactly as before
+            for v in pdf.iloc[:, 0].dropna().tolist():
                 s.update(v)
-        yield s.to_tuple()
+        yield pd.DataFrame({"sketch": [json.dumps(s.to_tuple())]})
 
-    parts = rdd.mapPartitions(build).collect()
+    parts = (
+        df.select(col)
+        .mapInPandas(build, "sketch string")
+        .collect()
+    )
     merged = KLLSketch(k)
-    for t in parts:
-        merged.merge(KLLSketch.from_tuple(t))
+    for r in parts:
+        merged.merge(KLLSketch.from_tuple(json.loads(r.sketch)))
     return merged
