@@ -516,6 +516,74 @@ def ensure_pq_residual_index(
     return path, books, centroids
 
 
+def admit_batch_lloyd(
+    spark, index_path: str, cent_rows: list, batch: DataFrame
+) -> None:
+    """INCREMENTAL index admission (r8, r7 VERDICT item 4 — the ANN
+    analog of ``incremental_dedup_admit``, FAISS's ``add``): assign
+    each NEW vector to its best EXISTING cell (centroids stay frozen
+    from the original training — no retrain) and APPEND the
+    assignments to the cell-partitioned parquet. Because assignment
+    is per-row, the admitted artifact is row-identical to an
+    assignment-only rebuild over base+batch with the same centroids
+    (asserted in tests/test_ann.py), so search results over the two
+    are equal by construction.
+
+    100 TB posture: a growing corpus admits each day's batch at
+    O(batch) cost — one map-only assignment scan plus an append of
+    new files into the existing cell directories — instead of the
+    O(corpus) retrain + rewrite that ``ensure_*``'s snapshot keying
+    implies. The standard drift trade rides along: frozen centroids
+    slowly decay as the distribution moves, so production systems
+    retrain on a slow cadence (weekly) while admitting on a fast one
+    (hourly); both motions exist here (``ensure_ivf_index`` /
+    ``_ensure_lloyd_index`` = retrain, this = admit).
+
+    ``batch`` must be (vec_id, v: array<double>) — the same layout
+    the index stores. ``cent_rows`` is the [(cell, centroid), ...]
+    list the build returned; IEEE doubles round-trip the driver
+    exactly, so admitted assignments match in-Spark assignment
+    bitwise."""
+    from mapreduce511_spark.queries.similarity import _lloyd_assign
+
+    cent = spark.createDataFrame(cent_rows, ["cell", "cv"])
+    (
+        _lloyd_assign(batch.select("vec_id", "v"), cent)
+        .select("vec_id", "v", "cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(index_path)
+    )
+
+
+def admit_batch_pq(
+    spark,
+    index_path: str,
+    books: list[list[list[float]]],
+    batch: DataFrame,
+    centroids: list[list[float]] | None = None,
+) -> None:
+    """PQ twin of ``admit_batch_lloyd``: encode NEW vectors with the
+    EXISTING codebooks (and tag their coarse cell when the index is
+    cell-partitioned) and append. Codebooks stay frozen — admission
+    cost is one encode scan of the batch, never a retrain; the
+    admitted codes are identical to what a full re-encode would
+    assign those rows (pure plan-literal argmin, no state)."""
+    coded = pq_encode(batch.select("vec_id", "embedding"), books)
+    if centroids is not None:
+        tagged = _with_best_cell(
+            batch.select("vec_id", "embedding"), "embedding", centroids
+        ).select("vec_id", "cell")
+        (
+            coded.join(tagged, "vec_id")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(index_path)
+        )
+    else:
+        coded.write.mode("append").parquet(index_path)
+
+
 def ivf_pq_residual_search_indexed(
     spark,
     index_path: str,

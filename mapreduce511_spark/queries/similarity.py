@@ -2767,6 +2767,112 @@ def bitext_margin_mining_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _ensure_admitted_lloyd_index(emb: DataFrame) -> tuple[str, list]:
+    """Build-then-ADMIT index lifecycle, persisted once per
+    content-fingerprinted corpus snapshot: train Lloyd centroids on
+    the BASE slice (vec_id % 10 != 0 — the 'nightly build'), write
+    its cell-partitioned assignment, then ``admit_batch_lloyd`` the
+    held-out batch (vec_id % 10 == 0 — the 'arriving day') against
+    the FROZEN centroids. Returns (path, cent_rows). Both the base
+    write and the admission assign through the same driver-round-
+    tripped centroid rows, so the final artifact is row-identical to
+    an assignment-only rebuild over the full corpus (asserted in
+    tests/test_ann.py)."""
+    from mapreduce511_spark.operators.ann import (
+        _INDEX_CACHE,
+        _cache_key,
+        _index_path,
+        admit_batch_lloyd,
+    )
+
+    key = _cache_key(emb, "lloyd_admitted", _LLOYD_K, _LLOYD_ITERS)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    spark = emb.sparkSession
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    batch = e.filter(F.col("vec_id") % 10 == 0)
+    cent = _lloyd_centroids(base)
+    cent_rows = [(int(r.cell), [float(x) for x in r.cv]) for r in cent.collect()]
+    cent_df = spark.createDataFrame(cent_rows, ["cell", "cv"])
+    path = _index_path(spark, key, "lloyd_admit")
+    (
+        _lloyd_assign(base, cent_df)
+        .select("vec_id", "v", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    admit_batch_lloyd(spark, path, cent_rows, batch)
+    _INDEX_CACHE[key] = (path, cent_rows)
+    return path, cent_rows
+
+
+@register(
+    "ann_admission_census",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), base AS (
+        SELECT vec_id, v FROM e WHERE vec_id % 10 <> 0
+    ), seeds AS (
+        SELECT vec_id AS cell, v AS cv FROM base WHERE vec_id < {k}
+    ), la1 AS {a1},
+    lc1 AS {c1},
+    la2 AS {a2},
+    lc2 AS {c2},
+    laf AS {af}
+    SELECT cell,
+           count(*) FILTER (WHERE vec_id % 10 <> 0) AS n_base,
+           count(*) FILTER (WHERE vec_id % 10 = 0) AS n_admitted,
+           count(*) AS n_total
+    FROM laf
+    GROUP BY cell
+    ORDER BY cell
+    """.format(
+        k=_LLOYD_K,
+        a1=_lloyd_assign_sql("base", "seeds"),
+        c1=_lloyd_means_sql("la1"),
+        a2=_lloyd_assign_sql("base", "lc1"),
+        c2=_lloyd_means_sql("la2"),
+        af=_lloyd_assign_sql("e", "lc2"),
+    ),
+)
+def ann_admission_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index ADMISSION under the exact oracle (r8,
+    r7 VERDICT item 4): the Spark side reads the artifact that the
+    build-then-admit lifecycle actually wrote — centroids trained on
+    the base slice only, the held-out batch admitted against FROZEN
+    centroids via ``admit_batch_lloyd``'s append — and reports the
+    per-cell membership census split into base vs admitted rows. The
+    oracle recomputes the same census from first principles (Lloyd
+    trained on the base slice, everything assigned to the frozen
+    result), so a hash-green row proves the admitted artifact is
+    exactly the assignment-only rebuild: admission changed WHERE the
+    rows entered the index, not what the index contains.
+
+    100 TB shape: admission is O(batch) — one map-only assignment
+    scan + appended files in existing cell dirs — vs the O(corpus)
+    retrain+rewrite of a snapshot rebuild; SCALING.md carries the
+    measured admit-vs-rebuild ratio."""
+    from mapreduce511_spark.sources.tables import read_parquet_checked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path, _ = _ensure_admitted_lloyd_index(emb)
+    af = read_parquet_checked(spark, path)
+    return (
+        af.groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.count(F.when(F.col("vec_id") % 10 != 0, 1)).alias("n_base"),
+            F.count(F.when(F.col("vec_id") % 10 == 0, 1)).alias("n_admitted"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .orderBy("cell")
+    )
+
+
 @register("ann_ivf_pq_topk")
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed index: learned coarse cells bound COMPUTE
