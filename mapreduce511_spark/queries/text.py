@@ -4129,3 +4129,147 @@ def decontamination_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("removal_bp"),
         )
     )
+
+
+@register(
+    "decontamination_span_removal",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '')
+                   AS tokens,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % {_DECON_EVAL_BUCKETS} AS b
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, b,
+               unnest(range(1, len(tokens) - {_DECON_N - 2})) AS i,
+               tokens
+        FROM toks WHERE len(tokens) >= {_DECON_N}
+    ), g AS (
+        SELECT doc_id, b, i,
+               array_to_string(tokens[i : i + {_DECON_N - 1}], ' ') AS g
+        FROM pos
+    ), ev AS (
+        SELECT DISTINCT g FROM g WHERE b = 0
+    ), rem AS (
+        SELECT g.doc_id, g.i AS p, g.i + {_DECON_N - 1} AS pe
+        FROM g JOIN ev USING (g)
+        WHERE g.b <> 0
+    ), marked AS (
+        SELECT doc_id, p, pe,
+               CASE WHEN max(pe) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) >= p
+                    THEN 0 ELSE 1 END AS new_island
+        FROM rem
+    ), islands AS (
+        SELECT doc_id, p, pe,
+               sum(new_island) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS island
+        FROM marked
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(sum(n_occ) AS BIGINT) AS removed_occurrences,
+               CAST(sum(width) AS BIGINT) AS tokens_removed
+        FROM (
+            SELECT doc_id, island,
+                   count(*) AS n_occ,
+                   max(pe) - min(p) + 1 AS width
+            FROM islands GROUP BY doc_id, island
+        ) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+           d.removed_occurrences,
+           d.tokens_removed,
+           CAST(len(t.tokens) - d.tokens_removed AS BIGINT) AS tokens_kept
+    FROM per_doc d JOIN toks t ON d.doc_id = t.doc_id
+    """,
+)
+def decontamination_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL decontamination (r8, r7 VERDICT item 8):
+    ``decontamination_census`` flags whole training documents; the
+    published pipelines (PaLM, Llama) also EXCISE the contaminated
+    spans rather than drop whole documents. This composes the
+    census's asymmetric train-vs-eval 8-gram equi-join with
+    ``duplicate_span_removal``'s gaps-and-islands interval merging:
+    every train-side position whose 8-gram occurs in any eval
+    document becomes a removal interval [p, p+7]; overlapping
+    intervals merge into islands so a token is never counted twice;
+    the per-document accounting (matched occurrences, merged tokens
+    removed, tokens kept) is what the pipeline audits before
+    rewriting the corpus. The eval split is the same deterministic
+    md5 doc_id bucket 0/10 as the census, so both engines derive the
+    identical split and the identical islands.
+
+    100 TB shape: the eval n-gram set is benchmark-sized and
+    BROADCASTS, making the removal join one map-side pass over the
+    positional train grams (cost ~ train gram volume + matches —
+    nothing quadratic); island merging is two window passes per
+    train-document partition, exactly the ``duplicate_span_removal``
+    recipe.
+
+    Reference basis: extension tier — LLM-pipeline data hygiene
+    (companions: ``decontamination_census`` doc-level flagging,
+    ``duplicate_span_removal`` the island machinery)."""
+    from pyspark.sql import Window
+
+    from mapreduce511_spark.operators.dedup import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        tokenize("text").alias("toks"),
+        (
+            hash60(F.col("doc_id").cast("string")) % _DECON_EVAL_BUCKETS
+        ).alias("b"),
+    )
+    pos_grams = toks.filter(F.size("toks") >= _DECON_N).select(
+        "doc_id",
+        "b",
+        F.posexplode(word_ngrams(F.col("toks"), _DECON_N)).alias("p", "g"),
+    )
+    ev = pos_grams.filter(F.col("b") == 0).select("g").distinct()
+    rem = (
+        pos_grams.filter(F.col("b") != 0)
+        .join(ev, "g")
+        .select("doc_id", "p", (F.col("p") + _DECON_N - 1).alias("pe"))
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = rem.withColumn(
+        "new_island",
+        F.when(F.max("pe").over(w_prev) >= F.col("p"), 0).otherwise(1),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    per_doc = (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.count("*").alias("n_occ"),
+            (F.max("pe") - F.min("p") + 1).alias("width"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("removed_occurrences"),
+            F.sum("width").cast("long").alias("tokens_removed"),
+        )
+    )
+    return per_doc.join(
+        toks.select("doc_id", F.size("toks").cast("long").alias("n_tokens")),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "removed_occurrences",
+        "tokens_removed",
+        (F.col("n_tokens") - F.col("tokens_removed")).alias("tokens_kept"),
+    )

@@ -119,3 +119,41 @@ def test_pii_screen_detects_injected_shapes(spark, tmp_path):
         r.docs_with_ssn_shape,
         r.docs_flagged,
     ) == (2, 2, 1, 1, 5), r
+
+
+def test_decontamination_span_removal_islands(spark, tmp_path):
+    """Deterministic island semantics beyond oracle parity: a 10-token
+    eval run leaked into a train doc yields THREE matched 8-gram
+    positions merging into ONE island of width 10; an isolated single
+    8-gram match yields width 8; clean train docs are absent."""
+    import os
+
+    from mapreduce511_spark.queries import all_queries
+
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    iso = "kilo lima mike november oscar papa quebec romeo"
+    # doc_id 20 hashes to md5 bucket 0 -> the EVAL split; 0/1/2 are train
+    rows = [
+        (20, leak + " " + iso, "en"),  # eval doc holding both runs
+        (0, "pad1 pad2 " + leak + " pad3 pad4", "en"),  # 10-token leak
+        (1, "x1 x2 x3 " + iso + " x4", "en"),  # isolated 8-gram
+        (2, "clean words only here nothing shared at all today", "en"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, lg, "test", len(t)) for i, t, lg in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path / "decon_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    df.toPandas().to_parquet(f"{sf_dir}/documents.parquet", index=False)
+    out = {
+        r.doc_id: r
+        for r in all_queries()["decontamination_span_removal"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(out) == {0, 1}
+    assert (out[0].removed_occurrences, out[0].tokens_removed) == (3, 10)
+    assert out[0].n_tokens == 14 and out[0].tokens_kept == 4
+    assert (out[1].removed_occurrences, out[1].tokens_removed) == (1, 8)
+    assert out[1].n_tokens == 12 and out[1].tokens_kept == 4
