@@ -1324,3 +1324,224 @@ def stream_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _cleanup(src)
+
+
+@register(
+    "stream_ingest_pipeline",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS tokens,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 10 AS b
+        FROM documents
+    ), ev AS (
+        SELECT DISTINCT array_to_string(tokens[i : i + 7], ' ') AS g
+        FROM (
+            SELECT tokens, unnest(range(1, len(tokens) - 6)) AS i
+            FROM fp WHERE b = 0 AND len(tokens) >= 8
+        )
+    ), idx AS (
+        SELECT DISTINCT f FROM fp WHERE b <> 0 AND doc_id % 3 = 0
+    ), stream AS (
+        SELECT * FROM fp WHERE b <> 0 AND doc_id % 3 <> 0
+    ), qual AS (
+        SELECT * FROM stream
+        WHERE len(tokens) >= 20
+          AND list_sum(list_transform(tokens, t -> len(t)))
+              <= 10 * len(tokens)
+    ), novel AS (
+        SELECT q.* FROM qual q
+        WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.f = q.f)
+    ), cand AS (
+        SELECT f, any_value(tokens) AS tokens FROM novel GROUP BY f
+    ), cgrams AS (
+        SELECT f, array_to_string(tokens[i : i + 7], ' ') AS g
+        FROM (
+            SELECT f, tokens, unnest(range(1, len(tokens) - 6)) AS i
+            FROM cand WHERE len(tokens) >= 8
+        )
+    ), contaminated AS (
+        SELECT DISTINCT f FROM cgrams WHERE g IN (SELECT g FROM ev)
+    )
+    SELECT (SELECT count(*) FROM stream) AS n_stream,
+           (SELECT count(*) FROM stream) - (SELECT count(*) FROM qual)
+               AS rejected_quality,
+           (SELECT count(*) FROM qual) - (SELECT count(*) FROM novel)
+               AS rejected_known,
+           (SELECT count(*) FROM novel) - (SELECT count(*) FROM cand)
+               AS rejected_within_stream,
+           (SELECT count(*) FROM contaminated) AS rejected_contaminated,
+           (SELECT count(*) FROM cand) - (SELECT count(*) FROM contaminated)
+               AS admitted
+    """,
+)
+def stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END STREAMING INGEST (r8, r7 VERDICT item 9) — the
+    production arrival path as one availableNow pipeline, composing
+    the three hygiene gates this engine ships as separate queries:
+    (1) QUALITY gate (Gopher-style integer rules: >= 20 tokens, mean
+    token length <= 10 via cross-multiplication — map-only), (2)
+    DEDUP ADMISSION (stream-static left-anti join against the
+    STANDING corpus fingerprint index, then ``dropDuplicates`` on the
+    fingerprint for within-stream arrivals — the
+    ``stream_dedup_admission`` recipe), (3) DECONTAMINATION against
+    the STATIC eval split (the ``decontamination_census`` asymmetric
+    8-gram screen, run per micro-batch as a stream-static semi-join).
+
+    Two real micro-batch hops, bronze -> silver: hop 1 drains the
+    quality+dedup funnel into a parquet STAGING sink (the exactly-
+    once file sink real ingests land in); hop 2 STREAMS THE STAGING
+    DIR (file-source over the sink's own metadata log), explodes
+    normalized 8-grams, semi-joins the eval gram set and emits the
+    contaminated fingerprints. Grams are over NORMALIZED (lowercased)
+    tokens so the verdict is provably winner-invariant across
+    micro-batch splits (duplicate fingerprints share normalized
+    text by construction). The census reports the funnel:
+    arrivals, quality rejects, known-corpus rejects, within-stream
+    dup rejects, contamination rejects, admitted.
+
+    At 100 TB: the quality gate is map-only; the standing index is a
+    bucketed fingerprint table (zero corpus-side shuffle per batch);
+    dropDuplicates state is one digest per admitted doc
+    (RocksDB-backed); the eval gram set is benchmark-sized and
+    BROADCASTS into every micro-batch — nothing in the pipeline
+    shuffles the arriving corpus beyond its own batch.
+
+    Reference basis: extension tier — §2.9 streaming x LLM-pipeline
+    hygiene composed (companions: ``stream_dedup_admission``,
+    ``decontamination_census``, ``quality_filter_census``)."""
+    from mapreduce511_spark.functions.text import (
+        normalize_text,
+        tokenize,
+        word_ngrams,
+    )
+    from mapreduce511_spark.operators.dedup import hash60
+
+    src, ckpt, name = _scratch("ingest")
+    base = str(Path(src).parent)
+    staging, ckpt2 = f"{base}/staging", f"{base}/ckpt2"
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        b = (hash60(F.col("doc_id").cast("string")) % 10).alias("b")
+        toks_norm = tokenize(F.lower(F.col("text")))
+        ev_grams = (
+            docs.select(b, toks_norm.alias("toks"))
+            .filter((F.col("b") == 0) & (F.size("toks") >= 8))
+            .select(F.explode(word_ngrams(F.col("toks"), 8)).alias("g"))
+            .distinct()
+        )
+        fp_all = docs.select(
+            "doc_id", F.md5(normalize_text("text")).alias("f"), b
+        )
+        idx = (
+            fp_all.filter((F.col("b") != 0) & (F.col("doc_id") % 3 == 0))
+            .select("f")
+            .distinct()
+        )
+        stream_docs = docs.withColumn("_b", b).filter(
+            (F.col("_b") != 0) & (F.col("doc_id") % 3 != 0)
+        ).drop("_b")
+        n_stream = stream_docs.count()
+        stream_docs.repartition(4).write.mode("overwrite").parquet(src)
+
+        # ---- hop 1: quality gate + dedup admission -> parquet staging
+        reader = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        s = (
+            reader.select(
+                "doc_id",
+                F.md5(normalize_text("text")).alias("f"),
+                tokenize(F.lower(F.col("text"))).alias("toks"),
+            )
+            .withColumn("n_tok", F.size("toks"))
+            .withColumn(
+                "sum_len",
+                F.aggregate(
+                    "toks",
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + F.length(x),
+                ),
+            )
+        )
+        qual = s.filter(
+            (F.col("n_tok") >= 20)
+            & (F.col("sum_len") <= 10 * F.col("n_tok"))
+        )
+        novel = qual.join(idx, "f", "left_anti")
+        # coalesce(1) per micro-batch: the admitted slice of a batch is
+        # small; without it every batch lands |shuffle.partitions| tiny
+        # files and hop 2 degenerates into ~100 micro-batches
+        cand = (
+            novel.dropDuplicates(["f"])
+            .select("doc_id", "f", "toks")
+            .coalesce(1)
+        )
+        (
+            cand.writeStream.format("parquet")
+            .option("path", staging)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+        # ---- hop 2: stream the staging sink, decontaminate per batch
+        staged = spark.read.parquet(staging)
+        n_cand = staged.count()
+        reader2 = (
+            spark.readStream.schema(staged.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+        )
+        cont = (
+            reader2.select(
+                "f", F.explode(word_ngrams(F.col("toks"), 8)).alias("g")
+            )
+            .join(ev_grams, "g", "left_semi")
+            .dropDuplicates(["f"])
+            .select("f")
+        )
+        drained = run_available_now(cont, name, ckpt2, mode="append")
+        n_cont = drained.count()
+        spark.catalog.dropTempView(name)
+
+        # ---- batch-side funnel arithmetic (winner-invariant counts)
+        qual_b = (
+            stream_docs.select(
+                F.md5(normalize_text("text")).alias("f"),
+                tokenize(F.lower(F.col("text"))).alias("toks"),
+            )
+            .withColumn("n_tok", F.size("toks"))
+            .withColumn(
+                "sum_len",
+                F.aggregate(
+                    "toks",
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + F.length(x),
+                ),
+            )
+            .filter(
+                (F.col("n_tok") >= 20)
+                & (F.col("sum_len") <= 10 * F.col("n_tok"))
+            )
+        )
+        n_qual = qual_b.count()
+        n_novel = qual_b.join(idx, "f", "left_anti").count()
+        return spark.range(1).select(
+            F.lit(n_stream).cast("long").alias("n_stream"),
+            F.lit(n_stream - n_qual).cast("long").alias("rejected_quality"),
+            F.lit(n_qual - n_novel).cast("long").alias("rejected_known"),
+            F.lit(n_novel - n_cand)
+            .cast("long")
+            .alias("rejected_within_stream"),
+            F.lit(n_cont).cast("long").alias("rejected_contaminated"),
+            F.lit(n_cand - n_cont).cast("long").alias("admitted"),
+        )
+    finally:
+        _cleanup(src)

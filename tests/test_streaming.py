@@ -565,3 +565,48 @@ def test_user_running_stats_tws_matches_batch(spark, events_dir, tmp_path):
             b.total_value_cents,
             b.max_value_cents,
         )
+
+
+def test_stream_ingest_pipeline_full_funnel(spark, tmp_path):
+    """Every gate of the streaming ingest funnel fires on a crafted
+    corpus (the testdata has no exact dupes, so the driver row leaves
+    the dedup columns at 0): a quality reject, a known-corpus reject,
+    a within-stream duplicate, a contaminated doc, and clean admits.
+    doc_id md5 buckets: 20 -> 0 (EVAL); 3 -> standing corpus
+    (b!=0, id%3==0); 1,2,4,5,7,8 -> stream (b!=0, id%3!=0)."""
+    import os
+
+    from mapreduce511_spark.queries import all_queries
+
+    w25 = " ".join(f"w{i}" for i in range(25))  # quality-passing filler
+    known = " ".join(f"k{i}" for i in range(25))
+    dup = " ".join(f"d{i}" for i in range(25))
+    evalrun = "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"
+    rows = [
+        (20, evalrun, "en"),  # EVAL split holder
+        (3, known, "en"),  # standing corpus content
+        (1, known, "en"),  # stream: rejected_known
+        (2, dup, "en"),  # stream: admitted (dup winner)
+        (4, dup, "en"),  # stream: rejected_within_stream
+        (5, "too short to pass", "en"),  # stream: rejected_quality
+        (7, w25 + " " + evalrun, "en"),  # stream: contaminated
+        (8, "c" + w25, "en"),  # stream: clean admit
+    ]
+    df = spark.createDataFrame(
+        [(i, t, lg, "test", len(t)) for i, t, lg in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path / "ingest_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    df.toPandas().to_parquet(f"{sf_dir}/documents.parquet", index=False)
+    out = all_queries()["stream_ingest_pipeline"](spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (
+        r.n_stream,
+        r.rejected_quality,
+        r.rejected_known,
+        r.rejected_within_stream,
+        r.rejected_contaminated,
+        r.admitted,
+    ) == (6, 1, 1, 1, 1, 2), r
