@@ -69,6 +69,26 @@ _CANARY = (
     "cube_order_stats",
 )
 
+# SPEC TIER (r8, r7 VERDICT item 7): deliberately-definitional queries
+# kept for their oracles, not as production paths — every *_exact_spec
+# name (mechanically tagged; tests/test_guards.py forces the suffix on
+# any EXACT SPEC self-declaration) plus the oracled in-query twins of
+# persisted-index queries (they retrain Lloyd per invocation BY DESIGN
+# so DuckDB can restate them) and the exact bitext kernel. Reported as
+# `spec_tier_s` so production-path totals compare cleanly round over
+# round; the canary is unchanged.
+_SPEC_TIER_TWINS = frozenset([
+    "ann_ivf_lloyd_topk",
+    "semantic_dedup_lloyd_census",
+    "bitext_margin_mining_ivf",
+    "bitext_margin_mining",
+])
+
+
+def _is_spec_tier(name: str) -> bool:
+    return name.endswith("_exact_spec") or name in _SPEC_TIER_TWINS
+
+
 HEADLINE = [
     "wordcount",
     "wordcount_top20",
@@ -385,6 +405,16 @@ def main() -> None:
         # the self-adjudicating round-over-round comparator: min-of-3
         # same-session over the frozen _CANARY set.
         "canary_min3_s": round(sum(canary_times.values()), 3),
+        # spec-tier breakout (r8): definitional queries' steady cost,
+        # and the production-path remainder that should be compared
+        # round over round.
+        "spec_tier_s": round(
+            sum(t for n, t in steady_times.items() if _is_spec_tier(n)), 3
+        ),
+        "steady_production_total_s": round(
+            sum(t for n, t in steady_times.items() if not _is_spec_tier(n)),
+            3,
+        ),
     }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -48,72 +48,65 @@ def register(name: str, oracle: str | None = None):
 # Registration order is otherwise preserved, and the set of names is
 # identical either way.
 _ENUMERATE_FIRST: list[str] = [
-    # ROUND 7 rebuild (computed from CORRECTNESS_r01..r06): exactly
-    # 50 names.  Order: (1) the 17 queries with no CORRECTNESS row in
-    # ANY round — the r7 rename + the 16 new r7 queries; (2) oldest-
-    # first staleness rotation (r6 VERDICT item 5): the 15 queries
-    # whose newest green row is r01, then the 18 alphabetically-first
-    # of the 47 whose newest is r02 (the remaining 29 r02s front-load
-    # r8; 17 window slots necessarily go to new queries this round,
-    # so the backlog drains over two rounds).  embedding_near_dup
-    # (plan swapped to the blocked GEMM in r7) and near_dup_jaccard
-    # (broadcast hints dropped in r7) both sit inside the r02 slice,
-    # so the changed implementations re-verify externally this round.
-    # Everything re-verifies in tests/test_oracle_parity.py each
-    # session regardless.
-    # --- (1) never driver-checked (new/renamed in r7) ---
-    "tfidf_cosine_pairs_capped",  # df-capped scale twin (r6 item 2)
-    "embedding_near_dup_exact_spec",  # r7 rename of the BNLJ spec
-    "kll_quantile_census",  # hash-derandomized KLL sampler (r7)
-    "ann_ivf_lloyd_indexed_topk",  # rows-only (persisted Lloyd index)
-    "semantic_dedup_lloyd_indexed",  # rows-only (persisted assignment)
-    "sql_sessionize",
-    "sql_histogram_quantile",
-    "sql_copurchase_degree",
-    "sql_mixture_weights",
-    "sql_frame_geometry",
-    "multimodal_flac_stats",  # lossless FLAC decode under the exact oracle (r7)
-    "bitext_margin_mining_ivf",  # IVF-bounded margin mining, oracled (r7)
-    "multimodal_flac_stereo_stats",  # all 4 stereo assignments, oracled (r7)
-    "stream_kll_quantiles",  # the r7 rank sketch under stream execution
-    "decontamination_census",  # train-vs-eval n-gram overlap screen (r7)
-    "multimodal_gif_stats",  # GIF/LZW decode under the exact oracle (r7)
-    "kll_compactor_quantile_census",  # full KLL, rows-only + error columns (r7)
-    # --- (2a) staleness rotation: newest green row is r01 ---
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "rollup_orders",
-    "running_revenue",
-    "semi_join_customers",
-    "session_window_stats",
-    "sessionize_events",
-    "set_ops_customers",
-    "simhash_fingerprint",
-    "simhash_near_dup",
-    "sliding_event_counts",
-    "sweep_shuffle_partitions",
-    "top_customers",
-    "tumbling_event_counts",
-    "window_order_rank",
-    # --- (2b) staleness rotation: newest green row is r02 ---
-    "ann_ivf_kmeans_topk",
-    "approx_distinct_tokens",
-    "bigram_top20",
-    "contamination_screen",
-    "context_pack_stats",
-    "dedup_clusters",
-    "deterministic_split",
-    "doc_fingerprint",
-    "dup_class_histogram",
-    "embedding_centroids",
-    "embedding_near_dup",  # r7 plan swap: blocked GEMM under the plain name
-    "embedding_random_projection",
-    "event_rollup_multires",
-    "exact_dedup",
-    "funnel_view_to_purchase",
-    "fuzzy_dedup_survivors",
-    "incremental_dedup_admit",
-    "near_dup_jaccard",  # r7: unhinted size joins
+    # ROUND 8 rebuild — now GENERATED: `python tools/gen_enum_first.py`
+    # recomputes this window from the cumulative CORRECTNESS ledger
+    # (policy: every never-driver-checked query first — debut-round
+    # checking is guard-enforced in tests/test_guards.py — then
+    # oldest-first staleness, alphabetical within a round, exactly
+    # 50 names).  This instance: the queries new in r8 (incl. the
+    # tfidf rename), all 29 remaining r02-stale names (finishing the
+    # two-round drain plan — after r8 no registered query's newest
+    # driver row is older than r03), and r03 fills.
+    "tfidf_cosine_pairs_exact_spec",  # new
+    "bitext_margin_mining_ivf_indexed",  # new
+    "ann_admission_census",  # new
+    "stream_ingest_pipeline",  # new
+    "decontamination_span_removal",  # new
+    "language_id",  # r02
+    "log_chart_smoothed_cpu",  # r02
+    "multimodal_decode_stats",  # r02
+    "nearest_neighbor_sample",  # r02
+    "pipeline_clean_corpus",  # r02
+    "q10_returned_items",  # r02
+    "q12_shipmode_priority",  # r02
+    "q4_order_priority",  # r02
+    "quality_score",  # r02
+    "repeated_span_screen",  # r02
+    "repetition_score",  # r02
+    "similarity_topk",  # r02
+    "source_mixture_weights",  # r02
+    "sql_event_hours",  # r02
+    "sql_q1_passthrough",  # r02
+    "sql_top_nations",  # r02
+    "stopword_ratio",  # r02
+    "stratified_sample",  # r02
+    "stream_closed_sessions",  # r02
+    "stream_dedup_census",  # r02
+    "stream_enriched_census",  # r02
+    "stream_tumbling_event_counts",  # r02
+    "tfidf_top_terms",  # r02
+    "token_count_bpe",  # r02
+    "token_stats_by_lang",  # r02
+    "unpivot_type_hour_matrix",  # r02
+    "wordcount",  # r02
+    "wordcount_skewed",  # r02
+    "wordcount_top20",  # r02
+    "ann_quantized_topk",  # r03
+    "bigram_novelty_rate",  # r03
+    "bpe_first_merge",  # r03
+    "bpe_merge_rules",  # r03
+    "cohort_hourly_retention",  # r03
+    "concurrent_user_spans",  # r03
+    "copurchase_part_pairs",  # r03
+    "copurchase_triangles",  # r03
+    "data_quality_audit",  # r03
+    "embedding_norm_census",  # r03
+    "ensemble_near_dup",  # r03
+    "event_rate_anomaly",  # r03
+    "event_value_band_join",  # r03
+    "funnel_ordered_steps",  # r03
+    "heavy_hitter_tokens",  # r03
+    "latest_event_per_user",  # r03
 ]
 
 

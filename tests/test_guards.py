@@ -197,3 +197,43 @@ def test_exact_spec_declarations_carry_the_suffix():
         if not n.endswith("_exact_spec")
     ]
     assert not offenders, offenders
+
+
+def test_new_queries_front_load_the_driver_window():
+    """r8 (r7 VERDICT item 10): every registered query with NO driver
+    row in ANY prior round's CORRECTNESS ledger (i.e. new or renamed
+    this round) MUST appear in `_ENUMERATE_FIRST`, mechanically
+    enforcing 'driver-checked in its debut round'. Regenerate the
+    window with `python tools/gen_enum_first.py` when this fails."""
+    import glob
+    import json
+
+    from mapreduce511_spark.queries import _ENUMERATE_FIRST, all_queries
+
+    seen: set[str] = set()
+    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
+        seen.update(json.load(open(f)))
+    assert seen, "ledger files must be visible from the repo root"
+    missing = [
+        n
+        for n in all_queries()
+        if n not in seen and n not in _ENUMERATE_FIRST
+    ]
+    assert not missing, (
+        f"queries debuting this round are outside the driver window: "
+        f"{missing}"
+    )
+
+
+def test_enum_first_matches_generator_policy():
+    """The checked-in window IS the generator's output (no hand drift):
+    exactly the never-checked names first, then oldest-first
+    staleness, 50 names total."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path("tools").resolve().parent))
+    from mapreduce511_spark.queries import _ENUMERATE_FIRST
+    from tools.gen_enum_first import compute_window
+
+    assert [n for n, _ in compute_window()] == list(_ENUMERATE_FIRST)
