@@ -250,6 +250,42 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_jpeg_arith_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, content, fmt) with real ARITHMETIC-CODED (SOF9) JPEG
+    payloads for doc_id < SYNTH_DOC_LIMIT — the same constant-block
+    grid fixture and closed-form DC round-trip as the Huffman twin
+    (``synth_jpeg_media``), so the identical DuckDB oracle verifies
+    the QM coder + DC/AC statistical models end to end: any
+    arithmetic-decode defect changes the decoded pixels and the
+    oracle's integer sums catch it."""
+    import numpy as np
+
+    from mapreduce511_spark.multimodal import jpeg_arith
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d >= SYNTH_DOC_LIMIT:
+                    continue
+                wb = 1 + d % JPEG_GRID_WB_MOD
+                hb = 1 + (d * 5) % JPEG_GRID_HB_MOD
+                px = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
+                for by in range(hb):
+                    for bx in range(wb):
+                        v = (d * JPEG_PX_A + bx * JPEG_PX_BX + by * JPEG_PX_BY) % 256
+                        px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = v
+                rows.append(
+                    (d, jpeg_arith.encode_jpeg_arith(px), "image/jpeg")
+                )
+        yield pd.DataFrame(rows, columns=["doc_id", "content", "fmt"])
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, content binary, fmt string"
+    )
+
+
 def synth_jpeg420_media(docs: DataFrame) -> DataFrame:
     """(doc_id, content, fmt) with real 4:2:0 chroma-subsampled
     baseline JPEGs for doc_id < SYNTH_DOC_LIMIT. Each image is a grid
@@ -461,9 +497,13 @@ def extract_decoded_features(media_df: DataFrame) -> DataFrame:
                     vals = px.reshape(-1).astype(np.int64)
                     kind, bins = "image", vals >> 4
                 elif fmt == "image/jpeg":
-                    from mapreduce511_spark.multimodal import jpeg
+                    from mapreduce511_spark.multimodal import jpeg, jpeg_arith
 
-                    w, h, px = jpeg.decode_jpeg(bytes(payload))
+                    pb = bytes(payload)
+                    if jpeg_arith.is_arith_jpeg(pb):
+                        w, h, px = jpeg_arith.decode_jpeg_arith(pb)
+                    else:
+                        w, h, px = jpeg.decode_jpeg(pb)
                     vals = px.reshape(-1).astype(np.int64)
                     kind, bins = "image", vals >> 4
                 elif fmt == codecs.WAV_FMT:

@@ -116,18 +116,21 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
 def decode_real(payload: bytes, fmt: str):
     """Real decode dispatch. BMP, WAV, FLAC (16-bit mono — lossless,
     CRC+MD5-verified, see ``flac.py``), (non-interlaced RGB8) PNG and
-    JPEG — baseline SOF0 and progressive SOF2, each with 4:4:4 /
-    4:2:2 / 4:2:0 chroma subsampling (see ``jpeg.py`` for the honest
-    scope) — are implemented natively. MP3/H.264 and arithmetic-coded
-    JPEG stay honestly stubbed: their entropy tables (ISO 11172-3
-    Huffman tables, T.81 QM-coder Qe states) are FIXED BY THE SPEC
-    and not carried in the bitstream, so without the standards text
-    or a reference codec in this environment a reimplementation
-    would be self-consistent but externally unverifiable (an
-    encoder/decoder pair sharing wrong tables round-trips perfectly);
-    FLAC was lifted instead because every code parameter it needs
-    travels in the stream (flac.py's header note has the full
-    argument)."""
+    JPEG — baseline SOF0, progressive SOF2 (each with 4:4:4 / 4:2:2 /
+    4:2:0 chroma subsampling; see ``jpeg.py``) and ARITHMETIC-coded
+    SOF9 grayscale (r8 — ``jpeg_arith.py``: the full T.81 Annex D QM
+    coder + §F.1.4.4 statistical models; the Qe state machine of
+    Table D.3 is published in the standard itself and universally
+    mirrored, which is what distinguishes it from the gates below) —
+    are implemented natively. MP3/H.264 stay honestly stubbed: their
+    entropy tables (ISO 11172-3 Huffman tables) are FIXED BY THE SPEC
+    but carried neither in the bitstream nor in any independently
+    checkable artifact reachable from this environment, so a
+    reimplementation would be self-consistent but externally
+    unverifiable (an encoder/decoder pair sharing wrong tables
+    round-trips perfectly); FLAC was lifted because every code
+    parameter it needs travels in the stream (flac.py's header note
+    has the full argument)."""
     if fmt in (BMP_FMT, "bmp"):
         return decode_bmp(payload)
     if fmt in (WAV_FMT, "wav"):

@@ -7,8 +7,8 @@ in ``jpeg_progressive.py``), 8-bit samples, Huffman entropy coding,
 — 4:4:4, 4:2:0 (2x2 luma MCUs + replication upsampling, the dominant
 real-corpus JPEG class, added r6 per the r5 VERDICT) and 4:2:2;
 restart markers (DRI/RSTn with modulo-8 sequence checking) in both
-modes; whole-MCU dimensions only; no hierarchical/lossless/arithmetic
-modes. Anything else raises ``ValueError`` loudly (the honest-gate
+modes; whole-MCU dimensions only; no hierarchical/lossless modes
+(sequential ARITHMETIC coding lives in ``jpeg_arith.py`` since r8). Anything else raises ``ValueError`` loudly (the honest-gate
 discipline of ``codecs.decode_real``).
 Chroma upsampling is sample REPLICATION (each chroma sample covers
 its 2x2 or 2x1 pixel footprint) — the deterministic choice a SQL

@@ -62,6 +62,7 @@ _ENUMERATE_FIRST: list[str] = [
     "ann_admission_census",  # new
     "stream_ingest_pipeline",  # new
     "decontamination_span_removal",  # new
+    "multimodal_jpeg_arith_stats",  # new
     "language_id",  # r02
     "log_chart_smoothed_cpu",  # r02
     "multimodal_decode_stats",  # r02
@@ -106,7 +107,6 @@ _ENUMERATE_FIRST: list[str] = [
     "event_value_band_join",  # r03
     "funnel_ordered_steps",  # r03
     "heavy_hitter_tokens",  # r03
-    "latest_event_per_user",  # r03
 ]
 
 
