@@ -441,6 +441,7 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("queries/similarity.py", "ann_quantized_topk", "probe"): "1-row: single probe vector",
     ("queries/similarity.py", "bitext_margin_mining", "b"): "exact-spec: one cross-label block; docstring names the IVF-bounded scale path",
     ("queries/similarity.py", "bitext_margin_mining_ivf", "cent"): "k-rows: Lloyd centroids",
+    ("queries/similarity.py", "bitext_margin_mining_ivf_indexed", "cent"): "k-rows: 16 cached centroid rows from the persisted Lloyd index",
     ("queries/similarity.py", "embedding_random_projection", "spark.createDataFrame(_RP_SIGNS, ['i', 'j', 's'])"): "const: projection sign matrix",
     ("queries/similarity.py", "nearest_neighbor_sample", "probes"): "k-rows: 50 probes",
     ("queries/similarity.py", "semantic_dedup_census", "cent"): "k-rows: frozen centroids",

@@ -85,10 +85,16 @@ PICKS = {
     "sql_histogram_quantile": "Literal shared SQL: equi-width histogram + cumulative-window ceil-rank readout",
     "decontamination_census": "Asymmetric gram equi-join between md5 splits; 1-row hits broadcast; nothing quadratic",
     "multimodal_gif_stats": "Arrow-batched LZW decode where the bytes live; shuffle-free per-asset aggregate",
-    "kll_compactor_quantile_census": "mapPartitions sketches -> driver merge; exact-rank readout = one scan vs 3 broadcast rows",
+    "kll_compactor_quantile_census": "mapInPandas Arrow-batched partition sketches -> driver merge; exact-rank readout = one scan vs 3 broadcast rows",
     "bitext_margin_mining_ivf": "Lloyd-cell equi-join candidates; per-source rank window; no corpus-linear broadcast",
     "stream_kll_quantiles": "windowed sketch state; readout windows over <= k survivors per window",
     "multimodal_flac_stereo_stats": "Arrow-batched stereo FLAC decode; 32-way repartitioned fixture synth",
+    # round 8
+    "tfidf_cosine_pairs_exact_spec": "r8 rename of the plain tf-idf: exact-spec inverted index, unbounded candidates kept solely for the oracle",
+    "bitext_margin_mining_ivf_indexed": "Persisted Lloyd index serves mining: PartitionFilters on probed cells, 16 broadcast centroid rows, cell equi-join candidates",
+    "ann_admission_census": "Build-then-admit artifact scan: partition-pruned read of base+appended cells; per-cell combinable census",
+    "decontamination_span_removal": "Positional-gram equi-join vs the distinct eval set; island merge = 2 windows per train doc",
+    "multimodal_jpeg_arith_stats": "Arrow-batched SOF9 QM-coder decode where the bytes live; shuffle-free per-asset aggregate",
 }
 
 

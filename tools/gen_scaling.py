@@ -141,6 +141,12 @@ PICKS = {
     "decontamination_census": "train gram volume + matches; eval side broadcasts at scale",
     "multimodal_gif_stats": "fixed 400-asset fixture; LZW decode in Arrow batches",
     "kll_compactor_quantile_census": "per-partition O(k) sketches; driver merge independent of n",
+    # round 8
+    "bitext_margin_mining_ivf_indexed": "persisted-index steady path: candidates only, training amortized into the build",
+    "ann_admission_census": "steady = one pruned artifact scan; build+admit amortized per content snapshot",
+    "decontamination_span_removal": "train gram volume + matches; eval gram set broadcasts; islands = 2 windows/doc",
+    "stream_ingest_pipeline": "micro-batch machinery dominates at toy scale; per-batch work is map-only + broadcast joins",
+    "multimodal_jpeg_arith_stats": "fixed 400-asset fixture; QM decode in Arrow batches, no pixel shuffle",
 }
 
 

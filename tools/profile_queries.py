@@ -82,6 +82,10 @@ PICKS = {
     "decontamination_census": "gram-keyed equi-join; shuffle ~ distinct grams per side",
     "multimodal_gif_stats": "Arrow-batched LZW; one tiny aggregate shuffle",
     "kll_compactor_quantile_census": "sketch collect = |partitions| x O(k) items; one readout scan",
+    "bitext_margin_mining_ivf_indexed": "persisted-Lloyd steady mining: pruned cells + 16-row broadcast",
+    "ann_admission_census": "admitted-artifact census: one pruned scan, per-cell combine",
+    "decontamination_span_removal": "eval grams broadcast; island merge windows per train doc",
+    "multimodal_jpeg_arith_stats": "Arrow-batched QM-coder decode; shuffle-free aggregate",
 }
 
 # static epilogue kept across regenerations (measured once; the
