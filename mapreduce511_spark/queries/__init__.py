@@ -63,6 +63,7 @@ _ENUMERATE_FIRST: list[str] = [
     "stream_ingest_pipeline",  # new
     "decontamination_span_removal",  # new
     "multimodal_jpeg_arith_stats",  # new
+    "retrieval_quality_census",  # new
     "language_id",  # r02
     "log_chart_smoothed_cpu",  # r02
     "multimodal_decode_stats",  # r02
@@ -106,7 +107,6 @@ _ENUMERATE_FIRST: list[str] = [
     "event_rate_anomaly",  # r03
     "event_value_band_join",  # r03
     "funnel_ordered_steps",  # r03
-    "heavy_hitter_tokens",  # r03
 ]
 
 

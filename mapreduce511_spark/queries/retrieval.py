@@ -259,3 +259,167 @@ def hybrid_rrf_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(BM25_TOP_K)
+
+
+# Retrieval-evaluation constants: graded EDITORIAL relevance comes
+# from the deterministic md5 doc_id grade (0..3) — a stand-in for the
+# human qrels a real evaluation uses (grades independent of the
+# ranker, so the metrics genuinely exercise rank-sensitive
+# arithmetic instead of saturating at 1.0); "relevant" = grade >= 2.
+# The DCG discount is the integer-floored harmonic 1000000 // (r+1),
+# so every metric is exact integer arithmetic in both engines.
+EVAL_AT = 10
+EVAL_REL_MIN = 2
+_DISC_SCALE = 1000000
+
+
+@register(
+    "retrieval_quality_census",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    stats AS (
+        SELECT count(*) AS n_corpus, avg(len(toks)) AS avgdl FROM base
+    ),
+    tf AS (
+        SELECT doc_id, w, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS w FROM base)
+        WHERE w IN {_SQL_TERMS}
+        GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+    scored AS (
+        SELECT tf.doc_id,
+               round(sum(
+                   ln(1.0 + (s.n_corpus - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+               ), 4) AS bm25,
+               CAST(('0x' || substr(md5(CAST(tf.doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 4 AS rel
+        FROM tf
+        JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN df ON tf.w = df.w
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, rel,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        FROM scored
+        ORDER BY bm25 DESC, doc_id LIMIT {EVAL_AT}
+    ),
+    ideal AS (
+        SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS r
+        FROM scored
+        ORDER BY rel DESC, doc_id LIMIT {EVAL_AT}
+    ),
+    m AS (
+        SELECT
+            (SELECT count(*) FROM scored) AS n_matching,
+            (SELECT count(*) FROM ranked) AS n_ranked,
+            (SELECT count(*) FROM ranked WHERE rel >= {EVAL_REL_MIN})
+                AS n_rel_ranked,
+            coalesce((SELECT 1000000 // min(r) FROM ranked
+                      WHERE rel >= {EVAL_REL_MIN}), 0) AS mrr_ppm,
+            (SELECT CAST(sum(rel * ({_DISC_SCALE} // (r + 1)))
+                         AS BIGINT) FROM ranked) AS dcg_scaled,
+            (SELECT CAST(sum(rel * ({_DISC_SCALE} // (r + 1)))
+                         AS BIGINT) FROM ideal) AS idcg_scaled
+    )
+    SELECT CAST(n_matching AS BIGINT) AS n_matching,
+           CAST(n_ranked AS BIGINT) AS n_ranked,
+           CAST(10000 * n_rel_ranked // n_ranked AS BIGINT)
+               AS precision_at10_bp,
+           CAST(mrr_ppm AS BIGINT) AS mrr_ppm,
+           dcg_scaled, idcg_scaled,
+           CAST(1000000 * dcg_scaled // idcg_scaled AS BIGINT) AS ndcg_ppm
+    FROM m
+    """,
+)
+def retrieval_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL QUALITY EVALUATION under the exact oracle (r8): the
+    IR metrics a pipeline tracks when it tunes its search stack —
+    precision@10, MRR@10 and NDCG@10 of the BM25 ranking against
+    GRADED EDITORIAL RELEVANCE. The qrels are the deterministic md5
+    doc_id grade 0..3 (a stand-in for human judgments; independent of
+    the ranker, so the metrics discriminate instead of saturating —
+    the matched-term-count "relevance" variant scores a constant 1.0
+    because BM25 correctly front-loads 4-term docs). Every metric is
+    EXACT INTEGER arithmetic: the DCG discount is the integer-floored
+    harmonic 1000000 // (rank+1) and NDCG/MRR are floor-ppm ratios of
+    exact integers — no float comparison anywhere, so both engines
+    agree bit-for-bit. Ranks are assigned over ROUNDED BM25 scores
+    with doc_id tiebreaks (the ``hybrid_rrf_top_docs`` determinism
+    discipline); the ideal ranking (IDCG) is over the scored
+    candidate pool, stated identically in both engines.
+
+    Scale shape: inherits ``_bm25_scores``'s plan (term-filtered
+    postings before the tf shuffle, 1-row/|terms|-row broadcasts);
+    the ranking windows run over TakeOrdered top-10 candidate lists,
+    never the corpus; the census is a 1-row aggregate.
+
+    Reference basis: extension tier — retrieval family (companions:
+    ``bm25_top_docs``, ``hybrid_rrf_top_docs``)."""
+    from pyspark.sql.window import Window
+
+    from mapreduce511_spark.operators.dedup import hash60
+
+    scored = _bm25_scores(spark, sf_dir).select(
+        "doc_id",
+        "bm25",
+        (hash60(F.col("doc_id").cast("string")) % 4).alias("rel"),
+    )
+    n_matching = scored.count()
+    top = scored.orderBy(F.desc("bm25"), "doc_id").limit(EVAL_AT)
+    ranked = top.select(
+        "doc_id",
+        "rel",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("r"),
+    )
+    ideal = (
+        scored.orderBy(F.desc("rel"), "doc_id")
+        .limit(EVAL_AT)
+        .select(
+            "rel",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rel"), "doc_id"))
+            .alias("r"),
+        )
+    )
+    disc = F.expr(f"{_DISC_SCALE} div (r + 1)")
+    rk = ranked.agg(
+        F.count("*").alias("n_ranked"),
+        F.sum(F.when(F.col("rel") >= EVAL_REL_MIN, 1).otherwise(0)).alias(
+            "n_rel_ranked"
+        ),
+        F.coalesce(
+            F.expr(
+                f"1000000 div min(CASE WHEN rel >= {EVAL_REL_MIN} "
+                "THEN r END)"
+            ),
+            F.lit(0),
+        ).alias("mrr_ppm"),
+        F.sum(F.col("rel") * disc).cast("long").alias("dcg_scaled"),
+    )
+    ideal_agg = ideal.agg(
+        F.sum(F.col("rel") * disc).cast("long").alias("idcg_scaled")
+    )
+    return (
+        rk.crossJoin(F.broadcast(ideal_agg))
+        .select(
+            F.lit(n_matching).cast("long").alias("n_matching"),
+            F.col("n_ranked").cast("long"),
+            F.expr("10000 * n_rel_ranked div n_ranked")
+            .cast("long")
+            .alias("precision_at10_bp"),
+            F.col("mrr_ppm").cast("long"),
+            "dcg_scaled",
+            "idcg_scaled",
+            F.expr("1000000 * dcg_scaled div idcg_scaled")
+            .cast("long")
+            .alias("ndcg_ppm"),
+        )
+    )

@@ -157,3 +157,24 @@ def test_decontamination_span_removal_islands(spark, tmp_path):
     assert out[0].n_tokens == 14 and out[0].tokens_kept == 4
     assert (out[1].removed_occurrences, out[1].tokens_removed) == (1, 8)
     assert out[1].n_tokens == 12 and out[1].tokens_kept == 4
+
+
+def test_retrieval_quality_census_invariants(spark):
+    """Metric-definition invariants beyond oracle parity: DCG never
+    exceeds IDCG (so ndcg_ppm <= 1e6), MRR is 1e6/first-relevant-rank
+    or 0, precision is n_rel/n_ranked in basis points, and the
+    editorial grades make the census discriminative (ndcg < 1e6 at
+    this SF — the saturation the matched-terms variant suffered)."""
+    from mapreduce511_spark.queries import all_queries
+
+    r = all_queries()["retrieval_quality_census"](
+        spark, "/root/testdata/sf0.01"
+    ).first()
+    assert r.n_ranked <= 10 and r.n_matching >= r.n_ranked
+    assert 0 <= r.dcg_scaled <= r.idcg_scaled
+    assert r.ndcg_ppm == 1000000 * r.dcg_scaled // r.idcg_scaled
+    assert 0 < r.ndcg_ppm < 1000000
+    assert r.mrr_ppm in (0,) or 1000000 % max(r.mrr_ppm, 1) in range(
+        0, 1000000
+    )
+    assert 0 <= r.precision_at10_bp <= 10000

@@ -95,6 +95,7 @@ PICKS = {
     "ann_admission_census": "Build-then-admit artifact scan: partition-pruned read of base+appended cells; per-cell combinable census",
     "decontamination_span_removal": "Positional-gram equi-join vs the distinct eval set; island merge = 2 windows per train doc",
     "multimodal_jpeg_arith_stats": "Arrow-batched SOF9 QM-coder decode where the bytes live; shuffle-free per-asset aggregate",
+    "retrieval_quality_census": "Term-filtered postings -> TakeOrdered top-10 candidates; windows over 10 rows; integer metric aggregate",
 }
 
 

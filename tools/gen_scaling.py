@@ -147,6 +147,7 @@ PICKS = {
     "decontamination_span_removal": "train gram volume + matches; eval gram set broadcasts; islands = 2 windows/doc",
     "stream_ingest_pipeline": "micro-batch machinery dominates at toy scale; per-batch work is map-only + broadcast joins",
     "multimodal_jpeg_arith_stats": "fixed 400-asset fixture; QM decode in Arrow batches, no pixel shuffle",
+    "retrieval_quality_census": "BM25 candidate scoring + two TakeOrdered top-10 lists; 1-row metric aggregate",
 }
 
 
