@@ -64,6 +64,7 @@ _ENUMERATE_FIRST: list[str] = [
     "decontamination_span_removal",  # new
     "multimodal_jpeg_arith_stats",  # new
     "retrieval_quality_census",  # new
+    "stream_ann_admission_census",  # new
     "language_id",  # r02
     "log_chart_smoothed_cpu",  # r02
     "multimodal_decode_stats",  # r02
@@ -106,7 +107,6 @@ _ENUMERATE_FIRST: list[str] = [
     "ensemble_near_dup",  # r03
     "event_rate_anomaly",  # r03
     "event_value_band_join",  # r03
-    "funnel_ordered_steps",  # r03
 ]
 
 

@@ -2810,9 +2810,10 @@ def _ensure_admitted_lloyd_index(emb: DataFrame) -> tuple[str, list]:
     return path, cent_rows
 
 
-@register(
-    "ann_admission_census",
-    oracle="""
+# Shared oracle for the batch AND streaming admission censuses: the
+# final artifact is identical however the batch arrived (per-row
+# assignment against frozen centroids), so one SQL text gates both.
+ADMISSION_CENSUS_ORACLE = """
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), base AS (
@@ -2832,14 +2833,16 @@ def _ensure_admitted_lloyd_index(emb: DataFrame) -> tuple[str, list]:
     GROUP BY cell
     ORDER BY cell
     """.format(
-        k=_LLOYD_K,
-        a1=_lloyd_assign_sql("base", "seeds"),
-        c1=_lloyd_means_sql("la1"),
-        a2=_lloyd_assign_sql("base", "lc1"),
-        c2=_lloyd_means_sql("la2"),
-        af=_lloyd_assign_sql("e", "lc2"),
-    ),
+    k=_LLOYD_K,
+    a1=_lloyd_assign_sql("base", "seeds"),
+    c1=_lloyd_means_sql("la1"),
+    a2=_lloyd_assign_sql("base", "lc1"),
+    c2=_lloyd_means_sql("la2"),
+    af=_lloyd_assign_sql("e", "lc2"),
 )
+
+
+@register("ann_admission_census", oracle=ADMISSION_CENSUS_ORACLE)
 def ann_admission_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN-index ADMISSION under the exact oracle (r8,
     r7 VERDICT item 4): the Spark side reads the artifact that the

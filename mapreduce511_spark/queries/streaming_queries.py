@@ -1545,3 +1545,119 @@ def stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _cleanup(src)
+
+
+def _stream_admission_oracle() -> str:
+    from mapreduce511_spark.queries.similarity import ADMISSION_CENSUS_ORACLE
+
+    return ADMISSION_CENSUS_ORACLE
+
+
+@register("stream_ann_admission_census", oracle=_stream_admission_oracle())
+def stream_ann_admission_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN-index admission (r8) — the streaming twin of
+    ``ann_admission_census`` and the completion of the incremental
+    index story: the arriving slice (vec_id % 10 == 0) lands as
+    file-source MICRO-BATCHES, and each batch is admitted into the
+    cell-partitioned artifact by a ``foreachBatch`` sink that assigns
+    against the FROZEN base-trained centroids and writes the batch's
+    assignment under its own ``ingest_batch=<id>`` partition dir with
+    mode=overwrite — so a redelivered batchId (failure between write
+    and checkpoint advance) REPLACES its own output instead of
+    double-admitting: exactly-once admission on top of Structured
+    Streaming's at-least-once batch redelivery, the
+    ``exactly_once_parquet_sink`` discipline applied to index
+    maintenance. Because assignment is per-row against frozen
+    centroids, the final artifact is row-identical to the one-shot
+    batch admission HOWEVER the files split into micro-batches
+    (asserted against ``_ensure_admitted_lloyd_index``'s artifact in
+    tests/test_ann.py), which is why the SAME exact DuckDB oracle
+    gates both censuses.
+
+    Build-once: the artifact is keyed by the corpus content
+    fingerprint, so the first invocation pays train + stream-admit
+    and the steady query is one partition-layout-aware census scan —
+    the ``ann_admission_census`` cost model.
+
+    At 100 TB: this IS the daily ingest motion — each arriving batch
+    costs one map-only assignment scan + an append-sized write; the
+    `ingest_batch` partition level doubles as the retention/rollback
+    unit (drop a day = drop its dirs)."""
+    import shutil
+
+    from mapreduce511_spark.operators.ann import (
+        _INDEX_CACHE,
+        _cache_key,
+        _index_path,
+    )
+    from mapreduce511_spark.queries.similarity import (
+        _LLOYD_ITERS,
+        _LLOYD_K,
+        _lloyd_assign,
+        _lloyd_centroids,
+    )
+    from mapreduce511_spark.sources.tables import read_parquet_checked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = _cache_key(emb, "lloyd_stream_admitted", _LLOYD_K, _LLOYD_ITERS)
+    if key not in _INDEX_CACHE:
+        src, ckpt, _name = _scratch("annadmit")
+        try:
+            e = emb.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("v"),
+            )
+            base = e.filter(F.col("vec_id") % 10 != 0)
+            arriving = e.filter(F.col("vec_id") % 10 == 0)
+            cent = _lloyd_centroids(base)
+            cent_rows = [
+                (int(r.cell), [float(x) for x in r.cv]) for r in cent.collect()
+            ]
+            cent_df = spark.createDataFrame(cent_rows, ["cell", "cv"])
+            path = _index_path(spark, key, "lloyd_stream")
+            shutil.rmtree(path, ignore_errors=True)  # torn prior build
+            (
+                _lloyd_assign(base, cent_df)
+                .select("vec_id", "v", "cell")
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(f"{path}/ingest_batch=-1")
+            )
+            arriving.repartition(4).write.mode("overwrite").parquet(src)
+            reader = (
+                spark.readStream.schema(arriving.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+            def admit(batch_df: DataFrame, batch_id: int) -> None:
+                (
+                    _lloyd_assign(batch_df.select("vec_id", "v"), cent_df)
+                    .select("vec_id", "v", "cell")
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .partitionBy("cell")
+                    .parquet(f"{path}/ingest_batch={batch_id}")
+                )
+
+            (
+                reader.writeStream.foreachBatch(admit)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+            _INDEX_CACHE[key] = (path, cent_rows)
+        finally:
+            _cleanup(src)
+    path, _ = _INDEX_CACHE[key]
+    af = read_parquet_checked(spark, path)
+    return (
+        af.groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.count(F.when(F.col("vec_id") % 10 != 0, 1)).alias("n_base"),
+            F.count(F.when(F.col("vec_id") % 10 == 0, 1)).alias("n_admitted"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .orderBy("cell")
+    )

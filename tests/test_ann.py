@@ -732,3 +732,60 @@ def test_admit_batch_pq_codes_equal_full_encode(spark, tmp_path):
         ).collect()
     }
     assert got == want and any(v % 10 == 0 for v, _ in got)
+
+
+def test_stream_admitted_artifact_equals_batch_admitted(spark):
+    """r8: however the arriving slice splits into micro-batches, the
+    stream-admitted artifact must be ROW-IDENTICAL (vec_id, v, cell)
+    to the one-shot batch admission — same frozen centroids, same
+    per-row assignment — and its layout must carry the per-batch
+    partition level (base at ingest_batch=-1, arrivals at >= 0)."""
+    from mapreduce511_spark.operators.ann import _INDEX_CACHE, _cache_key
+    from mapreduce511_spark.queries.similarity import (
+        _LLOYD_ITERS,
+        _LLOYD_K,
+        _ensure_admitted_lloyd_index,
+    )
+    from mapreduce511_spark.queries.streaming_queries import (
+        stream_ann_admission_census,
+    )
+    from mapreduce511_spark.sources.tables import (
+        load_table,
+        read_parquet_checked,
+    )
+
+    stream_ann_admission_census(spark, SF_CHECK).collect()
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    key = _cache_key(emb, "lloyd_stream_admitted", _LLOYD_K, _LLOYD_ITERS)
+    spath, _ = _INDEX_CACHE[key]
+    bpath, _ = _ensure_admitted_lloyd_index(emb)
+    streamed = read_parquet_checked(spark, spath)
+    batches = {
+        int(r.ingest_batch)
+        for r in streamed.select("ingest_batch").distinct().collect()
+    }
+    assert -1 in batches and len(batches) >= 3, batches
+    got = {
+        (r.vec_id, tuple(r.v), int(r.cell))
+        for r in streamed.select("vec_id", "v", "cell").collect()
+    }
+    want = {
+        (r.vec_id, tuple(r.v), int(r.cell))
+        for r in read_parquet_checked(spark, bpath).collect()
+    }
+    assert got == want and got
+
+
+def test_batch_dir_overwrite_is_redelivery_idempotent(spark, tmp_path):
+    """The foreachBatch admission sink's exactly-once mechanism:
+    re-writing the SAME ingest_batch dir (a redelivered batchId)
+    replaces rather than double-admits."""
+    path = str(tmp_path / "idx")
+    df = spark.createDataFrame(
+        [(i, [float(i)], i % 3) for i in range(30)], ["vec_id", "v", "cell"]
+    )
+    for _ in range(2):  # deliver batch 0 twice
+        df.coalesce(1).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/ingest_batch=0"
+        )
+    assert spark.read.parquet(path).count() == 30

@@ -148,6 +148,7 @@ PICKS = {
     "stream_ingest_pipeline": "micro-batch machinery dominates at toy scale; per-batch work is map-only + broadcast joins",
     "multimodal_jpeg_arith_stats": "fixed 400-asset fixture; QM decode in Arrow batches, no pixel shuffle",
     "retrieval_quality_census": "BM25 candidate scoring + two TakeOrdered top-10 lists; 1-row metric aggregate",
+    "stream_ann_admission_census": "steady = one partition-aware census scan; train + stream-admit amortized per snapshot",
 }
 
 
