@@ -65,6 +65,8 @@ _ENUMERATE_FIRST: list[str] = [
     "multimodal_jpeg_arith_stats",  # new
     "retrieval_quality_census",  # new
     "stream_ann_admission_census",  # new
+    "ann_admission_drift_census",  # new
+    "ann_index_compaction_census",  # new
     "language_id",  # r02
     "log_chart_smoothed_cpu",  # r02
     "multimodal_decode_stats",  # r02
@@ -105,8 +107,6 @@ _ENUMERATE_FIRST: list[str] = [
     "data_quality_audit",  # r03
     "embedding_norm_census",  # r03
     "ensemble_near_dup",  # r03
-    "event_rate_anomaly",  # r03
-    "event_value_band_join",  # r03
 ]
 
 

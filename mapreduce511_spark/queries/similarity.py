@@ -2876,6 +2876,85 @@ def ann_admission_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ADMISSION_DRIFT_ORACLE = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), base AS (
+        SELECT vec_id, v FROM e WHERE vec_id % 10 <> 0
+    ), seeds AS (
+        SELECT vec_id AS cell, v AS cv FROM base WHERE vec_id < {k}
+    ), la1 AS {a1},
+    lc1 AS {c1},
+    la2 AS {a2},
+    lc2 AS {c2},
+    laf AS {af}
+    SELECT CASE WHEN laf.vec_id % 10 = 0 THEN 'admitted' ELSE 'base' END
+               AS slice,
+           count(*) AS n_vecs,
+           CAST(sum(CAST(floor(1000 * {cos}) AS BIGINT)) // count(*)
+                AS BIGINT) AS mean_cos_milli
+    FROM laf JOIN lc2 c ON laf.cell = c.cell
+    GROUP BY slice
+    ORDER BY slice
+    """.format(
+    k=_LLOYD_K,
+    a1=_lloyd_assign_sql("base", "seeds"),
+    c1=_lloyd_means_sql("la1"),
+    a2=_lloyd_assign_sql("base", "lc1"),
+    c2=_lloyd_means_sql("la2"),
+    af=_lloyd_assign_sql("e", "lc2"),
+    cos=_SQL_COS.format(a="laf.v", b="c.cv"),
+)
+
+
+@register("ann_admission_drift_census", oracle=ADMISSION_DRIFT_ORACLE)
+def ann_admission_drift_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADMISSION DRIFT monitoring (r8) — the RETRAIN TRIGGER the
+    frozen-centroid admission story needs: per slice (base vs
+    admitted), the mean cosine of each vector to its ASSIGNED
+    centroid. A healthy arriving batch scores close to the base
+    slice; a drifting distribution assigns to increasingly distant
+    cells and the admitted mean sinks — the metric a production IVF
+    alarms on to schedule its slow-cadence retrain (the trade
+    ``admit_batch_lloyd``'s docstring states). Exactness discipline:
+    the cosine is floored to integer MILLI PER ROW (row-level float
+    is deterministic) and the slice mean is integer floor-division of
+    exact int64 sums — no float accumulation order anywhere, so both
+    engines agree bit-for-bit.
+
+    Plan: the artifact scan joins 16 broadcast centroid rows on the
+    cell id (map-only), one 2-group aggregate — O(corpus) with zero
+    wide shuffles; at 100 TB this rides the same daily scan the
+    admission census does.
+
+    Reference basis: extension tier — ANN index lifecycle
+    (companions: ``ann_admission_census``,
+    ``stream_ann_admission_census``, ``ann_index_compaction_census``)."""
+    from mapreduce511_spark.sources.tables import read_parquet_checked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path, cent_rows = _ensure_admitted_lloyd_index(emb)
+    cent = spark.createDataFrame(cent_rows, ["cell", "cv"])
+    af = read_parquet_checked(spark, path).join(F.broadcast(cent), "cell")
+    cos_milli = F.floor(
+        1000 * cosine_similarity(F.col("v"), F.col("cv"))
+    ).cast("long")
+    return (
+        af.select(
+            F.when(F.col("vec_id") % 10 == 0, F.lit("admitted"))
+            .otherwise(F.lit("base"))
+            .alias("slice"),
+            cos_milli.alias("cm"),
+        )
+        .groupBy("slice")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr("sum(cm) div count(1)").cast("long").alias("mean_cos_milli"),
+        )
+        .orderBy("slice")
+    )
+
+
 @register("ann_ivf_pq_topk")
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed index: learned coarse cells bound COMPUTE

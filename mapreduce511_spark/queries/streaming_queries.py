@@ -1553,6 +1553,82 @@ def _stream_admission_oracle() -> str:
     return ADMISSION_CENSUS_ORACLE
 
 
+def ensure_stream_admitted_lloyd_index(emb: DataFrame) -> tuple[str, list]:
+    """Build the stream-admitted Lloyd artifact once per content
+    fingerprint: train on the base slice, write it at
+    ``ingest_batch=-1``, then foreachBatch-admit the arriving slice
+    (see ``stream_ann_admission_census`` for the full story).
+    Returns (path, cent_rows)."""
+    import shutil
+
+    from mapreduce511_spark.operators.ann import (
+        _INDEX_CACHE,
+        _cache_key,
+        _index_path,
+    )
+    from mapreduce511_spark.queries.similarity import (
+        _LLOYD_ITERS,
+        _LLOYD_K,
+        _lloyd_assign,
+        _lloyd_centroids,
+    )
+
+    spark = emb.sparkSession
+    key = _cache_key(emb, "lloyd_stream_admitted", _LLOYD_K, _LLOYD_ITERS)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    src, ckpt, _name = _scratch("annadmit")
+    try:
+        e = emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        base = e.filter(F.col("vec_id") % 10 != 0)
+        arriving = e.filter(F.col("vec_id") % 10 == 0)
+        cent = _lloyd_centroids(base)
+        cent_rows = [
+            (int(r.cell), [float(x) for x in r.cv]) for r in cent.collect()
+        ]
+        cent_df = spark.createDataFrame(cent_rows, ["cell", "cv"])
+        path = _index_path(spark, key, "lloyd_stream")
+        shutil.rmtree(path, ignore_errors=True)  # torn prior build
+        (
+            _lloyd_assign(base, cent_df)
+            .select("vec_id", "v", "cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{path}/ingest_batch=-1")
+        )
+        arriving.repartition(4).write.mode("overwrite").parquet(src)
+        reader = (
+            spark.readStream.schema(arriving.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def admit(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                _lloyd_assign(batch_df.select("vec_id", "v"), cent_df)
+                .select("vec_id", "v", "cell")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(f"{path}/ingest_batch={batch_id}")
+            )
+
+        (
+            reader.writeStream.foreachBatch(admit)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        _INDEX_CACHE[key] = (path, cent_rows)
+        return path, cent_rows
+    finally:
+        _cleanup(src)
+
+
 @register("stream_ann_admission_census", oracle=_stream_admission_oracle())
 def stream_ann_admission_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING ANN-index admission (r8) — the streaming twin of
@@ -1583,75 +1659,63 @@ def stream_ann_admission_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs one map-only assignment scan + an append-sized write; the
     `ingest_batch` partition level doubles as the retention/rollback
     unit (drop a day = drop its dirs)."""
-    import shutil
+    from mapreduce511_spark.sources.tables import read_parquet_checked
 
+    emb = load_table(spark, sf_dir, "embeddings")
+    path, _ = ensure_stream_admitted_lloyd_index(emb)
+    af = read_parquet_checked(spark, path)
+    return (
+        af.groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.count(F.when(F.col("vec_id") % 10 != 0, 1)).alias("n_base"),
+            F.count(F.when(F.col("vec_id") % 10 == 0, 1)).alias("n_admitted"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .orderBy("cell")
+    )
+
+
+@register("ann_index_compaction_census", oracle=_stream_admission_oracle())
+def ann_index_compaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX COMPACTION (r8) — the third leg of the lifecycle the
+    admission family creates: build -> admit -> COMPACT. Streaming
+    admission's per-batch ``ingest_batch=<id>`` dirs are exactly the
+    small-files problem every real ingest accumulates (at 100 TB,
+    thousands of tiny appended files per day degrade scan planning
+    and open-cost); this query rewrites the stream-admitted artifact
+    through ``operators/maintenance.py::compact_parquet`` into
+    target-sized files partitioned by cell only (the per-batch
+    provenance collapses into a regular ``ingest_batch`` column, so
+    retention info survives compaction as data). Content is
+    preserved row-for-row — which is why the SAME exact oracle that
+    gates both admission censuses gates this one: a hash-green row
+    proves compaction moved bytes, not meaning. File-count reduction
+    and row equality vs the uncompacted artifact are asserted in
+    tests/test_ann.py.
+
+    Build-once: compaction runs once per content-fingerprinted
+    snapshot (the real cadence — nightly OPTIMIZE after a day of
+    admissions); the steady query is one census scan of the
+    compacted layout. The driver-local dir swap stands in for a
+    table-format commit (Iceberg/Delta rewrite), noted honestly."""
     from mapreduce511_spark.operators.ann import (
         _INDEX_CACHE,
         _cache_key,
         _index_path,
     )
-    from mapreduce511_spark.queries.similarity import (
-        _LLOYD_ITERS,
-        _LLOYD_K,
-        _lloyd_assign,
-        _lloyd_centroids,
-    )
+    from mapreduce511_spark.operators.maintenance import compact_parquet
+    from mapreduce511_spark.queries.similarity import _LLOYD_ITERS, _LLOYD_K
     from mapreduce511_spark.sources.tables import read_parquet_checked
 
     emb = load_table(spark, sf_dir, "embeddings")
-    key = _cache_key(emb, "lloyd_stream_admitted", _LLOYD_K, _LLOYD_ITERS)
+    key = _cache_key(emb, "lloyd_compacted", _LLOYD_K, _LLOYD_ITERS)
     if key not in _INDEX_CACHE:
-        src, ckpt, _name = _scratch("annadmit")
-        try:
-            e = emb.select(
-                "vec_id",
-                F.col("embedding").cast("array<double>").alias("v"),
-            )
-            base = e.filter(F.col("vec_id") % 10 != 0)
-            arriving = e.filter(F.col("vec_id") % 10 == 0)
-            cent = _lloyd_centroids(base)
-            cent_rows = [
-                (int(r.cell), [float(x) for x in r.cv]) for r in cent.collect()
-            ]
-            cent_df = spark.createDataFrame(cent_rows, ["cell", "cv"])
-            path = _index_path(spark, key, "lloyd_stream")
-            shutil.rmtree(path, ignore_errors=True)  # torn prior build
-            (
-                _lloyd_assign(base, cent_df)
-                .select("vec_id", "v", "cell")
-                .write.mode("overwrite")
-                .partitionBy("cell")
-                .parquet(f"{path}/ingest_batch=-1")
-            )
-            arriving.repartition(4).write.mode("overwrite").parquet(src)
-            reader = (
-                spark.readStream.schema(arriving.schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(src)
-            )
-
-            def admit(batch_df: DataFrame, batch_id: int) -> None:
-                (
-                    _lloyd_assign(batch_df.select("vec_id", "v"), cent_df)
-                    .select("vec_id", "v", "cell")
-                    .coalesce(1)
-                    .write.mode("overwrite")
-                    .partitionBy("cell")
-                    .parquet(f"{path}/ingest_batch={batch_id}")
-                )
-
-            (
-                reader.writeStream.foreachBatch(admit)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-                .awaitTermination()
-            )
-            _INDEX_CACHE[key] = (path, cent_rows)
-        finally:
-            _cleanup(src)
-    path, _ = _INDEX_CACHE[key]
-    af = read_parquet_checked(spark, path)
+        spath, cent_rows = ensure_stream_admitted_lloyd_index(emb)
+        cpath = _index_path(spark, key, "lloyd_compact")
+        compact_parquet(spark, spath, cpath, partition_by=["cell"])
+        _INDEX_CACHE[key] = (cpath, cent_rows)
+    cpath, _ = _INDEX_CACHE[key]
+    af = read_parquet_checked(spark, cpath)
     return (
         af.groupBy(F.col("cell").cast("long").alias("cell"))
         .agg(

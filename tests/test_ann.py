@@ -789,3 +789,44 @@ def test_batch_dir_overwrite_is_redelivery_idempotent(spark, tmp_path):
             f"{path}/ingest_batch=0"
         )
     assert spark.read.parquet(path).count() == 30
+
+
+def test_compacted_index_preserves_rows_and_reduces_files(spark):
+    """r8: compaction must move bytes, not meaning — row equality
+    (vec_id, v, cell, ingest_batch) with the stream-admitted
+    artifact, strictly fewer leaf parquet files, and cell partition
+    dirs preserved for pruning."""
+    import glob
+
+    from mapreduce511_spark.operators.ann import _INDEX_CACHE, _cache_key
+    from mapreduce511_spark.queries.similarity import _LLOYD_ITERS, _LLOYD_K
+    from mapreduce511_spark.queries.streaming_queries import (
+        ann_index_compaction_census,
+        ensure_stream_admitted_lloyd_index,
+    )
+    from mapreduce511_spark.sources.tables import (
+        load_table,
+        read_parquet_checked,
+    )
+
+    ann_index_compaction_census(spark, SF_CHECK).collect()
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    spath, _ = ensure_stream_admitted_lloyd_index(emb)
+    cpath, _ = _INDEX_CACHE[
+        _cache_key(emb, "lloyd_compacted", _LLOYD_K, _LLOYD_ITERS)
+    ]
+    cols = ["vec_id", "v", "cell", "ingest_batch"]
+    got = {
+        (r.vec_id, tuple(r.v), int(r.cell), int(r.ingest_batch))
+        for r in read_parquet_checked(spark, cpath).select(cols).collect()
+    }
+    want = {
+        (r.vec_id, tuple(r.v), int(r.cell), int(r.ingest_batch))
+        for r in read_parquet_checked(spark, spath).select(cols).collect()
+    }
+    assert got == want and got
+    n_in = len(glob.glob(f"{spath}/**/*.parquet", recursive=True))
+    n_out = len(glob.glob(f"{cpath}/**/*.parquet", recursive=True))
+    assert n_out < n_in, (n_in, n_out)
+    # the compacted layout keeps cell=<id> dirs (pruning survives)
+    assert glob.glob(f"{cpath}/cell=*"), "cell partition level lost"

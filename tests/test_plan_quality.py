@@ -442,6 +442,7 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("queries/similarity.py", "bitext_margin_mining", "b"): "exact-spec: one cross-label block; docstring names the IVF-bounded scale path",
     ("queries/similarity.py", "bitext_margin_mining_ivf", "cent"): "k-rows: Lloyd centroids",
     ("queries/similarity.py", "bitext_margin_mining_ivf_indexed", "cent"): "k-rows: 16 cached centroid rows from the persisted Lloyd index",
+    ("queries/similarity.py", "ann_admission_drift_census", "cent"): "k-rows: 16 cached centroid rows from the admitted Lloyd index",
     ("queries/similarity.py", "embedding_random_projection", "spark.createDataFrame(_RP_SIGNS, ['i', 'j', 's'])"): "const: projection sign matrix",
     ("queries/similarity.py", "nearest_neighbor_sample", "probes"): "k-rows: 50 probes",
     ("queries/similarity.py", "semantic_dedup_census", "cent"): "k-rows: frozen centroids",
@@ -453,6 +454,7 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("queries/retrieval.py", "_bm25_scores", "df"): "k-rows: df of the fixed BM25 query terms only",
     ("queries/retrieval.py", "_bm25_scores", "stats"): "1-row",
     ("queries/retrieval.py", "hybrid_rrf_top_docs", "probe"): "1-row: single probe vector",
+    ("queries/retrieval.py", "retrieval_quality_census", "ideal_agg"): "1-row: IDCG aggregate",
     # --- events
     ("queries/events.py", "decayed_user_engagement", "ref"): "1-row: reference timestamp",
     ("queries/events.py", "event_value_band_join", "bands"): "const: band grid",

@@ -96,6 +96,7 @@ PICKS = {
     "decontamination_span_removal": "Positional-gram equi-join vs the distinct eval set; island merge = 2 windows per train doc",
     "multimodal_jpeg_arith_stats": "Arrow-batched SOF9 QM-coder decode where the bytes live; shuffle-free per-asset aggregate",
     "retrieval_quality_census": "Term-filtered postings -> TakeOrdered top-10 candidates; windows over 10 rows; integer metric aggregate",
+    "ann_admission_drift_census": "Artifact scan + broadcast centroid join (map-only); 2-group integer aggregate",
 }
 
 

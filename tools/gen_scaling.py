@@ -149,6 +149,8 @@ PICKS = {
     "multimodal_jpeg_arith_stats": "fixed 400-asset fixture; QM decode in Arrow batches, no pixel shuffle",
     "retrieval_quality_census": "BM25 candidate scoring + two TakeOrdered top-10 lists; 1-row metric aggregate",
     "stream_ann_admission_census": "steady = one partition-aware census scan; train + stream-admit amortized per snapshot",
+    "ann_index_compaction_census": "steady = census over the compacted layout; rewrite amortized per snapshot",
+    "ann_admission_drift_census": "artifact scan + 16-row broadcast join; 2-group integer aggregate",
 }
 
 
