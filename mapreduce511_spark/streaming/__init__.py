@@ -230,6 +230,9 @@ def user_running_stats_tws(events: DataFrame) -> DataFrame:
     )
 
 
+STATE_PARTITIONS = 8  # see run_available_now
+
+
 def run_available_now(
     stream_df: DataFrame, name: str, checkpoint: str, mode: str | None = None
 ) -> DataFrame:
@@ -237,18 +240,46 @@ def run_available_now(
     and return the materialized result (test/driver helper — real
     deployments use a durable sink + continuous trigger). ``mode``
     overrides the sink output mode (needed for append-mode stateful
-    operators, whose mode can't be sniffed from the plan)."""
+    operators, whose mode can't be sniffed from the plan).
+
+    r8: the query starts with ``spark.sql.shuffle.partitions`` sized
+    to the workload (``STATE_PARTITIONS``, restored afterwards) — a
+    stateful operator otherwise instantiates one state store per
+    session shuffle partition PER MICRO-BATCH (32 on the bench
+    session) for toy-scale key sets, and that store bring-up was the
+    dominant wall cost of the whole streaming suite. Safe here
+    because every caller drains into a FRESH checkpoint (the
+    partition count is pinned at first checkpoint; a real deployment
+    sizes it once to expected state volume the same way). Results
+    are partition-count-invariant by construction — every streaming
+    query's census is winner/order-independent."""
+    spark = stream_df.sparkSession
     if mode is None:
         mode = "update" if _is_update_only(stream_df) else "complete"
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # Pandas-stateful plans (applyInPandasWithState /
+    # transformWithStateInPandas) execute per-group PYTHON work whose
+    # parallelism IS the partition count — downsizing them trades the
+    # store bring-up win for worker starvation (measured: closed
+    # sessions 5.1 -> 7.1 s at 8). Only JVM-stateful plans downsize.
+    plan = stream_df._jdf.queryExecution().logical().toString()
+    resize = "InPandas" not in plan
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if resize:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STATE_PARTITIONS)
+        )
+    try:
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
