@@ -67,6 +67,7 @@ _ENUMERATE_FIRST: list[str] = [
     "stream_ann_admission_census",  # new
     "ann_admission_drift_census",  # new
     "ann_index_compaction_census",  # new
+    "doremi_domain_reweighting",  # new
     "language_id",  # r02
     "log_chart_smoothed_cpu",  # r02
     "multimodal_decode_stats",  # r02
@@ -106,7 +107,6 @@ _ENUMERATE_FIRST: list[str] = [
     "copurchase_triangles",  # r03
     "data_quality_audit",  # r03
     "embedding_norm_census",  # r03
-    "ensemble_near_dup",  # r03
 ]
 
 

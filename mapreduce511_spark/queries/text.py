@@ -4273,3 +4273,117 @@ def decontamination_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens_removed",
         (F.col("n_tokens") - F.col("tokens_removed")).alias("tokens_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style iterative domain reweighting
+# ---------------------------------------------------------------------------
+
+_DOREMI_T = 4  # exponentiated-gradient iterations
+_DOREMI_ETA = 1.0  # EG step size
+_DOREMI_C = 0.01  # uniform smoothing mass
+
+
+def _doremi_oracle() -> str:
+    """Unrolled-CTE restatement of the T EG iterations: each round is
+    three CTEs (apply exp(eta*excess), normalize+smooth, accumulate
+    cum weight) over the K-row domain table."""
+    steps = []
+    prev = "t0"
+    for t in range(1, _DOREMI_T + 1):
+        steps.append(
+            f"""
+    u{t} AS (
+        SELECT source, n_docs, base_loss, cum,
+               w * exp({_DOREMI_ETA} * greatest(
+                   base_loss / (1 + cum) - base_loss / 2, 0)) AS unnorm
+        FROM {prev}
+    ),
+    t{t} AS (
+        SELECT source, n_docs, base_loss, cum,
+               (1 - {_DOREMI_C}) * unnorm / (sum(unnorm) OVER ())
+                   + {_DOREMI_C} / (SELECT k FROM kk) AS w
+        FROM u{t}
+    ),
+    t{t}b AS (
+        SELECT source, n_docs, base_loss, w, cum + w AS cum FROM t{t}
+    )"""
+        )
+        prev = f"t{t}b"
+    return f"""
+    WITH base AS (
+        SELECT source, count(*) AS n_docs,
+               avg(ln(1 + n_chars)) AS base_loss
+        FROM documents GROUP BY source
+    ),
+    kk AS (SELECT count(*) AS k FROM base),
+    t0 AS (
+        SELECT source, n_docs, base_loss,
+               1.0 / (SELECT k FROM kk) AS w, 0.0 AS cum
+        FROM base
+    ),{",".join(steps)}
+    SELECT source, n_docs, base_loss, w AS w_final
+    FROM {prev}
+    """
+
+
+@register("doremi_domain_reweighting", oracle=_doremi_oracle())
+def doremi_domain_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023,
+    arXiv:2305.10429): exponentiated-gradient updates concentrate
+    sampling mass on domains whose proxy excess loss (proxy minus
+    reference) stays high, smoothed with a uniform mixing mass — the
+    iterative min-max complement of the static share equalization in
+    ``source_mixture_weights``. The distributed work is ONE map-side-
+    combined K-key aggregation over the corpus (per-source doc count +
+    mean log1p-length proxy loss); the T=4 EG iterations then run on
+    the K-row domain table driver-side — dimension-sized state exactly
+    like the IRLS trainer's per-iteration integers, never per-doc.
+    The proxy/reference losses are deterministic feature-derived
+    stand-ins (a production run plugs per-domain eval losses from the
+    proxy checkpoints into the same update); the reweighting algebra
+    is the paper's. Proxy learning is modeled by loss decay
+    1/(1+cum_weight): mass assigned early drives that domain's excess
+    toward zero, so weights equilibrate instead of collapsing onto the
+    argmax domain. At 100 TB nothing changes: the scan is the only
+    data-sized stage, and K stays the number of corpus sources."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg(F.log1p(F.col("n_chars").cast("double"))).alias(
+                "base_loss"
+            ),
+        )
+        .collect()
+    )
+    rows = sorted(base, key=lambda r: r["source"])
+    k = len(rows)
+    w = [1.0 / k] * k
+    cum = [0.0] * k
+    for _ in range(_DOREMI_T):
+        unnorm = [
+            w[i]
+            * math.exp(
+                _DOREMI_ETA
+                * max(
+                    rows[i]["base_loss"] / (1 + cum[i])
+                    - rows[i]["base_loss"] / 2,
+                    0.0,
+                )
+            )
+            for i in range(k)
+        ]
+        z = sum(unnorm)
+        w = [(1 - _DOREMI_C) * u / z + _DOREMI_C / k for u in unnorm]
+        cum = [cum[i] + w[i] for i in range(k)]
+    out = [
+        (rows[i]["source"], rows[i]["n_docs"], rows[i]["base_loss"], w[i])
+        for i in range(k)
+    ]
+    return spark.createDataFrame(
+        out, "source string, n_docs bigint, base_loss double, w_final double"
+    )

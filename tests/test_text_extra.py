@@ -178,3 +178,28 @@ def test_retrieval_quality_census_invariants(spark):
         0, 1000000
     )
     assert 0 <= r.precision_at10_bp <= 10000
+
+
+def test_doremi_reweighting_invariants(spark):
+    """EG-update semantics beyond oracle parity: weights are a proper
+    distribution, every domain keeps at least the uniform-smoothing
+    floor c/K, the hardest (highest base-loss) domain ends above
+    uniform and the easiest below, and equilibration holds — the loss
+    decay 1/(1+cum) keeps the max weight well below the argmax
+    collapse a plain multiplicative-weights run would produce."""
+    from mapreduce511_spark.queries import all_queries
+    from mapreduce511_spark.queries.text import _DOREMI_C
+
+    rows = all_queries()["doremi_domain_reweighting"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    k = len(rows)
+    assert k >= 2
+    total = sum(r.w_final for r in rows)
+    assert abs(total - 1.0) < 1e-9
+    floor = _DOREMI_C / k
+    assert all(r.w_final >= floor - 1e-12 for r in rows)
+    hardest = max(rows, key=lambda r: r.base_loss)
+    easiest = min(rows, key=lambda r: r.base_loss)
+    assert hardest.w_final > 1.0 / k > easiest.w_final
+    assert max(r.w_final for r in rows) < 0.5
