@@ -68,6 +68,7 @@ _ENUMERATE_FIRST: list[str] = [
     "ann_admission_drift_census",  # new
     "ann_index_compaction_census",  # new
     "doremi_domain_reweighting",  # new
+    "cbo_stats_census",  # new
     "language_id",  # r02
     "log_chart_smoothed_cpu",  # r02
     "multimodal_decode_stats",  # r02
@@ -106,7 +107,6 @@ _ENUMERATE_FIRST: list[str] = [
     "copurchase_part_pairs",  # r03
     "copurchase_triangles",  # r03
     "data_quality_audit",  # r03
-    "embedding_norm_census",  # r03
 ]
 
 
@@ -135,6 +135,7 @@ def _load() -> None:
     if _LOADED:
         return
     from mapreduce511_spark.queries import (  # noqa: F401
+        catalog_stats,
         dedup,
         events,
         logs,
