@@ -43,6 +43,7 @@ _PROFILE_SECTIONS = (
     "## localCheckpoint on shared subtrees: measured REGRESSION",
     "### r7 update: verdict REVERSED for tfidf under the unhinted plan",
     "## r06->r07 pre-check movers: NOISE",
+    "## Streaming state-partition sizing: 22% suite win",
 )
 
 

@@ -238,6 +238,36 @@ on the frozen `canary_min3_s` block in bench.py makes this class of
 judgement self-adjudicating for the canary set; non-canary movers get
 this min-of-5 treatment on demand.
 
+## Streaming state-partition sizing: 22% suite win (same-session A/B, round 8)
+
+`run_available_now` now drains JVM-stateful availableNow queries with
+`spark.sql.shuffle.partitions=8` (`streaming.STATE_PARTITIONS`) instead
+of the session's 32, restoring the conf afterwards; Pandas-stateful
+plans (`*InPandas*` in the logical plan) are exempt because their
+per-group Python work needs the parallelism. Same-session A/B at
+sf0.1, min-of-2 per mode, alternating 32p/8p so JIT and page-cache
+state are shared:
+
+- suite of 19 `stream_*` queries: **72.4 s @ 32p -> 56.5 s @ 8p (0.78x)**
+- stream-stream interval joins halve: `stream_click_attribution`
+  6.65 -> 3.32 s, `_outer` 6.73 -> 3.54 s, `_full` 6.98 -> 3.64 s —
+  the win is state-store bring-up: a stateful operator instantiates
+  one store per shuffle partition PER MICRO-BATCH, and at toy key
+  counts 32 stores/batch was pure overhead.
+- windowed aggregates gain 10-40% (`stream_tumbling_event_counts`
+  1.91 -> 1.18 s, `stream_topk_per_window` 2.42 -> 1.59 s,
+  `stream_late_drop_census` 3.90 -> 2.55 s).
+- the two ratios > 1 are exempt paths where both modes run identical
+  plans (`stream_closed_sessions` applyInPandasWithState 1.12x,
+  `stream_ann_admission_census` foreachBatch 1.36x on a 0.3 s query)
+  — session noise, not regressions.
+
+At production scale the same lever applies in reverse: size state
+partitions to expected key volume once at first checkpoint, not to
+whatever the batch session happened to use. Results are
+partition-count invariant; every caller drains into a fresh
+checkpoint, so the pin-at-first-checkpoint hazard doesn't apply.
+
 """
 
 def _metrics(node) -> dict:
