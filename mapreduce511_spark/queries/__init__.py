@@ -69,6 +69,7 @@ _ENUMERATE_FIRST: list[str] = [
     "ann_index_compaction_census",  # new
     "doremi_domain_reweighting",  # new
     "cbo_stats_census",  # new
+    "heldout_kneser_ney_ppl",  # new
     "language_id",  # r02
     "log_chart_smoothed_cpu",  # r02
     "multimodal_decode_stats",  # r02
@@ -106,7 +107,6 @@ _ENUMERATE_FIRST: list[str] = [
     "concurrent_user_spans",  # r03
     "copurchase_part_pairs",  # r03
     "copurchase_triangles",  # r03
-    "data_quality_audit",  # r03
 ]
 
 

@@ -203,3 +203,23 @@ def test_doremi_reweighting_invariants(spark):
     easiest = min(rows, key=lambda r: r.base_loss)
     assert hardest.w_final > 1.0 / k > easiest.w_final
     assert max(r.w_final for r in rows) < 0.5
+
+
+def test_kneser_ney_vs_laplace_same_split(spark):
+    """The KN and Laplace heldout estimators share the md5 split, so
+    they must score the SAME validation bigram multiset (equal
+    n_val_bigrams per language) while producing different — finite,
+    positive — perplexities; and every language present in one is
+    present in the other."""
+    from mapreduce511_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    q = all_queries()
+    kn = {r.lang: r for r in q["heldout_kneser_ney_ppl"](spark, sf).collect()}
+    lp = {r.lang: r for r in q["heldout_bigram_ppl"](spark, sf).collect()}
+    assert set(kn) == set(lp) and kn
+    for lang in kn:
+        assert kn[lang].n_val_bigrams == lp[lang].n_val_bigrams
+        assert 1.0 < kn[lang].perplexity < 1e6
+        assert kn[lang].cross_entropy > 0
+        assert kn[lang].perplexity != lp[lang].perplexity

@@ -151,6 +151,9 @@ PICKS = {
     "stream_ann_admission_census": "steady = one partition-aware census scan; train + stream-admit amortized per snapshot",
     "ann_index_compaction_census": "steady = census over the compacted layout; rewrite amortized per snapshot",
     "ann_admission_drift_census": "artifact scan + 16-row broadcast join; 2-group integer aggregate",
+    "doremi_domain_reweighting": "one K-key map-combined agg; T EG iterations on K driver rows, n-independent",
+    "cbo_stats_census": "ANALYZE passes linear, amortized by snapshot-keyed CTAS memo; census reads catalog metadata only",
+    "heldout_kneser_ney_ppl": "type counts collapse map-side before shuffle; val stream = vocabulary-keyed left joins",
 }
 
 
