@@ -70,6 +70,7 @@ _ENUMERATE_FIRST: list[str] = [
     "doremi_domain_reweighting",  # new
     "cbo_stats_census",  # new
     "heldout_kneser_ney_ppl",  # new
+    "aqp_revenue_estimate",  # new
     "language_id",  # r02
     "log_chart_smoothed_cpu",  # r02
     "multimodal_decode_stats",  # r02
@@ -106,7 +107,6 @@ _ENUMERATE_FIRST: list[str] = [
     "cohort_hourly_retention",  # r03
     "concurrent_user_spans",  # r03
     "copurchase_part_pairs",  # r03
-    "copurchase_triangles",  # r03
 ]
 
 

@@ -3422,3 +3422,112 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate query processing (AQP)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "aqp_revenue_estimate",
+    oracle="""
+    WITH lines AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT) AS cents,
+               CASE WHEN CAST(('0x' || substr(md5(
+                        CAST(l_orderkey AS VARCHAR) || '-'
+                        || CAST(l_linenumber AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 100 = 0 THEN 1 ELSE 0 END AS s
+        FROM lineitem
+    ), agg AS (
+        SELECT l_returnflag,
+               count(*) AS n_lines,
+               CAST(sum(cents) AS BIGINT) AS exact_cents,
+               CAST(sum(s) AS BIGINT) AS n_sample,
+               CAST(sum(s * cents) AS BIGINT) AS samp_cents,
+               CAST(sum(s * cents * cents) AS BIGINT) AS samp_ssq
+        FROM lines GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_lines, n_sample, exact_cents,
+           100 * samp_cents AS est_cents,
+           round(1.96 * sqrt(9900.0 * samp_ssq), 2) AS ci95_half_cents,
+           CASE WHEN abs(100 * samp_cents - exact_cents)
+                     <= 1.96 * sqrt(9900.0 * samp_ssq)
+                THEN 1 ELSE 0 END AS covered,
+           (abs(100 * samp_cents - exact_cents) * 10000)
+               // exact_cents AS rel_err_bp
+    FROM agg
+    """,
+)
+def aqp_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing: estimate per-flag revenue from a
+    deterministic 1% Poisson sample with a Horvitz–Thompson expansion
+    (est = Σ_s x/p) and its HT variance error bar (V̂ = Σ_s x²(1−p)/p²,
+    95% CI = 1.96·√V̂) — how a 100 TB warehouse answers interactive
+    aggregates from a sample table at 1% of the scan cost. Here the
+    EXACT answer is computed in the same single scan as the audit:
+    the census reports estimate, CI half-width, a covered flag, and
+    the realized error in basis points, so the driver oracle pins the
+    whole estimator algebra, not just the sample sums. Membership is
+    the engine-standard md5 bucket on (orderkey, linenumber), so the
+    sample is reproducible at any parallelism. Everything before the
+    final CI is integer cents (per-row HALF_UP quantization, then
+    order-independent int64 sums; the sample's Σx² stays well inside
+    int64 at any SF the suite runs — a petabyte deployment would
+    widen to decimal); the one float chain (1.96·√(9900·ssq)) runs
+    on a single exact integer, identically in both engines. In
+    production the sample lives as its own table/partition and the
+    exact branch simply isn't scanned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from mapreduce511_spark.operators.dedup import hash60
+
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    bucket = (
+        hash60(
+            F.concat_ws(
+                "-",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        )
+        % 100
+    )
+    s = F.when(bucket == 0, F.lit(1)).otherwise(F.lit(0))
+    agg = (
+        li.select(
+            "l_returnflag",
+            cents.alias("cents"),
+            s.alias("s"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("cents").alias("exact_cents"),
+            F.sum("s").alias("n_sample"),
+            F.sum(F.col("s") * F.col("cents")).alias("samp_cents"),
+            F.sum(F.col("s") * F.col("cents") * F.col("cents")).alias(
+                "samp_ssq"
+            ),
+        )
+    )
+    est = F.lit(100) * F.col("samp_cents")
+    ci = 1.96 * F.sqrt(9900.0 * F.col("samp_ssq"))
+    return agg.select(
+        "l_returnflag",
+        "n_lines",
+        "n_sample",
+        "exact_cents",
+        est.alias("est_cents"),
+        F.round(ci, 2).alias("ci95_half_cents"),
+        F.when(F.abs(est - F.col("exact_cents")) <= ci, 1)
+        .otherwise(0)
+        .alias("covered"),
+        F.expr(
+            "(abs(100 * samp_cents - exact_cents) * 10000)"
+            " DIV exact_cents"
+        ).alias("rel_err_bp"),
+    )

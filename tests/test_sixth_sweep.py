@@ -126,3 +126,25 @@ def test_semantic_dedup_survives_10x_duplication(spark, tmp_path):
     assert sum(r.n_flagged for r in rows) >= min_flagged
     for r in rows:
         assert r.n_flagged <= r.n_members
+
+
+def test_aqp_estimator_internal_consistency(spark):
+    """HT-estimator semantics beyond oracle parity: the md5 sample
+    lands near its 1% design rate, the CI is positive whenever the
+    sample is non-empty, the covered flag IS the |est-exact| <= ci
+    predicate, and the realized error at sf0.1 sits inside single-
+    digit percent (the estimator works, not just runs)."""
+    from mapreduce511_spark.queries import all_queries
+
+    rows = all_queries()["aqp_revenue_estimate"](
+        spark, "/root/testdata/sf0.1"
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        expected = r.n_lines / 100
+        assert abs(r.n_sample - expected) < 0.5 * expected
+        assert r.ci95_half_cents > 0
+        assert r.covered == int(
+            abs(r.est_cents - r.exact_cents) <= r.ci95_half_cents
+        )
+        assert r.rel_err_bp < 1000  # < 10% realized at sf0.1

@@ -154,6 +154,7 @@ PICKS = {
     "doremi_domain_reweighting": "one K-key map-combined agg; T EG iterations on K driver rows, n-independent",
     "cbo_stats_census": "ANALYZE passes linear, amortized by snapshot-keyed CTAS memo; census reads catalog metadata only",
     "heldout_kneser_ney_ppl": "type counts collapse map-side before shuffle; val stream = vocabulary-keyed left joins",
+    "aqp_revenue_estimate": "one map-combinable scan; 3-group shuffle; production reads only the 1% sample table",
 }
 
 
