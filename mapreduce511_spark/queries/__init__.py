@@ -71,6 +71,7 @@ _ENUMERATE_FIRST: list[str] = [
     "cbo_stats_census",  # new
     "heldout_kneser_ney_ppl",  # new
     "aqp_revenue_estimate",  # new
+    "copurchase_label_propagation",  # new
     "language_id",  # r02
     "log_chart_smoothed_cpu",  # r02
     "multimodal_decode_stats",  # r02
@@ -106,7 +107,6 @@ _ENUMERATE_FIRST: list[str] = [
     "bpe_merge_rules",  # r03
     "cohort_hourly_retention",  # r03
     "concurrent_user_spans",  # r03
-    "copurchase_part_pairs",  # r03
 ]
 
 

@@ -131,3 +131,29 @@ def test_kcore_census_query_runs(spark):
     # non-empty core needs at least k*n/2 edges
     if row.n_core_vertices:
         assert row.n_core_edges * 2 >= row.k * row.n_core_vertices
+
+
+def test_label_propagation_invariants(spark):
+    """LPA semantics beyond oracle parity: labels are a partition of
+    the non-isolated vertex set (member counts sum to |V|), every
+    community label IS a vertex id, and the round-3 histogram is
+    coarser than the identity labeling (propagation happened)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce511_spark.queries import all_queries
+    from mapreduce511_spark.queries.relational import _copurchase_edges, _t
+
+    sf = "/root/testdata/sf0.01"
+    rows = all_queries()["copurchase_label_propagation"](spark, sf).collect()
+    (li,) = _t(spark, sf, "lineitem")
+    edges = _copurchase_edges(li)
+    verts = (
+        edges.select(F.col("u").alias("v"))
+        .unionByName(edges.select("v"))
+        .distinct()
+    )
+    n_verts = verts.count()
+    vert_ids = {r.v for r in verts.collect()}
+    assert sum(r.n_members for r in rows) == n_verts
+    assert all(r.community in vert_ids for r in rows)
+    assert len(rows) < n_verts

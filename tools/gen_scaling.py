@@ -155,6 +155,7 @@ PICKS = {
     "cbo_stats_census": "ANALYZE passes linear, amortized by snapshot-keyed CTAS memo; census reads catalog metadata only",
     "heldout_kneser_ney_ppl": "type counts collapse map-side before shuffle; val stream = vocabulary-keyed left joins",
     "aqp_revenue_estimate": "one map-combinable scan; 3-group shuffle; production reads only the 1% sample table",
+    "copurchase_label_propagation": "3 x (vertex-keyed join + two hash aggs) over the checkpointed edge set; state = |V| labels",
 }
 
 
