@@ -97,6 +97,8 @@ PICKS = {
     "multimodal_jpeg_arith_stats": "Arrow-batched SOF9 QM-coder decode where the bytes live; shuffle-free per-asset aggregate",
     "retrieval_quality_census": "Term-filtered postings -> TakeOrdered top-10 candidates; windows over 10 rows; integer metric aggregate",
     "ann_admission_drift_census": "Artifact scan + broadcast centroid join (map-only); 2-group integer aggregate",
+    "aqp_revenue_estimate": "AQP estimator: sample + exact in ONE map-combinable scan; 3-group shuffle; CI math on the aggregate row",
+    "copurchase_label_propagation": "3 LPA rounds: vertex-keyed joins on the checkpointed edge leaf; struct-max top-1, no sort window",
 }
 
 
