@@ -4525,3 +4525,184 @@ def doremi_domain_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "source string, n_docs bigint, base_loss double, w_final double"
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 512  # hashed n-gram feature buckets (paper: 10k; sized to corpus)
+_DSIR_TARGET = ("src0", "src1")  # target-domain sample (the "Wiki+books" role)
+_DSIR_K = 20  # resampled docs to select
+
+
+@register(
+    "dsir_importance_resample",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_SQL_TOKENS} AS tokens FROM documents
+    ), grams AS (
+        SELECT doc_id, source,
+               unnest(list_concat(tokens,
+                   list_transform(range(1, len(tokens)),
+                       i -> list_extract(tokens, i) || ' '
+                            || list_extract(tokens, i + 1)))) AS g
+        FROM toks
+    ), hashed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+                   % {_DSIR_B} AS bkt,
+               CASE WHEN source IN {_DSIR_TARGET!r} THEN 1 ELSE 0 END AS tgt
+        FROM grams
+    ), bstats AS (
+        SELECT bkt,
+               CAST(sum(tgt) AS BIGINT) AS cp,
+               CAST(sum(1 - tgt) AS BIGINT) AS cq
+        FROM hashed GROUP BY bkt
+    ), tot AS (
+        SELECT CAST(sum(cp) AS BIGINT) AS np,
+               CAST(sum(cq) AS BIGINT) AS nq
+        FROM bstats
+    ), lr AS (
+        SELECT bkt,
+               CAST(floor(1000000 * ln(
+                   ((cp + 1.0) * (nq + {_DSIR_B}))
+                   / ((cq + 1.0) * (np + {_DSIR_B})))) AS BIGINT) AS lr_micro
+        FROM bstats CROSS JOIN tot
+    ), w AS (
+        SELECT h.doc_id,
+               count(*) AS n_grams,
+               CAST(sum(l.lr_micro) AS BIGINT) AS logw_micro
+        FROM hashed h JOIN lr l USING (bkt)
+        WHERE h.tgt = 0
+        GROUP BY h.doc_id
+    ), keyed AS (
+        SELECT doc_id, n_grams, logw_micro,
+               logw_micro + CAST(floor(-1000000 * ln(-ln(
+                   (CAST(('0x' || substr(md5(
+                        CAST(doc_id AS VARCHAR) || '-dsir'), 1, 15))
+                        AS BIGINT) % 1000000 + 0.5) / 1000000.0)))
+                   AS BIGINT) AS key_micro
+        FROM w
+    ), top AS (
+        SELECT * FROM keyed
+        ORDER BY key_micro DESC, doc_id LIMIT {_DSIR_K}
+    )
+    SELECT row_number() OVER (ORDER BY t.key_micro DESC, t.doc_id) AS rank,
+           t.doc_id, d.source, d.lang, t.n_grams, t.logw_micro, t.key_micro
+    FROM top t JOIN documents d USING (doc_id)
+    """,
+)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023), the hashed-n-gram method behind domain-targeted
+    pretraining mixes: fit two bag-of-hashed-ngrams multinomials
+    (unigrams + bigrams hashed into B=512 buckets) — p over a small
+    TARGET-domain sample (sources src0+src1 here, the "Wiki+books"
+    role) and q over the RAW pool (every other source) — weight each
+    raw document by its importance log w(x) = Σ_grams
+    ln(p[bkt]/q[bkt]) with add-one smoothing, and resample top-k
+    under Gumbel noise (Gumbel-top-k IS sampling ∝ w without
+    replacement; the noise keeps the selection from collapsing onto
+    near-copies of the target sample). Output: the k=20 selected
+    docs with rank, weight, and sampling key.
+
+    Determinism: each bucket's log-ratio floors to integer
+    MICRO-NATS from exact integer counts in one double expression —
+    per-doc weights are then order-independent integer sums, exactly
+    as the oracle computes them; the Gumbel noise derives from the
+    engine-standard md5 hash (u = (h%1e6+0.5)/1e6), not an RNG.
+
+    100 TB design: pass 1 builds the B-bucket count table (one
+    map-combinable shuffle to 512 rows, checkpointed); pass 2
+    re-streams the raw grams against the BROADCAST 512-row log-ratio
+    table and sums per doc — no shuffle wider than doc_id — and the
+    selection is a TakeOrdered top-k, never a global sort. The
+    target sample is tiny by construction (DSIR's premise), so p
+    fits driver-side at any corpus scale; both passes are one
+    column-pruned scan each of the raw corpus.
+
+    Reference basis: extension tier — LLM-data-pipeline sampling
+    family (SURVEY.md §2 extensions), beside deterministic_split /
+    temperature_mixture_sample / quality_weighted_sample."""
+    from pyspark.sql.window import Window
+
+    from mapreduce511_spark.operators.dedup import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", tokenize("text").alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.concat(F.col("toks"), word_ngrams(F.col("toks"), 2))
+        ).alias("g"),
+    )
+    hashed = grams.select(
+        "doc_id",
+        (hash60(F.col("g")) % _DSIR_B).alias("bkt"),
+        F.when(F.col("source").isin(*_DSIR_TARGET), 1)
+        .otherwise(0)
+        .alias("tgt"),
+    )
+    # pass 1: the 512-row bucket count table (tiny — checkpoint it so
+    # the log-ratio table doesn't re-scan the corpus).
+    bstats = (
+        hashed.groupBy("bkt")
+        .agg(
+            F.sum("tgt").alias("cp"),
+            F.sum(1 - F.col("tgt")).alias("cq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = bstats.agg(
+        F.sum("cp").alias("np"), F.sum("cq").alias("nq")
+    )
+    lr_micro = F.floor(
+        1_000_000
+        * F.log(
+            ((F.col("cp") + 1.0) * (F.col("nq") + _DSIR_B))
+            / ((F.col("cq") + 1.0) * (F.col("np") + _DSIR_B))
+        )
+    ).cast("long")
+    lr = bstats.crossJoin(F.broadcast(tot)).select(
+        "bkt", lr_micro.alias("lr_micro")
+    )
+    # pass 2: raw grams x broadcast log-ratio table -> per-doc sums.
+    w = (
+        hashed.filter(F.col("tgt") == 0)
+        .join(F.broadcast(lr), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("lr_micro").alias("logw_micro"),
+        )
+    )
+    u = (
+        hash60(F.concat(F.col("doc_id").cast("string"), F.lit("-dsir")))
+        % 1_000_000
+        + 0.5
+    ) / 1_000_000.0
+    g_micro = F.floor(-1_000_000 * F.log(-F.log(u))).cast("long")
+    top = (
+        w.select(
+            "doc_id",
+            "n_grams",
+            "logw_micro",
+            (F.col("logw_micro") + g_micro).alias("key_micro"),
+        )
+        .orderBy(F.desc("key_micro"), F.asc("doc_id"))
+        .limit(_DSIR_K)
+    )
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("key_micro"), F.asc("doc_id"))
+        ),
+    )
+    return ranked.join(
+        docs.select("doc_id", "source", "lang"), "doc_id"
+    ).select(
+        "rank", "doc_id", "source", "lang", "n_grams",
+        "logw_micro", "key_micro",
+    )
