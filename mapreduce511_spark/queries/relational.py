@@ -3632,3 +3632,231 @@ def copurchase_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("lab").alias("community")).agg(
         F.count("*").alias("n_members")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map data skipping (min/max pruning) — the 100 TB scan-avoidance audit
+# ---------------------------------------------------------------------------
+
+_ZM_ZONE = 4096  # rows per zone (the row-group / granule analog)
+
+
+def _zm_preds_sql() -> str:
+    """Predicate table: six half-open shipdate years + two orderkey
+    deciles whose bounds derive from the table's own key range."""
+    rows = [
+        f"SELECT 'ship_{y}' AS pred, 'ts' AS kind, "
+        f"TIMESTAMP '{y}-01-01' AS lo_ts, TIMESTAMP '{y + 1}-01-01' AS hi_ts, "
+        "CAST(NULL AS BIGINT) AS lo_k, CAST(NULL AS BIGINT) AS hi_k"
+        for y in range(1996, 2002)
+    ]
+    rows += [
+        f"SELECT 'okey_d{d}', 'key', CAST(NULL AS TIMESTAMP), "
+        f"CAST(NULL AS TIMESTAMP), "
+        f"kmin + ((kmax - kmin + 1) * {d}) // 10, "
+        f"kmin + ((kmax - kmin + 1) * {d + 1}) // 10 FROM bounds"
+        for d in (0, 5)
+    ]
+    return " UNION ALL ".join(rows)
+
+
+def _zm_layout_sql(layout: str, order: str) -> str:
+    return f"""
+        SELECT '{layout}' AS layout, (rn - 1) // {_ZM_ZONE} AS zone,
+               min(l_shipdate) AS zmin_ts, max(l_shipdate) AS zmax_ts,
+               min(l_orderkey) AS zmin_k, max(l_orderkey) AS zmax_k,
+               count(*) AS zn
+        FROM (SELECT l_shipdate, l_orderkey,
+                     row_number() OVER (ORDER BY {order}) AS rn
+              FROM lineitem)
+        GROUP BY 2"""
+
+
+@register(
+    "zonemap_skipping_census",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(l_orderkey) AS kmin, max(l_orderkey) AS kmax FROM lineitem
+    ), preds AS (
+        {_zm_preds_sql()}
+    ), zones AS (
+        {_zm_layout_sql("insertion", "l_orderkey, l_linenumber")}
+        UNION ALL
+        {_zm_layout_sql("shipdate", "l_shipdate, l_orderkey, l_linenumber")}
+    ), ev AS (
+        SELECT layout, pred, zn,
+               CASE WHEN kind = 'ts'
+                    THEN (zmax_ts < lo_ts OR zmin_ts >= hi_ts)
+                    ELSE (zmax_k < lo_k OR zmin_k >= hi_k)
+               END AS skipped
+        FROM zones CROSS JOIN preds
+    ), m AS (
+        SELECT pred,
+               CAST(sum(CASE WHEN kind = 'ts'
+                    THEN CASE WHEN l_shipdate >= lo_ts
+                              AND l_shipdate < hi_ts THEN 1 ELSE 0 END
+                    ELSE CASE WHEN l_orderkey >= lo_k
+                              AND l_orderkey < hi_k THEN 1 ELSE 0 END
+               END) AS BIGINT) AS rows_match
+        FROM lineitem CROSS JOIN preds GROUP BY pred
+    )
+    SELECT layout, pred, count(*) AS n_zones,
+           CAST(sum(CASE WHEN skipped THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_skipped,
+           CAST(sum(CASE WHEN skipped THEN 0 ELSE zn END) AS BIGINT)
+               AS rows_scanned,
+           m.rows_match,
+           CAST((10000 * sum(CASE WHEN skipped THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS skip_bp
+    FROM ev JOIN m USING (pred)
+    GROUP BY layout, pred, m.rows_match
+    """,
+)
+def zonemap_skipping_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZONE-MAP DATA SKIPPING audit — the mechanism that makes 100 TB
+    scans affordable: per-zone (row-group / granule) min/max stats
+    let a predicate skip whole zones without reading them (parquet
+    row-group stats, Delta file stats, ClickHouse granules all work
+    this way). The census simulates zones of 4096 consecutive
+    rows under TWO physical layouts — insertion order
+    (l_orderkey, l_linenumber) and shipdate-sorted — and evaluates 8
+    predicates (six shipdate years, two orderkey deciles) against
+    each zone's [min, max] envelope. The payoff it demonstrates is
+    the layout trade every table owner makes: the shipdate-sorted
+    layout skips ~every zone for date predicates but nearly none
+    for key predicates, and insertion order the reverse — exactly
+    the audit run before choosing a sort/OPTIMIZE key (the Z-order
+    twin ``zorder_cell_census`` is the both-dimensions compromise).
+    rows_scanned vs rows_match exposes the false-positive I/O a
+    wrong layout forces.
+
+    Global row numbers come from the standard DISTRIBUTED two-pass
+    recipe, not a single-partition sort: repartitionByRange on the
+    layout key (range partitions are contiguous in key order),
+    per-partition counts -> cumulative offsets (a ≤16-row driver
+    collect), then within-partition row_number + offset. One
+    materialization serves both passes. Everything downstream of
+    the zone stats is a ~15-row-per-layout envelope table — the
+    predicate evaluation costs nothing at any scale.
+
+    Reference basis: extension tier — storage-layout family, beside
+    ``zorder_cell_census`` (SURVEY.md §2 extensions)."""
+    from datetime import datetime
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    kmin, kmax = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey")
+    ).first()
+    preds = []  # (pred, kind, lo_ts, hi_ts, lo_k, hi_k)
+    for y in range(1996, 2002):
+        preds.append(
+            (f"ship_{y}", "ts", datetime(y, 1, 1), datetime(y + 1, 1, 1),
+             None, None)
+        )
+    for d in (0, 5):
+        preds.append(
+            (f"okey_d{d}", "key", None, None,
+             kmin + ((kmax - kmin + 1) * d) // 10,
+             kmin + ((kmax - kmin + 1) * (d + 1)) // 10)
+        )
+    pred_df = spark.createDataFrame(
+        preds,
+        "pred string, kind string, lo_ts timestamp, hi_ts timestamp, "
+        "lo_k long, hi_k long",
+    )
+
+    def zone_stats(layout: str, sort_cols: list[str]) -> DataFrame:
+        d = (
+            li.select("l_shipdate", "l_orderkey", "l_linenumber")
+            .repartitionByRange(16, *sort_cols)
+            .sortWithinPartitions(*sort_cols)
+            .withColumn("pid", F.spark_partition_id())
+            # one materialization feeds both the offset pass and the
+            # row-number pass (and pins pid against recomputation)
+            .localCheckpoint(eager=True)
+        )
+        counts = sorted(
+            d.groupBy("pid").count().collect(), key=lambda r: r["pid"]
+        )
+        offs, acc = [], 0
+        for r in counts:
+            offs.append((r["pid"], acc))
+            acc += r["count"]
+        off_df = spark.createDataFrame(offs, "pid int, off long")
+        w = Window.partitionBy("pid").orderBy(*sort_cols)
+        return (
+            d.join(F.broadcast(off_df), "pid")
+            .select(
+                "l_shipdate",
+                "l_orderkey",
+                F.expr(f"(row_number() OVER (PARTITION BY pid ORDER BY "
+                       f"{', '.join(sort_cols)}) + off - 1) DIV {_ZM_ZONE}")
+                .alias("zone"),
+            )
+            .groupBy("zone")
+            .agg(
+                F.min("l_shipdate").alias("zmin_ts"),
+                F.max("l_shipdate").alias("zmax_ts"),
+                F.min("l_orderkey").alias("zmin_k"),
+                F.max("l_orderkey").alias("zmax_k"),
+                F.count("*").alias("zn"),
+            )
+            .withColumn("layout", F.lit(layout))
+        )
+
+    zones = zone_stats("insertion", ["l_orderkey", "l_linenumber"]).unionByName(
+        zone_stats("shipdate", ["l_shipdate", "l_orderkey", "l_linenumber"])
+    )
+    skipped = F.when(
+        F.col("kind") == "ts",
+        (F.col("zmax_ts") < F.col("lo_ts"))
+        | (F.col("zmin_ts") >= F.col("hi_ts")),
+    ).otherwise(
+        (F.col("zmax_k") < F.col("lo_k")) | (F.col("zmin_k") >= F.col("hi_k"))
+    )
+    ev = zones.crossJoin(F.broadcast(pred_df)).select(
+        "layout", "pred", "zn", skipped.alias("skipped")
+    )
+    match_conds = [
+        F.sum(
+            F.when(
+                (F.col("l_shipdate") >= F.lit(p[2]))
+                & (F.col("l_shipdate") < F.lit(p[3])),
+                1,
+            ).otherwise(0)
+            if p[1] == "ts"
+            else F.when(
+                (F.col("l_orderkey") >= F.lit(p[4]))
+                & (F.col("l_orderkey") < F.lit(p[5])),
+                1,
+            ).otherwise(0)
+        ).alias(p[0])
+        for p in preds
+    ]
+    one_pass = li.agg(*match_conds)
+    stack = ", ".join(f"'{p[0]}', {p[0]}" for p in preds)
+    m = one_pass.select(
+        F.expr(f"stack({len(preds)}, {stack}) AS (pred, rows_match)")
+    )
+    return (
+        ev.groupBy("layout", "pred")
+        .agg(
+            F.count("*").alias("n_zones"),
+            F.sum(F.when(F.col("skipped"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_skipped"),
+            F.sum(F.when(F.col("skipped"), 0).otherwise(F.col("zn")))
+            .cast("long")
+            .alias("rows_scanned"),
+        )
+        .join(F.broadcast(m), "pred")
+        .select(
+            "layout",
+            "pred",
+            "n_zones",
+            "n_skipped",
+            "rows_scanned",
+            F.col("rows_match").cast("long").alias("rows_match"),
+            F.expr("(10000 * n_skipped) DIV n_zones").alias("skip_bp"),
+        )
+    )
