@@ -3860,3 +3860,136 @@ def zonemap_skipping_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(10000 * n_skipped) DIV n_zones").alias("skip_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout audit (the locality upgrade over Z-order)
+# ---------------------------------------------------------------------------
+
+
+def _hilbert_sql() -> str:
+    """Unrolled 4-level Hilbert xy→d transform (16x16 grid) as chained
+    CTE fragments — the SAME rotate/reflect recurrence the Spark side
+    runs, so the oracle re-derives the curve, it doesn't look it up."""
+    prev = "h0"
+    out = []
+    for s in (8, 4, 2, 1):
+        nxt = f"h{16 // s}"
+        out.append(f"""
+    {nxt} AS (
+        SELECT o_custkey, o_totalprice,
+               CASE WHEN ry = 0 THEN CASE WHEN rx = 1
+                    THEN {s - 1} - y ELSE y END ELSE x END AS x,
+               CASE WHEN ry = 0 THEN CASE WHEN rx = 1
+                    THEN {s - 1} - x ELSE x END ELSE y END AS y,
+               d + {s * s} * xor(3 * rx, ry) AS d
+        FROM (SELECT *,
+                     CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+                     CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+              FROM {prev})
+    )""")
+        prev = nxt
+    return ",".join(out), prev
+
+
+_HILBERT_CTES, _HILBERT_LAST = _hilbert_sql()
+
+
+@register(
+    "hilbert_cell_census",
+    oracle=f"""
+    WITH rng AS (
+        SELECT min(o_custkey) AS klo, max(o_custkey) AS khi,
+               min(o_totalprice) AS plo, max(o_totalprice) AS phi
+        FROM orders
+    ),
+    h0 AS (
+        SELECT o_custkey, o_totalprice,
+               least(15, CAST(floor((o_custkey - klo) * 16.0
+                                    / (khi - klo + 1)) AS BIGINT)) AS x,
+               least(15, CAST(floor((o_totalprice - plo) * 16.0
+                                    / (phi - plo)) AS BIGINT)) AS y,
+               CAST(0 AS BIGINT) AS d
+        FROM orders CROSS JOIN rng
+    ),{_HILBERT_CTES}
+    SELECT d AS hcell,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_custkeys,
+           CAST(max(o_custkey) - min(o_custkey) AS BIGINT) AS custkey_span,
+           round(max(o_totalprice) - min(o_totalprice), 4) AS price_span
+    FROM {_HILBERT_LAST} GROUP BY d
+    """,
+)
+def hilbert_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT-curve cell assignment over the same 16x16
+    (o_custkey x o_totalprice) grid as ``zorder_cell_census`` — the
+    locality upgrade: consecutive Hilbert positions are ALWAYS
+    edge-adjacent cells (unit Manhattan steps), where the Morton
+    curve jumps across the key space at every power-of-two boundary
+    (cell 15→16 teleports from (7,1) to (0,2) at 16x16; the Hilbert
+    walk never tears). Range-partitioning files by hcell therefore
+    gives tighter per-file min/max envelopes on BOTH dimensions than
+    zcell — directly measurable here as smaller custkey_span /
+    price_span per equally-occupied cell, the statistic a layout
+    owner compares before choosing the curve (Databricks liquid
+    clustering moved Z-order → Hilbert for exactly this).
+
+    The xy→d transform is the standard rotate/reflect recurrence
+    (one level per grid bit, unrolled 4x), pure integer CASE/XOR
+    arithmetic inside whole-stage codegen — the oracle runs the SAME
+    recurrence as chained CTEs, so both engines re-derive the curve
+    independently. Quantization bounds come from a 1-row min/max
+    broadcast, as in the Z-order twin.
+
+    Reference basis: extension tier — storage-layout family, beside
+    ``zorder_cell_census`` / ``zonemap_skipping_census`` (SURVEY.md
+    §2 extensions)."""
+    orders = _t(spark, sf_dir, "orders")[0]
+    rng = orders.agg(
+        F.min("o_custkey").alias("klo"),
+        F.max("o_custkey").alias("khi"),
+        F.min("o_totalprice").alias("plo"),
+        F.max("o_totalprice").alias("phi"),
+    )
+    cells = orders.crossJoin(F.broadcast(rng)).select(
+        "o_custkey",
+        "o_totalprice",
+        F.least(
+            F.lit(15),
+            F.floor(
+                (F.col("o_custkey") - F.col("klo"))
+                * 16.0
+                / (F.col("khi") - F.col("klo") + 1)
+            ),
+        ).alias("x"),
+        F.least(
+            F.lit(15),
+            F.floor(
+                (F.col("o_totalprice") - F.col("plo"))
+                * 16.0
+                / (F.col("phi") - F.col("plo"))
+            ),
+        ).alias("y"),
+    )
+    x, y, d = F.col("x"), F.col("y"), F.lit(0).cast("long")
+    for s in (8, 4, 2, 1):
+        rx = F.when(x.bitwiseAND(s) > 0, 1).otherwise(0)
+        ry = F.when(y.bitwiseAND(s) > 0, 1).otherwise(0)
+        d = d + s * s * (3 * rx).bitwiseXOR(ry)
+        nx = F.when(ry == 0, F.when(rx == 1, F.lit(s - 1) - y).otherwise(y)).otherwise(x)
+        ny = F.when(ry == 0, F.when(rx == 1, F.lit(s - 1) - x).otherwise(x)).otherwise(y)
+        x, y = nx, ny
+    return (
+        cells.select("o_custkey", "o_totalprice", d.alias("hcell"))
+        .groupBy("hcell")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custkeys"),
+            (F.max("o_custkey") - F.min("o_custkey"))
+            .cast("long")
+            .alias("custkey_span"),
+            F.round(
+                F.max("o_totalprice") - F.min("o_totalprice"), 4
+            ).alias("price_span"),
+        )
+    )
