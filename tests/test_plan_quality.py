@@ -525,6 +525,10 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("queries/relational.py", "top_customers_concat_by_nation", "nation"): "dimension",
     ("queries/relational.py", "winsorized_price_stats", "bounds"): "1-row",
     ("queries/relational.py", "zorder_cell_census", "rng"): "1-row",
+    ("queries/relational.py", "hilbert_cell_census", "rng"): "1-row",
+    ("queries/relational.py", "zone_stats", "off_df"): "k-rows: <= 16 partition offsets",
+    ("queries/relational.py", "zonemap_skipping_census", "pred_df"): "const: 8 predicates",
+    ("queries/relational.py", "zonemap_skipping_census", "m"): "const: 8 predicate match counts",
     # --- sketches (driver-sized sketch state by construction)
     ("queries/sketches.py", "bloom_membership_census", "bits.withColumn('set_', F.lit(1))"): "k-rows: <= m bloom bits",
     ("queries/sketches.py", "bloom_membership_census", "member"): "k-rows: semi-joined to the probe list first",
@@ -557,6 +561,9 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("queries/text.py", "collocation_pmi_top20", "ut"): "1-row",
     ("queries/text.py", "curriculum_order_manifest", "n"): "1-row",
     ("queries/text.py", "decontamination_census", "hits"): "1-row",
+    ("queries/text.py", "dsir_importance_resample", "tot"): "1-row",
+    ("queries/text.py", "dsir_importance_resample", "lr"): "const: 512 hash buckets",
+    ("queries/text.py", "heldout_kneser_ney_ppl", "tot"): "per-lang: (tc, v2) totals",
     ("queries/text.py", "curriculum_order_manifest", "offsets"): "k-rows: one per distinct quantized logit",
     ("queries/text.py", "entropy", "tot"): "1-row",
     ("queries/text.py", "heavy_hitter_tokens", "totals"): "per-lang",
