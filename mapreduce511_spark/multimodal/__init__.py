@@ -744,3 +744,98 @@ def synth_gif_media(docs: DataFrame) -> DataFrame:
         .repartition(32)
         .mapInPandas(batches, schema="doc_id long, content binary, fmt string")
     )
+
+
+# dHash fixture geometry — single definition shared by
+# synth_dhash_media AND the image_dhash_near_dup oracle f-string:
+# 36x16 grayscale BMPs built from a 9x8 grid of 4x2-pixel constant
+# boxes, so the integer box average recovers the cell value EXACTLY.
+#   base = d // DHASH_CLASS, v = d % DHASH_CLASS
+#   cell(cx, cy) = ((base+1)*(cx + 9*cy + 1)*DHASH_MIX
+#                   + base*(cx*cx + 3*cy*cy)) % 256
+#   variant v > 0 perturbs cells (cx == v, cy < v) by +128 mod 256,
+# giving intra-class Hamming distances spread over 0..8 (the t=3
+# threshold genuinely discriminates) and ZERO cross-class pairs at
+# t<=3 on the 400-doc corpus (measured).
+DHASH_CLASS = 4
+DHASH_MIX = 2654435761  # Knuth multiplicative constant
+DHASH_T = 3  # Hamming radius; 4 bands x 16 bits => exact by pigeonhole
+
+
+def _dhash_cells(doc_id: int):
+    """9x8 int cell grid for one fixture (numpy, closed form above)."""
+    import numpy as np
+
+    base, v = doc_id // DHASH_CLASS, doc_id % DHASH_CLASS
+    cx = np.arange(9, dtype=np.int64)[None, :]
+    cy = np.arange(8, dtype=np.int64)[:, None]
+    c = ((base + 1) * (cx + 9 * cy + 1) * DHASH_MIX
+         + base * (cx * cx + 3 * cy * cy)) % 256
+    if v > 0:
+        c[:v, v] = (c[:v, v] + 128) % 256
+    return c  # shape (8 rows, 9 cols)
+
+
+def synth_dhash_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, content, fmt) with real 36x16 BMP payloads for doc_id <
+    SYNTH_DOC_LIMIT; each 4x2-pixel box holds one constant grayscale
+    cell value (all three channels equal), so decode + integer box
+    averaging is lossless and the dHash bits have a closed form."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mapreduce511_spark.multimodal import codecs
+
+        rows = []
+        for pdf in it:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d >= SYNTH_DOC_LIMIT:
+                    continue
+                cells = _dhash_cells(d)  # (8, 9)
+                px = np.repeat(np.repeat(cells, 2, axis=0), 4, axis=1)
+                img = np.stack([px, px, px], axis=2).astype(np.uint8)
+                rows.append((d, codecs.encode_bmp(img), codecs.BMP_FMT))
+        yield pd.DataFrame(rows, columns=["doc_id", "content", "fmt"])
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, content binary, fmt string"
+    )
+
+
+def extract_dhash(media_df: DataFrame) -> DataFrame:
+    """Difference-hash (dHash) per image asset via mapInPandas: decode,
+    integer 4x2 box-average down to the 9x8 cell grid (exact for the
+    fixtures; floor division in general), then 64 bits of
+    cell[y][x+1] > cell[y][x], packed as two NON-NEGATIVE 32-bit
+    halves (h_lo rows 0-3, h_hi rows 4-7) so band extraction never
+    touches a sign bit in either engine."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mapreduce511_spark.multimodal import codecs
+
+        for pdf in it:
+            out = []
+            for doc_id, payload, fmt in zip(
+                pdf["doc_id"], pdf["content"], pdf["fmt"]
+            ):
+                if fmt != codecs.BMP_FMT:
+                    raise NotImplementedError(f"dhash expects BMP, got {fmt!r}")
+                w, h, px = codecs.decode_bmp(bytes(payload))
+                gray = px[:, :, 0].astype(np.int64)  # channels equal
+                cells = (
+                    gray.reshape(h // 2, 2, w // 4, 4).sum(axis=(1, 3)) // 8
+                )
+                bits = (cells[:, 1:9] > cells[:, 0:8]).astype(np.int64)
+                weights = 1 << np.arange(32, dtype=np.int64)
+                lo = int((bits[:4].reshape(-1) * weights).sum())
+                hi = int((bits[4:].reshape(-1) * weights).sum())
+                out.append((int(doc_id), lo, hi))
+            yield pd.DataFrame(out, columns=["doc_id", "h_lo", "h_hi"])
+
+    return media_df.select("doc_id", "content", "fmt").mapInPandas(
+        batches, schema="doc_id long, h_lo long, h_hi long"
+    )

@@ -12,6 +12,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce511_spark.multimodal import (
+    DHASH_CLASS,
+    DHASH_MIX,
+    DHASH_T,
     JPEG_GRID_HB_MOD,
     JPEG_GRID_WB_MOD,
     JPEG_PX_A,
@@ -693,4 +696,159 @@ def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vals long, sum_val long, min_val long, max_val long, "
             "hist_sum long, pos_weighted_sum long"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup (dHash) — multimodal x dedup crossover
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "image_dhash_near_dup",
+    # f-string shares the ONE fixture definition (DHASH_* constants +
+    # cell closed form) with synth_dhash_media, per the JPEG precedent
+    oracle=f"""
+    WITH img AS (
+        SELECT doc_id, doc_id // {DHASH_CLASS} AS base,
+               doc_id % {DHASH_CLASS} AS v
+        FROM documents WHERE doc_id < {SYNTH_DOC_LIMIT}
+    ), grid AS (
+        SELECT doc_id, base, v, cx.g AS cx, cy.g AS cy
+        FROM img,
+             (SELECT unnest(generate_series(0, 8)) AS g) cx,
+             (SELECT unnest(generate_series(0, 7)) AS g) cy
+    ), cells AS (
+        SELECT doc_id, cx, cy,
+               CASE WHEN v > 0 AND cx = v AND cy < v
+                    THEN (((base + 1) * (cx + 9 * cy + 1) * {DHASH_MIX}
+                           + base * (cx * cx + 3 * cy * cy)) % 256 + 128)
+                         % 256
+                    ELSE ((base + 1) * (cx + 9 * cy + 1) * {DHASH_MIX}
+                          + base * (cx * cx + 3 * cy * cy)) % 256
+               END AS c
+        FROM grid
+    ), bits AS (
+        SELECT a.doc_id, a.cy, a.cx,
+               CASE WHEN b.c > a.c THEN 1 ELSE 0 END AS bit
+        FROM cells a JOIN cells b
+          ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+        WHERE a.cx < 8
+    ), h AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN cy < 4
+                    THEN bit * (CAST(1 AS BIGINT) << (cy * 8 + cx))
+                    ELSE 0 END) AS BIGINT) AS h_lo,
+               CAST(sum(CASE WHEN cy >= 4
+                    THEN bit * (CAST(1 AS BIGINT) << ((cy - 4) * 8 + cx))
+                    ELSE 0 END) AS BIGINT) AS h_hi
+        FROM bits GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.h_lo, b.h_lo))
+                    + bit_count(xor(a.h_hi, b.h_hi)) AS BIGINT) AS hamming,
+               CASE WHEN a.doc_id // {DHASH_CLASS}
+                         = b.doc_id // {DHASH_CLASS}
+                    THEN 1 ELSE 0 END AS same_class
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming, same_class
+    FROM pairs WHERE hamming <= {DHASH_T}
+    """,
+)
+def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL-HASH IMAGE NEAR-DUP — the image-side analog of the
+    SimHash text pipeline, and what a multimodal training-data
+    pipeline runs to drop re-encoded / lightly-edited copies of the
+    same picture: decode each image where the bytes live (mapInPandas
+    over the REAL BMP codec), integer box-average down to a 9x8 cell
+    grid, take the 64-bit DIFFERENCE HASH (dHash: bit = right cell >
+    left cell — the imagehash-standard gradient sign, robust to
+    global brightness/contrast shifts because it compares neighbors,
+    not absolutes), then find all pairs within Hamming distance 3.
+
+    Candidate generation is the banded equi-join discipline of the
+    SimHash family: the 64 bits split into 4 x 16-bit bands, pairs
+    sharing any band meet in one shuffle — EXACT recall at t = 3 by
+    pigeonhole (4 bands, ≤3 differing bits => some band untouched),
+    not an approximation. The hash packs as two non-negative 32-bit
+    halves so band extraction never touches a sign bit in either
+    engine. Fixture images form 4-doc variant classes whose
+    intra-class distances spread over 0..8 (the threshold genuinely
+    discriminates: ~2/3 of intra pairs pass) with zero cross-class
+    pairs at t<=3 — the oracle re-derives hash bits, banding
+    outcome and Hamming arithmetic from the pixel closed form alone.
+
+    100 TB: per-image work is embarrassingly parallel Arrow batches;
+    the only shuffle is the banded join (bounded buckets), and the
+    verify is candidate-bounded — the exact LSH shape of the MinHash
+    dedup family, applied to pixels.
+
+    Reference basis: extension tier — multimodal + dedup families
+    (no analog in /root/reference, which is text-only)."""
+    from mapreduce511_spark.multimodal import extract_dhash, synth_dhash_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = extract_dhash(synth_dhash_media(docs)).localCheckpoint(
+        eager=True
+    )
+    bands = hashes.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"),
+                         F.col("h_lo").bitwiseAND(65535).alias("val")),
+                F.struct(F.lit(1).alias("band"),
+                         F.shiftright("h_lo", 16).alias("val")),
+                F.struct(F.lit(2).alias("band"),
+                         F.col("h_hi").bitwiseAND(65535).alias("val")),
+                F.struct(F.lit(3).alias("band"),
+                         F.shiftright("h_hi", 16).alias("val")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.val")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h_lo").alias("a_lo"),
+        F.col("h_hi").alias("a_hi"),
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h_lo").alias("b_lo"),
+        F.col("h_hi").alias("b_hi"),
+    )
+    hamming = (
+        F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+        + F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+    ).cast("long")
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            hamming.alias("hamming"),
+            F.when(
+                (F.col("doc_a") - F.col("doc_a") % DHASH_CLASS)
+                == (F.col("doc_b") - F.col("doc_b") % DHASH_CLASS),
+                1,
+            )
+            .otherwise(0)
+            .alias("same_class"),
+        )
+        .filter(F.col("hamming") <= DHASH_T)
     )

@@ -292,3 +292,68 @@ def test_resize_png_real_roundtrip():
     w, h, small = codecs.decode_png(out)
     assert (w, h) == (4, 5)
     assert np.array_equal(small, px[::2, ::2])
+
+
+def test_dhash_spark_matches_closed_form(spark):
+    """extract_dhash over REAL decoded BMP fixtures must equal the
+    pure closed form (the oracle's view) bit for bit — this is the
+    decode + box-average + gradient-sign path, not aggregate parity."""
+    import numpy as np
+
+    from mapreduce511_spark.multimodal import (
+        _dhash_cells,
+        extract_dhash,
+        synth_dhash_media,
+    )
+    from mapreduce511_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = {
+        r.doc_id: (r.h_lo, r.h_hi)
+        for r in extract_dhash(synth_dhash_media(docs)).collect()
+    }
+    assert got  # fixtures exist
+    w = (1 << np.arange(32, dtype=np.int64))
+    for d, (lo, hi) in got.items():
+        cells = _dhash_cells(d)
+        bits = (cells[:, 1:9] > cells[:, 0:8]).astype(np.int64)
+        assert lo == int((bits[:4].reshape(-1) * w).sum())
+        assert hi == int((bits[4:].reshape(-1) * w).sum())
+        assert 0 <= lo < (1 << 32) and 0 <= hi < (1 << 32)
+
+
+def test_dhash_banding_recall_is_exact(spark):
+    """Pigeonhole exactness: the banded candidate join must surface
+    EVERY pair within Hamming t=3 (compare against the brute-force
+    pair set on the extracted hashes)."""
+    from itertools import combinations
+
+    from mapreduce511_spark import queries as suite
+    from mapreduce511_spark.multimodal import (
+        DHASH_T,
+        extract_dhash,
+        synth_dhash_media,
+    )
+    from mapreduce511_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    hs = {
+        r.doc_id: (r.h_lo, r.h_hi)
+        for r in extract_dhash(synth_dhash_media(docs)).collect()
+    }
+    brute = {
+        (a, b)
+        for a, b in combinations(sorted(hs), 2)
+        if bin(hs[a][0] ^ hs[b][0]).count("1")
+        + bin(hs[a][1] ^ hs[b][1]).count("1")
+        <= DHASH_T
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in suite.all_queries()["image_dhash_near_dup"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == brute and brute  # exact recall AND precision
