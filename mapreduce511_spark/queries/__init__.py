@@ -72,6 +72,10 @@ _ENUMERATE_FIRST: list[str] = [
     "heldout_kneser_ney_ppl",  # new
     "aqp_revenue_estimate",  # new
     "copurchase_label_propagation",  # new
+    "image_dhash_near_dup",  # new
+    "zonemap_skipping_census",  # new
+    "hilbert_cell_census",  # new
+    "dsir_importance_resample",  # new
     "language_id",  # r02
     "log_chart_smoothed_cpu",  # r02
     "multimodal_decode_stats",  # r02
@@ -103,10 +107,6 @@ _ENUMERATE_FIRST: list[str] = [
     "wordcount_top20",  # r02
     "ann_quantized_topk",  # r03
     "bigram_novelty_rate",  # r03
-    "bpe_first_merge",  # r03
-    "bpe_merge_rules",  # r03
-    "cohort_hourly_retention",  # r03
-    "concurrent_user_spans",  # r03
 ]
 
 
