@@ -839,3 +839,44 @@ def extract_dhash(media_df: DataFrame) -> DataFrame:
     return media_df.select("doc_id", "content", "fmt").mapInPandas(
         batches, schema="doc_id long, h_lo long, h_hi long"
     )
+
+
+def synth_png_native_deflate_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, content, fmt) with PNG payloads whose IDAT stream is
+    the NATIVE DEFLATE encoder (multimodal/deflate.py), not stdlib
+    zlib: doc_id % 3 picks the block type (0 -> dynamic-Huffman,
+    1 -> fixed-Huffman, 2 -> stored), and rows cycle all five PNG
+    filters as in synth_png_media; pixel closed form is the same
+    v(i) = (d*17 + i*11) % 256 with w = 6 + d%11, h = 6 + (d*5)%7.
+    Decoding goes through stdlib zlib's INDEPENDENT inflater, so a
+    green oracle row proves the native bitstream against a second
+    implementation — a self-consistent encoder bug cannot pass."""
+    import numpy as np
+
+    from mapreduce511_spark.multimodal import codecs
+    from mapreduce511_spark.multimodal.deflate import zlib_compress_native
+
+    modes = ("dynamic", "fixed", "stored")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d >= SYNTH_DOC_LIMIT:
+                    continue
+                w = 6 + d % 11
+                h = 6 + (d * 5) % 7
+                vals = (d * 17 + np.arange(w * h * 3, dtype=np.int64) * 11) % 256
+                mode = modes[d % 3]
+                payload = codecs.encode_png(
+                    vals.astype(np.uint8).reshape(h, w, 3),
+                    row_filter=lambda r, d=d: (d + r) % 5,
+                    compress=lambda b, m=mode: zlib_compress_native(b, m),
+                )
+                rows.append((d, payload, codecs.PNG_FMT))
+        yield pd.DataFrame(rows, columns=["doc_id", "content", "fmt"])
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, content binary, fmt string"
+    )

@@ -196,12 +196,15 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png(pixels: np.ndarray, row_filter=0) -> bytes:
+def encode_png(pixels: np.ndarray, row_filter=0, compress=None) -> bytes:
     """Encode an (h, w, 3) uint8 array as a non-interlaced 8-bit RGB
-    PNG using only stdlib zlib. ``row_filter`` is an int filter type
-    (0..4) applied to every row, or a callable row_index -> type —
-    letting tests/synthetic corpora exercise every unfilter path in
-    the decoder, not just the trivial None filter."""
+    PNG. ``row_filter`` is an int filter type (0..4) applied to every
+    row, or a callable row_index -> type — letting tests/synthetic
+    corpora exercise every unfilter path in the decoder, not just the
+    trivial None filter. ``compress`` overrides the IDAT zlib-stream
+    compressor (bytes -> bytes); default stdlib zlib — pass
+    ``multimodal.deflate.zlib_compress_native`` for the native
+    DEFLATE encoder (fixed/dynamic/stored blocks)."""
     import zlib
 
     if pixels.ndim != 3 or pixels.shape[2] != 3:
@@ -242,7 +245,10 @@ def encode_png(pixels: np.ndarray, row_filter=0) -> bytes:
         [
             _PNG_SIG,
             _png_chunk(b"IHDR", ihdr),
-            _png_chunk(b"IDAT", zlib.compress(bytes(out))),
+            _png_chunk(
+                b"IDAT",
+                (compress or zlib.compress)(bytes(out)),
+            ),
             _png_chunk(b"IEND", b""),
         ]
     )

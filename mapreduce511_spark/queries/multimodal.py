@@ -852,3 +852,62 @@ def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= DHASH_T)
     )
+
+
+@register(
+    "multimodal_png_deflate_stats",
+    # same fixture closed form as multimodal_png_stats — only the
+    # IDAT compressor differs, which is exactly the point
+    oracle=f"""
+    WITH img AS (
+        SELECT doc_id,
+               CAST(6 + doc_id % 11 AS INT) AS w,
+               CAST(6 + (doc_id * 5) % 7 AS INT) AS h
+        FROM documents WHERE doc_id < {SYNTH_DOC_LIMIT}
+    ), idx AS (
+        SELECT doc_id, w, h,
+               unnest(generate_series(0, CAST(w * h * 3 - 1 AS BIGINT))) AS i
+        FROM img
+    ), px AS (
+        SELECT doc_id, w, h, (doc_id * 17 + i * 11) % 256 AS v FROM idx
+    )
+    SELECT doc_id, 'image' AS kind, w AS width, h AS height,
+           COUNT(*) AS n_vals,
+           CAST(SUM(v) AS BIGINT) AS sum_val,
+           CAST(MIN(v) AS BIGINT) AS min_val,
+           CAST(MAX(v) AS BIGINT) AS max_val,
+           CAST(SUM(v // 16 + 1) AS BIGINT) AS hist_sum
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_png_deflate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE DEFLATE (RFC 1951) under the exact oracle gate: the PNG
+    fixtures' IDAT streams are produced by the engine's own LZ77 +
+    Huffman encoder (``multimodal/deflate.py`` — dynamic-Huffman with
+    canonical length-limited codes and the 16/17/18 code-length RLE,
+    fixed-Huffman, and stored blocks, cycled per doc; zlib wrapper
+    with a natively computed Adler-32) and decoded through stdlib
+    zlib's INDEPENDENT inflater before the usual pixel statistics.
+    This closes the one asymmetry left in the codec story: FLAC and
+    GIF/LZW compress natively both ways, but DEFLATE only inflated —
+    and unlike a same-module round trip, cross-implementation decode
+    means a self-consistent wrong bitstream cannot pass (the MP3
+    gate's failure mode). The DuckDB oracle knows only the pixel
+    formula; a green row proves LZ77 tokenization (including
+    overlapping matches), both Huffman block types, the dynamic
+    code-length alphabet, bit packing, Adler-32 and PNG filtering
+    end to end.
+
+    At 100 TB: encode/decode run where the bytes live (mapInPandas
+    over Arrow batches, no driver collect), same as the whole
+    multimodal family.
+
+    Reference basis: extension tier — multimodal codec family (no
+    analog in /root/reference, which is text-only)."""
+    from mapreduce511_spark.multimodal import (
+        extract_decoded_features,
+        synth_png_native_deflate_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_decoded_features(synth_png_native_deflate_media(docs))

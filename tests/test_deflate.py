@@ -1,0 +1,158 @@
+"""Native DEFLATE encoder (multimodal/deflate.py) vs stdlib zlib's
+INDEPENDENT inflater — the cross-implementation check that makes the
+encode side verifiable (a self-consistent wrong bitstream cannot
+pass, unlike a same-module round trip).
+"""
+
+from __future__ import annotations
+
+import random
+import zlib
+
+import pytest
+
+from mapreduce511_spark.multimodal.deflate import (
+    _code_lengths,
+    _lz77,
+    _rle_code_lengths,
+    adler32,
+    deflate_dynamic,
+    deflate_fixed,
+    deflate_stored,
+    zlib_compress_native,
+)
+
+
+def _inflate_raw(b: bytes) -> bytes:
+    d = zlib.decompressobj(-15)
+    return d.decompress(b) + d.flush()
+
+
+_EDGES = [
+    b"",
+    b"a",
+    b"ab",
+    b"abc",
+    b"a" * 300,  # overlapping distance-1 match, length > 258
+    b"abcabcabc" * 100,  # periodic matches
+    bytes(range(256)),  # every literal
+    bytes(range(256)) * 300,  # > 64 KiB (stored multi-block)
+]
+
+
+@pytest.mark.parametrize("mode", ["fixed", "dynamic", "stored"])
+def test_edge_cases_round_trip(mode):
+    fn = {
+        "fixed": deflate_fixed,
+        "dynamic": deflate_dynamic,
+        "stored": deflate_stored,
+    }[mode]
+    for data in _EDGES:
+        assert _inflate_raw(fn(data)) == data
+
+
+@pytest.mark.parametrize("mode", ["fixed", "dynamic", "stored"])
+def test_fuzz_round_trip(mode):
+    fn = {
+        "fixed": deflate_fixed,
+        "dynamic": deflate_dynamic,
+        "stored": deflate_stored,
+    }[mode]
+    rng = random.Random(20260815)
+    for _ in range(120):
+        n = rng.randrange(0, 3000)
+        kind = rng.random()
+        if kind < 0.25:
+            data = rng.randbytes(n)
+        elif kind < 0.5:
+            data = bytes(rng.choice(b"ab") for _ in range(n))
+        elif kind < 0.75:
+            unit = rng.randbytes(rng.randrange(1, 20))
+            data = (unit * (n // len(unit) + 1))[:n]
+        else:  # skewed alphabet -> deep Huffman trees
+            pop = b"e" * 500 + b"t" * 200 + b"a" * 80 + b"o" * 30 + b"nshrdlu"
+            data = bytes(rng.choice(pop) for _ in range(n))
+        assert _inflate_raw(fn(data)) == data
+
+
+def test_zlib_wrapper_and_native_adler32():
+    rng = random.Random(7)
+    for n in (0, 1, 100, 5551, 5552, 5553, 20000):
+        data = rng.randbytes(n)
+        assert adler32(data) == zlib.adler32(data)
+        for mode in ("fixed", "dynamic", "stored"):
+            assert zlib.decompress(zlib_compress_native(data, mode)) == data
+
+
+def test_length_limiting_is_kraft_complete():
+    """Fibonacci-ish frequencies force raw Huffman depths past the cap;
+    the limited code must be exactly complete (Kraft sum == 1) at every
+    cap DEFLATE uses (7 for the code-length alphabet, 15 for the main
+    ones) — an oversubscribed or incomplete set is rejected by inflate
+    ('invalid code lengths set', the bug this test pins)."""
+    fib = [1, 1]
+    while len(fib) < 40:
+        fib.append(fib[-1] + fib[-2])
+    freqs = dict(enumerate(fib))
+    for cap in (7, 15):
+        lens = _code_lengths(freqs, cap)
+        assert set(lens) == set(freqs)
+        assert max(lens.values()) <= cap
+        assert sum(2.0 ** -v for v in lens.values()) == 1.0
+    # end to end: data realizing those skewed freqs
+    data = b"".join(bytes([i]) * min(f, 4000) for i, f in enumerate(fib))
+    assert _inflate_raw(deflate_dynamic(data)) == data
+
+
+def test_rle_code_lengths_reconstructs():
+    """The 16/17/18 RLE must expand back to the input length vector."""
+    rng = random.Random(3)
+    for _ in range(200):
+        lens = []
+        while len(lens) < rng.randrange(1, 300):
+            v = rng.choice([0, 0, 0, rng.randrange(1, 16)])
+            lens.extend([v] * rng.randrange(1, 150))
+        out = []
+        prev = None
+        for sym, _, val in _rle_code_lengths(lens):
+            if sym == 18:
+                out.extend([0] * (val + 11))
+            elif sym == 17:
+                out.extend([0] * (val + 3))
+            elif sym == 16:
+                out.extend([prev] * (val + 3))
+            else:
+                out.append(sym)
+                prev = sym
+        assert out == lens
+
+
+def test_lz77_tokens_reconstruct_with_overlap():
+    rng = random.Random(11)
+    for _ in range(100):
+        unit = rng.randbytes(rng.randrange(1, 6))
+        data = (unit * 200)[: rng.randrange(0, 800)] + rng.randbytes(50)
+        out = bytearray()
+        for t in _lz77(data):
+            if t[0] == "lit":
+                out.append(t[1])
+            else:
+                _, ln, dist = t
+                for _k in range(ln):
+                    out.append(out[-dist])
+        assert bytes(out) == data
+
+
+def test_block_type_headers():
+    """First three bits: BFINAL=1 then BTYPE (01 fixed, 10 dynamic,
+    00 stored) — LSB-first packing."""
+    assert deflate_fixed(b"x")[0] & 0b111 == 0b011  # final=1, type=01
+    assert deflate_dynamic(b"x")[0] & 0b111 == 0b101  # final=1, type=10
+    assert deflate_stored(b"x")[0] & 0b111 == 0b001  # final=1, type=00
+
+
+def test_dynamic_beats_fixed_on_skewed_text():
+    data = b"the quick brown fox jumps over the lazy dog " * 300
+    dyn = len(deflate_dynamic(data))
+    fix = len(deflate_fixed(data))
+    assert dyn < fix < len(data) // 10
