@@ -76,6 +76,7 @@ _ENUMERATE_FIRST: list[str] = [
     "zonemap_skipping_census",  # new
     "hilbert_cell_census",  # new
     "dsir_importance_resample",  # new
+    "multimodal_png_deflate_stats",  # new
     "language_id",  # r02
     "log_chart_smoothed_cpu",  # r02
     "multimodal_decode_stats",  # r02
@@ -106,7 +107,6 @@ _ENUMERATE_FIRST: list[str] = [
     "wordcount_skewed",  # r02
     "wordcount_top20",  # r02
     "ann_quantized_topk",  # r03
-    "bigram_novelty_rate",  # r03
 ]
 
 
