@@ -77,6 +77,7 @@ _ENUMERATE_FIRST: list[str] = [
     "hilbert_cell_census",  # new
     "dsir_importance_resample",  # new
     "multimodal_png_deflate_stats",  # new
+    "stream_dsir_admission",  # new
     "language_id",  # r02
     "log_chart_smoothed_cpu",  # r02
     "multimodal_decode_stats",  # r02
@@ -106,7 +107,6 @@ _ENUMERATE_FIRST: list[str] = [
     "wordcount",  # r02
     "wordcount_skewed",  # r02
     "wordcount_top20",  # r02
-    "ann_quantized_topk",  # r03
 ]
 
 

@@ -1737,3 +1737,190 @@ def ann_index_compaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming DSIR admission — importance-weighted ingest gate
+# ---------------------------------------------------------------------------
+
+_SDSIR_TOKENS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+
+@register(
+    "stream_dsir_admission",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_SDSIR_TOKENS} AS tokens FROM documents
+    ), roles AS (
+        SELECT doc_id, source, tokens,
+               CASE WHEN source IN ('src0', 'src1') THEN 'p'
+                    WHEN doc_id % 3 = 0 THEN 'q' ELSE 's' END AS role
+        FROM toks
+    ), grams AS (
+        SELECT doc_id, role,
+               unnest(list_concat(tokens,
+                   list_transform(range(1, len(tokens)),
+                       i -> list_extract(tokens, i) || ' '
+                            || list_extract(tokens, i + 1)))) AS g
+        FROM roles
+    ), hashed AS (
+        SELECT doc_id, role,
+               CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 512 AS bkt
+        FROM grams
+    ), bstats AS (
+        SELECT bkt,
+               CAST(sum(CASE WHEN role = 'p' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cp,
+               CAST(sum(CASE WHEN role = 'q' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cq
+        FROM hashed WHERE role IN ('p', 'q') GROUP BY bkt
+    ), tot AS (
+        SELECT CAST(sum(cp) AS BIGINT) AS np,
+               CAST(sum(cq) AS BIGINT) AS nq
+        FROM bstats
+    ), lr AS (
+        SELECT bkt,
+               CAST(floor(1000000 * ln(((cp + 1.0) * (nq + 512))
+                    / ((cq + 1.0) * (np + 512)))) AS BIGINT) AS lr_micro
+        FROM bstats CROSS JOIN tot
+    ), dflt AS (
+        SELECT CAST(floor(1000000 * ln((1.0 * (nq + 512))
+                    / (1.0 * (np + 512)))) AS BIGINT) AS d
+        FROM tot
+    ), w AS (
+        SELECT h.doc_id,
+               CAST(sum(COALESCE(l.lr_micro, dflt.d)) AS BIGINT) AS logw
+        FROM hashed h LEFT JOIN lr l USING (bkt) CROSS JOIN dflt
+        WHERE h.role = 's' GROUP BY h.doc_id
+    )
+    SELECT r.source,
+           count(*) AS n_arrived,
+           CAST(sum(CASE WHEN COALESCE(w.logw, 0) >= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_admitted,
+           CAST(sum(COALESCE(w.logw, 0)) AS BIGINT) AS sum_logw_micro
+    FROM roles r LEFT JOIN w USING (doc_id)
+    WHERE r.role = 's'
+    GROUP BY r.source
+    """,
+)
+def stream_dsir_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR AS AN INGEST GATE — ``dsir_importance_resample``'s hashed
+    n-gram importance weight applied the way a production pipeline
+    actually deploys it: scoring every ARRIVING document in the
+    stream and admitting those that look more target-like than the
+    standing corpus (log w >= 0). The target multinomial p comes from
+    the static target-domain sample (sources src0+src1); the raw
+    reference q from the STANDING corpus slice (doc_id % 3 == 0, the
+    same 'nightly build' role the ANN admission family uses); the
+    stream is everything else, arriving as file-source micro-batches.
+
+    The 100 TB shape is the point: the 512-bucket log-ratio table is
+    built ONCE batch-side, collapses to a 512-integer LITERAL MAP in
+    the plan (a driver-sized scoring model, exactly like shipping a
+    quality-classifier weight vector), and each arriving document
+    scores as a STATELESS per-row array fold —
+    aggregate(transform(grams, g -> lr[h(g)])) — so the gate adds
+    ZERO streaming state and no per-batch shuffle of the corpus;
+    the only stateful operator is the tiny per-source funnel census.
+    Batch-split invariance is by construction (per-row score,
+    commutative aggregate); the oracle restates the whole pipeline —
+    training counts, smoothing, unseen-bucket default, gate, funnel
+    — in SQL. Per-bucket log-ratios floor to integer micro-nats from
+    exact integer counts, computed once driver-side (CPython and
+    DuckDB share libm), summed order-independently.
+
+    Reference basis: extension tier — §2.9 streaming x LLM-pipeline
+    sampling composed (companions: ``dsir_importance_resample``,
+    ``stream_ingest_pipeline``)."""
+    import math
+
+    from mapreduce511_spark.functions.text import tokenize, word_ngrams
+    from mapreduce511_spark.operators.dedup import hash60
+    from mapreduce511_spark.queries.text import _DSIR_B, _DSIR_TARGET
+
+    src, ckpt, name = _scratch("sdsir")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id", "source", tokenize("text").alias("toks")
+        )
+        role = (
+            F.when(F.col("source").isin(*_DSIR_TARGET), "p")
+            .when(F.col("doc_id") % 3 == 0, "q")
+            .otherwise("s")
+        )
+        static = toks.withColumn("role", role).filter(F.col("role") != "s")
+        bstats = (
+            static.select(
+                "role",
+                F.explode(
+                    F.concat(F.col("toks"), word_ngrams(F.col("toks"), 2))
+                ).alias("g"),
+            )
+            .groupBy((hash60(F.col("g")) % _DSIR_B).alias("bkt"))
+            .agg(
+                F.sum(F.when(F.col("role") == "p", 1).otherwise(0)).alias(
+                    "cp"
+                ),
+                F.sum(F.when(F.col("role") == "q", 1).otherwise(0)).alias(
+                    "cq"
+                ),
+            )
+            .collect()  # <= 512 rows: the scoring model is driver-sized
+        )
+        np_ = sum(r.cp for r in bstats)
+        nq = sum(r.cq for r in bstats)
+
+        def lr(cp: int, cq: int) -> int:
+            return math.floor(
+                1_000_000
+                * math.log(
+                    ((cp + 1.0) * (nq + _DSIR_B))
+                    / ((cq + 1.0) * (np_ + _DSIR_B))
+                )
+            )
+
+        default_lr = lr(0, 0)
+        pairs: list = []
+        for r in bstats:
+            pairs.append(F.lit(int(r.bkt)))
+            pairs.append(F.lit(lr(int(r.cp), int(r.cq))))
+        lr_map = F.create_map(*pairs)
+
+        stream_slice = docs.withColumn("_r", role).filter(
+            F.col("_r") == "s"
+        ).drop("_r")
+        stream_slice.repartition(4).write.mode("overwrite").parquet(src)
+        reader = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        t = tokenize("text")
+        grams = F.concat(t, word_ngrams(t, 2))
+        # per-row stateless score: fold the gram array through the
+        # literal scoring map (unseen bucket -> smoothed default)
+        logw = F.aggregate(
+            F.transform(
+                grams,
+                lambda g: F.coalesce(
+                    F.element_at(lr_map, (hash60(g) % _DSIR_B).cast("int")),
+                    F.lit(default_lr),
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = reader.select(
+            "source", logw.alias("logw")
+        )
+        census = scored.groupBy("source").agg(
+            F.count("*").alias("n_arrived"),
+            F.sum(F.when(F.col("logw") >= 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_admitted"),
+            F.sum("logw").cast("long").alias("sum_logw_micro"),
+        )
+        return _detach(run_available_now(census, name, ckpt), name)
+    finally:
+        _cleanup(src)
