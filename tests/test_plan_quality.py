@@ -644,3 +644,48 @@ def test_allowlist_has_no_stale_entries():
     live = set(_broadcast_sites())
     stale = [k for k in _BROADCAST_ALLOWLIST if k not in live]
     assert not stale, f"stale allowlist entries: {stale}"
+
+
+def test_hilbert_census_stays_in_codegen(spark):
+    """The Hilbert rotate/reflect recurrence is CASE/XOR integer
+    arithmetic: zero Python evaluation; bounds ride a 1-row
+    broadcast, like the Z-order twin."""
+    plan = _plan(spark, "hilbert_cell_census")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds join
+
+
+def test_dsir_scores_through_broadcast_model(spark):
+    """DSIR's per-doc weight pass must join the 512-row log-ratio
+    table by BROADCAST (a driver-sized scoring model), never shuffle
+    the gram stream against it; selection must be TakeOrdered, not a
+    global sort."""
+    plan = _plan(spark, "dsir_importance_resample")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zonemap_row_numbers_are_pid_partitioned(spark):
+    """The global row numbers must come from the two-pass recipe:
+    every Window in the plan partitions by the range-partition id —
+    a single-partition global sort window would be the 100 TB
+    anti-pattern this query exists to avoid."""
+    plan = _plan(spark, "zonemap_skipping_census")
+    assert "hashpartitioning(pid" in plan
+    # no Window over an unpartitioned (SinglePartition) exchange
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        # every window spec in this plan carries the pid partition key
+        seg = plan[m.start() : m.start() + 400]
+        assert "pid" in seg, seg[:200]
+
+
+def test_dhash_candidates_ride_the_banded_equi_join(spark):
+    """Candidate generation must be the banded equi-join (shuffle on
+    (band, val)), with the per-image hashing in Arrow batches — no
+    quadratic pair plan anywhere."""
+    plan = _plan(spark, "image_dhash_near_dup")
+    assert "MapInPandas" in plan or "Scan ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

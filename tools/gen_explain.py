@@ -99,6 +99,11 @@ PICKS = {
     "ann_admission_drift_census": "Artifact scan + broadcast centroid join (map-only); 2-group integer aggregate",
     "aqp_revenue_estimate": "AQP estimator: sample + exact in ONE map-combinable scan; 3-group shuffle; CI math on the aggregate row",
     "copurchase_label_propagation": "3 LPA rounds: vertex-keyed joins on the checkpointed edge leaf; struct-max top-1, no sort window",
+    "dsir_importance_resample": "DSIR: broadcast 512-row log-ratio table; per-doc integer sums; TakeOrdered top-k",
+    "zonemap_skipping_census": "Zone maps: two-pass distributed row numbers; envelope table x 8 predicates, one-pass match counts",
+    "hilbert_cell_census": "Hilbert xy->d as unrolled CASE/XOR ints in codegen; 1-row bounds broadcast",
+    "image_dhash_near_dup": "dHash: Arrow decode+hash; 4x16-bit banded equi-join, pigeonhole-exact recall",
+    "multimodal_png_deflate_stats": "Native DEFLATE IDAT encoded+decoded where the bytes live; shuffle-free per-asset aggregate",
 }
 
 

@@ -156,6 +156,12 @@ PICKS = {
     "heldout_kneser_ney_ppl": "type counts collapse map-side before shuffle; val stream = vocabulary-keyed left joins",
     "aqp_revenue_estimate": "one map-combinable scan; 3-group shuffle; production reads only the 1% sample table",
     "copurchase_label_propagation": "3 x (vertex-keyed join + two hash aggs) over the checkpointed edge set; state = |V| labels",
+    "dsir_importance_resample": "two linear gram passes; 512-row model broadcast; TakeOrdered top-k",
+    "zonemap_skipping_census": "two range-partitioned sorts; everything after the zone stats is envelope-sized",
+    "hilbert_cell_census": "linear integer codegen; 1-row bounds broadcast; 256-cell output",
+    "image_dhash_near_dup": "linear Arrow decode+hash; banded join bounded by bucket sizes",
+    "multimodal_png_deflate_stats": "linear per-asset encode/decode where the bytes live",
+    "stream_dsir_admission": "stateless per-row score; only the per-source census is stateful",
 }
 
 
