@@ -441,6 +441,47 @@ def _index_path(spark, key: tuple, prefix: str) -> str:
     return os.path.join(_artifact_root(spark), f"{prefix}_{tag}")
 
 
+_MODEL_SIDECAR = "_mr511_model.json"
+
+
+def load_model_sidecar(path: str, require_success: bool = True):
+    """Driver-side model (centroids/codebooks) persisted beside a
+    COMPLETE index artifact, or None. A fresh process finding both the
+    sidecar and Spark's _SUCCESS marker for a content-fingerprinted
+    path reuses the artifact instead of retraining and REWRITING it in
+    place — the rewrite is what broke concurrent readers (mode
+    'overwrite' deletes part files under them even though the content
+    is identical), and the retrain is a per-session cost 'build once
+    per snapshot' shouldn't pay. JSON floats round-trip IEEE doubles
+    exactly (shortest-repr), so a reloaded model is bitwise the model
+    that built the artifact."""
+    import json
+    import os
+
+    f = os.path.join(path, _MODEL_SIDECAR)
+    if not os.path.exists(f):
+        return None
+    if require_success and not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return None  # parquet commit marker missing: treat as torn
+    with open(f) as fh:
+        return json.load(fh)
+
+
+def write_model_sidecar(path: str, model) -> None:
+    """Atomically publish the sidecar (write temp + rename) so a
+    concurrent reader never observes a partial model; written LAST,
+    after all parquet writes, so sidecar-present implies
+    artifact-complete."""
+    import json
+    import os
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="._model_")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(model, fh)
+    os.replace(tmp, os.path.join(path, _MODEL_SIDECAR))
+
+
 def ensure_ivf_index(
     emb: DataFrame, k: int = K_CELLS, iters: int = KMEANS_ITERS
 ) -> tuple[str, list[list[float]]]:
@@ -451,9 +492,14 @@ def ensure_ivf_index(
     key = _cache_key(emb, "ivf_index", k, iters)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
-    centroids = train_centroids(emb, k, iters)
     path = _index_path(emb.sparkSession, key, "ivf")
+    model = load_model_sidecar(path)
+    if model is not None:
+        _INDEX_CACHE[key] = (path, model["centroids"])
+        return _INDEX_CACHE[key]
+    centroids = train_centroids(emb, k, iters)
     ivf_write_partitioned(emb, centroids, path)
+    write_model_sidecar(path, {"centroids": centroids})
     _INDEX_CACHE[key] = (path, centroids)
     return path, centroids
 
@@ -476,10 +522,14 @@ def ensure_pq_index(
     key = _cache_key(emb, "pq_index", m, k, iters, with_cells, k_cells)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
+    path = _index_path(emb.sparkSession, key, "ivfpq" if with_cells else "pq")
+    model = load_model_sidecar(path)
+    if model is not None:
+        _INDEX_CACHE[key] = (path, model["books"], model["centroids"])
+        return _INDEX_CACHE[key]
     books = train_pq_codebooks(emb, m, k, iters)
     centroids = train_centroids(emb, k_cells) if with_cells else None
     coded = pq_encode(emb, books)
-    path = _index_path(emb.sparkSession, key, "ivfpq" if with_cells else "pq")
     if with_cells:
         tagged = _with_best_cell(
             emb.select("vec_id", "embedding"), "embedding", centroids
@@ -489,6 +539,7 @@ def ensure_pq_index(
         ).parquet(path)
     else:
         coded.write.mode("overwrite").parquet(path)
+    write_model_sidecar(path, {"books": books, "centroids": centroids})
     _INDEX_CACHE[key] = (path, books, centroids)
     return path, books, centroids
 
@@ -507,11 +558,16 @@ def ensure_pq_residual_index(
     key = _cache_key(emb, "pq_res_index", m, k, iters, k_cells)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
+    path = _index_path(emb.sparkSession, key, "ivfpqr")
+    model = load_model_sidecar(path)
+    if model is not None:
+        _INDEX_CACHE[key] = (path, model["books"], model["centroids"])
+        return _INDEX_CACHE[key]
     centroids = train_centroids(emb, k_cells)
     books = train_pq_residual_codebooks(emb, centroids, m, k, iters)
     coded = pq_encode_residual(emb, centroids, books)
-    path = _index_path(emb.sparkSession, key, "ivfpqr")
     coded.write.mode("overwrite").partitionBy("cell").parquet(path)
+    write_model_sidecar(path, {"books": books, "centroids": centroids})
     _INDEX_CACHE[key] = (path, books, centroids)
     return path, books, centroids
 

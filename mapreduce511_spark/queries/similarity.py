@@ -2577,16 +2577,23 @@ def _ensure_lloyd_index(emb: DataFrame) -> tuple[str, list]:
         _INDEX_CACHE,
         _cache_key,
         _index_path,
+        load_model_sidecar,
+        write_model_sidecar,
     )
 
     key = _cache_key(emb, "lloyd_index", _LLOYD_K, _LLOYD_ITERS)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
+    path = _index_path(emb.sparkSession, key, "lloyd")
+    model = load_model_sidecar(path)
+    if model is not None:
+        cent_rows = [(int(c), v) for c, v in model["cent_rows"]]
+        _INDEX_CACHE[key] = (path, cent_rows)
+        return _INDEX_CACHE[key]
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cent = _lloyd_centroids(e)
-    path = _index_path(emb.sparkSession, key, "lloyd")
     (
         _lloyd_assign(e, cent)
         .select("vec_id", "v", "cell")
@@ -2595,6 +2602,7 @@ def _ensure_lloyd_index(emb: DataFrame) -> tuple[str, list]:
         .parquet(path)
     )
     cent_rows = [(int(r.cell), [float(x) for x in r.cv]) for r in cent.collect()]
+    write_model_sidecar(path, {"cent_rows": cent_rows})
     _INDEX_CACHE[key] = (path, cent_rows)
     return path, cent_rows
 
@@ -2783,12 +2791,22 @@ def _ensure_admitted_lloyd_index(emb: DataFrame) -> tuple[str, list]:
         _cache_key,
         _index_path,
         admit_batch_lloyd,
+        load_model_sidecar,
+        write_model_sidecar,
     )
 
     key = _cache_key(emb, "lloyd_admitted", _LLOYD_K, _LLOYD_ITERS)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     spark = emb.sparkSession
+    path = _index_path(spark, key, "lloyd_admit")
+    # sidecar is written AFTER the admission append, so its presence
+    # means build + admit both completed
+    model = load_model_sidecar(path)
+    if model is not None:
+        cent_rows = [(int(c), v) for c, v in model["cent_rows"]]
+        _INDEX_CACHE[key] = (path, cent_rows)
+        return _INDEX_CACHE[key]
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -2797,7 +2815,6 @@ def _ensure_admitted_lloyd_index(emb: DataFrame) -> tuple[str, list]:
     cent = _lloyd_centroids(base)
     cent_rows = [(int(r.cell), [float(x) for x in r.cv]) for r in cent.collect()]
     cent_df = spark.createDataFrame(cent_rows, ["cell", "cv"])
-    path = _index_path(spark, key, "lloyd_admit")
     (
         _lloyd_assign(base, cent_df)
         .select("vec_id", "v", "cell")
@@ -2806,6 +2823,7 @@ def _ensure_admitted_lloyd_index(emb: DataFrame) -> tuple[str, list]:
         .parquet(path)
     )
     admit_batch_lloyd(spark, path, cent_rows, batch)
+    write_model_sidecar(path, {"cent_rows": cent_rows})
     _INDEX_CACHE[key] = (path, cent_rows)
     return path, cent_rows
 

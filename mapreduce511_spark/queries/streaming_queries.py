@@ -1577,6 +1577,8 @@ def ensure_stream_admitted_lloyd_index(emb: DataFrame) -> tuple[str, list]:
         _INDEX_CACHE,
         _cache_key,
         _index_path,
+        load_model_sidecar,
+        write_model_sidecar,
     )
     from mapreduce511_spark.queries.similarity import (
         _LLOYD_ITERS,
@@ -1588,6 +1590,14 @@ def ensure_stream_admitted_lloyd_index(emb: DataFrame) -> tuple[str, list]:
     spark = emb.sparkSession
     key = _cache_key(emb, "lloyd_stream_admitted", _LLOYD_K, _LLOYD_ITERS)
     if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    # per-batch partition dirs carry their own commit markers; the
+    # sidecar (written after the drain) is the artifact-complete mark
+    done_path = _index_path(spark, key, "lloyd_stream")
+    model = load_model_sidecar(done_path, require_success=False)
+    if model is not None:
+        cent_rows = [(int(c), v) for c, v in model["cent_rows"]]
+        _INDEX_CACHE[key] = (done_path, cent_rows)
         return _INDEX_CACHE[key]
     src, ckpt, _name = _scratch("annadmit")
     try:
@@ -1635,6 +1645,7 @@ def ensure_stream_admitted_lloyd_index(emb: DataFrame) -> tuple[str, list]:
             .start()
             .awaitTermination()
         )
+        write_model_sidecar(path, {"cent_rows": cent_rows})
         _INDEX_CACHE[key] = (path, cent_rows)
         return path, cent_rows
     finally:
@@ -1722,10 +1733,20 @@ def ann_index_compaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     key = _cache_key(emb, "lloyd_compacted", _LLOYD_K, _LLOYD_ITERS)
     if key not in _INDEX_CACHE:
-        spath, cent_rows = ensure_stream_admitted_lloyd_index(emb)
+        from mapreduce511_spark.operators.ann import (
+            load_model_sidecar,
+            write_model_sidecar,
+        )
+
         cpath = _index_path(spark, key, "lloyd_compact")
-        compact_parquet(spark, spath, cpath, partition_by=["cell"])
-        _INDEX_CACHE[key] = (cpath, cent_rows)
+        model = load_model_sidecar(cpath)
+        if model is not None:
+            _INDEX_CACHE[key] = (cpath, [(int(c), v) for c, v in model["cent_rows"]])
+        else:
+            spath, cent_rows = ensure_stream_admitted_lloyd_index(emb)
+            compact_parquet(spark, spath, cpath, partition_by=["cell"])
+            write_model_sidecar(cpath, {"cent_rows": cent_rows})
+            _INDEX_CACHE[key] = (cpath, cent_rows)
     cpath, _ = _INDEX_CACHE[key]
     af = read_parquet_checked(spark, cpath)
     return (

@@ -830,3 +830,34 @@ def test_compacted_index_preserves_rows_and_reduces_files(spark):
     assert n_out < n_in, (n_in, n_out)
     # the compacted layout keeps cell=<id> dirs (pruning survives)
     assert glob.glob(f"{cpath}/cell=*"), "cell partition level lost"
+
+
+def test_index_artifacts_reused_across_processes(spark):
+    """A fresh process (simulated by clearing the in-process cache)
+    finding a COMPLETE artifact for the same content fingerprint must
+    reuse it — identical model, identical part files — instead of
+    retraining and REWRITING in place (mode 'overwrite' deletes part
+    files under any concurrent reader; this is the race a parallel
+    session hit). The sidecar is written last + atomically, so its
+    presence implies the artifact is complete."""
+    import glob
+
+    from mapreduce511_spark.operators.ann import _INDEX_CACHE, ensure_ivf_index
+    from mapreduce511_spark.queries.similarity import _ensure_lloyd_index
+    from mapreduce511_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    for build in (ensure_ivf_index, _ensure_lloyd_index):
+        path, model1 = build(emb)
+        files1 = sorted(glob.glob(f"{path}/**/*.parquet", recursive=True))
+        assert files1, path
+        # simulate a brand-new process: in-memory cache gone
+        stale = [k for k in _INDEX_CACHE if _INDEX_CACHE[k][0] == path]
+        for k in stale:
+            del _INDEX_CACHE[k]
+        path2, model2 = build(emb)
+        assert path2 == path
+        assert model2 == model1  # JSON round-trips IEEE doubles exactly
+        files2 = sorted(glob.glob(f"{path}/**/*.parquet", recursive=True))
+        assert files2 == files1  # no rewrite: same part files, untouched
