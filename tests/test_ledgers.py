@@ -44,6 +44,7 @@ _PROFILE_SECTIONS = (
     "### r7 update: verdict REVERSED for tfidf under the unhinted plan",
     "## r06->r07 pre-check movers: NOISE",
     "## Streaming state-partition sizing: 22% suite win",
+    "## Cross-session artifact rewrite race: ROOT-CAUSED and FIXED",
 )
 
 
