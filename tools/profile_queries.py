@@ -268,6 +268,27 @@ whatever the batch session happened to use. Results are
 partition-count invariant; every caller drains into a fresh
 checkpoint, so the pin-at-first-checkpoint hazard doesn't apply.
 
+
+## Cross-session artifact rewrite race: ROOT-CAUSED and FIXED (r8)
+
+One test (`test_ann_ivf_pq_residual_at_least_matches_raw`) failed a
+full-suite run with FAILED_READ_FILE.FILE_NOT_EXIST on
+`spark-warehouse/ann_index/ivfpq_*/cell=7/part-*.parquet` while
+passing in isolation (re-run: 52 s, green). Cause: a second Spark
+process (the EXPLAIN.md regenerator) hit the same content-fingerprint
+key, found only its own EMPTY in-process `_INDEX_CACHE`, and
+retrained + `mode("overwrite")`-rewrote the identical artifact —
+deleting part files under the reader mid-scan. Not flaky compute,
+not a plan defect: a lifecycle gap. Fix (same session): every
+`ensure_*` now publishes the driver-side model as an atomic JSON
+sidecar written AFTER the parquet commit, and any later process
+finding sidecar + commit marker for the fingerprint reuses the
+artifact — no retrain, no rewrite, no race. Verified by
+`test_index_artifacts_reused_across_processes` (same model, same
+part files after a simulated fresh process) and a 366-test family
+re-run. Production reading: "build once per snapshot" must be
+durable across sessions, or every restart both pays training cost
+and endangers concurrent readers.
 """
 
 def _metrics(node) -> dict:
