@@ -3766,32 +3766,16 @@ def zonemap_skipping_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def zone_stats(layout: str, sort_cols: list[str]) -> DataFrame:
-        d = (
-            li.select("l_shipdate", "l_orderkey", "l_linenumber")
-            .repartitionByRange(16, *sort_cols)
-            .sortWithinPartitions(*sort_cols)
-            .withColumn("pid", F.spark_partition_id())
-            # one materialization feeds both the offset pass and the
-            # row-number pass (and pins pid against recomputation)
-            .localCheckpoint(eager=True)
+        from mapreduce511_spark.operators.order import global_row_number
+
+        numbered = global_row_number(
+            li.select("l_shipdate", "l_orderkey", "l_linenumber"), sort_cols
         )
-        counts = sorted(
-            d.groupBy("pid").count().collect(), key=lambda r: r["pid"]
-        )
-        offs, acc = [], 0
-        for r in counts:
-            offs.append((r["pid"], acc))
-            acc += r["count"]
-        off_df = spark.createDataFrame(offs, "pid int, off long")
-        w = Window.partitionBy("pid").orderBy(*sort_cols)
         return (
-            d.join(F.broadcast(off_df), "pid")
-            .select(
+            numbered.select(
                 "l_shipdate",
                 "l_orderkey",
-                F.expr(f"(row_number() OVER (PARTITION BY pid ORDER BY "
-                       f"{', '.join(sort_cols)}) + off - 1) DIV {_ZM_ZONE}")
-                .alias("zone"),
+                F.expr(f"(rn - 1) DIV {_ZM_ZONE}").alias("zone"),
             )
             .groupBy("zone")
             .agg(

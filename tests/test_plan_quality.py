@@ -526,7 +526,7 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("queries/relational.py", "winsorized_price_stats", "bounds"): "1-row",
     ("queries/relational.py", "zorder_cell_census", "rng"): "1-row",
     ("queries/relational.py", "hilbert_cell_census", "rng"): "1-row",
-    ("queries/relational.py", "zone_stats", "off_df"): "k-rows: <= 16 partition offsets",
+    ("operators/order.py", "global_row_number", "off_df"): "k-rows: <= num_partitions offsets",
     ("queries/relational.py", "zonemap_skipping_census", "pred_df"): "const: 8 predicates",
     ("queries/relational.py", "zonemap_skipping_census", "m"): "const: 8 predicate match counts",
     # --- sketches (driver-sized sketch state by construction)
@@ -671,14 +671,14 @@ def test_zonemap_row_numbers_are_pid_partitioned(spark):
     a single-partition global sort window would be the 100 TB
     anti-pattern this query exists to avoid."""
     plan = _plan(spark, "zonemap_skipping_census")
-    assert "hashpartitioning(pid" in plan
+    assert "hashpartitioning(_pid" in plan
     # no Window over an unpartitioned (SinglePartition) exchange
     import re
 
     for m in re.finditer(r"Window \[", plan):
-        # every window spec in this plan carries the pid partition key
+        # every window spec in this plan carries the _pid partition key
         seg = plan[m.start() : m.start() + 400]
-        assert "pid" in seg, seg[:200]
+        assert "_pid" in seg, seg[:200]
 
 
 def test_dhash_candidates_ride_the_banded_equi_join(spark):

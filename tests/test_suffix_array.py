@@ -1,0 +1,112 @@
+"""Distributed suffix array (operators/suffix_array.py): exact parity
+vs a pure-Python construction on the real corpus, plus the ordering
+primitives it builds on."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def test_global_row_number_is_a_permutation(spark):
+    from mapreduce511_spark.operators.order import global_row_number
+    from mapreduce511_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    out = global_row_number(li, ["l_orderkey", "l_linenumber"])
+    rows = out.collect()
+    # 1..n exactly once, and numbering follows the total order
+    assert sorted(r.rn for r in rows) == list(range(1, len(rows) + 1))
+    by_rn = sorted(rows, key=lambda r: r.rn)
+    keys = [(r.l_orderkey, r.l_linenumber) for r in by_rn]
+    assert keys == sorted(keys)
+
+
+def test_dense_rank_global_matches_python(spark):
+    from mapreduce511_spark.operators.order import dense_rank_global
+    from mapreduce511_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_type")
+    out = dense_rank_global(ev, ["event_type"]).collect()
+    types = sorted({r.event_type for r in out})
+    expect = {t: i for i, t in enumerate(types)}
+    assert all(r.rank == expect[r.event_type] for r in out)
+
+
+def _python_suffix_array(tokens: list[str]) -> list[int]:
+    return sorted(range(len(tokens)), key=lambda i: tokens[i:])
+
+
+def test_suffix_array_matches_python_on_real_corpus(spark):
+    """Full construction parity on a real slice of the documents
+    table: the prefix-doubling ranks must order suffixes exactly as a
+    pure-Python suffix sort of the same token stream (string order is
+    code-point order in both engines for the UTF-8 corpus)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce511_spark.operators.suffix_array import (
+        build_suffix_array,
+        corpus_positions,
+    )
+    from mapreduce511_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("doc_id") < 60
+    )
+    pos = corpus_positions(docs).localCheckpoint(eager=True)
+    sa = build_suffix_array(pos)
+    got = [r.pos - 1 for r in sa.orderBy("sa").collect()]  # pos is 1-based
+    toks = [r.token for r in sorted(pos.collect(), key=lambda r: r.pos)]
+    assert got == _python_suffix_array(toks)
+
+
+def test_suffix_array_never_crosses_documents(spark):
+    """Per-document sentinels must make every rank distinct (the
+    construction would raise otherwise) and keep each document's
+    final suffix a single sentinel token — no suffix logically
+    extends into the next document."""
+    from pyspark.sql import functions as F
+
+    from mapreduce511_spark.operators.suffix_array import (
+        build_suffix_array,
+        corpus_positions,
+    )
+    from mapreduce511_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("doc_id") < 30
+    )
+    pos = corpus_positions(docs).localCheckpoint(eager=True)
+    sa = build_suffix_array(pos)  # raises if ranks don't converge
+    n = pos.count()
+    assert sa.select("sa").distinct().count() == n
+    # sentinels are unique: one per doc, token starts with \x01
+    sent = pos.filter(F.col("token").startswith("\x01"))
+    assert sent.count() == docs.count()
+    assert sent.select("token").distinct().count() == docs.count()
+
+
+def test_repeated_phrases_finds_planted_duplicate(spark):
+    """Plant an 8-word phrase in three synthetic documents: it must
+    surface as the top repeated phrase with LCP >= 8 (capped at the
+    max_lcp window), found via suffix-array adjacency."""
+    from mapreduce511_spark.operators.suffix_array import (
+        build_suffix_array,
+        corpus_positions,
+        repeated_phrases,
+    )
+
+    phrase = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, f"one two {phrase} three four"),
+        (1, f"five {phrase} six seven eight"),
+        (2, f"{phrase} nine ten"),
+        (3, "unrelated words only here nothing repeats much"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pos = corpus_positions(docs).localCheckpoint(eager=True)
+    sa = build_suffix_array(pos)
+    top = repeated_phrases(pos, sa, max_lcp=8, topk=3).collect()
+    assert top[0].lcp == 8
+    assert top[0].head.startswith("alpha beta gamma")
