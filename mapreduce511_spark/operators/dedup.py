@@ -297,3 +297,54 @@ def simhash_candidates(fingerprints: DataFrame) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+
+
+def compression_ratio(docs, text_col: str = "text"):
+    """Per-document DEFLATE compression ratio in exact integer parts
+    per thousand — the corpus-quality signal production pipelines cut
+    on (highly compressible text = repetitive/templated/low-entropy;
+    e.g. the Gopher/RefinedWeb-family "compression ratio" rule):
+    ratio_milli = 1000 * compressed_bytes / raw_bytes, computed with
+    the engine's own native DEFLATE encoder (multimodal/deflate.py,
+    dynamic-Huffman) inside Arrow batches where the text lives. The
+    encoder is deterministic (greedy LZ77 + canonical codes), so the
+    column is stable across partitionings and sessions — unlike
+    linking against whatever zlib level a cluster image ships.
+
+    Returns (doc_id, raw_bytes, comp_bytes, ratio_milli). Empty text
+    reports ratio_milli = 1000 (incompressible by convention rather
+    than a divide-by-zero).
+
+    Reference basis: extension tier — text-quality family beside
+    repetition_score / gopher_quality_rules (SURVEY.md §2
+    extensions)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    def batches(it):
+        import pandas as pd
+
+        from mapreduce511_spark.multimodal.deflate import deflate_dynamic
+
+        for pdf in it:
+            raw = [str(t).encode("utf-8") for t in pdf[text_col]]
+            comp = [len(deflate_dynamic(b)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "raw_bytes": [len(b) for b in raw],
+                    "comp_bytes": comp,
+                }
+            )
+
+    out = docs.select("doc_id", text_col).mapInPandas(
+        batches, schema="doc_id long, raw_bytes long, comp_bytes long"
+    )
+    ratio = F.when(F.col("raw_bytes") == 0, F.lit(1000)).otherwise(
+        (1000 * F.col("comp_bytes")).cast("long") / F.col("raw_bytes")
+    )
+    return out.select(
+        "doc_id",
+        "raw_bytes",
+        "comp_bytes",
+        F.floor(ratio).cast("long").alias("ratio_milli"),
+    )

@@ -156,3 +156,28 @@ def test_dynamic_beats_fixed_on_skewed_text():
     dyn = len(deflate_dynamic(data))
     fix = len(deflate_fixed(data))
     assert dyn < fix < len(data) // 10
+
+
+def test_compression_ratio_separates_repetitive_text(spark):
+    """The quality signal must actually discriminate: a templated
+    (100x-repeated) document compresses far below a diverse one, and
+    the column is deterministic across partitionings."""
+    from mapreduce511_spark.operators.dedup import compression_ratio
+
+    rows = [
+        (0, "spam spam spam " * 100),
+        (1, " ".join(f"w{i}x{i * 7 % 97}" for i in range(300))),
+        (2, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    assert out[0].ratio_milli < 100  # templated: >10x compressible
+    assert out[1].ratio_milli > 300  # diverse: compresses poorly
+    assert out[2].ratio_milli == 1000 and out[2].raw_bytes == 0
+    out2 = {
+        r.doc_id: r
+        for r in compression_ratio(docs.repartition(7)).collect()
+    }
+    assert {k: (v.comp_bytes, v.ratio_milli) for k, v in out.items()} == {
+        k: (v.comp_bytes, v.ratio_milli) for k, v in out2.items()
+    }
