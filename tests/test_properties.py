@@ -128,3 +128,43 @@ def test_connected_components_matches_union_find(edges):
         for r in connected_components(df, max_iter=40).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    data=st.one_of(
+        st.binary(max_size=2000),
+        # low-entropy alphabets force long matches and deep trees
+        st.builds(
+            bytes,
+            st.lists(st.sampled_from(list(b"abc\x00")), max_size=3000),
+        ),
+        # periodic data forces overlapping matches (dist < len)
+        st.builds(
+            lambda unit, reps, cut: (bytes(unit) * reps)[:cut],
+            st.lists(st.integers(0, 255), min_size=1, max_size=8),
+            st.integers(1, 400),
+            st.integers(0, 2500),
+        ),
+    ),
+    mode=st.sampled_from(["fixed", "dynamic", "stored"]),
+)
+def test_deflate_round_trips_against_independent_inflater(data, mode):
+    """Any byte string, any block type: the native DEFLATE encoder's
+    output must inflate back exactly under stdlib zlib (an independent
+    implementation — a self-consistent encoder bug cannot pass)."""
+    import zlib
+
+    from mapreduce511_spark.multimodal.deflate import (
+        deflate_dynamic,
+        deflate_fixed,
+        deflate_stored,
+    )
+
+    fn = {
+        "fixed": deflate_fixed,
+        "dynamic": deflate_dynamic,
+        "stored": deflate_stored,
+    }[mode]
+    d = zlib.decompressobj(-15)
+    assert d.decompress(fn(data)) + d.flush() == data
