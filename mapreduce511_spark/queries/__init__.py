@@ -47,66 +47,76 @@ def register(name: str, oracle: str | None = None):
 # queries newly added this round; already-green rows re-verify last.
 # Registration order is otherwise preserved, and the set of names is
 # identical either way.
+#
+# _WINDOW_LEDGER_MAX stamps the ledger horizon the window below was
+# GENERATED from (r9, VERDICT r8 item 1): the driver drops a new
+# CORRECTNESS_r{N}.json into the repo AFTER the builder's session, so
+# a guard that re-derives the window from every file on disk goes red
+# the moment that drop lands, even though the checked-in window was
+# provably correct when generated.  Both tools/gen_enum_first.py and
+# tests/test_guards.py honor the stamp: files with a round number
+# above it are ignored when recomputing the window.  Regenerating the
+# window for a new round must bump the stamp to the newest ledger
+# round the generator saw.
+_WINDOW_LEDGER_MAX: int = 8
+
 _ENUMERATE_FIRST: list[str] = [
-    # ROUND 8 rebuild — now GENERATED: `python tools/gen_enum_first.py`
-    # recomputes this window from the cumulative CORRECTNESS ledger
-    # (policy: every never-driver-checked query first — debut-round
-    # checking is guard-enforced in tests/test_guards.py — then
-    # oldest-first staleness, alphabetical within a round, exactly
-    # 50 names).  This instance: the queries new in r8 (incl. the
-    # tfidf rename), all 29 remaining r02-stale names (finishing the
-    # two-round drain plan — after r8 no registered query's newest
-    # driver row is older than r03), and r03 fills.
-    "tfidf_cosine_pairs_exact_spec",  # new
-    "bitext_margin_mining_ivf_indexed",  # new
-    "ann_admission_census",  # new
-    "stream_ingest_pipeline",  # new
-    "decontamination_span_removal",  # new
-    "multimodal_jpeg_arith_stats",  # new
-    "retrieval_quality_census",  # new
-    "stream_ann_admission_census",  # new
-    "ann_admission_drift_census",  # new
-    "ann_index_compaction_census",  # new
-    "doremi_domain_reweighting",  # new
-    "cbo_stats_census",  # new
-    "heldout_kneser_ney_ppl",  # new
-    "aqp_revenue_estimate",  # new
-    "copurchase_label_propagation",  # new
-    "image_dhash_near_dup",  # new
-    "zonemap_skipping_census",  # new
-    "hilbert_cell_census",  # new
-    "dsir_importance_resample",  # new
-    "multimodal_png_deflate_stats",  # new
-    "stream_dsir_admission",  # new
-    "language_id",  # r02
-    "log_chart_smoothed_cpu",  # r02
-    "multimodal_decode_stats",  # r02
-    "nearest_neighbor_sample",  # r02
-    "pipeline_clean_corpus",  # r02
-    "q10_returned_items",  # r02
-    "q12_shipmode_priority",  # r02
-    "q4_order_priority",  # r02
-    "quality_score",  # r02
-    "repeated_span_screen",  # r02
-    "repetition_score",  # r02
-    "similarity_topk",  # r02
-    "source_mixture_weights",  # r02
-    "sql_event_hours",  # r02
-    "sql_q1_passthrough",  # r02
-    "sql_top_nations",  # r02
-    "stopword_ratio",  # r02
-    "stratified_sample",  # r02
-    "stream_closed_sessions",  # r02
-    "stream_dedup_census",  # r02
-    "stream_enriched_census",  # r02
-    "stream_tumbling_event_counts",  # r02
-    "tfidf_top_terms",  # r02
-    "token_count_bpe",  # r02
-    "token_stats_by_lang",  # r02
-    "unpivot_type_hour_matrix",  # r02
-    "wordcount",  # r02
-    "wordcount_skewed",  # r02
-    "wordcount_top20",  # r02
+    # ROUND 9 regeneration: `python tools/gen_enum_first.py --restamp`
+    # over the ledger through r08 (stamp above).  No never-checked
+    # names remained at generation time; the window is the 50
+    # oldest-stale names, all r03 (min driver row over the registry
+    # was r03 after the r8 drain).  Queries registered later in round
+    # 9 front-load via regeneration before commit (debut-round guard).
+    "ann_quantized_topk",  # r03
+    "bigram_novelty_rate",  # r03
+    "bpe_first_merge",  # r03
+    "bpe_merge_rules",  # r03
+    "cohort_hourly_retention",  # r03
+    "concurrent_user_spans",  # r03
+    "copurchase_part_pairs",  # r03
+    "copurchase_triangles",  # r03
+    "data_quality_audit",  # r03
+    "embedding_norm_census",  # r03
+    "ensemble_near_dup",  # r03
+    "event_rate_anomaly",  # r03
+    "event_value_band_join",  # r03
+    "funnel_ordered_steps",  # r03
+    "heavy_hitter_tokens",  # r03
+    "latest_event_per_user",  # r03
+    "median_price_by_flag",  # r03
+    "merge_upsert_orders",  # r03
+    "near_dup_jaccard_capped",  # r03
+    "near_dup_jaccard_prefix",  # r03
+    "order_percentile_bands",  # r03
+    "order_value_ntile",  # r03
+    "pivot_event_type_counts",  # r03
+    "q11_value_concentration",  # r03
+    "q13_customer_distribution",  # r03
+    "q14_promo_revenue",  # r03
+    "q15_top_supplier",  # r03
+    "q16_parts_supplier_counts",  # r03
+    "q17_small_quantity_revenue",  # r03
+    "q18_large_orders",  # r03
+    "q19_disjunctive_revenue",  # r03
+    "q20_growing_suppliers",  # r03
+    "q21_waiting_supplier",  # r03
+    "q22_lapsed_rich_customers",  # r03
+    "q2_min_cost_supplier",  # r03
+    "q7_nation_volume",  # r03
+    "q8_market_share",  # r03
+    "q9_product_profit",  # r03
+    "quality_weighted_sample",  # r03
+    "rolling_value_sum",  # r03
+    "rollup_region_nation_sales",  # r03
+    "salted_join_revenue",  # r03
+    "shuffle_shard_census",  # r03
+    "snapshot_diff_census",  # r03
+    "sql_grouping_sets",  # r03
+    "sql_window_lag",  # r03
+    "stream_dedup_admission",  # r03
+    "token_freq_histogram",  # r03
+    "top_customers_concat_by_nation",  # r03
+    "unigram_logprob_score",  # r03
 ]
 
 

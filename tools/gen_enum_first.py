@@ -9,8 +9,16 @@ Policy (r7 VERDICT items 3/5/10):
     within a round);
  3. exactly 50 names.
 
-Run: python tools/gen_enum_first.py   (prints the window; paste into
-queries/__init__.py)
+Ledger horizon (r9, VERDICT r8 item 1): the window is generated from
+ledger files up to `_WINDOW_LEDGER_MAX` (stamped beside the window in
+queries/__init__.py).  The driver drops CORRECTNESS_r{N}.json AFTER
+the builder's session, so recomputation must ignore files newer than
+the stamp or the guard flips red after every driver run.  When
+regenerating for a new round, pass --restamp (or ledger_max=None) to
+use everything on disk, then update BOTH the window and the stamp.
+
+Run: python tools/gen_enum_first.py [--restamp]   (prints the window;
+paste into queries/__init__.py)
 """
 
 from __future__ import annotations
@@ -25,13 +33,30 @@ REPO = str(Path(__file__).resolve().parent.parent)
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+# sentinel: "use the stamped horizon from queries/__init__.py"
+_STAMPED = object()
 
-def compute_window(size: int = 50) -> list[tuple[str, str]]:
-    from mapreduce511_spark.queries import all_queries
 
-    newest: dict[str, int] = {}
+def ledger_rounds() -> list[tuple[int, str]]:
+    out = []
     for f in sorted(glob.glob(f"{REPO}/CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r0*(\d+)", Path(f).name).group(1))
+        out.append((rnd, f))
+    return out
+
+
+def compute_window(
+    size: int = 50, ledger_max=_STAMPED
+) -> list[tuple[str, str]]:
+    from mapreduce511_spark.queries import _WINDOW_LEDGER_MAX, all_queries
+
+    if ledger_max is _STAMPED:
+        ledger_max = _WINDOW_LEDGER_MAX
+
+    newest: dict[str, int] = {}
+    for rnd, f in ledger_rounds():
+        if ledger_max is not None and rnd > ledger_max:
+            continue
         for k in json.load(open(f)):
             newest[k] = max(newest.get(k, 0), rnd)
     registered = list(all_queries())
@@ -44,8 +69,13 @@ def compute_window(size: int = 50) -> list[tuple[str, str]]:
 
 
 def main() -> None:
-    for name, tag in compute_window():
+    restamp = "--restamp" in sys.argv[1:]
+    ledger_max = None if restamp else _STAMPED
+    for name, tag in compute_window(ledger_max=ledger_max):
         print(f'    "{name}",  # {tag}')
+    if restamp:
+        horizon = max(rnd for rnd, _ in ledger_rounds())
+        print(f"\n# also set: _WINDOW_LEDGER_MAX = {horizon}")
 
 
 if __name__ == "__main__":
