@@ -27,14 +27,19 @@ from pyspark.sql.window import Window
 
 def global_row_number(
     df: DataFrame,
-    sort_cols: list[str],
+    sort_cols: list,
     out_col: str = "rn",
     num_partitions: int = 16,
 ) -> DataFrame:
     """Append 1-based global row numbers under ``sort_cols`` (must be
     a total order) via the two-pass range-partition recipe. The
     returned DataFrame is materialized (localCheckpoint) so the
-    numbering is stable for every downstream consumer."""
+    numbering is stable for every downstream consumer.
+
+    ``sort_cols`` entries may be column-name strings or sort-ordered
+    Column expressions (``F.col(c).desc()``) — repartitionByRange,
+    sortWithinPartitions, and Window.orderBy all honor the embedded
+    sort direction, so descending total orders cost nothing extra."""
     spark = df.sparkSession
     d = (
         df.repartitionByRange(num_partitions, *sort_cols)
@@ -58,6 +63,50 @@ def global_row_number(
         .withColumn(out_col, F.row_number().over(w) + F.col("_off"))
         .drop("_pid", "_off")
     )
+
+
+def global_ntile(
+    df: DataFrame,
+    sort_cols: list,
+    n_tiles: int,
+    out_col: str = "tile",
+    num_partitions: int = 16,
+) -> DataFrame:
+    """Append SQL ``ntile(n_tiles)`` buckets under ``sort_cols`` (a
+    total order) WITHOUT a single-partition window sort (r9, VERDICT
+    r8 item 3): number rows with the two-pass ``global_row_number``,
+    then bucket with the closed form of ntile's remainder rule — for
+    n rows, ``q = n div n_tiles`` and ``r = n mod n_tiles``, the
+    FIRST r buckets get q+1 rows and the rest get q, so with
+    ``t = r*(q+1)``::
+
+        tile = (rn-1) div (q+1) + 1            if rn <= t
+             = r + (rn-t-1) div q + 1          otherwise
+
+    which reproduces SQL ntile exactly (DuckDB/Spark agree on this
+    rule). The row count n is a driver-side scalar served off the
+    materialized numbering pass — one distributed count, no extra
+    data motion."""
+    rn_col = f"_{out_col}_rn"
+    keyed = global_row_number(
+        df, sort_cols, out_col=rn_col, num_partitions=num_partitions
+    )
+    n = keyed.count()
+    q, r = divmod(n, n_tiles)
+    rn = F.col(rn_col)
+    if q == 0:  # degenerate n < n_tiles: each row its own leading tile
+        tile = rn.cast("int")
+    else:
+        head = r * (q + 1)
+        tile = F.when(
+            rn <= F.lit(head),
+            F.expr(f"CAST(({rn_col} - 1) DIV {q + 1} AS INT) + 1"),
+        ).otherwise(
+            F.expr(
+                f"CAST({r} + ({rn_col} - 1 - {head}) DIV {q} AS INT) + 1"
+            )
+        )
+    return keyed.withColumn(out_col, tile).drop(rn_col)
 
 
 def dense_rank_global(

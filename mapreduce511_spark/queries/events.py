@@ -417,16 +417,23 @@ def rolling_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def order_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quartile bucketing via ntile over a total order (price desc,
-    orderkey tie-break), aggregated per tile. The single-partition
-    window is intentional spec for the oracle; at scale the same
-    result comes from approx quantile boundaries + bucket tagging (no
-    global sort)."""
+    """Quartile bucketing over a total order (price desc, orderkey
+    tie-break), aggregated per tile. r9 retrofit (r8 verdict item 3):
+    the former single-partition ``ntile(4)`` window is now
+    ``operators/order.global_ntile`` — two-pass range-partition row
+    numbering plus the closed-form ntile remainder rule. Identical
+    buckets, identical oracle, and no stage where one executor sorts
+    the whole table."""
+    from mapreduce511_spark.operators.order import global_ntile
+
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    tiled = global_ntile(
+        orders.select("o_totalprice", "o_orderkey"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        4,
+    )
     return (
-        orders.select("o_totalprice", F.ntile(4).over(w).alias("tile"))
-        .groupBy("tile")
+        tiled.groupBy("tile")
         .agg(
             F.count("*").alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("tile_revenue"),

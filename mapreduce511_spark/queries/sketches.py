@@ -325,12 +325,11 @@ def cms_heavy_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         % _CMS_W,
     )
     sketch = salted.groupBy("r", "bucket").agg(F.sum("cnt").alias("bsum"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("g"))
-    top = (
-        cnts.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .drop("rk")
-    )
+    # top-20 via TakeOrdered (orderBy+limit: per-partition local top-20,
+    # 20 rows to the driver), NOT a row_number window over every
+    # distinct bigram — that was a single-partition sort of a relation
+    # that grows with the corpus (r9 window audit retrofit).
+    top = cnts.orderBy(F.desc("cnt"), F.asc("g")).limit(20)
     top_salted = salted.join(F.broadcast(top.select("g")), "g")
     return (
         top_salted.join(sketch, ["r", "bucket"])

@@ -646,6 +646,131 @@ def test_allowlist_has_no_stale_entries():
     assert not stale, f"stale allowlist entries: {stale}"
 
 
+# Unpartitioned-window audit (r9, r8 VERDICT item 3): a
+# Window.orderBy with no partitionBy plans a SINGLE-partition sort —
+# every row moves to one executor. Fine over a histogram, a top-k
+# pool, or a fixed grid; a 100 TB cliff over anything that grows with
+# the corpus (theil_sen_price_slope and order_value_ntile were
+# exactly this until their r9 retrofit onto
+# operators/order.global_row_number / global_ntile). Every
+# unpartitioned Window.orderBy call site in the engine must be
+# classified below with the reason its INPUT relation is bounded.
+# Same vocabulary as the broadcast allowlist, plus:
+#   histogram — a count-of-counts / per-bucket rollup whose row count
+#               is the number of DISTINCT bucket values, bounded by
+#               value quantization, not corpus size
+_UNPARTITIONED_WINDOW_ALLOWLIST: dict[tuple[str, str], str] = {
+    ("queries/events.py", "event_rate_anomaly"): "histogram: per-hour rollup, |hours| rows bounded by the time range",
+    ("queries/relational.py", "join_key_skew_census"): "histogram: count-of-counts over key multiplicities",
+    ("queries/relational.py", "pareto_frontier_parts"): "histogram: per-distinct-retailprice grid (TPC-H price formula alphabet, SF-independent)",
+    ("queries/retrieval.py", "hybrid_rrf_top_docs"): "k-rows: RRF candidate pools are orderBy().limit(RRF_CAND) TakeOrdered outputs",
+    ("queries/retrieval.py", "retrieval_quality_census"): "k-rows: EVAL_AT-limited ranked/ideal pools",
+    ("queries/sketches.py", "histogram_quantile_census"): "const: _HIST_BINS equi-width bins",
+    ("queries/sketches.py", "priority_sample_census"): "k-rows: _PRI_K+1 TakeOrdered pool",
+    ("queries/sketches.py", "kll_quantile_census"): "const/k-rows: <=49-level histogram; survivors capped at _KLL_K by the height rule",
+    ("queries/text.py", "vocab_coverage_curve"): "histogram: count-of-counts over token frequencies",
+    ("queries/text.py", "curriculum_order_manifest"): "histogram: per-distinct-milli-logit offsets (quantized grid, docstring-noted)",
+    ("queries/text.py", "dsir_importance_resample"): "k-rows: _DSIR_K TakeOrdered pool",
+}
+
+
+def _unpartitioned_window_sites():
+    """AST scan: every ``Window.orderBy(...)`` call whose receiver
+    chain contains no ``partitionBy`` link, as (module-relative path,
+    enclosing function). Catches both ``Window.orderBy(...)`` and
+    ``Window.orderBy(...).rowsBetween(...)`` spellings."""
+    import ast
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent / "mapreduce511_spark"
+    sites = []
+    for py in sorted(root.rglob("*.py")):
+        tree = ast.parse(py.read_text())
+        stack: list[str] = []
+
+        class V(ast.NodeVisitor):
+            def visit_FunctionDef(self, node):
+                stack.append(node.name)
+                self.generic_visit(node)
+                stack.pop()
+
+            visit_AsyncFunctionDef = visit_FunctionDef
+
+            def visit_Call(self, node):
+                f = node.func
+                if isinstance(f, ast.Attribute) and f.attr == "orderBy":
+                    cur, has_pb, base = f.value, False, None
+                    while True:
+                        if isinstance(cur, ast.Name):
+                            base = cur.id
+                            break
+                        if isinstance(cur, ast.Call) and isinstance(
+                            cur.func, ast.Attribute
+                        ):
+                            if cur.func.attr == "partitionBy":
+                                has_pb = True
+                            cur = cur.func.value
+                            continue
+                        if isinstance(cur, ast.Attribute):
+                            cur = cur.value
+                            continue
+                        break
+                    if base == "Window" and not has_pb:
+                        fn = stack[-1] if stack else "<module>"
+                        sites.append((str(py.relative_to(root)), fn))
+                self.generic_visit(node)
+
+        V().visit(tree)
+    return sites
+
+
+def test_every_unpartitioned_window_is_classified_bounded():
+    """No single-partition window sort over a relation that grows
+    with the corpus: every unpartitioned Window.orderBy site must
+    appear in _UNPARTITIONED_WINDOW_ALLOWLIST with a boundedness
+    reason. For a genuinely global order over a growing relation, use
+    operators/order.global_row_number / global_ntile instead (the
+    theil_sen / order_value_ntile precedent)."""
+    unknown = [
+        s
+        for s in _unpartitioned_window_sites()
+        if s not in _UNPARTITIONED_WINDOW_ALLOWLIST
+    ]
+    assert not unknown, (
+        "unclassified unpartitioned Window.orderBy sites (retrofit "
+        "onto operators/order or add an allowlist entry with a "
+        f"boundedness reason): {unknown}"
+    )
+
+
+def test_window_allowlist_has_no_stale_entries():
+    live = set(_unpartitioned_window_sites())
+    stale = [
+        k for k in _UNPARTITIONED_WINDOW_ALLOWLIST if k not in live
+    ]
+    assert not stale, f"stale window-allowlist entries: {stale}"
+
+
+_GLOBAL_SORT_RE = r"Sort \[[^\n]*\n\s*\+- Exchange SinglePartition"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["theil_sen_price_slope", "order_value_ntile", "customer_rfm_segments"],
+)
+def test_retrofitted_rankings_have_no_single_partition_sort(spark, name):
+    """The r9 retrofits (r8 VERDICT item 3): global numbering/ntile
+    now rides operators/order's two-pass range-partition recipe, so
+    no plan stage may sort the whole relation in one partition (the
+    signature is a Sort fed by Exchange SinglePartition — a global
+    aggregate's SinglePartition exchange of partial rows is fine and
+    not matched)."""
+    import re
+
+    plan = _plan(spark, name)
+    assert not re.search(_GLOBAL_SORT_RE, plan), name
+
+
 def test_hilbert_census_stays_in_codegen(spark):
     """The Hilbert rotate/reflect recurrence is CASE/XOR integer
     arithmetic: zero Python evaluation; bounds ride a 1-row

@@ -34,6 +34,38 @@ def test_dense_rank_global_matches_python(spark):
     assert all(r.rank == expect[r.event_type] for r in out)
 
 
+def test_global_ntile_matches_sql_ntile(spark):
+    """The closed-form remainder rule must reproduce SQL ntile
+    EXACTLY — including the part the naive floor(rn*k/n) formula gets
+    wrong: the first n mod k buckets take ceil(n/k) rows, the rest
+    floor(n/k). Checked against Spark's own F.ntile (the ground
+    truth the r9 retrofits replaced) across remainder shapes and a
+    descending order."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mapreduce511_spark.operators.order import global_ntile
+
+    for n, k in [(10, 4), (12, 4), (13, 5), (7, 3), (3, 5), (1, 4)]:
+        df = spark.range(n).withColumn("v", (F.col("id") * 7) % n)
+        want = {
+            (r.id, r.tile)
+            for r in df.select(
+                "id",
+                F.ntile(k)
+                .over(Window.orderBy(F.desc("v"), F.asc("id")))
+                .alias("tile"),
+            ).collect()
+        }
+        got = {
+            (r.id, r.tile)
+            for r in global_ntile(
+                df, [F.col("v").desc(), F.col("id").asc()], k
+            ).collect()
+        }
+        assert got == want, (n, k)
+
+
 def _python_suffix_array(tokens: list[str]) -> list[int]:
     return sorted(range(len(tokens)), key=lambda i: tokens[i:])
 
