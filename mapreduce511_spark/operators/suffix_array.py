@@ -111,16 +111,22 @@ def build_suffix_array(
     )
 
 
-def repeated_phrases(
-    positions: DataFrame, sa: DataFrame, max_lcp: int = 12, topk: int = 20
+def adjacent_lcp(
+    positions: DataFrame, sa: DataFrame, max_lcp: int = 12
 ) -> DataFrame:
-    """Top-k longest repeated word sequences: adjacent suffixes in
-    suffix-array order share their longest common prefix with some
-    OTHER corpus position by construction, so the corpus-wide longest
-    repeats are exactly the largest adjacent-pair LCPs. LCP is
-    computed by joining each suffix's first ``max_lcp`` tokens
-    (a pos-range equi-join, candidate-bounded) — never by comparing
-    full suffixes."""
+    """LCP (longest common prefix, in tokens, capped at ``max_lcp``)
+    of every ADJACENT suffix pair in suffix-array order — the kernel
+    both ``repeated_phrases`` and the exact duplicate-span census
+    share. Returns (pos, pos_b, lcp, pref): the two suffix start
+    positions, their capped LCP, and the first suffix's token window.
+
+    Adjacency is sufficient: a suffix's longest common prefix with
+    ANY other suffix is achieved by one of its suffix-array
+    neighbors, so per-position maxima over these pairs give the exact
+    (capped) repeat lengths. The cap keeps the gather an equi-join of
+    ``max_lcp`` fan-out rather than a full-suffix comparison; unique
+    per-document sentinels mean true LCPs never cross a document, so
+    any cap >= the span threshold of interest loses nothing."""
     # first max_lcp tokens of the suffix at each pos, gathered through
     # an EQUI-join (pos+i fan-out), never a range join: a non-equi
     # pos-window join would plan BroadcastNestedLoopJoin over the
@@ -165,11 +171,23 @@ def repeated_phrases(
         first_false == 0,
         F.least(F.size("pref"), F.size("pref_b")).cast("long"),
     ).otherwise(first_false - 1)
+    return pairs.select("pos", "pos_b", lcp.alias("lcp"), "pref")
+
+
+def repeated_phrases(
+    positions: DataFrame, sa: DataFrame, max_lcp: int = 12, topk: int = 20
+) -> DataFrame:
+    """Top-k longest repeated word sequences: adjacent suffixes in
+    suffix-array order share their longest common prefix with some
+    OTHER corpus position by construction, so the corpus-wide longest
+    repeats are exactly the largest adjacent-pair LCPs (capped at
+    ``max_lcp``). Top-k via TakeOrdered (orderBy+limit)."""
     return (
-        pairs.select(
+        adjacent_lcp(positions, sa, max_lcp=max_lcp)
+        .select(
             "pos",
             "pos_b",
-            lcp.alias("lcp"),
+            "lcp",
             F.array_join(F.slice("pref", 1, 6), " ").alias("head"),
         )
         .filter(F.col("lcp") >= 2)

@@ -62,11 +62,15 @@ _WINDOW_LEDGER_MAX: int = 8
 
 _ENUMERATE_FIRST: list[str] = [
     # ROUND 9 regeneration: `python tools/gen_enum_first.py --restamp`
-    # over the ledger through r08 (stamp above).  No never-checked
-    # names remained at generation time; the window is the 50
-    # oldest-stale names, all r03 (min driver row over the registry
-    # was r03 after the r8 drain).  Queries registered later in round
-    # 9 front-load via regeneration before commit (debut-round guard).
+    # over the ledger through r08 (stamp above).  The three round-9
+    # debuts (suffix-array family) front-load per the debut-round
+    # guard; the remaining 47 slots are the oldest-stale names, all
+    # r03 (min driver row over the registry was r03 after the r8
+    # drain).  Queries registered later in round 9 front-load via
+    # regeneration before commit (debut-round guard).
+    "suffix_array_census",  # new
+    "suffix_repeated_phrases",  # new
+    "exact_duplicate_span_census",  # new
     "ann_quantized_topk",  # r03
     "bigram_novelty_rate",  # r03
     "bpe_first_merge",  # r03
@@ -114,9 +118,6 @@ _ENUMERATE_FIRST: list[str] = [
     "sql_grouping_sets",  # r03
     "sql_window_lag",  # r03
     "stream_dedup_admission",  # r03
-    "token_freq_histogram",  # r03
-    "top_customers_concat_by_nation",  # r03
-    "unigram_logprob_score",  # r03
 ]
 
 
@@ -156,6 +157,7 @@ def _load() -> None:
         sketches,
         sqlapi,
         streaming_queries,
+        suffix,
         text,
     )
 

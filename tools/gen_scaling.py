@@ -162,6 +162,10 @@ PICKS = {
     "image_dhash_near_dup": "linear Arrow decode+hash; banded join bounded by bucket sizes",
     "multimodal_png_deflate_stats": "linear per-asset encode/decode where the bytes live",
     "stream_dsir_admission": "stateless per-row score; only the per-source census is stateful",
+    # round 9
+    "suffix_array_census": "SA build (log(max doc len) prefix-doubling hash-shuffle rounds, ~31 s at sf0.1) amortized per corpus snapshot; census = one grouped scan of the array",
+    "suffix_repeated_phrases": "adjacent-LCP gather is a max_lcp-bounded pos+i equi-join; top-k via TakeOrdered",
+    "exact_duplicate_span_census": "per-position LCP maxima + doc-partitioned islands windows; all work ~ corpus positions",
 }
 
 
