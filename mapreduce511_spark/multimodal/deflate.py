@@ -326,8 +326,12 @@ def _rle_code_lengths(lens: list[int]) -> list[tuple[int, int, int]]:
 
 def deflate_dynamic(data: bytes) -> bytes:
     """One dynamic-Huffman block (BTYPE=10) holding all of ``data``.
-    Falls back to the fixed encoding when the alphabet is degenerate
-    (dynamic needs at least one distance slot)."""
+    A degenerate alphabet (no back-references, so no used distance
+    codes) never falls back to fixed coding: RFC 1951 §3.2.7 permits
+    declaring one distance code of length 1 that the stream never
+    uses, so the encoder emits the single zero-used ``{0: 1}``
+    distance code — verified against stdlib's independent inflater
+    (docstring corrected per r9 ADVICE; the code always did this)."""
     tokens = _lz77(data)
     lfreq: dict[int, int] = {256: 1}
     dfreq: dict[int, int] = {}

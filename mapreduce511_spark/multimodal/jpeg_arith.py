@@ -445,16 +445,33 @@ def _decode_ac(dec: _ArithDecoder, ctx: _Ctx, zz: np.ndarray) -> None:
 
 def is_arith_jpeg(payload: bytes) -> bool:
     """True when the stream's frame header is an arithmetic-coded SOF
-    (SOF9-SOF11/13-15). Only the pre-SOS segment region is searched,
-    where every byte pair is structural (no entropy data)."""
+    (SOF9-SOF11/13-15). Walks marker segments by their length fields
+    (the same walk ``decode_jpeg_arith_coeffs`` uses) and tests only
+    actual MARKER bytes — segment payloads (DQT values, APPn/COM
+    data) are not structural, so a raw FF C9..CF byte-pair scan would
+    misroute a baseline Huffman JPEG whose quant/APPn bytes happen to
+    contain such pairs (r9 ADVICE)."""
     if payload[:2] != b"\xff\xd8":
         return False
-    sos = payload.find(b"\xff\xda")
-    head = payload[: sos if sos != -1 else len(payload)]
-    return any(
-        head.find(bytes([0xFF, m])) != -1
-        for m in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
-    )
+    i, n = 2, len(payload)
+    while i + 2 <= n:
+        if payload[i] != 0xFF:
+            return False  # desync where a marker must sit
+        m = payload[i + 1]
+        if m == 0xFF:  # fill byte before a marker
+            i += 1
+            continue
+        if m == 0x01 or 0xD0 <= m <= 0xD8:  # standalone (TEM/RSTn/SOI)
+            i += 2
+            continue
+        if m in (0xD9, 0xDA):  # EOI / SOS before any SOF: not arithmetic
+            return False
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):  # a SOF
+            return m in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+        if i + 4 > n:
+            return False
+        i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
+    return False
 
 
 def encode_jpeg_arith(

@@ -160,30 +160,34 @@ def sketch_column(df, col: str, k: int = 200) -> KLLSketch:
     100 TB the shuffle is |partitions| sketches of O(k) items, not
     the data.
 
-    r8 (r7 VERDICT item 6): ingestion is ``mapInPandas`` — values
-    arrive as Arrow batches and are handed to the compactor as native
-    Python scalars via ``tolist()`` (sketch updates are inherently
-    sequential, but the per-row ``Row`` deserialization of the old
-    ``rdd.mapPartitions`` path is gone; this was the engine's last
-    non-Arrow data path). Each partition emits its sketch as one
-    JSON row (``json.dumps`` round-trips doubles exactly via repr)."""
+    r8 (r7 VERDICT item 6): ingestion is Arrow-batched — the per-row
+    ``Row`` deserialization of the old ``rdd.mapPartitions`` path is
+    gone (this was the engine's last non-Arrow data path). r9
+    (ADVICE): batches are consumed via ``mapInArrow`` +
+    ``to_pylist()``, NOT a pandas conversion — Arrow→pandas turns a
+    nullable int64 column into float64 (ints become floats, precision
+    loss above 2^53) and ``dropna`` would also drop real NaN values
+    that the ``is not None`` contract retains; ``to_pylist`` keeps
+    native ints and distinguishes null from NaN. Each partition emits
+    its sketch as one JSON row (``json.dumps`` round-trips doubles
+    exactly via repr)."""
     import json
 
     def build(batches):
-        import pandas as pd
+        import pyarrow as pa
 
         s = KLLSketch(k)
-        for pdf in batches:
-            # dropna keeps parity with the old per-row None skip;
-            # tolist() yields native Python scalars, so retained
-            # values compare/serialize exactly as before
-            for v in pdf.iloc[:, 0].dropna().tolist():
-                s.update(v)
-        yield pd.DataFrame({"sketch": [json.dumps(s.to_tuple())]})
+        for batch in batches:
+            for v in batch.column(0).to_pylist():
+                if v is not None:
+                    s.update(v)
+        yield pa.RecordBatch.from_pydict(
+            {"sketch": [json.dumps(s.to_tuple())]}
+        )
 
     parts = (
         df.select(col)
-        .mapInPandas(build, "sketch string")
+        .mapInArrow(build, "sketch string")
         .collect()
     )
     merged = KLLSketch(k)

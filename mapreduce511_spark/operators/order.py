@@ -118,9 +118,26 @@ def dense_rank_global(
     """Append dense global ranks (equal keys -> equal rank, ranks
     numbered 0..n_distinct-1 in key order) without a global sort:
     rank the DISTINCT keys with ``global_row_number`` (a far smaller
-    relation), then hash-join the ranks back onto the rows."""
+    relation), then hash-join the ranks back onto the rows.
+
+    The join-back is NULL-SAFE (``eqNullSafe``, r9 ADVICE): rows
+    whose key columns contain NULL keep their rank (NULLs sort first
+    under ``repartitionByRange``/``orderBy``, same as SQL NULLS
+    FIRST) instead of being silently dropped by plain equi-join
+    NULL != NULL semantics."""
     keys = df.select(*key_cols).distinct()
-    ranked = global_row_number(
-        keys, key_cols, out_col="_krn", num_partitions=num_partitions
-    ).withColumn(out_col, F.col("_krn") - 1).drop("_krn")
-    return df.join(ranked, key_cols)
+    ranked = (
+        global_row_number(
+            keys, key_cols, out_col="_krn", num_partitions=num_partitions
+        )
+        .withColumn(out_col, F.col("_krn") - 1)
+        .drop("_krn")
+    )
+    left, right = df.alias("_drg_l"), ranked.alias("_drg_r")
+    cond = None
+    for c in key_cols:
+        term = F.col(f"_drg_l.{c}").eqNullSafe(F.col(f"_drg_r.{c}"))
+        cond = term if cond is None else cond & term
+    return left.join(right, cond).select(
+        *[F.col(f"_drg_l.{c}") for c in df.columns], F.col(f"_drg_r.{out_col}")
+    )

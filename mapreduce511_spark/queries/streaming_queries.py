@@ -1428,7 +1428,9 @@ def stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stores PER MICRO-BATCH (32 on the bench session) for a
     # batch-sized key set — a real deployment sizes state partitions
     # to load, and both checkpoints here are fresh per invocation so
-    # the partition count is free to choose.
+    # the partition count is free to choose. Session-global for the
+    # pipeline's duration (no per-query knob exists); single-threaded
+    # session assumed — see streaming.run_available_now's docstring.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:

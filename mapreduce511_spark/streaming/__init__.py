@@ -252,7 +252,16 @@ def run_available_now(
     partition count is pinned at first checkpoint; a real deployment
     sizes it once to expected state volume the same way). Results
     are partition-count-invariant by construction — every streaming
-    query's census is winner/order-independent."""
+    query's census is winner/order-independent.
+
+    SINGLE-THREADED-SESSION ASSUMPTION (r9 ADVICE): the override is
+    session-global for the duration of the drain — Structured
+    Streaming offers no per-query shuffle-partition knob (the count
+    pins from the session conf at first checkpoint), so a query
+    launched CONCURRENTLY in the same session during the drain would
+    silently plan with the downsized count. The driver, bench, and
+    pytest all run queries sequentially per session; a concurrent
+    harness must give streaming queries their own session."""
     spark = stream_df.sparkSession
     if mode is None:
         mode = "update" if _is_update_only(stream_df) else "complete"

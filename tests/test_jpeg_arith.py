@@ -166,3 +166,24 @@ def test_sniffer_and_honest_gates():
         encode_jpeg_arith(np.zeros((8, 8, 3), np.uint8))
     with pytest.raises(ValueError):
         encode_jpeg_arith(np.zeros((9, 8), np.uint8))
+
+
+def test_sniffer_walks_segments_not_raw_bytes():
+    """r9 ADVICE: segment payloads are not structural — a baseline
+    Huffman JPEG whose APPn/COM/DQT payload contains FF C9..CF byte
+    pairs must NOT be routed to the arithmetic decoder, and an
+    arithmetic JPEG whose COM payload contains FF C0 must still be
+    detected. The sniffer walks marker segments by length fields."""
+    px = np.full((16, 16), 77, np.uint8)
+    huff = encode_jpeg(px)
+    arith = encode_jpeg_arith(px)
+
+    def with_comment(j: bytes, payload: bytes) -> bytes:
+        # splice a COM segment right after SOI
+        seg = b"\xff\xfe" + (len(payload) + 2).to_bytes(2, "big") + payload
+        return j[:2] + seg + j[2:]
+
+    assert not is_arith_jpeg(with_comment(huff, b"\xff\xc9 trap \xff\xcf"))
+    assert is_arith_jpeg(with_comment(arith, b"\xff\xc0 baseline bait"))
+    # truncated stream: no SOF reachable -> not arithmetic, no crash
+    assert not is_arith_jpeg(huff[:4])

@@ -110,3 +110,31 @@ def test_distributed_build_matches_bound(spark):
     data = [r.v for r in ev.collect()]
     assert s.weight() == len(data)
     assert _worst(data, s) < 0.02
+
+
+def test_arrow_ingest_preserves_big_ints_and_nan_vs_null(spark):
+    """r9 ADVICE: the Arrow ingest must keep nullable int64 columns
+    as exact ints (a pandas conversion would coerce to float64 and
+    corrupt values above 2^53) and must retain real NaN while
+    dropping only NULL (the `is not None` contract)."""
+    import math
+
+    big = (1 << 53) + 1  # not representable as float64
+    ints = spark.createDataFrame(
+        [(big,), (None,), (7,)], "v long"
+    ).repartition(2)
+    s = sketch_column(ints, "v", k=64)
+    assert s.weight() == 2  # NULL dropped
+    vals = {v for lvl in s.compactors for v in lvl}
+    assert big in vals and all(isinstance(v, int) for v in vals)
+
+    dbls = spark.createDataFrame(
+        [(1.5,), (float("nan"),), (None,)], "v double"
+    )
+    s2 = sketch_column(dbls, "v", k=64)
+    assert s2.weight() == 2  # NaN retained, NULL dropped
+    assert any(
+        isinstance(v, float) and math.isnan(v)
+        for lvl in s2.compactors
+        for v in lvl
+    )

@@ -142,3 +142,19 @@ def test_repeated_phrases_finds_planted_duplicate(spark):
     top = repeated_phrases(pos, sa, max_lcp=8, topk=3).collect()
     assert top[0].lcp == 8
     assert top[0].head.startswith("alpha beta gamma")
+
+
+def test_dense_rank_global_keeps_null_keys(spark):
+    """r9 ADVICE: the rank join-back is null-safe — rows with NULL
+    key values keep a rank (NULLS FIRST order) instead of vanishing
+    through plain equi-join NULL != NULL semantics."""
+    from mapreduce511_spark.operators.order import dense_rank_global
+
+    df = spark.createDataFrame(
+        [("b",), (None,), ("a",), (None,), ("b",)], "k string"
+    )
+    out = dense_rank_global(df, ["k"]).collect()
+    assert len(out) == 5  # no row dropped
+    by_key = {r.k: r.rank for r in out}
+    assert by_key[None] == 0  # NULLS FIRST, dense from 0
+    assert by_key["a"] == 1 and by_key["b"] == 2
