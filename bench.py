@@ -323,10 +323,20 @@ def main() -> None:
         .first()[0]
     )
     # steady-state wordcount run (the suite's first-run number carries
-    # one-off codegen/Python-worker spin-up that dwarfs tiny corpora)
-    start = time.perf_counter()
-    registry["wordcount"](spark, sf_dir).count()
-    steady = time.perf_counter() - start
+    # one-off codegen/Python-worker spin-up that dwarfs tiny corpora).
+    # Min-of-3 (r9, VERDICT r8 item 4): single-shot derived steadies
+    # whipsawed on hypervisor stalls (r8's 0.45 -> 1.068 false alarm)
+    # — same canary discipline here so headline throughput is the
+    # plan's cost, not session luck.
+    def _min3(name: str) -> float:
+        best = float("inf")
+        for _ in range(3):
+            start = time.perf_counter()
+            registry[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - start)
+        return best
+
+    steady = _min3("wordcount")
     # skew resilience: same measurement over the Zipf-amplified corpus
     # (one token ~99x hotter than anything organic). Map-side combine
     # should keep tokens/s in the same ballpark — the reference's hot
@@ -336,9 +346,7 @@ def main() -> None:
         .select(F.sum(F.col("doc_id") % 199 + 7))
         .first()[0]
     )
-    start = time.perf_counter()
-    registry["wordcount_skewed"](spark, sf_dir).count()
-    skew_steady = time.perf_counter() - start
+    skew_steady = _min3("wordcount_skewed")
     # ANN quality tracked round-over-round, not just asserted: exact
     # cosine top-k for the standard probe set, then recall@k for each
     # approximate variant. ann_ivf_kmeans_topk is the one query family

@@ -281,3 +281,45 @@ def test_window_guard_is_idempotent_across_driver_drop(tmp_path):
     with mock.patch.object(gen, "REPO", str(tmp_path)):
         unstamped = gen.compute_window(ledger_max=None)
     assert unstamped != before
+
+
+def test_bench_derived_steadies_are_min_of_3():
+    """r9 (VERDICT r8 item 6): the derived headline steadies
+    (`wordcount_steady_s`, `wordcount_skewed_steady_s`) must come
+    from the min-of-3 helper, not single shots — r8's single-shot
+    measurement whipsawed 0.45 -> 1.068 s on a hypervisor stall and
+    produced a false regression alarm. AST-audit bench.main: both
+    assignments call _min3, and _min3 loops exactly range(3)."""
+    import ast
+    from pathlib import Path
+
+    tree = ast.parse(Path("bench.py").read_text())
+    main = next(
+        n for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == "main"
+    )
+    assigns = {}
+    min3 = None
+    for node in ast.walk(main):
+        if isinstance(node, ast.FunctionDef) and node.name == "_min3":
+            min3 = node
+        if isinstance(node, ast.Assign) and len(node.targets) == 1:
+            t = node.targets[0]
+            if isinstance(t, ast.Name) and t.id in ("steady", "skew_steady"):
+                assigns[t.id] = node.value
+    assert min3 is not None, "bench.main lost its _min3 helper"
+    reps = [
+        n.args[0].value
+        for n in ast.walk(min3)
+        if isinstance(n, ast.Call)
+        and isinstance(n.func, ast.Name)
+        and n.func.id == "range"
+    ]
+    assert reps == [3], reps
+    for key in ("steady", "skew_steady"):
+        v = assigns.get(key)
+        assert (
+            isinstance(v, ast.Call)
+            and isinstance(v.func, ast.Name)
+            and v.func.id == "_min3"
+        ), f"{key} is not a _min3 measurement"
