@@ -880,3 +880,242 @@ def synth_png_native_deflate_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         batches, schema="doc_id long, content binary, fmt string"
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint (gain-invariant energy dHash) — r9
+# ---------------------------------------------------------------------------
+
+AFP_CLASS = 4  # docs per planted variant class
+AFP_MIX = 2654435761  # Knuth multiplicative constant (as DHASH_MIX)
+AFP_T = 3  # Hamming radius; 4 bands x 16 bits => exact by pigeonhole
+AFP_WINDOWS = 65  # 65 window energies -> 64 adjacent comparisons
+AFP_WIN_LEN = 16  # samples per window
+
+# variant plan per class (v = doc_id % AFP_CLASS):
+#   v=0 base; v=1 pure gain 3x (fingerprint-identical by design);
+#   v=2 two perturbed windows, gain 1; v=3 three perturbed, gain 2
+AFP_GAIN = (1, 3, 1, 2)
+AFP_PERTURB = ((), (), (2, 19), (3, 20, 37))
+
+
+def _afp_amplitudes(doc_id: int):
+    """Per-window oscillation amplitudes for one fixture (closed
+    form): A(w) = ((base+1)*(w+1)*AFP_MIX + base*w*w) % 256, with the
+    variant's perturbed windows shifted +128 mod 256. The GAIN is
+    applied to samples only — the fingerprint must cancel it."""
+    import numpy as np
+
+    base, v = doc_id // AFP_CLASS, doc_id % AFP_CLASS
+    w = np.arange(AFP_WINDOWS, dtype=np.int64)
+    a = ((base + 1) * (w + 1) * AFP_MIX + base * w * w) % 256
+    for pw in AFP_PERTURB[v]:
+        a[pw] = (a[pw] + 128) % 256
+    return a, AFP_GAIN[v]
+
+
+def synth_audio_fp_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, content, fmt) with real PCM WAV payloads for doc_id <
+    SYNTH_DOC_LIMIT. Each asset is AFP_WINDOWS windows of AFP_WIN_LEN
+    samples; window w oscillates 0, g*A(w), 0, g*A(w), ... so the
+    window's first-difference energy is g*A(w)*(AFP_WIN_LEN-1) — a
+    closed form the DuckDB oracle restates. Variant classes of
+    AFP_CLASS docs plant a pure volume change (v=1) and small spectral
+    edits (v=2/3) around each base recording."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mapreduce511_spark.multimodal import codecs
+
+        rows = []
+        for pdf in it:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d >= SYNTH_DOC_LIMIT:
+                    continue
+                amps, gain = _afp_amplitudes(d)
+                tick = np.tile(
+                    np.arange(AFP_WIN_LEN, dtype=np.int64) % 2, AFP_WINDOWS
+                )
+                samples = tick * np.repeat(amps * gain, AFP_WIN_LEN)
+                rows.append(
+                    (d, codecs.encode_wav(samples.astype("<i2")), codecs.WAV_FMT)
+                )
+        yield pd.DataFrame(rows, columns=["doc_id", "content", "fmt"])
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, content binary, fmt string"
+    )
+
+
+def extract_audio_fingerprint(media_df: DataFrame) -> DataFrame:
+    """Gain-invariant 64-bit audio fingerprint via mapInPandas: decode
+    the WAV where the bytes live, split into AFP_WINDOWS fixed
+    windows, take each window's first-difference energy
+    E_w = sum |s[i]-s[i-1]| (within-window diffs only — an FFT-free
+    high-band energy), then 64 bits of E_{w+1} > E_w. Comparing
+    ADJACENT energies cancels any uniform gain (|g*ds| = g*|ds|), the
+    audio analog of dHash comparing neighboring cells instead of
+    absolutes. Packed as two non-negative 32-bit halves like
+    ``extract_dhash`` so banding never touches a sign bit."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mapreduce511_spark.multimodal import codecs
+
+        for pdf in it:
+            out = []
+            for doc_id, payload, fmt in zip(
+                pdf["doc_id"], pdf["content"], pdf["fmt"]
+            ):
+                if fmt != codecs.WAV_FMT:
+                    raise NotImplementedError(
+                        f"audio fingerprint expects WAV, got {fmt!r}"
+                    )
+                _, _, samples = codecs.decode_wav(bytes(payload))
+                s = samples.astype(np.int64)
+                n = AFP_WINDOWS * AFP_WIN_LEN
+                if s.size != n:
+                    raise ValueError(
+                        f"fixture expects {n} samples, got {s.size}"
+                    )
+                d = np.abs(np.diff(s.reshape(AFP_WINDOWS, AFP_WIN_LEN)))
+                e = d.sum(axis=1)  # within-window energy, cross-window excluded
+                bits = (e[1:] > e[:-1]).astype(np.int64)
+                weights = 1 << np.arange(32, dtype=np.int64)
+                lo = int((bits[:32] * weights).sum())
+                hi = int((bits[32:] * weights).sum())
+                out.append((int(doc_id), lo, hi))
+            yield pd.DataFrame(out, columns=["doc_id", "h_lo", "h_hi"])
+
+    return media_df.select("doc_id", "content", "fmt").mapInPandas(
+        batches, schema="doc_id long, h_lo long, h_hi long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video frame-hash fixtures (concatenated-BMP container) — r9
+# ---------------------------------------------------------------------------
+
+VID_CLASS = 4  # docs per planted variant class
+VID_FRAMES = 6  # frames in a base video
+VID_KEY_STRIDE = 8  # frame-key namespace per class (6 base + 1 foreign < 8)
+VID_FOREIGN = 7  # v=3's appended foreign frame key offset
+# the cell closed form is mod 256, so only key % 256 distinguishes
+# frame CONTENT — the key space must stay under 256 or classes 256
+# keys apart would carry pixel-identical frames (found when the first
+# cut used 400 docs x stride 31: key 1024 wrapped onto key 0 and
+# cross-class videos genuinely shared frames). 32 classes x stride 8
+# = 256 keys exactly fills the space with no wrap.
+VID_DOC_LIMIT = 128  # 32 classes x VID_CLASS docs
+
+# variant plan (v = doc_id % VID_CLASS): v=0 base (frames 0..5);
+# v=1 re-encode (same frames, fresh container); v=2 trim (1..5);
+# v=3 trim + append one foreign frame (1..5, FOREIGN)
+
+
+def _vid_frame_keys(doc_id: int) -> list[int]:
+    base, v = doc_id // VID_CLASS, doc_id % VID_CLASS
+    offs = {
+        0: range(VID_FRAMES),
+        1: range(VID_FRAMES),
+        2: range(1, VID_FRAMES),
+        3: [*range(1, VID_FRAMES), VID_FOREIGN],
+    }[v]
+    return [base * VID_KEY_STRIDE + o for o in offs]
+
+
+def _vid_cells(key: int):
+    """9x8 cell grid for one FRAME, keyed by the frame key (the same
+    closed form family as _dhash_cells, so the oracle can re-derive
+    every frame's dHash from the key alone)."""
+    import numpy as np
+
+    cx = np.arange(9, dtype=np.int64)[None, :]
+    cy = np.arange(8, dtype=np.int64)[:, None]
+    return ((key + 1) * (cx + 9 * cy + 1) * DHASH_MIX
+            + key * (cx * cx + 3 * cy * cy)) % 256
+
+
+def synth_video_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, content, fmt) where content is a VIDEO: a container of
+    concatenated real 36x16 BMP frames (each frame individually
+    decodable; the reader walks BMP file-size fields). Classes of
+    VID_CLASS docs plant a re-encode twin, a trimmed cut, and a
+    trim+splice variant around each base video."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mapreduce511_spark.multimodal import codecs
+
+        rows = []
+        for pdf in it:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d >= VID_DOC_LIMIT:
+                    continue
+                frames = []
+                for key in _vid_frame_keys(d):
+                    cells = _vid_cells(key)
+                    px = np.repeat(np.repeat(cells, 2, axis=0), 4, axis=1)
+                    img = np.stack([px, px, px], axis=2).astype(np.uint8)
+                    frames.append(codecs.encode_bmp(img))
+                rows.append((d, b"".join(frames), "video/bmpseq"))
+        yield pd.DataFrame(rows, columns=["doc_id", "content", "fmt"])
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, content binary, fmt string"
+    )
+
+
+def extract_video_frame_hashes(media_df: DataFrame) -> DataFrame:
+    """Per-video frame dHashes via mapInPandas: walk the concatenated
+    BMP container by each frame's file-size field, decode, box-average
+    to the 9x8 grid, dHash each frame (same gradient-sign hash as
+    ``extract_dhash``). One output row per (doc_id, frame_idx) with
+    the packed 32-bit halves — the video near-dup query builds its
+    per-video signature (frame-hash set) from these."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mapreduce511_spark.multimodal import codecs
+
+        for pdf in it:
+            out = []
+            for doc_id, payload, fmt in zip(
+                pdf["doc_id"], pdf["content"], pdf["fmt"]
+            ):
+                if fmt != "video/bmpseq":
+                    raise NotImplementedError(
+                        f"frame hasher expects video/bmpseq, got {fmt!r}"
+                    )
+                buf = bytes(payload)
+                pos = fidx = 0
+                while pos < len(buf):
+                    if buf[pos : pos + 2] != b"BM":
+                        raise ValueError("frame boundary desync")
+                    size = int.from_bytes(buf[pos + 2 : pos + 6], "little")
+                    w, h, px = codecs.decode_bmp(buf[pos : pos + size])
+                    gray = px[:, :, 0].astype(np.int64)
+                    cells = (
+                        gray.reshape(h // 2, 2, w // 4, 4).sum(axis=(1, 3))
+                        // 8
+                    )
+                    bits = (cells[:, 1:9] > cells[:, 0:8]).astype(np.int64)
+                    weights = 1 << np.arange(32, dtype=np.int64)
+                    lo = int((bits[:4].reshape(-1) * weights).sum())
+                    hi = int((bits[4:].reshape(-1) * weights).sum())
+                    out.append((int(doc_id), fidx, lo, hi))
+                    pos += size
+                    fidx += 1
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "h_lo", "h_hi"]
+            )
+
+    return media_df.select("doc_id", "content", "fmt").mapInPandas(
+        batches, schema="doc_id long, frame_idx int, h_lo long, h_hi long"
+    )

@@ -71,6 +71,8 @@ _ENUMERATE_FIRST: list[str] = [
     "suffix_array_census",  # new
     "suffix_repeated_phrases",  # new
     "exact_duplicate_span_census",  # new
+    "audio_fingerprint_near_dup",  # new
+    "video_dhash_near_dup",  # new
     "ann_quantized_topk",  # r03
     "bigram_novelty_rate",  # r03
     "bpe_first_merge",  # r03
@@ -116,8 +118,6 @@ _ENUMERATE_FIRST: list[str] = [
     "shuffle_shard_census",  # r03
     "snapshot_diff_census",  # r03
     "sql_grouping_sets",  # r03
-    "sql_window_lag",  # r03
-    "stream_dedup_admission",  # r03
 ]
 
 

@@ -12,9 +12,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce511_spark.multimodal import (
+    AFP_CLASS,
+    AFP_MIX,
+    AFP_T,
+    AFP_WIN_LEN,
+    AFP_WINDOWS,
     DHASH_CLASS,
     DHASH_MIX,
     DHASH_T,
+    VID_CLASS,
+    VID_DOC_LIMIT,
+    VID_FOREIGN,
+    VID_FRAMES,
+    VID_KEY_STRIDE,
     JPEG_GRID_HB_MOD,
     JPEG_GRID_WB_MOD,
     JPEG_PX_A,
@@ -911,3 +921,319 @@ def multimodal_png_deflate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_decoded_features(synth_png_native_deflate_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# Audio perceptual near-dup (gain-invariant energy dHash) — r9
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "audio_fingerprint_near_dup",
+    # f-string shares the ONE fixture definition (AFP_* constants +
+    # the window-energy closed form) with synth_audio_fp_media
+    oracle=f"""
+    WITH aud AS (
+        SELECT doc_id, doc_id // {AFP_CLASS} AS base,
+               doc_id % {AFP_CLASS} AS v
+        FROM documents WHERE doc_id < {SYNTH_DOC_LIMIT}
+    ), win AS (
+        SELECT doc_id, base, v, ws.g AS w
+        FROM aud, (SELECT unnest(generate_series(0, {AFP_WINDOWS - 1})) AS g) ws
+    ), amp AS (
+        SELECT doc_id, w,
+               CASE WHEN (v = 2 AND w IN (2, 19))
+                      OR (v = 3 AND w IN (3, 20, 37))
+                    THEN (((base + 1) * (w + 1) * {AFP_MIX}
+                           + base * w * w) % 256 + 128) % 256
+                    ELSE ((base + 1) * (w + 1) * {AFP_MIX}
+                          + base * w * w) % 256
+               END
+               * (CASE v WHEN 1 THEN 3 WHEN 3 THEN 2 ELSE 1 END)
+               * {AFP_WIN_LEN - 1} AS e
+        FROM win
+    ), bits AS (
+        SELECT x.doc_id, x.w AS b,
+               CASE WHEN y.e > x.e THEN 1 ELSE 0 END AS bit
+        FROM amp x JOIN amp y
+          ON x.doc_id = y.doc_id AND y.w = x.w + 1
+        WHERE x.w < 64
+    ), h AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN b < 32
+                    THEN bit * (CAST(1 AS BIGINT) << b)
+                    ELSE 0 END) AS BIGINT) AS h_lo,
+               CAST(sum(CASE WHEN b >= 32
+                    THEN bit * (CAST(1 AS BIGINT) << (b - 32))
+                    ELSE 0 END) AS BIGINT) AS h_hi
+        FROM bits GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.h_lo, b.h_lo))
+                    + bit_count(xor(a.h_hi, b.h_hi)) AS BIGINT) AS hamming,
+               CASE WHEN a.doc_id // {AFP_CLASS}
+                         = b.doc_id // {AFP_CLASS}
+                    THEN 1 ELSE 0 END AS same_class
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming, same_class
+    FROM pairs WHERE hamming <= {AFP_T}
+    """,
+)
+def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL AUDIO NEAR-DUP — what a multimodal pipeline runs to
+    drop volume-normalized / lightly-edited copies of the same
+    recording (r9, VERDICT r8 item 4): decode each WAV where the
+    bytes live (mapInPandas over the real RIFF codec), split into 65
+    fixed windows, take each window's first-difference energy (an
+    FFT-free high-band energy), then the 64-bit GRADIENT-SIGN hash
+    E_{{w+1}} > E_w — comparing adjacent window energies cancels any
+    uniform gain exactly (|g*ds| = g*|ds|), so a pure volume change
+    is fingerprint-IDENTICAL by construction (the planted v=1 twin),
+    while spectral edits flip only the bits at the edited windows.
+
+    Candidates come from the same banded equi-join discipline as
+    ``image_dhash_near_dup``: 4 x 16-bit bands, EXACT recall at
+    t = 3 by pigeonhole. The oracle re-derives every bit from the
+    fixture's window-energy closed form alone — decode, windowing,
+    energy, hash packing, banding and Hamming arithmetic all have to
+    agree for the row to hash green.
+
+    100 TB: per-asset decode+hash is embarrassingly parallel Arrow
+    batches; the only shuffle is the banded join (bounded buckets);
+    verify is candidate-bounded. The full LSH dedup shape, applied
+    to audio.
+
+    Reference basis: extension tier — multimodal x dedup families
+    (no analog in /root/reference, which is text-only)."""
+    from mapreduce511_spark.multimodal import (
+        extract_audio_fingerprint,
+        synth_audio_fp_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = extract_audio_fingerprint(
+        synth_audio_fp_media(docs)
+    ).localCheckpoint(eager=True)
+    bands = hashes.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"),
+                         F.col("h_lo").bitwiseAND(65535).alias("val")),
+                F.struct(F.lit(1).alias("band"),
+                         F.shiftright("h_lo", 16).alias("val")),
+                F.struct(F.lit(2).alias("band"),
+                         F.col("h_hi").bitwiseAND(65535).alias("val")),
+                F.struct(F.lit(3).alias("band"),
+                         F.shiftright("h_hi", 16).alias("val")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.val")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h_lo").alias("a_lo"),
+        F.col("h_hi").alias("a_hi"),
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h_lo").alias("b_lo"),
+        F.col("h_hi").alias("b_hi"),
+    )
+    hamming = (
+        F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+        + F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+    ).cast("long")
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            hamming.alias("hamming"),
+            F.when(
+                (F.col("doc_a") - F.col("doc_a") % AFP_CLASS)
+                == (F.col("doc_b") - F.col("doc_b") % AFP_CLASS),
+                1,
+            )
+            .otherwise(0)
+            .alias("same_class"),
+        )
+        .filter(F.col("hamming") <= AFP_T)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup via frame sampling + per-frame dHash — r9
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "video_dhash_near_dup",
+    # the frame-hash closed form is the dhash oracle keyed by the
+    # frame KEY; the variant plan (re-encode / trim / trim+splice)
+    # lives in the fk CTE, mirroring _vid_frame_keys
+    oracle=f"""
+    WITH vid AS (
+        SELECT doc_id, doc_id // {VID_CLASS} AS base,
+               doc_id % {VID_CLASS} AS v
+        FROM documents WHERE doc_id < {VID_DOC_LIMIT}
+    ), fk AS (
+        SELECT doc_id, base * {VID_KEY_STRIDE} + os.o AS key
+        FROM vid, (SELECT unnest(generate_series(0, {VID_FRAMES - 1})) AS o) os
+        WHERE v IN (0, 1) OR os.o >= 1
+        UNION ALL
+        SELECT doc_id, base * {VID_KEY_STRIDE} + {VID_FOREIGN}
+        FROM vid WHERE v = 3
+    ), keys AS (
+        SELECT DISTINCT key FROM fk
+    ), grid AS (
+        SELECT key, cx.g AS cx, cy.g AS cy
+        FROM keys,
+             (SELECT unnest(generate_series(0, 8)) AS g) cx,
+             (SELECT unnest(generate_series(0, 7)) AS g) cy
+    ), cells AS (
+        SELECT key, cx, cy,
+               ((key + 1) * (cx + 9 * cy + 1) * {DHASH_MIX}
+                + key * (cx * cx + 3 * cy * cy)) % 256 AS c
+        FROM grid
+    ), bits AS (
+        SELECT a.key, a.cy, a.cx,
+               CASE WHEN b.c > a.c THEN 1 ELSE 0 END AS bit
+        FROM cells a JOIN cells b
+          ON a.key = b.key AND a.cy = b.cy AND b.cx = a.cx + 1
+        WHERE a.cx < 8
+    ), fh AS (
+        SELECT key,
+               CAST(sum(CASE WHEN cy < 4
+                    THEN bit * (CAST(1 AS BIGINT) << (cy * 8 + cx))
+                    ELSE 0 END) AS BIGINT) AS h_lo,
+               CAST(sum(CASE WHEN cy >= 4
+                    THEN bit * (CAST(1 AS BIGINT) << ((cy - 4) * 8 + cx))
+                    ELSE 0 END) AS BIGINT) AS h_hi
+        FROM bits GROUP BY key
+    ), sig AS (
+        SELECT DISTINCT fk.doc_id,
+               fh.h_lo * 1000003 + fh.h_hi AS f
+        FROM fk JOIN fh ON fk.key = fh.key
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sig GROUP BY doc_id
+    ), common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_common
+        FROM sig a JOIN sig b
+          ON a.f = b.f AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, c.n_common,
+           sa.n + sb.n - c.n_common AS n_union,
+           CAST(100 * c.n_common // (sa.n + sb.n - c.n_common)
+                AS BIGINT) AS jac_pct,
+           CASE WHEN c.doc_a // {VID_CLASS} = c.doc_b // {VID_CLASS}
+                THEN 1 ELSE 0 END AS same_class
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE 2 * c.n_common >= sa.n + sb.n - c.n_common
+    """,
+)
+def video_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO NEAR-DUP VIA FRAME SAMPLING (r9, VERDICT r8 item 5) —
+    the pipeline that catches re-encodes, trims and splices of the
+    same footage: decode each video's frames where the bytes live
+    (mapInPandas walking the concatenated-BMP container by frame size
+    fields), dHash every frame (the same gradient-sign hash as
+    ``image_dhash_near_dup``), reduce each video to its FRAME-HASH
+    SET signature, then find pairs with set Jaccard >= 0.5.
+
+    Candidate generation is an inverted index on the frame hash —
+    any shared frame brings a pair together in ONE equi-join shuffle,
+    which is EXACT for any positive-Jaccard threshold (a pair with
+    Jaccard >= 0.5 shares at least one frame by definition) and
+    bounded by frame-bucket sizes, never all-pairs. The verify is a
+    grouped count over the candidate join's output: |A ∩ B| from the
+    join, |A ∪ B| = |A| + |B| - |A ∩ B| by inclusion-exclusion —
+    integer arithmetic end to end so the oracle restates it exactly.
+
+    The planted classes exercise the real failure modes: v=1 is a
+    bit-identical re-encode (Jaccard 1), v=2 a head-trim (5/6), v=3
+    a trim + foreign splice (5/7 vs base) — all admitted at the 0.5
+    threshold; cross-class videos share no frames (Jaccard 0).
+
+    100 TB: frame decode+hash is embarrassingly parallel; the frame
+    index join is the MinHash-LSH shape (hot frames cap naturally at
+    class size here; a production run would df-cap ubiquitous intro
+    frames exactly like the shingle families cap hot buckets).
+
+    Reference basis: extension tier — multimodal x dedup families
+    (no analog in /root/reference, which is text-only)."""
+    from mapreduce511_spark.multimodal import (
+        extract_video_frame_hashes,
+        synth_video_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = extract_video_frame_hashes(synth_video_media(docs))
+    sig = (
+        frames.select(
+            "doc_id",
+            (F.col("h_lo") * F.lit(1000003) + F.col("h_hi")).alias("f"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = sig.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            (F.col("na") + F.col("nb") - F.col("n_common"))
+            .cast("long")
+            .alias("n_union"),
+            F.when(
+                (F.col("doc_a") - F.col("doc_a") % VID_CLASS)
+                == (F.col("doc_b") - F.col("doc_b") % VID_CLASS),
+                1,
+            )
+            .otherwise(0)
+            .alias("same_class"),
+        )
+        # integer floor division on both sides (DuckDB `//`, Spark DIV)
+        .withColumn("jac_pct", F.expr("100 * n_common DIV n_union"))
+        .filter(F.lit(2) * F.col("n_common") >= F.col("n_union"))
+        .select(
+            "doc_a", "doc_b", "n_common", "n_union", "jac_pct", "same_class"
+        )
+    )

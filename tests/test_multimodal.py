@@ -357,3 +357,96 @@ def test_dhash_banding_recall_is_exact(spark):
         ).collect()
     }
     assert got == brute and brute  # exact recall AND precision
+
+
+def test_audio_fingerprint_gain_invariance_and_recall(spark):
+    """r9 (VERDICT r8 item 4): the audio fingerprint must (a) be
+    bit-IDENTICAL under the planted pure-volume variant (v=1, 3x
+    gain), (b) surface every planted edit pair within Hamming t via
+    the banded join (pigeonhole exactness vs brute force), and (c)
+    keep all admitted pairs intra-class on this fixture (cross-class
+    fingerprints are far apart)."""
+    from itertools import combinations
+
+    from mapreduce511_spark import queries as suite
+    from mapreduce511_spark.multimodal import (
+        AFP_CLASS,
+        AFP_T,
+        extract_audio_fingerprint,
+        synth_audio_fp_media,
+    )
+    from mapreduce511_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    hs = {
+        r.doc_id: (r.h_lo, r.h_hi)
+        for r in extract_audio_fingerprint(
+            synth_audio_fp_media(docs)
+        ).collect()
+    }
+    # (a) volume twin: v=1 is the 3x-gain copy of v=0 — identical
+    bases = {d // AFP_CLASS for d in hs}
+    for b in bases:
+        assert hs[b * AFP_CLASS] == hs[b * AFP_CLASS + 1]
+    # (b) exact recall AND precision vs brute force at t
+    brute = {
+        (a, b)
+        for a, b in combinations(sorted(hs), 2)
+        if bin(hs[a][0] ^ hs[b][0]).count("1")
+        + bin(hs[a][1] ^ hs[b][1]).count("1")
+        <= AFP_T
+    }
+    rows = suite.all_queries()["audio_fingerprint_near_dup"](
+        spark, SF_SMOKE
+    ).collect()
+    got = {(r.doc_a, r.doc_b) for r in rows}
+    assert got == brute and brute
+    # (c) this fixture's admitted pairs are all planted pairs
+    assert all(r.same_class == 1 for r in rows)
+    # and the gain twin is admitted for every class (hamming 0)
+    zero = {(r.doc_a, r.doc_b) for r in rows if r.hamming == 0}
+    assert {(b * AFP_CLASS, b * AFP_CLASS + 1) for b in bases} <= zero
+
+
+def test_video_near_dup_variant_classes(spark):
+    """r9 (VERDICT r8 item 5): the frame-sampled video near-dup must
+    admit every planted variant at its exact Jaccard — re-encode
+    (6/6), head-trim (5/6), trim+splice vs base (5/7) — with no
+    cross-class pair (fixture frames are class-disjoint), and the
+    shared-frame candidate join must equal brute force over frame
+    sets (exact recall for any positive threshold)."""
+    from itertools import combinations
+
+    from mapreduce511_spark import queries as suite
+    from mapreduce511_spark.multimodal import (
+        VID_CLASS,
+        extract_video_frame_hashes,
+        synth_video_media,
+    )
+    from mapreduce511_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sets: dict[int, set] = {}
+    for r in extract_video_frame_hashes(synth_video_media(docs)).collect():
+        sets.setdefault(r.doc_id, set()).add((r.h_lo, r.h_hi))
+    rows = suite.all_queries()["video_dhash_near_dup"](
+        spark, SF_SMOKE
+    ).collect()
+    got = {(r.doc_a, r.doc_b): r for r in rows}
+    brute = {
+        (a, b)
+        for a, b in combinations(sorted(sets), 2)
+        if 2 * len(sets[a] & sets[b]) >= len(sets[a] | sets[b])
+    }
+    assert set(got) == brute and brute
+    assert all(r.same_class == 1 for r in rows)
+    # exact planted Jaccards, per class: (v0,v1) 6/6, (v0,v2) 5/6,
+    # (v0,v3) 5/7, (v2,v3) 5/6
+    for b in {d // VID_CLASS for d in sets}:
+        d0 = b * VID_CLASS
+        assert (got[(d0, d0 + 1)].n_common, got[(d0, d0 + 1)].n_union) == (6, 6)
+        assert (got[(d0, d0 + 2)].n_common, got[(d0, d0 + 2)].n_union) == (5, 6)
+        assert (got[(d0, d0 + 3)].n_common, got[(d0, d0 + 3)].n_union) == (5, 7)
+        assert (got[(d0 + 2, d0 + 3)].n_common, got[(d0 + 2, d0 + 3)].n_union) == (5, 6)

@@ -166,6 +166,8 @@ PICKS = {
     "suffix_array_census": "SA build (log(max doc len) prefix-doubling hash-shuffle rounds, ~31 s at sf0.1) amortized per corpus snapshot; census = one grouped scan of the array",
     "suffix_repeated_phrases": "adjacent-LCP gather is a max_lcp-bounded pos+i equi-join; top-k via TakeOrdered",
     "exact_duplicate_span_census": "per-position LCP maxima + doc-partitioned islands windows; all work ~ corpus positions",
+    "audio_fingerprint_near_dup": "fixed 400-asset fixture; linear Arrow decode+fingerprint; banded join bounded by bucket sizes",
+    "video_dhash_near_dup": "fixed 128-asset fixture; linear frame decode+hash; frame-index join bounded by frame-bucket sizes",
 }
 
 
