@@ -257,10 +257,19 @@ def synth_jpeg_arith_media(docs: DataFrame) -> DataFrame:
     (``synth_jpeg_media``), so the identical DuckDB oracle verifies
     the QM coder + DC/AC statistical models end to end: any
     arithmetic-decode defect changes the decoded pixels and the
-    oracle's integer sums catch it."""
+    oracle's integer sums catch it.
+
+    r9 (VERDICT r8 item 9): docs cycle through FOUR conditioning
+    variants — the T.81 default (L=0,U=1,Kx=5) plus three non-default
+    DAC settings — so the oracle also proves the parametrized L/U
+    classification and Kx context split (decoded pixels are
+    conditioning-invariant; a classification bug desyncs the QM
+    decoder and the integer sums catch it)."""
     import numpy as np
 
     from mapreduce511_spark.multimodal import jpeg_arith
+
+    conds = ((0, 1, 5), (1, 3, 12), (0, 0, 1), (2, 8, 63))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
@@ -276,8 +285,15 @@ def synth_jpeg_arith_media(docs: DataFrame) -> DataFrame:
                     for bx in range(wb):
                         v = (d * JPEG_PX_A + bx * JPEG_PX_BX + by * JPEG_PX_BY) % 256
                         px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = v
+                dc_l, dc_u, ac_kx = conds[d % 4]
                 rows.append(
-                    (d, jpeg_arith.encode_jpeg_arith(px), "image/jpeg")
+                    (
+                        d,
+                        jpeg_arith.encode_jpeg_arith(
+                            px, dc_l=dc_l, dc_u=dc_u, ac_kx=ac_kx
+                        ),
+                        "image/jpeg",
+                    )
                 )
         yield pd.DataFrame(rows, columns=["doc_id", "content", "fmt"])
 
