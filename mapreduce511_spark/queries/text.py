@@ -4706,3 +4706,57 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank", "doc_id", "source", "lang", "n_grams",
         "logw_micro", "key_micro",
     )
+
+
+@register("compression_quality_census")
+def compression_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSION-RATIO QUALITY CENSUS (r9) — the Gopher/RefinedWeb
+    "too compressible = templated/low-entropy" signal as a per-language
+    corpus audit: each document's DEFLATE ratio in exact integer parts
+    per thousand (``operators/dedup.compression_ratio``, computed with
+    the engine's OWN deterministic dynamic-Huffman encoder inside
+    Arrow batches — stable across partitionings and cluster images),
+    rolled up per language as total raw/compressed bytes, the corpus
+    ratio, and how many documents fall under the 500-ppt "suspiciously
+    compressible" cut a production pipeline would quarantine.
+
+    No SQL oracle — the ratio IS the native DEFLATE bitstream length,
+    which DuckDB cannot restate — so the driver applies its rows-only
+    check; exact per-document values are pinned against a pure-Python
+    recompute (same encoder, driver-side) in tests/test_deflate.py,
+    and the encoder itself is cross-verified against stdlib zlib's
+    independent inflater.
+
+    100 TB: encode runs where the text lives (one linear Arrow pass);
+    the only shuffle is the |langs|-group rollup after per-document
+    columns collapse map-side.
+
+    Reference basis: extension tier — text-quality family beside
+    ``gopher_quality_rules`` / ``repetition_score`` (SURVEY.md §2
+    extensions)."""
+    from mapreduce511_spark.operators.dedup import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    rated = compression_ratio(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return (
+        rated.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("raw_bytes").alias("total_raw_bytes"),
+            F.sum("comp_bytes").alias("total_comp_bytes"),
+            F.sum(
+                F.when(F.col("ratio_milli") < 500, 1).otherwise(0)
+            ).alias("n_low_entropy"),
+            F.min("ratio_milli").alias("min_ratio_milli"),
+            F.max("ratio_milli").alias("max_ratio_milli"),
+        )
+        .withColumn(
+            "corpus_ratio_milli",
+            F.expr("1000 * total_comp_bytes DIV total_raw_bytes"),
+        )
+        .orderBy("lang")
+    )

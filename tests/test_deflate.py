@@ -181,3 +181,49 @@ def test_compression_ratio_separates_repetitive_text(spark):
     assert {k: (v.comp_bytes, v.ratio_milli) for k, v in out.items()} == {
         k: (v.comp_bytes, v.ratio_milli) for k, v in out2.items()
     }
+
+
+def test_compression_quality_census_pins_exact_values(spark):
+    """r9: the registered census is rows-only for the driver (DuckDB
+    cannot restate a DEFLATE bitstream length), so pin it here — a
+    driver-side pure-Python recompute with the SAME encoder must
+    reproduce every per-language aggregate exactly."""
+    from mapreduce511_spark import queries as suite
+    from mapreduce511_spark.multimodal.deflate import deflate_dynamic
+    from mapreduce511_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.lang: r.asDict()
+        for r in suite.all_queries()["compression_quality_census"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    agg: dict[str, dict] = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("lang", "text")
+        .collect()
+    ):
+        raw = str(r.text).encode("utf-8")
+        comp = len(deflate_dynamic(raw))
+        ratio = 1000 if not raw else 1000 * comp // len(raw)
+        a = agg.setdefault(
+            r.lang,
+            {"n": 0, "raw": 0, "comp": 0, "low": 0, "ratios": []},
+        )
+        a["n"] += 1
+        a["raw"] += len(raw)
+        a["comp"] += comp
+        a["low"] += ratio < 500
+        a["ratios"].append(ratio)
+    assert set(got) == set(agg)
+    for lang, a in agg.items():
+        g = got[lang]
+        assert g["n_docs"] == a["n"]
+        assert g["total_raw_bytes"] == a["raw"]
+        assert g["total_comp_bytes"] == a["comp"]
+        assert g["n_low_entropy"] == a["low"]
+        assert g["min_ratio_milli"] == min(a["ratios"])
+        assert g["max_ratio_milli"] == max(a["ratios"])
+        assert g["corpus_ratio_milli"] == 1000 * a["comp"] // a["raw"]

@@ -168,6 +168,7 @@ PICKS = {
     "exact_duplicate_span_census": "per-position LCP maxima + doc-partitioned islands windows; all work ~ corpus positions",
     "audio_fingerprint_near_dup": "fixed 400-asset fixture; linear Arrow decode+fingerprint; banded join bounded by bucket sizes",
     "video_dhash_near_dup": "fixed 128-asset fixture; linear frame decode+hash; frame-index join bounded by frame-bucket sizes",
+    "compression_quality_census": "one linear Arrow encode pass over the text; |langs|-group map-combinable rollup",
 }
 
 
