@@ -91,3 +91,25 @@ def test_explain_md_pins_persisted_index_plans():
     assert "ReadSchema: struct<vec_id:bigint,codes:array<int>>" in text, (
         "codes-only ADC scan gone"
     )
+
+
+def test_profile_pins_parity_run_for_current_window_round():
+    """r9 (VERDICT r8 item 7): each round must RECORD a full-registry
+    sf0.01 parity run in PROFILE.md. Keyed off the builder-stamped
+    window horizon (`_WINDOW_LEDGER_MAX + 1` = the round the
+    checked-in window was generated for), NOT the CORRECTNESS files
+    on disk — the driver drops a new ledger file after the builder's
+    session, and a guard keyed on disk state would go red on every
+    drop (the r8 rotation-guard lesson)."""
+    from mapreduce511_spark.queries import _WINDOW_LEDGER_MAX
+
+    rnd = _WINDOW_LEDGER_MAX + 1
+    text = (REPO / "PROFILE.md").read_text()
+    assert (
+        f"Driver-mirror parity at sf0.01: full-registry re-proof (round {rnd})"
+        in text
+    ), (
+        f"PROFILE.md lacks the round-{rnd} sf0.01 parity record — run "
+        f"SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.01 pytest "
+        f"tests/test_oracle_parity.py and pin the result"
+    )
