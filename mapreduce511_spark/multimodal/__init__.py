@@ -724,7 +724,10 @@ def synth_gif_media(docs: DataFrame) -> DataFrame:
     doc_id < SYNTH_DOC_LIMIT — real LZW (variable code width, clear
     codes, sub-block packing), every 4th asset interlaced so the
     4-pass row order decodes under the oracle gate (the census's
-    position-weighted checksum makes row order load-bearing)."""
+    position-weighted checksum makes row order load-bearing), and
+    every other asset stores its palette as a LOCAL color table (r9
+    gate lift) so both table placements sit under the same oracle
+    (decoded pixels are placement-invariant)."""
     from mapreduce511_spark.multimodal import gif
 
     palette = [
@@ -749,7 +752,10 @@ def synth_gif_media(docs: DataFrame) -> DataFrame:
                     for y in range(h)
                 ]
                 payload = gif.encode_gif(
-                    grid, palette, interlace=(d % 4 == 1)
+                    grid,
+                    palette,
+                    interlace=(d % 4 == 1),
+                    local_table=(d % 2 == 1),
                 )
                 rows.append((d, payload, gif.GIF_FMT))
         yield pd.DataFrame(rows, columns=["doc_id", "content", "fmt"])

@@ -173,8 +173,13 @@ def encode_gif(
     indices,  # h x w iterable of palette indices
     palette: list[tuple[int, int, int]],
     interlace: bool = False,
+    local_table: bool = False,
 ) -> bytes:
-    """Encode an indexed image + palette as a single-image GIF89a."""
+    """Encode an indexed image + palette as a single-image GIF89a.
+    ``local_table=True`` stores the palette as the image's LOCAL color
+    table (GIF89a §20-21: the flag bit 0x80 of the image descriptor's
+    packed field, table following the descriptor) instead of a global
+    one — the r9 gate lift; decoded pixels are identical either way."""
     rows = [list(r) for r in indices]
     h = len(rows)
     w = len(rows[0]) if h else 0
@@ -191,17 +196,27 @@ def encode_gif(
                 raise ValueError("pixel index outside palette")
 
     out = bytearray(b"GIF89a")
-    # logical screen descriptor: global table flag, color resolution
-    # (bits-1), no sort, table size exponent
-    packed = 0x80 | ((bits - 1) << 4) | (bits - 1)
-    out += struct.pack("<HHBBB", w, h, packed, 0, 0)
+    table = bytearray()
     for i in range(table_size):
         r_, g_, b_ = palette[i] if i < n else (0, 0, 0)
-        out += bytes((r_, g_, b_))
-    # image descriptor
-    out += b"\x2c" + struct.pack(
-        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0x00
-    )
+        table += bytes((r_, g_, b_))
+    if local_table:
+        # logical screen descriptor with NO global table; the palette
+        # rides in the image descriptor's local table instead
+        out += struct.pack("<HHBBB", w, h, (bits - 1) << 4, 0, 0)
+        ipacked = 0x80 | (0x40 if interlace else 0x00) | (bits - 1)
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+        out += table
+    else:
+        # logical screen descriptor: global table flag, color
+        # resolution (bits-1), no sort, table size exponent
+        packed = 0x80 | ((bits - 1) << 4) | (bits - 1)
+        out += struct.pack("<HHBBB", w, h, packed, 0, 0)
+        out += table
+        # image descriptor
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0x00
+        )
     order = _interlace_rows(h) if interlace else range(h)
     flat = [px for ri in order for px in rows[ri]]
     min_code_size = max(bits, 2)  # spec: minimum 2
@@ -261,7 +276,17 @@ def decode_gif(payload: bytes):
                     "sub-rectangle frames (animation composition) not supported"
                 )
             if ipacked & 0x80:
-                raise NotImplementedError("local color tables not supported")
+                # local color table (r9 gate lift): 3 * 2^(n+1) bytes
+                # follow the descriptor and REPLACE the global table
+                # for this image (GIF89a §21)
+                size = 1 << ((ipacked & 0x07) + 1)
+                raw = payload[pos : pos + 3 * size]
+                if len(raw) != 3 * size:
+                    raise ValueError("local color table truncated")
+                palette = np.frombuffer(raw, dtype=np.uint8).reshape(
+                    size, 3
+                )
+                pos += 3 * size
             interlaced = bool(ipacked & 0x40)
             if palette is None:
                 raise ValueError("no color table for image")

@@ -97,14 +97,40 @@ def test_rejections_are_loud():
         encode_gif([[0, 1], [2]], _pal(4))  # ragged
     with pytest.raises(ValueError):
         encode_gif([[7]], _pal(4))  # index outside palette
-    # local color table / sub-rectangle frames: honest gates
+    # truncated local color table: loud, not garbage pixels
     enc = bytearray(encode_gif([[1, 0], [0, 1]], _pal(4)))
     at = 13 + 3 * 4  # image descriptor starts here
     assert enc[at] == 0x2C
     bad = bytearray(enc)
-    bad[at + 9] |= 0x80  # claim a local color table
-    with pytest.raises(NotImplementedError):
+    bad[at + 9] |= 0x87  # claim a 256-entry local table that is not there
+    with pytest.raises(ValueError, match="local color table"):
         decode_gif(bytes(bad))
+
+
+def test_local_color_table_round_trips():
+    """r9 gate lift: a GIF whose palette rides in the image
+    descriptor's LOCAL color table (no global table at all) decodes
+    to the same pixels as its global-table twin, interlaced or not;
+    a local table also OVERRIDES a present global table (GIF89a
+    §21)."""
+    rows = [[((y * 13 + x) * 7) % 16 for x in range(13)] for y in range(11)]
+    pal = _pal(16)
+    want = decode_gif(encode_gif(rows, pal))[2]
+    for interlace in (False, True):
+        enc = encode_gif(rows, pal, interlace=interlace, local_table=True)
+        w, h, rgb = decode_gif(enc)
+        assert (w, h) == (13, 11) and (rgb == want).all()
+    # override: splice a WRONG global table in front of a local-table
+    # image; the local table must win
+    local = bytearray(encode_gif(rows, pal, local_table=True))
+    assert local[10] & 0x80 == 0  # no global table flag
+    wrong = [(255 - r, 255 - g, 255 - b) for r, g, b in pal]
+    gt = b"".join(bytes(c) for c in wrong)
+    spliced = bytes(local[:10]) + bytes([local[10] | 0x80 | 0x03]) + bytes(
+        local[11:13]
+    ) + gt + bytes(local[13:])
+    w, h, rgb = decode_gif(spliced)
+    assert (rgb == want).all()
 
 
 def test_truncated_lzw_fails():

@@ -104,6 +104,13 @@ PICKS = {
     "hilbert_cell_census": "Hilbert xy->d as unrolled CASE/XOR ints in codegen; 1-row bounds broadcast",
     "image_dhash_near_dup": "dHash: Arrow decode+hash; 4x16-bit banded equi-join, pigeonhole-exact recall",
     "multimodal_png_deflate_stats": "Native DEFLATE IDAT encoded+decoded where the bytes live; shuffle-free per-asset aggregate",
+    # round 9
+    "suffix_array_census": "Suffix array served from the memoized checkpointed build; per-doc combinable checksum aggregate",
+    "suffix_repeated_phrases": "Adjacent-LCP gather as pos+i equi-joins (never a range join); TakeOrdered top-k",
+    "exact_duplicate_span_census": "Per-position LCP max union; doc-partitioned islands windows; combinable coverage aggregate",
+    "audio_fingerprint_near_dup": "Arrow WAV decode+fingerprint; 4x16-bit banded equi-join, pigeonhole-exact recall",
+    "video_dhash_near_dup": "Frame-walk + per-frame dHash in Arrow; inverted frame-hash equi-join; integer Jaccard verify",
+    "compression_quality_census": "Native-DEFLATE ratio where the text lives; per-lang map-combinable rollup",
 }
 
 
