@@ -814,3 +814,36 @@ def test_dhash_candidates_ride_the_banded_equi_join(spark):
     assert "MapInPandas" in plan or "Scan ExistingRDD" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_audio_fingerprint_candidates_ride_the_banded_equi_join(spark):
+    """r9: same discipline as the image twin — Arrow-batched
+    fingerprinting, banded equi-join candidates, no quadratic pair
+    plan."""
+    plan = _plan(spark, "audio_fingerprint_near_dup")
+    assert "MapInPandas" in plan or "Scan ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_video_candidates_ride_the_frame_hash_equi_join(spark):
+    """r9: video near-dup candidates come from the inverted
+    frame-hash index (equi-join on the combined hash), never an
+    all-pairs plan; frame decode+hash is Arrow-batched."""
+    plan = _plan(spark, "video_dhash_near_dup")
+    assert "MapInPandas" in plan or "Scan ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_suffix_lcp_gather_is_equi_join_only(spark):
+    """r9: the adjacent-LCP gather must plan as pos+i EQUI-joins (a
+    non-equi pos-window join would be BroadcastNestedLoopJoin over
+    the corpus); the whole suffix family stays nested-loop-free."""
+    for name in (
+        "suffix_repeated_phrases",
+        "exact_duplicate_span_census",
+    ):
+        plan = _plan(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
