@@ -74,6 +74,7 @@ _ENUMERATE_FIRST: list[str] = [
     "audio_fingerprint_near_dup",  # new
     "video_dhash_near_dup",  # new
     "compression_quality_census",  # new
+    "stream_image_dhash_admission",  # new
     "ann_quantized_topk",  # r03
     "bigram_novelty_rate",  # r03
     "bpe_first_merge",  # r03
@@ -117,7 +118,6 @@ _ENUMERATE_FIRST: list[str] = [
     "rollup_region_nation_sales",  # r03
     "salted_join_revenue",  # r03
     "shuffle_shard_census",  # r03
-    "snapshot_diff_census",  # r03
 ]
 
 

@@ -1947,3 +1947,205 @@ def stream_dsir_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _detach(run_available_now(census, name, ckpt), name)
     finally:
         _cleanup(src)
+
+
+def _dhash_closed_form_cte() -> str:
+    """The image_dhash fixture's hash derivation as a reusable oracle
+    CTE chain ending in h(doc_id, h_lo, h_hi) — the SAME closed form
+    `queries/multimodal.py::image_dhash_near_dup` embeds."""
+    from mapreduce511_spark.multimodal import (
+        DHASH_CLASS,
+        DHASH_MIX,
+        SYNTH_DOC_LIMIT,
+    )
+
+    return f"""
+    img AS (
+        SELECT doc_id, doc_id // {DHASH_CLASS} AS base,
+               doc_id % {DHASH_CLASS} AS v
+        FROM documents WHERE doc_id < {SYNTH_DOC_LIMIT}
+    ), grid AS (
+        SELECT doc_id, base, v, cx.g AS cx, cy.g AS cy
+        FROM img,
+             (SELECT unnest(generate_series(0, 8)) AS g) cx,
+             (SELECT unnest(generate_series(0, 7)) AS g) cy
+    ), cells AS (
+        SELECT doc_id, cx, cy,
+               CASE WHEN v > 0 AND cx = v AND cy < v
+                    THEN (((base + 1) * (cx + 9 * cy + 1) * {DHASH_MIX}
+                           + base * (cx * cx + 3 * cy * cy)) % 256 + 128)
+                         % 256
+                    ELSE ((base + 1) * (cx + 9 * cy + 1) * {DHASH_MIX}
+                          + base * (cx * cx + 3 * cy * cy)) % 256
+               END AS c
+        FROM grid
+    ), bits AS (
+        SELECT a.doc_id, a.cy, a.cx,
+               CASE WHEN b.c > a.c THEN 1 ELSE 0 END AS bit
+        FROM cells a JOIN cells b
+          ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+        WHERE a.cx < 8
+    ), h AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN cy < 4
+                    THEN bit * (CAST(1 AS BIGINT) << (cy * 8 + cx))
+                    ELSE 0 END) AS BIGINT) AS h_lo,
+               CAST(sum(CASE WHEN cy >= 4
+                    THEN bit * (CAST(1 AS BIGINT) << ((cy - 4) * 8 + cx))
+                    ELSE 0 END) AS BIGINT) AS h_hi
+        FROM bits GROUP BY doc_id
+    )"""
+
+
+def _image_admission_oracle() -> str:
+    from mapreduce511_spark.multimodal import DHASH_CLASS, DHASH_T
+
+    return f"""
+    WITH {_dhash_closed_form_cte()},
+    idx AS (
+        SELECT h_lo, h_hi FROM h WHERE doc_id % {DHASH_CLASS} = 0
+    ), stream AS (
+        SELECT doc_id, h_lo, h_hi FROM h
+        WHERE doc_id % {DHASH_CLASS} <> 0
+    ), flags AS (
+        SELECT s.doc_id,
+               max(CASE WHEN bit_count(xor(s.h_lo, i.h_lo))
+                           + bit_count(xor(s.h_hi, i.h_hi)) <= {DHASH_T}
+                        THEN 1 ELSE 0 END) AS dup
+        FROM stream s, idx i
+        GROUP BY s.doc_id
+    )
+    SELECT count(*) AS n_stream,
+           CAST(sum(dup) AS BIGINT) AS rejected_near_dup,
+           CAST(count(*) - sum(dup) AS BIGINT) AS admitted
+    FROM flags
+    """
+
+
+@register("stream_image_dhash_admission", oracle=_image_admission_oracle())
+def stream_image_dhash_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING PERCEPTUAL-HASH image admission (r9) — the multimodal
+    ingest gate: image assets arrive as file-source micro-batches,
+    each batch is decoded + dHashed where the bytes live (the same
+    Arrow extractors as ``image_dhash_near_dup``), and an arriving
+    image is REJECTED when it is a near-duplicate (Hamming <=
+    DHASH_T) of the STANDING index (the class-base images, a static
+    relation). The per-batch gate is the banded equi-join + bounded
+    Hamming verify — pigeonhole-EXACT at t=3, so the gate equals the
+    brute-force rule the oracle states — and admitted rows land in
+    per-batch partition dirs via foreachBatch (idempotent overwrite
+    per batch id = exactly-once, the ``stream_ann_admission_census``
+    sink discipline). The funnel is fully deterministic (the verdict
+    for each image depends only on the static index, not on batch
+    splits or winners), so the drained census must equal the batch
+    SQL exactly.
+
+    At 100 TB: the standing index is a bucketed (band, val) table —
+    each micro-batch shuffles only its own bands; the verify is
+    candidate-bounded; state is ZERO (stream-static gate; the sink
+    carries the admissions). Hot bands (logo cards, solid frames)
+    df-cap exactly like hot shingles.
+
+    Reference basis: extension tier — streaming x multimodal x dedup
+    composed (SURVEY.md §2.9 / extensions)."""
+    from mapreduce511_spark.multimodal import (
+        DHASH_CLASS,
+        DHASH_T,
+        SYNTH_DOC_LIMIT,
+        extract_dhash,
+        synth_dhash_media,
+    )
+
+    src, ckpt, name = _scratch("imgadmit")
+    staging = f"{Path(src).parent}/admitted"
+    try:
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < SYNTH_DOC_LIMIT
+        )
+        idx_hashes = (
+            extract_dhash(
+                synth_dhash_media(docs.filter(F.col("doc_id") % DHASH_CLASS == 0))
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        def bands(hashes: DataFrame) -> DataFrame:
+            return hashes.select(
+                "doc_id",
+                "h_lo",
+                "h_hi",
+                F.explode(
+                    F.array(
+                        F.struct(F.lit(0).alias("band"),
+                                 F.col("h_lo").bitwiseAND(65535).alias("val")),
+                        F.struct(F.lit(1).alias("band"),
+                                 F.shiftright("h_lo", 16).alias("val")),
+                        F.struct(F.lit(2).alias("band"),
+                                 F.col("h_hi").bitwiseAND(65535).alias("val")),
+                        F.struct(F.lit(3).alias("band"),
+                                 F.shiftright("h_hi", 16).alias("val")),
+                    )
+                ).alias("b"),
+            ).select("doc_id", "h_lo", "h_hi", "b.band", "b.val")
+
+        idx_bands = bands(idx_hashes).select(
+            F.col("band").alias("iband"),
+            F.col("val").alias("ival"),
+            F.col("h_lo").alias("i_lo"),
+            F.col("h_hi").alias("i_hi"),
+        ).localCheckpoint(eager=True)
+
+        arriving = docs.filter(F.col("doc_id") % DHASH_CLASS != 0)
+        n_stream = arriving.count()
+        arriving.repartition(4).write.mode("overwrite").parquet(src)
+        reader = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def admit(batch_df: DataFrame, batch_id: int) -> None:
+            hashes = extract_dhash(synth_dhash_media(batch_df))
+            cand = bands(hashes).join(
+                idx_bands,
+                (F.col("band") == F.col("iband"))
+                & (F.col("val") == F.col("ival")),
+            )
+            hamming = (
+                F.bit_count(F.col("h_lo").bitwiseXOR(F.col("i_lo")))
+                + F.bit_count(F.col("h_hi").bitwiseXOR(F.col("i_hi")))
+            )
+            rejected = (
+                cand.filter(hamming <= DHASH_T)
+                .select("doc_id")
+                .distinct()
+            )
+            (
+                hashes.join(rejected, "doc_id", "left_anti")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{staging}/ingest_batch={batch_id}")
+            )
+
+        (
+            reader.writeStream.foreachBatch(admit)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        admitted = spark.read.parquet(staging)
+        out = admitted.agg(
+            F.countDistinct("doc_id").alias("n_admitted")
+        ).select(
+            F.lit(n_stream).cast("long").alias("n_stream"),
+            (F.lit(n_stream) - F.col("n_admitted"))
+            .cast("long")
+            .alias("rejected_near_dup"),
+            F.col("n_admitted").cast("long").alias("admitted"),
+        )
+        return _detach(out, name)
+    finally:
+        _cleanup(src)

@@ -169,6 +169,7 @@ PICKS = {
     "audio_fingerprint_near_dup": "fixed 400-asset fixture; linear Arrow decode+fingerprint; banded join bounded by bucket sizes",
     "video_dhash_near_dup": "fixed 128-asset fixture; linear frame decode+hash; frame-index join bounded by frame-bucket sizes",
     "compression_quality_census": "one linear Arrow encode pass over the text; |langs|-group map-combinable rollup",
+    "stream_image_dhash_admission": "fixed 400-asset fixture; per-batch banded gate vs the static index; zero streaming state",
 }
 
 
