@@ -1237,3 +1237,111 @@ def video_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b", "n_common", "n_union", "jac_pct", "same_class"
         )
     )
+
+
+@register(
+    "fingerprint_hamming_topk",
+    oracle=f"""
+    WITH img AS (
+        SELECT doc_id, doc_id // {DHASH_CLASS} AS base,
+               doc_id % {DHASH_CLASS} AS v
+        FROM documents WHERE doc_id < {SYNTH_DOC_LIMIT}
+    ), grid AS (
+        SELECT doc_id, base, v, cx.g AS cx, cy.g AS cy
+        FROM img,
+             (SELECT unnest(generate_series(0, 8)) AS g) cx,
+             (SELECT unnest(generate_series(0, 7)) AS g) cy
+    ), cells AS (
+        SELECT doc_id, cx, cy,
+               CASE WHEN v > 0 AND cx = v AND cy < v
+                    THEN (((base + 1) * (cx + 9 * cy + 1) * {DHASH_MIX}
+                           + base * (cx * cx + 3 * cy * cy)) % 256 + 128)
+                         % 256
+                    ELSE ((base + 1) * (cx + 9 * cy + 1) * {DHASH_MIX}
+                          + base * (cx * cx + 3 * cy * cy)) % 256
+               END AS c
+        FROM grid
+    ), bits AS (
+        SELECT a.doc_id, a.cy, a.cx,
+               CASE WHEN b.c > a.c THEN 1 ELSE 0 END AS bit
+        FROM cells a JOIN cells b
+          ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+        WHERE a.cx < 8
+    ), h AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN cy < 4
+                    THEN bit * (CAST(1 AS BIGINT) << (cy * 8 + cx))
+                    ELSE 0 END) AS BIGINT) AS h_lo,
+               CAST(sum(CASE WHEN cy >= 4
+                    THEN bit * (CAST(1 AS BIGINT) << ((cy - 4) * 8 + cx))
+                    ELSE 0 END) AS BIGINT) AS h_hi
+        FROM bits GROUP BY doc_id
+    ), probes AS (
+        SELECT doc_id AS probe_id, h_lo AS p_lo, h_hi AS p_hi
+        FROM h WHERE doc_id < 8
+    ), scored AS (
+        SELECT p.probe_id, c.doc_id,
+               CAST(bit_count(xor(p.p_lo, c.h_lo))
+                    + bit_count(xor(p.p_hi, c.h_hi)) AS BIGINT) AS hamming
+        FROM probes p JOIN h c ON c.doc_id <> p.probe_id
+    ), ranked AS (
+        SELECT probe_id, doc_id, hamming,
+               row_number() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY hamming, doc_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT probe_id, doc_id, hamming, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY probe_id, rank
+    """,
+)
+def fingerprint_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAMMING-SPACE SIMILARITY SEARCH over binary fingerprints (r9)
+    — the search twin of the dedup gate: exact top-5 nearest
+    neighbors by Hamming distance for the first 8 image fingerprints,
+    ties broken by doc_id. This is the brute-force EXACT baseline of
+    binary-code retrieval (the role ``similarity_topk`` plays for
+    cosine): the 8-row probe table broadcasts (K-bounded, never
+    corpus-linear), the corpus streams past it once, and per-probe
+    top-k comes from a rank window over the probe-keyed candidates —
+    the same shape every ann_* query uses. The banded index is the
+    scale path for RADIUS queries (exact at t<=3 by pigeonhole);
+    unbounded-radius top-k needs the full scan by definition, which
+    is why production systems pair a banded/multi-index candidate
+    stage with exactly this verify — measured recall of such a stage
+    belongs to the ann recall harness in bench.py.
+
+    Reference basis: extension tier — similarity-search family over
+    the multimodal fingerprint column (no analog in /root/reference)."""
+    from mapreduce511_spark.multimodal import extract_dhash, synth_dhash_media
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = extract_dhash(synth_dhash_media(docs)).localCheckpoint(
+        eager=True
+    )
+    probes = hashes.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("h_lo").alias("p_lo"),
+        F.col("h_hi").alias("p_hi"),
+    )
+    scored = hashes.join(
+        F.broadcast(probes), F.col("doc_id") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        "doc_id",
+        (
+            F.bit_count(F.col("p_lo").bitwiseXOR(F.col("h_lo")))
+            + F.bit_count(F.col("p_hi").bitwiseXOR(F.col("h_hi")))
+        )
+        .cast("long")
+        .alias("hamming"),
+    )
+    w = Window.partitionBy("probe_id").orderBy("hamming", "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("probe_id", "rank")
+    )

@@ -170,6 +170,7 @@ PICKS = {
     "video_dhash_near_dup": "fixed 128-asset fixture; linear frame decode+hash; frame-index join bounded by frame-bucket sizes",
     "compression_quality_census": "one linear Arrow encode pass over the text; |langs|-group map-combinable rollup",
     "stream_image_dhash_admission": "fixed 400-asset fixture; per-batch banded gate vs the static index; zero streaming state",
+    "fingerprint_hamming_topk": "K-bounded probe broadcast x one corpus scan; per-probe rank window over probe-keyed candidates",
 }
 
 
