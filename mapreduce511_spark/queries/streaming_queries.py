@@ -2149,3 +2149,187 @@ def stream_image_dhash_admission(
         return _detach(out, name)
     finally:
         _cleanup(src)
+
+
+def _audio_admission_oracle() -> str:
+    from mapreduce511_spark.multimodal import (
+        AFP_CLASS,
+        AFP_MIX,
+        AFP_T,
+        AFP_WIN_LEN,
+        AFP_WINDOWS,
+        SYNTH_DOC_LIMIT,
+    )
+
+    return f"""
+    WITH aud AS (
+        SELECT doc_id, doc_id // {AFP_CLASS} AS base,
+               doc_id % {AFP_CLASS} AS v
+        FROM documents WHERE doc_id < {SYNTH_DOC_LIMIT}
+    ), win AS (
+        SELECT doc_id, base, v, ws.g AS w
+        FROM aud, (SELECT unnest(generate_series(0, {AFP_WINDOWS - 1})) AS g) ws
+    ), amp AS (
+        SELECT doc_id, w,
+               CASE WHEN (v = 2 AND w IN (2, 19))
+                      OR (v = 3 AND w IN (3, 20, 37))
+                    THEN (((base + 1) * (w + 1) * {AFP_MIX}
+                           + base * w * w) % 256 + 128) % 256
+                    ELSE ((base + 1) * (w + 1) * {AFP_MIX}
+                          + base * w * w) % 256
+               END
+               * (CASE v WHEN 1 THEN 3 WHEN 3 THEN 2 ELSE 1 END)
+               * {AFP_WIN_LEN - 1} AS e
+        FROM win
+    ), bits AS (
+        SELECT x.doc_id, x.w AS b,
+               CASE WHEN y.e > x.e THEN 1 ELSE 0 END AS bit
+        FROM amp x JOIN amp y
+          ON x.doc_id = y.doc_id AND y.w = x.w + 1
+        WHERE x.w < 64
+    ), h AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN b < 32
+                    THEN bit * (CAST(1 AS BIGINT) << b)
+                    ELSE 0 END) AS BIGINT) AS h_lo,
+               CAST(sum(CASE WHEN b >= 32
+                    THEN bit * (CAST(1 AS BIGINT) << (b - 32))
+                    ELSE 0 END) AS BIGINT) AS h_hi
+        FROM bits GROUP BY doc_id
+    ), idx AS (
+        SELECT h_lo, h_hi FROM h WHERE doc_id % {AFP_CLASS} = 0
+    ), stream AS (
+        SELECT doc_id, h_lo, h_hi FROM h
+        WHERE doc_id % {AFP_CLASS} <> 0
+    ), flags AS (
+        SELECT s.doc_id,
+               max(CASE WHEN bit_count(xor(s.h_lo, i.h_lo))
+                           + bit_count(xor(s.h_hi, i.h_hi)) <= {AFP_T}
+                        THEN 1 ELSE 0 END) AS dup
+        FROM stream s, idx i
+        GROUP BY s.doc_id
+    )
+    SELECT count(*) AS n_stream,
+           CAST(sum(dup) AS BIGINT) AS rejected_near_dup,
+           CAST(count(*) - sum(dup) AS BIGINT) AS admitted
+    FROM flags
+    """
+
+
+@register("stream_audio_fp_admission", oracle=_audio_admission_oracle())
+def stream_audio_fp_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING AUDIO-FINGERPRINT admission (r9) — completes the
+    streaming x multimodal ingest-gate matrix (text:
+    ``stream_dedup_admission``, image: ``stream_image_dhash_admission``,
+    audio: this). Arriving WAV assets are decoded + fingerprinted per
+    micro-batch (the gain-invariant window-energy gradient hash of
+    ``audio_fingerprint_near_dup``), gated by the banded equi-join +
+    bounded Hamming verify against the STANDING base-recording index
+    — pigeonhole-exact at t=3, so a re-volumed copy of an indexed
+    recording (the planted v=1 twins, Hamming 0) can NEVER slip
+    through, which is the property that matters for a training-data
+    ingest gate. Admitted rows land exactly-once via idempotent
+    per-batch-id foreachBatch overwrites; zero streaming state; the
+    funnel is per-asset deterministic, so the drained census equals
+    the batch SQL regardless of micro-batch splits.
+
+    Reference basis: extension tier — streaming x multimodal x dedup
+    composed (SURVEY.md §2.9 / extensions)."""
+    from mapreduce511_spark.multimodal import (
+        AFP_CLASS,
+        AFP_T,
+        SYNTH_DOC_LIMIT,
+        extract_audio_fingerprint,
+        synth_audio_fp_media,
+    )
+
+    src, ckpt, name = _scratch("audadmit")
+    staging = f"{Path(src).parent}/admitted"
+    try:
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < SYNTH_DOC_LIMIT
+        )
+        idx_hashes = extract_audio_fingerprint(
+            synth_audio_fp_media(
+                docs.filter(F.col("doc_id") % AFP_CLASS == 0)
+            )
+        ).localCheckpoint(eager=True)
+
+        def bands(hashes: DataFrame) -> DataFrame:
+            return hashes.select(
+                "doc_id",
+                "h_lo",
+                "h_hi",
+                F.explode(
+                    F.array(
+                        F.struct(F.lit(0).alias("band"),
+                                 F.col("h_lo").bitwiseAND(65535).alias("val")),
+                        F.struct(F.lit(1).alias("band"),
+                                 F.shiftright("h_lo", 16).alias("val")),
+                        F.struct(F.lit(2).alias("band"),
+                                 F.col("h_hi").bitwiseAND(65535).alias("val")),
+                        F.struct(F.lit(3).alias("band"),
+                                 F.shiftright("h_hi", 16).alias("val")),
+                    )
+                ).alias("b"),
+            ).select("doc_id", "h_lo", "h_hi", "b.band", "b.val")
+
+        idx_bands = bands(idx_hashes).select(
+            F.col("band").alias("iband"),
+            F.col("val").alias("ival"),
+            F.col("h_lo").alias("i_lo"),
+            F.col("h_hi").alias("i_hi"),
+        ).localCheckpoint(eager=True)
+
+        arriving = docs.filter(F.col("doc_id") % AFP_CLASS != 0)
+        n_stream = arriving.count()
+        arriving.repartition(4).write.mode("overwrite").parquet(src)
+        reader = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def admit(batch_df: DataFrame, batch_id: int) -> None:
+            hashes = extract_audio_fingerprint(
+                synth_audio_fp_media(batch_df)
+            )
+            cand = bands(hashes).join(
+                idx_bands,
+                (F.col("band") == F.col("iband"))
+                & (F.col("val") == F.col("ival")),
+            )
+            hamming = (
+                F.bit_count(F.col("h_lo").bitwiseXOR(F.col("i_lo")))
+                + F.bit_count(F.col("h_hi").bitwiseXOR(F.col("i_hi")))
+            )
+            rejected = (
+                cand.filter(hamming <= AFP_T).select("doc_id").distinct()
+            )
+            (
+                hashes.join(rejected, "doc_id", "left_anti")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{staging}/ingest_batch={batch_id}")
+            )
+
+        (
+            reader.writeStream.foreachBatch(admit)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        admitted = spark.read.parquet(staging)
+        out = admitted.agg(
+            F.countDistinct("doc_id").alias("n_admitted")
+        ).select(
+            F.lit(n_stream).cast("long").alias("n_stream"),
+            (F.lit(n_stream) - F.col("n_admitted"))
+            .cast("long")
+            .alias("rejected_near_dup"),
+            F.col("n_admitted").cast("long").alias("admitted"),
+        )
+        return _detach(out, name)
+    finally:
+        _cleanup(src)

@@ -171,6 +171,7 @@ PICKS = {
     "compression_quality_census": "one linear Arrow encode pass over the text; |langs|-group map-combinable rollup",
     "stream_image_dhash_admission": "fixed 400-asset fixture; per-batch banded gate vs the static index; zero streaming state",
     "fingerprint_hamming_topk": "K-bounded probe broadcast x one corpus scan; per-probe rank window over probe-keyed candidates",
+    "stream_audio_fp_admission": "fixed 400-asset fixture; per-batch banded gate vs the static index; zero streaming state",
 }
 
 
