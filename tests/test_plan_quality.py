@@ -581,6 +581,7 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("queries/text.py", "vocab_coverage_curve", "tot"): "1-row",
     ("queries/text.py", "wordpiece_first_merge", "uni.select(F.col('t').alias('ca'), F.col('fc').alias('fa'))"): "k-rows: symbol alphabet at merge 0",
     ("queries/text.py", "wordpiece_first_merge", "uni.select(F.col('t').alias('cb'), F.col('fc').alias('fb'))"): "k-rows: symbol alphabet at merge 0",
+    ("queries/multimodal.py", "fingerprint_hamming_topk", "probes"): "k-rows: 8 probe fingerprints (doc_id < 8), never corpus-linear",
 }
 
 
