@@ -77,6 +77,7 @@ _ENUMERATE_FIRST: list[str] = [
     "stream_image_dhash_admission",  # new
     "fingerprint_hamming_topk",  # new
     "stream_audio_fp_admission",  # new
+    "stream_video_admission",  # new
     "ann_quantized_topk",  # r03
     "bigram_novelty_rate",  # r03
     "bpe_first_merge",  # r03
@@ -117,7 +118,6 @@ _ENUMERATE_FIRST: list[str] = [
     "q9_product_profit",  # r03
     "quality_weighted_sample",  # r03
     "rolling_value_sum",  # r03
-    "rollup_region_nation_sales",  # r03
 ]
 
 

@@ -2333,3 +2333,188 @@ def stream_audio_fp_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _detach(out, name)
     finally:
         _cleanup(src)
+
+
+def _video_admission_oracle() -> str:
+    from mapreduce511_spark.multimodal import (
+        DHASH_MIX,
+        VID_CLASS,
+        VID_DOC_LIMIT,
+        VID_FOREIGN,
+        VID_FRAMES,
+        VID_KEY_STRIDE,
+    )
+
+    return f"""
+    WITH vid AS (
+        SELECT doc_id, doc_id // {VID_CLASS} AS base,
+               doc_id % {VID_CLASS} AS v
+        FROM documents WHERE doc_id < {VID_DOC_LIMIT}
+    ), fk AS (
+        SELECT doc_id, base * {VID_KEY_STRIDE} + os.o AS key
+        FROM vid, (SELECT unnest(generate_series(0, {VID_FRAMES - 1})) AS o) os
+        WHERE v IN (0, 1) OR os.o >= 1
+        UNION ALL
+        SELECT doc_id, base * {VID_KEY_STRIDE} + {VID_FOREIGN}
+        FROM vid WHERE v = 3
+    ), keys AS (
+        SELECT DISTINCT key FROM fk
+    ), grid AS (
+        SELECT key, cx.g AS cx, cy.g AS cy
+        FROM keys,
+             (SELECT unnest(generate_series(0, 8)) AS g) cx,
+             (SELECT unnest(generate_series(0, 7)) AS g) cy
+    ), cells AS (
+        SELECT key, cx, cy,
+               ((key + 1) * (cx + 9 * cy + 1) * {DHASH_MIX}
+                + key * (cx * cx + 3 * cy * cy)) % 256 AS c
+        FROM grid
+    ), bits AS (
+        SELECT a.key, a.cy, a.cx,
+               CASE WHEN b.c > a.c THEN 1 ELSE 0 END AS bit
+        FROM cells a JOIN cells b
+          ON a.key = b.key AND a.cy = b.cy AND b.cx = a.cx + 1
+        WHERE a.cx < 8
+    ), fh AS (
+        SELECT key,
+               CAST(sum(CASE WHEN cy < 4
+                    THEN bit * (CAST(1 AS BIGINT) << (cy * 8 + cx))
+                    ELSE 0 END) AS BIGINT) AS h_lo,
+               CAST(sum(CASE WHEN cy >= 4
+                    THEN bit * (CAST(1 AS BIGINT) << ((cy - 4) * 8 + cx))
+                    ELSE 0 END) AS BIGINT) AS h_hi
+        FROM bits GROUP BY key
+    ), sig AS (
+        SELECT DISTINCT fk.doc_id,
+               fh.h_lo * 1000003 + fh.h_hi AS f
+        FROM fk JOIN fh ON fk.key = fh.key
+    ), idx AS (
+        SELECT DISTINCT f FROM sig WHERE doc_id % {VID_CLASS} = 0
+    ), idx_n AS (
+        SELECT count(*) AS n FROM idx
+    ), stream AS (
+        SELECT doc_id, f FROM sig WHERE doc_id % {VID_CLASS} <> 0
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM stream GROUP BY doc_id
+    ), hits AS (
+        SELECT s.doc_id, count(*) AS n_common
+        FROM stream s JOIN idx i ON s.f = i.f
+        GROUP BY s.doc_id
+    ), flags AS (
+        -- Jaccard vs the POOLED index frame set (the standing corpus
+        -- of known footage): reject when common/|video| >= 0.5 —
+        -- half the arriving cut is already-indexed footage
+        SELECT z.doc_id,
+               CASE WHEN 2 * coalesce(h.n_common, 0) >= z.n
+                    THEN 1 ELSE 0 END AS dup
+        FROM sizes z LEFT JOIN hits h ON h.doc_id = z.doc_id
+    )
+    SELECT count(*) AS n_stream,
+           CAST(sum(dup) AS BIGINT) AS rejected_known_footage,
+           CAST(count(*) - sum(dup) AS BIGINT) AS admitted
+    FROM flags
+    """
+
+
+@register("stream_video_admission", oracle=_video_admission_oracle())
+def stream_video_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING VIDEO admission (r9) — the fourth and final modality
+    of the ingest-gate matrix (text / image / audio / video).
+    Arriving videos are frame-decoded + dHashed per micro-batch (the
+    ``video_dhash_near_dup`` extractors); a video is REJECTED when at
+    least half its frames (by distinct frame hash) already exist in
+    the STANDING footage index — the containment rule that catches
+    re-encodes, trims and light splices of indexed footage without
+    ever comparing videos pairwise. The per-batch gate is one
+    equi-join against the (bucketed at scale) frame-hash index plus a
+    per-video grouped count; admitted rows land exactly-once via
+    idempotent per-batch-id foreachBatch overwrites; zero streaming
+    state; verdicts are per-video deterministic, so the drained
+    census equals the batch SQL for any micro-batch split.
+
+    Reference basis: extension tier — streaming x multimodal x dedup
+    composed (SURVEY.md §2.9 / extensions)."""
+    from mapreduce511_spark.multimodal import (
+        VID_CLASS,
+        VID_DOC_LIMIT,
+        extract_video_frame_hashes,
+        synth_video_media,
+    )
+
+    src, ckpt, name = _scratch("vidadmit")
+    staging = f"{Path(src).parent}/admitted"
+    try:
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < VID_DOC_LIMIT
+        )
+
+        def sig(d: DataFrame) -> DataFrame:
+            return (
+                extract_video_frame_hashes(synth_video_media(d))
+                .select(
+                    "doc_id",
+                    (F.col("h_lo") * F.lit(1000003) + F.col("h_hi")).alias(
+                        "f"
+                    ),
+                )
+                .distinct()
+            )
+
+        idx = (
+            sig(docs.filter(F.col("doc_id") % VID_CLASS == 0))
+            .select("f")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        arriving = docs.filter(F.col("doc_id") % VID_CLASS != 0)
+        n_stream = arriving.count()
+        arriving.repartition(4).write.mode("overwrite").parquet(src)
+        reader = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def admit(batch_df: DataFrame, batch_id: int) -> None:
+            s = sig(batch_df).localCheckpoint(eager=True)
+            sizes = s.groupBy("doc_id").agg(F.count("*").alias("n"))
+            hits = (
+                s.join(idx, "f")
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("n_common"))
+            )
+            rejected = (
+                sizes.join(hits, "doc_id", "left")
+                .filter(
+                    F.lit(2) * F.coalesce(F.col("n_common"), F.lit(0))
+                    >= F.col("n")
+                )
+                .select("doc_id")
+            )
+            (
+                s.join(rejected, "doc_id", "left_anti")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{staging}/ingest_batch={batch_id}")
+            )
+
+        (
+            reader.writeStream.foreachBatch(admit)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        admitted = spark.read.parquet(staging)
+        out = admitted.agg(
+            F.countDistinct("doc_id").alias("n_admitted")
+        ).select(
+            F.lit(n_stream).cast("long").alias("n_stream"),
+            (F.lit(n_stream) - F.col("n_admitted"))
+            .cast("long")
+            .alias("rejected_known_footage"),
+            F.col("n_admitted").cast("long").alias("admitted"),
+        )
+        return _detach(out, name)
+    finally:
+        _cleanup(src)

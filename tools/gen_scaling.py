@@ -172,6 +172,7 @@ PICKS = {
     "stream_image_dhash_admission": "fixed 400-asset fixture; per-batch banded gate vs the static index; zero streaming state",
     "fingerprint_hamming_topk": "K-bounded probe broadcast x one corpus scan; per-probe rank window over probe-keyed candidates",
     "stream_audio_fp_admission": "fixed 400-asset fixture; per-batch banded gate vs the static index; zero streaming state",
+    "stream_video_admission": "fixed 128-asset fixture; per-batch frame-index join + per-video containment count; zero streaming state",
 }
 
 
