@@ -111,6 +111,7 @@ PICKS = {
     "audio_fingerprint_near_dup": "Arrow WAV decode+fingerprint; 4x16-bit banded equi-join, pigeonhole-exact recall",
     "video_dhash_near_dup": "Frame-walk + per-frame dHash in Arrow; inverted frame-hash equi-join; integer Jaccard verify",
     "compression_quality_census": "Native-DEFLATE ratio where the text lives; per-lang map-combinable rollup",
+    "fingerprint_hamming_topk": "K-bounded probe broadcast (8 rows) x one fingerprint scan; per-probe rank window",
 }
 
 
