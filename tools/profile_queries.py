@@ -86,6 +86,11 @@ PICKS = {
     "ann_admission_census": "admitted-artifact census: one pruned scan, per-cell combine",
     "decontamination_span_removal": "eval grams broadcast; island merge windows per train doc",
     "multimodal_jpeg_arith_stats": "Arrow-batched QM-coder decode; shuffle-free aggregate",
+    # round 9
+    "exact_duplicate_span_census": "adjacent-LCP equi-joins off the memoized SA; islands windows per doc",
+    "audio_fingerprint_near_dup": "Arrow WAV decode+hash; banded equi-join candidates only",
+    "video_dhash_near_dup": "frame hashes in Arrow; inverted frame-hash join; integer Jaccard verify",
+    "fingerprint_hamming_topk": "8-row probe broadcast x one fingerprint scan; rank window",
 }
 
 # static epilogue kept across regenerations (measured once; the
@@ -289,6 +294,49 @@ part files after a simulated fresh process) and a 366-test family
 re-run. Production reading: "build once per snapshot" must be
 durable across sessions, or every restart both pays training cost
 and endangers concurrent readers.
+
+## Driver-mirror parity at sf0.01: full-registry re-proof (round 9)
+
+Per-round cadence (r8 VERDICT item 7): the full oracle-parity suite
+run at the DRIVER'S OWN scale factor, so every registered query is
+re-proven at sf0.01 each round regardless of which 50 names the
+rotation window samples.
+
+```
+SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
+310 passed in 394.48s   (final r9 tree, 309 registered queries)
+```
+
+(Three earlier runs during the round — 305, 308 and 309 items — all
+passed on intermediate trees; the final run above re-proves
+everything after the last registration.) That is: all 265 exact
+DuckDB oracles hash-checked and all 44 rows-only queries executed at
+sf0.01 — the driver's compare, the driver's scale, in-repo. The
+guard in tests/test_ledgers.py pins this section to the round the
+checked-in window was generated for (`_WINDOW_LEDGER_MAX + 1`), so
+regenerating the window for a new round demands a fresh parity
+record.
+
+## near_dup_jaccard_capped r07->r08 mover: NOISE (same-session min-of-5, round 9)
+
+r8's bench read 7.87 -> 10.71 s for an untouched query, with steady >
+cold in-round — already the noise signature. Re-measured on the r9
+tree, quiet machine, same-session min-of-5 after bench-style warmup
+(local[32], sf0.1):
+
+| query | r07 artifact | r08 artifact | r9 same-session min-of-5 |
+|---|---|---|---|
+| near_dup_jaccard_capped | 7.87 s | 10.71 s | **8.11 s** (runs 12.5/12.0/8.7/8.1/9.1) |
+| wordcount (control) | 0.342 s | 0.342 s | **0.26 s** |
+
+Back inside the established 20-30% hypervisor-steal band of the r07
+number with zero code changes in its path (`git log` over
+queries/similarity.py shows none touching the capped candidate join
+since r7). Adjudicated NOISE; no profiling follow-up warranted. The
+first-run spread within one session (12.5 -> 8.1 s) again dwarfs the
+round-over-round artifact delta, which is why the frozen canary and
+the (r9) min-of-3 derived steadies are the only cross-round
+comparators treated as signal.
 """
 
 def _metrics(node) -> dict:
