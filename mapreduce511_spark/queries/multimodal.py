@@ -1127,8 +1127,7 @@ def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 0 END) AS BIGINT) AS h_hi
         FROM bits GROUP BY key
     ), sig AS (
-        SELECT DISTINCT fk.doc_id,
-               fh.h_lo * 1000003 + fh.h_hi AS f
+        SELECT DISTINCT fk.doc_id, fh.h_lo, fh.h_hi
         FROM fk JOIN fh ON fk.key = fh.key
     ), sizes AS (
         SELECT doc_id, count(*) AS n FROM sig GROUP BY doc_id
@@ -1136,7 +1135,8 @@ def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                count(*) AS n_common
         FROM sig a JOIN sig b
-          ON a.f = b.f AND a.doc_id < b.doc_id
+          ON a.h_lo = b.h_lo AND a.h_hi = b.h_hi
+         AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT c.doc_a, c.doc_b, c.n_common,
@@ -1188,11 +1188,12 @@ def video_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     frames = extract_video_frame_hashes(synth_video_media(docs))
+    # frame identity is the FULL (h_lo, h_hi) pair (r10, r9 ADVICE):
+    # packing the two 32-bit halves into one int64 via h_lo*1000003 +
+    # h_hi is not injective, so the inverted index joins on both
+    # columns — the set Jaccard stays exact over true frame hashes
     sig = (
-        frames.select(
-            "doc_id",
-            (F.col("h_lo") * F.lit(1000003) + F.col("h_hi")).alias("f"),
-        )
+        frames.select("doc_id", "h_lo", "h_hi")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -1201,7 +1202,8 @@ def video_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.alias("a")
         .join(
             sig.alias("b"),
-            (F.col("a.f") == F.col("b.f"))
+            (F.col("a.h_lo") == F.col("b.h_lo"))
+            & (F.col("a.h_hi") == F.col("b.h_hi"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(

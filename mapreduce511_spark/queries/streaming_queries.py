@@ -2385,20 +2385,20 @@ def _video_admission_oracle() -> str:
                     ELSE 0 END) AS BIGINT) AS h_hi
         FROM bits GROUP BY key
     ), sig AS (
-        SELECT DISTINCT fk.doc_id,
-               fh.h_lo * 1000003 + fh.h_hi AS f
+        SELECT DISTINCT fk.doc_id, fh.h_lo, fh.h_hi
         FROM fk JOIN fh ON fk.key = fh.key
     ), idx AS (
-        SELECT DISTINCT f FROM sig WHERE doc_id % {VID_CLASS} = 0
+        SELECT DISTINCT h_lo, h_hi FROM sig WHERE doc_id % {VID_CLASS} = 0
     ), idx_n AS (
         SELECT count(*) AS n FROM idx
     ), stream AS (
-        SELECT doc_id, f FROM sig WHERE doc_id % {VID_CLASS} <> 0
+        SELECT doc_id, h_lo, h_hi FROM sig WHERE doc_id % {VID_CLASS} <> 0
     ), sizes AS (
         SELECT doc_id, count(*) AS n FROM stream GROUP BY doc_id
     ), hits AS (
         SELECT s.doc_id, count(*) AS n_common
-        FROM stream s JOIN idx i ON s.f = i.f
+        FROM stream s JOIN idx i
+          ON s.h_lo = i.h_lo AND s.h_hi = i.h_hi
         GROUP BY s.doc_id
     ), flags AS (
         -- Jaccard vs the POOLED index frame set (the standing corpus
@@ -2449,20 +2449,17 @@ def stream_video_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def sig(d: DataFrame) -> DataFrame:
+            # frame identity = the full (h_lo, h_hi) pair (r10, r9
+            # ADVICE: the old h_lo*1000003 + h_hi packing collides)
             return (
                 extract_video_frame_hashes(synth_video_media(d))
-                .select(
-                    "doc_id",
-                    (F.col("h_lo") * F.lit(1000003) + F.col("h_hi")).alias(
-                        "f"
-                    ),
-                )
+                .select("doc_id", "h_lo", "h_hi")
                 .distinct()
             )
 
         idx = (
             sig(docs.filter(F.col("doc_id") % VID_CLASS == 0))
-            .select("f")
+            .select("h_lo", "h_hi")
             .distinct()
             .localCheckpoint(eager=True)
         )
@@ -2479,7 +2476,7 @@ def stream_video_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             s = sig(batch_df).localCheckpoint(eager=True)
             sizes = s.groupBy("doc_id").agg(F.count("*").alias("n"))
             hits = (
-                s.join(idx, "f")
+                s.join(idx, ["h_lo", "h_hi"])
                 .groupBy("doc_id")
                 .agg(F.count("*").alias("n_common"))
             )
