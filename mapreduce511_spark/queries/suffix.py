@@ -295,6 +295,33 @@ def exact_duplicate_span_census(
     gaps-and-islands pass ``decontamination_span_removal`` uses,
     under a doc-partitioned window."""
     positions, sa = _corpus_sa(spark, sf_dir)
+    islands = _repeat_islands(positions, sa).groupBy("doc_id", "g").agg(
+        (F.max("e") - F.min("off")).alias("cov")
+    )
+    # real token count per doc = positions minus the sentinel
+    lens = positions.groupBy("doc_id").agg(
+        (F.count("*") - 1).alias("n_tokens")
+    )
+    return (
+        islands.join(lens, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.sum("cov").alias("covered_tokens"),
+            F.count("*").alias("n_spans"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _repeat_islands(positions: DataFrame, sa: DataFrame) -> DataFrame:
+    """Shared kernel of the census and the removal manifest: repeat
+    START positions (max LCP with either suffix-array neighbor >= 8
+    tokens, LCP capped at 12 — any cap >= the threshold is lossless
+    for detection) expanded to [off, e) intervals and merged into
+    per-document islands with the gaps-and-islands pass. Returns one
+    row per repeat start, tagged (doc_id, off, e, g) where ``g`` is
+    the island ordinal within the document."""
     al = adjacent_lcp(positions, sa, max_lcp=12).select(
         "pos", "pos_b", "lcp"
     )
@@ -318,27 +345,148 @@ def exact_duplicate_span_census(
         .orderBy("off")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    flagged = starts.withColumn(
+    return starts.withColumn(
         "newg",
         F.when(
             F.col("off") > F.coalesce(F.max("e").over(prev), F.lit(-1)),
             F.lit(1),
         ).otherwise(F.lit(0)),
     ).withColumn("g", F.sum("newg").over(run))
-    islands = flagged.groupBy("doc_id", "g").agg(
-        (F.max("e") - F.min("off")).alias("cov")
+
+
+@register(
+    "exact_duplicate_span_removal",
+    oracle=f"""
+    WITH {_SFX_BASE}, {_sfx_pairs(12)},
+    per_pos AS (
+        SELECT p, max(lcp) AS m
+        FROM (
+            SELECT pos AS p, lcp FROM lcps
+            UNION ALL
+            SELECT pos_b AS p, lcp FROM lcps
+        )
+        GROUP BY p
+        HAVING max(lcp) >= 8
+    ), starts AS (
+        SELECT n.doc_id, n.off, n.off + per_pos.m AS e
+        FROM per_pos JOIN numbered n ON n.pos_id = per_pos.p
+    ), flagged AS (
+        SELECT doc_id, off, e,
+               CASE WHEN off > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY off
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS newg
+        FROM starts
+    ), grouped AS (
+        SELECT doc_id, off, e,
+               sum(newg) OVER (PARTITION BY doc_id ORDER BY off
+                               ROWS UNBOUNDED PRECEDING) AS g
+        FROM flagged
+    ), islands AS (
+        SELECT doc_id, g, min(off) AS s, max(e) AS e
+        FROM grouped GROUP BY doc_id, g
+    ), lens AS (
+        SELECT doc_id, len(ts) - 1 AS n_tokens FROM base
+    ), cov AS (
+        SELECT doc_id, unnest(range(s, e)) AS off FROM islands
+    ), kept AS (
+        SELECT p.doc_id, p.off, p.token
+        FROM pos p JOIN lens l ON l.doc_id = p.doc_id
+        WHERE p.off < l.n_tokens
+          AND NOT EXISTS (SELECT 1 FROM cov c
+                          WHERE c.doc_id = p.doc_id AND c.off = p.off)
+    ), kept_agg AS (
+        SELECT doc_id, string_agg(token, ' ' ORDER BY off) AS kept_str
+        FROM kept GROUP BY doc_id
+    ), summary AS (
+        SELECT doc_id,
+               CAST(sum(e - s) AS BIGINT) AS tokens_removed,
+               count(*) AS n_spans
+        FROM islands GROUP BY doc_id
     )
-    # real token count per doc = positions minus the sentinel
+    SELECT s.doc_id,
+           CAST(l.n_tokens AS BIGINT) AS n_tokens,
+           s.tokens_removed,
+           s.n_spans,
+           CAST(l.n_tokens - s.tokens_removed AS BIGINT) AS tokens_kept,
+           md5(coalesce(k.kept_str, '')) AS kept_md5
+    FROM summary s
+    JOIN lens l ON l.doc_id = s.doc_id
+    LEFT JOIN kept_agg k ON k.doc_id = s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def exact_duplicate_span_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT repeated-span EXCISION MANIFEST (r10, VERDICT r9 item 5)
+    — the composition that makes the suffix-array family end-to-end
+    useful rather than diagnostic: where ``exact_duplicate_span_census``
+    measures coverage, this emits per affected document the rewrite a
+    100 TB dedup pass would apply — token counts removed/kept and the
+    md5 of the KEPT text (tokens outside every merged repeat island,
+    in document order), certifying the byte-level excision, not just
+    its accounting. Cuts every occurrence of every repeated span >= 8
+    tokens (the census's aggressive semantics; the hashed twin
+    ``duplicate_span_removal`` demonstrates keeper-aware accounting).
+
+    100 TB shape: island intervals are merged per document (bounded by
+    doc length); covered offsets materialize via sequence-explode —
+    linear in covered tokens, an equi-anti-join against the token
+    stream (never a range join, which would plan BNLJ); the kept-text
+    digest is a per-document sort of that document's own tokens. All
+    downstream of the amortized, cross-session-durable SA artifact.
+
+    Reference basis: extension tier — dedup family (Lee et al. 2022
+    ExactSubstr removal, restated as a manifest); no analog in
+    /root/reference."""
+    positions, sa = _corpus_sa(spark, sf_dir)
+    islands = _repeat_islands(positions, sa).groupBy("doc_id", "g").agg(
+        F.min("off").alias("s"), F.max("e").alias("e")
+    )
     lens = positions.groupBy("doc_id").agg(
         (F.count("*") - 1).alias("n_tokens")
     )
-    return (
-        islands.join(lens, "doc_id")
-        .groupBy("doc_id")
+    cov = islands.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("s"), F.col("e") - 1)).alias("off"),
+    )
+    kept = (
+        positions.join(lens, "doc_id")
+        .filter(F.col("off") < F.col("n_tokens"))
+        .select("doc_id", "off", "token")
+        .join(cov, ["doc_id", "off"], "left_anti")
+    )
+    kept_agg = (
+        kept.groupBy("doc_id")
         .agg(
-            F.max("n_tokens").alias("n_tokens"),
-            F.sum("cov").alias("covered_tokens"),
-            F.count("*").alias("n_spans"),
+            F.array_sort(F.collect_list(F.struct("off", "token"))).alias(
+                "kt"
+            )
+        )
+        .select(
+            "doc_id", F.array_join(F.col("kt.token"), " ").alias("kept_str")
+        )
+    )
+    summary = islands.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s")).alias("tokens_removed"),
+        F.count("*").alias("n_spans"),
+    )
+    return (
+        summary.join(lens, "doc_id")
+        .join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("tokens_removed").cast("long").alias("tokens_removed"),
+            "n_spans",
+            (F.col("n_tokens") - F.col("tokens_removed"))
+            .cast("long")
+            .alias("tokens_kept"),
+            F.md5(F.coalesce(F.col("kept_str"), F.lit(""))).alias(
+                "kept_md5"
+            ),
         )
         .orderBy("doc_id")
     )

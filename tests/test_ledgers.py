@@ -45,6 +45,8 @@ _PROFILE_SECTIONS = (
     "## r06->r07 pre-check movers: NOISE",
     "## Streaming state-partition sizing: 22% suite win",
     "## Cross-session artifact rewrite race: ROOT-CAUSED and FIXED",
+    "## near_dup_jaccard_capped r07->r08 mover: NOISE",
+    "## r08->r09 bench movers: NOISE",
 )
 
 

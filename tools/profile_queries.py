@@ -337,6 +337,32 @@ first-run spread within one session (12.5 -> 8.1 s) again dwarfs the
 round-over-round artifact delta, which is why the frozen canary and
 the (r9) min-of-3 derived steadies are the only cross-round
 comparators treated as signal.
+
+## r08->r09 bench movers: NOISE (same-session min-of-5, round 10)
+
+The r9 VERDICT flagged three untouched queries moving >30% between the
+r08 and r09 bench artifacts — `copurchase_pagerank` 4.21 -> 6.45 s
+(+53%), `stream_closed_sessions` 5.19 -> 7.54 s (+45%),
+`stream_ingest_pipeline` 5.54 -> 7.52 s (+36%) — inside a session
+whose frozen canary itself ran +10.6% slow. Adjudicated on the r10
+tree, quiet machine, one `get_spark` session, bench-style warmup then
+min-of-5 (local[32], sf0.1):
+
+| query | r08 artifact | r09 artifact | r10 same-session min-of-5 |
+|---|---|---|---|
+| copurchase_pagerank | 4.21 s | 6.45 s | **3.05 s** (runs 5.6/4.5/3.3/3.7/3.1) |
+| stream_closed_sessions | 5.19 s | 7.54 s | **5.62 s** (runs 6.4/6.4/5.9/5.6/5.9) |
+| stream_ingest_pipeline | 5.54 s | 7.52 s | **5.74 s** (runs 6.4/5.7/6.1/6.0/6.3) |
+| wordcount (control) | 0.342 s | 0.267 s | **0.27 s** |
+
+All three return to (pagerank: below) their r08 neighborhood with zero
+code changes in their paths (`operators/graph.py` and the ingest
+pipeline had no r9/r10 commits beyond comments), confirming the
+hypervisor-noise signature the canary's +10.6% already indicated.
+Verdict: NOISE; no state-store profiling warranted. The micro-batch
+bring-up cost of the two streaming queries (~5.5-6 s floor at fixture
+scale) is the documented availableNow drain overhead, not state-store
+growth.
 """
 
 def _metrics(node) -> dict:
