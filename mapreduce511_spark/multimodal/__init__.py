@@ -768,6 +768,74 @@ def synth_gif_media(docs: DataFrame) -> DataFrame:
     )
 
 
+# Animated-GIF fixture geometry — single definition shared by
+# synth_gif_anim_media AND the gif_animation_census oracle f-string
+# (r10 gate lift: sub-rectangle frames + disposal):
+#   screen ws = 6 + d % 5, hs = 6 + (d*3) % 5; nf = 2 + d % 3 frames
+#   frame f: 3x3 patch at (lf, tp) = (f % (ws-3), (f*2) % (hs-3))
+#   patch index p(x, y, f) = (d*GIF_PX_A + f*GIF_ANIM_FR_MIX
+#                             + (y*3 + x)*GIF_PX_B) % GIF_NCOLORS
+#   disposal(f) = 2 (restore to background) when (d + f) % 3 == 0,
+#   else 1 (leave in place); background = palette[0] = (0, 0, 0)
+GIF_ANIM_FR_MIX = 31
+
+
+def synth_gif_anim_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, content, fmt) with real ANIMATED GIF payloads for
+    doc_id < SYNTH_DOC_LIMIT: 2-4 sub-rectangle frames per asset,
+    overlapping patches, mixed disposal methods 1 and 2 — so the
+    composed canvases exercise graphic-control parsing, sub-rect
+    placement AND background restores under the exact oracle."""
+    from mapreduce511_spark.multimodal import gif
+
+    palette = [
+        ((c * 37) % 256, (c * 59) % 256, (c * 83) % 256)
+        for c in range(GIF_NCOLORS)
+    ]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d >= SYNTH_DOC_LIMIT:
+                    continue
+                ws = 6 + d % 5
+                hs = 6 + (d * 3) % 5
+                frames = []
+                for f in range(2 + d % 3):
+                    patch = [
+                        [
+                            (
+                                d * GIF_PX_A
+                                + f * GIF_ANIM_FR_MIX
+                                + (y * 3 + x) * GIF_PX_B
+                            )
+                            % GIF_NCOLORS
+                            for x in range(3)
+                        ]
+                        for y in range(3)
+                    ]
+                    frames.append(
+                        (
+                            f % (ws - 3),
+                            (f * 2) % (hs - 3),
+                            patch,
+                            2 if (d + f) % 3 == 0 else 1,
+                        )
+                    )
+                payload = gif.encode_gif_animation(ws, hs, palette, frames)
+                rows.append((d, payload, gif.GIF_FMT))
+        yield pd.DataFrame(rows, columns=["doc_id", "content", "fmt"])
+
+    return (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") < SYNTH_DOC_LIMIT)
+        .repartition(32)
+        .mapInPandas(batches, schema="doc_id long, content binary, fmt string")
+    )
+
+
 # dHash fixture geometry — single definition shared by
 # synth_dhash_media AND the image_dhash_near_dup oracle f-string:
 # 36x16 grayscale BMPs built from a 9x8 grid of 4x2-pixel constant

@@ -8,19 +8,24 @@ the palette rides in the file, and the format is LOSSLESS for indexed
 content, so the decode path sits under an exact closed-form oracle.
 
 Scope — the honest contract:
-- header + logical screen descriptor + GLOBAL color table;
-- one image per stream (left/top 0), optional INTERLACED row order
-  (the spec's 4-pass 8/8-4/8-2/4-1/2 scheme, encoded and decoded);
-- extension blocks (graphic control, comment, application) are
-  SKIPPED structurally on decode (sub-block walk), never parsed;
+- header + logical screen descriptor + GLOBAL color table; LOCAL
+  color tables (r9 lift);
+- MULTI-FRAME ANIMATION (r10 lift): sub-rectangle frames composed
+  onto the background-colored logical screen per §23's graphic
+  control extension, disposal methods 0/1 (leave in place) and 2
+  (restore rect to background), encoder + decoder;
+- optional INTERLACED row order (the spec's 4-pass 8/8-4/8-2/4-1/2
+  scheme, encoded and decoded);
+- comment/application extension blocks are SKIPPED structurally on
+  decode (sub-block walk); graphic control extensions are PARSED;
 - LZW: variable code width starting at min_code_size+1, codes packed
   LSB-FIRST (the opposite bit order of FLAC's big-endian streams),
   dictionary growth to 4096 with the spec's deferred-clear handling,
   the KwKwK case, explicit CLEAR emitted by the encoder whenever the
   table fills, EOI terminated, 255-byte sub-block packing;
-- local color tables, transparency rendering and animation
-  (multi-frame composition/disposal) are out of scope and rejected
-  loudly, not silently mis-decoded.
+- transparency rendering and disposal method 3 (restore to previous)
+  remain out of scope and rejected loudly, never silently
+  mis-decoded.
 
 Reference basis: extension tier — multimodal decode family (no
 analog in /root/reference, which is text-only).
@@ -231,15 +236,129 @@ def encode_gif(
     return bytes(out)
 
 
-def decode_gif(payload: bytes):
-    """Decode a single-image GIF to (width, height, rgb) where rgb is
-    an h x w x 3 numpy uint8 array (palette applied, rows
-    de-interlaced when the image is interlaced)."""
+def encode_gif_animation(
+    screen_w: int,
+    screen_h: int,
+    palette: list[tuple[int, int, int]],
+    frames,  # iterable of (left, top, rows, disposal)
+    bg_index: int = 0,
+    delay_cs: int = 4,
+) -> bytes:
+    """Encode an animated GIF89a: one GLOBAL color table, then per
+    frame a Graphic Control Extension (§23: disposal method + delay,
+    no transparency) followed by a SUB-RECTANGLE image descriptor at
+    (left, top) — the r10 gate lift's encoder side. ``rows`` is the
+    frame's own ih x iw index patch; ``disposal`` is 0 (unspecified),
+    1 (leave in place) or 2 (restore rect to background)."""
+    n = len(palette)
+    if not 2 <= n <= 256:
+        raise ValueError("palette must have 2..256 entries")
+    bits = max((n - 1).bit_length(), 1)
+    table_size = 1 << bits
+    if not 0 <= bg_index < n:
+        raise ValueError("background index outside palette")
+
+    out = bytearray(b"GIF89a")
+    packed = 0x80 | ((bits - 1) << 4) | (bits - 1)
+    out += struct.pack("<HHBBB", screen_w, screen_h, packed, bg_index, 0)
+    for i in range(table_size):
+        r_, g_, b_ = palette[i] if i < n else (0, 0, 0)
+        out += bytes((r_, g_, b_))
+    min_code_size = max(bits, 2)
+    for left, top, rows, disposal in frames:
+        if disposal not in (0, 1, 2):
+            raise ValueError(
+                "disposal must be 0/1/2 (3 is not supported by the "
+                "decoder and would be rejected)"
+            )
+        grid = [list(r) for r in rows]
+        ih = len(grid)
+        iw = len(grid[0]) if ih else 0
+        if any(len(r) != iw for r in grid):
+            raise ValueError("ragged frame rows")
+        if left + iw > screen_w or top + ih > screen_h:
+            raise ValueError("frame exceeds the logical screen")
+        for r in grid:
+            for px in r:
+                if not 0 <= px < n:
+                    raise ValueError("pixel index outside palette")
+        # graphic control extension: size 4, packed disposal bits 2-4,
+        # no user input, no transparency
+        out += bytes((0x21, 0xF9, 0x04, (disposal & 0x07) << 2))
+        out += struct.pack("<H", delay_cs)
+        out += bytes((0, 0))  # transparent index (unused), terminator
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, iw, ih, 0)
+        out.append(min_code_size)
+        data = _lzw_encode([px for r in grid for px in r], min_code_size)
+        for at in range(0, len(data), 255):
+            chunk = data[at : at + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def _parse_image_block(payload: bytes, pos: int, global_palette):
+    """Parse one image descriptor (the 0x2C byte already consumed) +
+    its LZW data. Returns (left, top, rgb_patch, new_pos) where
+    rgb_patch is an ih x iw x 3 uint8 array (local color table applied
+    when present, rows de-interlaced when interlaced)."""
+    import numpy as np
+
+    left, top, iw, ih, ipacked = struct.unpack(
+        "<HHHHB", payload[pos : pos + 9]
+    )
+    pos += 9
+    palette = global_palette
+    if ipacked & 0x80:
+        # local color table (r9 gate lift): 3 * 2^(n+1) bytes follow
+        # the descriptor and REPLACE the global table for this image
+        # (GIF89a §21)
+        size = 1 << ((ipacked & 0x07) + 1)
+        raw = payload[pos : pos + 3 * size]
+        if len(raw) != 3 * size:
+            raise ValueError("local color table truncated")
+        palette = np.frombuffer(raw, dtype=np.uint8).reshape(size, 3)
+        pos += 3 * size
+    interlaced = bool(ipacked & 0x40)
+    if palette is None:
+        raise ValueError("no color table for image")
+    if pos >= len(payload):
+        raise ValueError("GIF image data truncated")
+    min_code_size = payload[pos]
+    pos += 1
+    data = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF image data truncated")
+        ln = payload[pos]
+        if ln == 0:
+            break
+        chunk = payload[pos + 1 : pos + 1 + ln]
+        if len(chunk) != ln:
+            raise ValueError("GIF sub-block truncated")
+        data += chunk
+        pos += 1 + ln
+    pos += 1
+    flat = _lzw_decode(bytes(data), min_code_size, iw * ih)
+    idx = np.asarray(flat, dtype=np.int64)
+    if idx.max(initial=0) >= palette.shape[0]:
+        raise ValueError("pixel index outside color table")
+    grid = idx.reshape(ih, iw)
+    if interlaced:
+        out = np.empty_like(grid)
+        out[_interlace_rows(ih)] = grid
+        grid = out
+    return left, top, palette[grid], pos
+
+
+def _decode_frames(payload: bytes, first_only: bool):
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
-    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    w, h, packed, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     palette = None
     if packed & 0x80:
@@ -249,72 +368,84 @@ def decode_gif(payload: bytes):
             raise ValueError("global color table truncated")
         palette = np.frombuffer(raw, dtype=np.uint8).reshape(size, 3)
         pos += 3 * size
+    # composition canvas starts as the background color (GIF89a §18:
+    # bg index is meaningful only with a global table; black otherwise)
+    bg_rgb = (
+        palette[bg]
+        if palette is not None and bg < palette.shape[0]
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
+    frames: list = []
+    disposal = 0  # from the GCE preceding the NEXT image; reset after
     while True:
         if pos >= len(payload):
             raise ValueError("GIF ended without trailer")
         b = payload[pos]
         pos += 1
         if b == 0x3B:  # trailer
-            raise ValueError("GIF contains no image")
-        if b == 0x21:  # extension: label + sub-blocks, skipped
+            if not frames:
+                raise ValueError("GIF contains no image")
+            return w, h, frames
+        if b == 0x21:  # extension: label + sub-blocks
+            label = payload[pos]
             pos += 1
+            blocks = []
             while True:
                 if pos >= len(payload):
                     raise ValueError("GIF extension truncated")
-                if payload[pos] == 0:
-                    break
-                pos += 1 + payload[pos]
-            pos += 1
-            continue
-        if b == 0x2C:  # image descriptor
-            left, top, iw, ih, ipacked = struct.unpack(
-                "<HHHHB", payload[pos : pos + 9]
-            )
-            pos += 9
-            if left or top or iw != w or ih != h:
-                raise NotImplementedError(
-                    "sub-rectangle frames (animation composition) not supported"
-                )
-            if ipacked & 0x80:
-                # local color table (r9 gate lift): 3 * 2^(n+1) bytes
-                # follow the descriptor and REPLACE the global table
-                # for this image (GIF89a §21)
-                size = 1 << ((ipacked & 0x07) + 1)
-                raw = payload[pos : pos + 3 * size]
-                if len(raw) != 3 * size:
-                    raise ValueError("local color table truncated")
-                palette = np.frombuffer(raw, dtype=np.uint8).reshape(
-                    size, 3
-                )
-                pos += 3 * size
-            interlaced = bool(ipacked & 0x40)
-            if palette is None:
-                raise ValueError("no color table for image")
-            if pos >= len(payload):
-                raise ValueError("GIF image data truncated")
-            min_code_size = payload[pos]
-            pos += 1
-            data = bytearray()
-            while True:
-                if pos >= len(payload):
-                    raise ValueError("GIF image data truncated")
                 ln = payload[pos]
                 if ln == 0:
                     break
-                chunk = payload[pos + 1 : pos + 1 + ln]
-                if len(chunk) != ln:
-                    raise ValueError("GIF sub-block truncated")
-                data += chunk
+                blocks.append(payload[pos + 1 : pos + 1 + ln])
                 pos += 1 + ln
             pos += 1
-            flat = _lzw_decode(bytes(data), min_code_size, w * h)
-            idx = np.asarray(flat, dtype=np.int64)
-            if idx.max(initial=0) >= palette.shape[0]:
-                raise ValueError("pixel index outside color table")
-            grid = idx.reshape(h, w)
-            if interlaced:
-                out = np.empty_like(grid)
-                out[_interlace_rows(h)] = grid
-                grid = out
-            return w, h, palette[grid]
+            if label == 0xF9 and blocks:  # graphic control (§23)
+                gpacked = blocks[0][0]
+                disposal = (gpacked >> 2) & 0x07
+                if gpacked & 0x01:
+                    raise NotImplementedError(
+                        "GIF transparency rendering not supported"
+                    )
+                if disposal == 3:
+                    raise NotImplementedError(
+                        "GIF disposal method 3 (restore to previous) "
+                        "not supported"
+                    )
+            continue
+        if b == 0x2C:  # image descriptor
+            left, top, patch, pos = _parse_image_block(payload, pos, palette)
+            ih, iw = patch.shape[:2]
+            if left + iw > w or top + ih > h:
+                raise ValueError("GIF frame exceeds the logical screen")
+            canvas[top : top + ih, left : left + iw] = patch
+            frames.append(canvas.copy())
+            if first_only:
+                return w, h, frames
+            if disposal == 2:  # restore the frame's rect to background
+                canvas[top : top + ih, left : left + iw] = bg_rgb
+            disposal = 0
+            continue
         raise ValueError(f"unknown GIF block 0x{b:02x}")
+
+
+def decode_gif(payload: bytes):
+    """Decode a GIF to (width, height, rgb) where rgb is the FIRST
+    composed frame as an h x w x 3 numpy uint8 array (palette applied,
+    rows de-interlaced when interlaced, sub-rectangle first frames
+    composed onto the background-colored logical screen — the r10 gate
+    lift; for single full-frame images this is exactly the image)."""
+    w, h, frames = _decode_frames(payload, first_only=True)
+    return w, h, frames[0]
+
+
+def decode_gif_frames(payload: bytes):
+    """Decode a (possibly animated) GIF to (width, height, [rgb]) —
+    one COMPOSED h x w x 3 canvas per image block, per GIF89a's
+    animation model (r10, VERDICT r9 item 6): each frame paints its
+    sub-rectangle onto the logical screen at (left, top); disposal
+    methods 0/1 leave it in place for the next frame, method 2
+    restores the rectangle to the background color after the
+    snapshot. Transparency rendering and disposal method 3 (restore
+    to previous) stay gated loudly — rejected, never mis-decoded."""
+    return _decode_frames(payload, first_only=False)

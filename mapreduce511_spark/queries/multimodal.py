@@ -592,6 +592,7 @@ def multimodal_flac_stereo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from mapreduce511_spark.multimodal import (  # noqa: E402
+    GIF_ANIM_FR_MIX,
     GIF_NCOLORS,
     GIF_PX_A,
     GIF_PX_B,
@@ -705,6 +706,136 @@ def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, kind string, width int, height int, "
             "n_vals long, sum_val long, min_val long, max_val long, "
             "hist_sum long, pos_weighted_sum long"
+        ),
+    )
+
+
+@register(
+    "gif_animation_census",
+    # Composed-canvas closed form (r10 gate lift): the visible source
+    # of pixel (x, y) in frame fr is the LATEST frame f <= fr whose
+    # 3x3 patch covers it and is still on canvas at fr (disposal 2
+    # erases its rect after its own snapshot — so it contributes only
+    # when f = fr); uncovered pixels are the background, palette[0] =
+    # (0,0,0). The position-weighted checksum makes placement AND
+    # restore order load-bearing. Constants live once in
+    # multimodal/__init__.py beside the fixture.
+    oracle=f"""
+    WITH anim AS (
+        SELECT doc_id AS d, 6 + doc_id % 5 AS ws, 6 + (doc_id * 3) % 5 AS hs,
+               2 + doc_id % 3 AS nf
+        FROM documents WHERE doc_id < {SYNTH_DOC_LIMIT}
+    ), geo AS (
+        SELECT d, ws, hs, t.f AS f,
+               t.f % (ws - 3) AS lf, (t.f * 2) % (hs - 3) AS tp,
+               CASE WHEN (d + t.f) % 3 = 0 THEN 2 ELSE 1 END AS disp
+        FROM anim,
+             unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS t(f)
+    ), pix AS (
+        SELECT g.d, g.ws, g.hs, g.f AS fr, xx.x AS x, yy.y AS y
+        FROM geo g,
+             unnest(generate_series(0, CAST(g.ws - 1 AS BIGINT))) AS xx(x),
+             unnest(generate_series(0, CAST(g.hs - 1 AS BIGINT))) AS yy(y)
+    ), src AS (
+        -- last frame to TOUCH the pixel at or before fr (paint or,
+        -- for disposal 2 after its snapshot, erase-to-background:
+        -- the restore wipes whatever earlier frames left there)
+        SELECT p.d, p.fr, p.x, p.y, max(g.f) AS sf
+        FROM pix p JOIN geo g
+          ON g.d = p.d AND g.f <= p.fr
+         AND p.x BETWEEN g.lf AND g.lf + 2
+         AND p.y BETWEEN g.tp AND g.tp + 2
+        GROUP BY p.d, p.fr, p.x, p.y
+    ), val AS (
+        SELECT p.d, p.fr, p.ws, p.hs, p.x, p.y,
+               CASE WHEN s.sf IS NULL THEN 0
+                    WHEN g2.disp = 2 AND s.sf <> p.fr THEN 0
+                    ELSE (p.d * {GIF_PX_A} + s.sf * {GIF_ANIM_FR_MIX}
+                          + ((p.y - g2.tp) * 3 + (p.x - g2.lf))
+                            * {GIF_PX_B}) % {GIF_NCOLORS}
+               END AS pc
+        FROM pix p
+        LEFT JOIN src s
+          ON s.d = p.d AND s.fr = p.fr AND s.x = p.x AND s.y = p.y
+        LEFT JOIN geo g2 ON g2.d = p.d AND g2.f = s.sf
+    ), ch AS (
+        SELECT d, fr, ws, hs, y * ws + x AS i,
+               (pc * 37) % 256 AS r, (pc * 59) % 256 AS g,
+               (pc * 83) % 256 AS b
+        FROM val
+    )
+    SELECT d AS doc_id, CAST(fr AS INT) AS frame_idx,
+           CAST(max(ws) AS INT) AS width, CAST(max(hs) AS INT) AS height,
+           3 * count(*) AS n_vals,
+           CAST(sum(r + g + b) AS BIGINT) AS sum_val,
+           CAST(sum((3 * i + 1) * r + (3 * i + 2) * g + (3 * i + 3) * b)
+                AS BIGINT) AS pos_weighted_sum
+    FROM ch GROUP BY d, fr
+    """,
+)
+def gif_animation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED-GIF decode census (r10, VERDICT r9 item 6 — the gate
+    lifted after local color tables and DAC conditioning, on the same
+    argument: GIF89a specifies frame composition entirely in-document,
+    nothing spec-fixed to mis-recall): every fixture is a real
+    multi-frame GIF with sub-rectangle frames, overlapping patches and
+    mixed disposal methods; the engine decodes WHERE THE BYTES LIVE
+    (Arrow mapInPandas) into one composed logical-screen canvas per
+    frame, and the census's position-weighted checksum holds every
+    canvas to the oracle's closed-form re-derivation of the §23
+    composition model — placement, painting order and disposal-2
+    background restores all sit inside the DuckDB hash. Transparency
+    and disposal 3 stay gated loudly (``multimodal/gif.py``).
+
+    Reference basis: extension tier — multimodal decode family (no
+    analog in /root/reference, which is text-only)."""
+    import numpy as np
+
+    from mapreduce511_spark.multimodal import synth_gif_anim_media
+    from mapreduce511_spark.multimodal.gif import decode_gif_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_gif_anim_media(docs)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                w, h, frames = decode_gif_frames(bytes(payload))
+                for fi, rgb in enumerate(frames):
+                    flat = rgb.reshape(-1).astype(np.int64)
+                    pos = np.arange(1, flat.size + 1, dtype=np.int64)
+                    out.append(
+                        (
+                            int(doc_id),
+                            fi,
+                            int(w),
+                            int(h),
+                            int(flat.size),
+                            int(flat.sum()),
+                            int((pos * flat).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "width",
+                    "height",
+                    "n_vals",
+                    "sum_val",
+                    "pos_weighted_sum",
+                ],
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, frame_idx int, width int, height int, "
+            "n_vals long, sum_val long, pos_weighted_sum long"
         ),
     )
 

@@ -183,3 +183,94 @@ def test_lzw_raw_fuzz():
         n = 20000 if trial % 80 == 0 else rng.choice([5, 17, 100, 800])
         seq = [rng.randrange(1 << mcs) for _ in range(n)]
         assert _lzw_decode(_lzw_encode(seq, mcs), mcs, n) == seq
+
+
+def _anim_reference(screen, palette, frames):
+    """Pure-python composition oracle: paint each patch, snapshot,
+    apply disposal-2 background restore."""
+    w, h = screen
+    bg = np.array(palette[0], dtype=np.uint8)
+    canvas = np.broadcast_to(bg, (h, w, 3)).copy()
+    out = []
+    for left, top, rows, disposal in frames:
+        ih, iw = len(rows), len(rows[0])
+        patch = np.array(
+            [[palette[v] for v in r] for r in rows], dtype=np.uint8
+        )
+        canvas[top : top + ih, left : left + iw] = patch
+        out.append(canvas.copy())
+        if disposal == 2:
+            canvas[top : top + ih, left : left + iw] = bg
+    return out
+
+
+def test_animation_roundtrip_composes_and_disposes():
+    """r10 gate lift: multi-frame sub-rectangle animation round-trips
+    — overlapping patches compose in document order, disposal 1 leaves
+    pixels for later frames, disposal 2 restores its rect to the
+    background color after the snapshot."""
+    from mapreduce511_spark.multimodal.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    pal = _pal(16)
+    frames = [
+        (0, 0, [[1, 2, 3], [4, 5, 6], [7, 8, 9]], 1),
+        (2, 1, [[10, 11], [12, 13]], 2),   # overlaps frame 0; erased after
+        (1, 2, [[14, 15, 1], [2, 3, 4]], 1),
+    ]
+    enc = encode_gif_animation(7, 6, pal, frames)
+    w, h, got = decode_gif_frames(enc)
+    assert (w, h) == (7, 6) and len(got) == 3
+    want = _anim_reference((7, 6), pal, frames)
+    for g, x in zip(got, want):
+        assert (g == x).all()
+    # frame 2 must NOT contain frame 1's pixels outside its own patch
+    # (disposal 2 erased them) but MUST keep frame 0's disposal-1 ones
+    assert (got[2][0, 0] == np.array(pal[1])).all()
+    assert (got[2][1, 2] == np.array(pal[0])).all()  # bg-restored
+    # decode_gif == first composed frame (sub-rect onto background)
+    _, _, first = decode_gif(enc)
+    assert (first == want[0]).all()
+
+
+def test_animation_gates_stay_loud():
+    """Transparency rendering and disposal 3 remain honest gates; the
+    encoder refuses disposal 3 and off-screen frames outright."""
+    from mapreduce511_spark.multimodal.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    pal = _pal(4)
+    with pytest.raises(ValueError, match="disposal"):
+        encode_gif_animation(4, 4, pal, [(0, 0, [[1]], 3)])
+    with pytest.raises(ValueError, match="exceeds"):
+        encode_gif_animation(4, 4, pal, [(3, 3, [[1, 1], [1, 1]], 1)])
+    enc = bytearray(encode_gif_animation(4, 4, pal, [(1, 1, [[1]], 1)]))
+    # GCE packed byte sits right after 0x21 0xF9 0x04
+    at = enc.index(bytes((0x21, 0xF9, 0x04))) + 3
+    enc[at] |= 0x01  # transparency flag
+    with pytest.raises(NotImplementedError, match="transparency"):
+        decode_gif_frames(bytes(enc))
+    enc[at] = (3 << 2)  # disposal 3, no transparency
+    with pytest.raises(NotImplementedError, match="disposal method 3"):
+        decode_gif_frames(bytes(enc))
+
+
+def test_animation_single_full_frame_matches_single_image_decode():
+    """A one-frame full-screen animation decodes to exactly the same
+    pixels as the plain single-image encoding of the same grid."""
+    from mapreduce511_spark.multimodal.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    pal = _pal(8)
+    rows = [[(x + y) % 8 for x in range(9)] for y in range(5)]
+    plain = decode_gif(encode_gif(rows, pal))[2]
+    _, _, frames = decode_gif_frames(
+        encode_gif_animation(9, 5, pal, [(0, 0, rows, 1)])
+    )
+    assert len(frames) == 1 and (frames[0] == plain).all()
