@@ -1478,3 +1478,379 @@ def fingerprint_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .orderBy("probe_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal dedup composition (r10) — one asset, four verdicts
+# ---------------------------------------------------------------------------
+
+_SQL_TOKENS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+# All three media fixtures share the class size (docs per planted
+# variant class), so "class representative" is one rule across
+# modalities: doc_id % VID_CLASS == 0. The token SQL must match
+# functions.text.tokenize.
+
+
+def _cross_modal_oracle() -> str:
+    return f"""
+    WITH t_tk AS (
+        SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS w
+        FROM documents WHERE doc_id < {VID_DOC_LIMIT}
+    ), t_sz AS (
+        SELECT doc_id, count(*) AS n FROM t_tk GROUP BY doc_id
+    ), t_co AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+        FROM t_tk a JOIN t_tk b ON a.w = b.w
+        WHERE a.doc_id % {VID_CLASS} <> 0 AND b.doc_id % {VID_CLASS} = 0
+        GROUP BY a.doc_id, b.doc_id
+    ), t_flag AS (
+        SELECT DISTINCT c.da AS doc_id
+        FROM t_co c
+        JOIN t_sz sa ON sa.doc_id = c.da
+        JOIN t_sz sb ON sb.doc_id = c.db
+        WHERE 10 * c.c >= 7 * (sa.n + sb.n - c.c)
+    ), i_img AS (
+        SELECT doc_id, doc_id // {DHASH_CLASS} AS base,
+               doc_id % {DHASH_CLASS} AS v
+        FROM documents WHERE doc_id < {VID_DOC_LIMIT}
+    ), i_grid AS (
+        SELECT doc_id, base, v, cx.g AS cx, cy.g AS cy
+        FROM i_img,
+             (SELECT unnest(generate_series(0, 8)) AS g) cx,
+             (SELECT unnest(generate_series(0, 7)) AS g) cy
+    ), i_cells AS (
+        SELECT doc_id, cx, cy,
+               CASE WHEN v > 0 AND cx = v AND cy < v
+                    THEN (((base + 1) * (cx + 9 * cy + 1) * {DHASH_MIX}
+                           + base * (cx * cx + 3 * cy * cy)) % 256 + 128)
+                         % 256
+                    ELSE ((base + 1) * (cx + 9 * cy + 1) * {DHASH_MIX}
+                          + base * (cx * cx + 3 * cy * cy)) % 256
+               END AS c
+        FROM i_grid
+    ), i_bits AS (
+        SELECT a.doc_id, a.cy, a.cx,
+               CASE WHEN b.c > a.c THEN 1 ELSE 0 END AS bit
+        FROM i_cells a JOIN i_cells b
+          ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+        WHERE a.cx < 8
+    ), i_h AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN cy < 4
+                    THEN bit * (CAST(1 AS BIGINT) << (cy * 8 + cx))
+                    ELSE 0 END) AS BIGINT) AS h_lo,
+               CAST(sum(CASE WHEN cy >= 4
+                    THEN bit * (CAST(1 AS BIGINT) << ((cy - 4) * 8 + cx))
+                    ELSE 0 END) AS BIGINT) AS h_hi
+        FROM i_bits GROUP BY doc_id
+    ), i_flag AS (
+        SELECT DISTINCT s.doc_id
+        FROM i_h s JOIN i_h i
+          ON s.doc_id % {VID_CLASS} <> 0 AND i.doc_id % {VID_CLASS} = 0
+         AND bit_count(xor(s.h_lo, i.h_lo))
+             + bit_count(xor(s.h_hi, i.h_hi)) <= {DHASH_T}
+    ), a_aud AS (
+        SELECT doc_id, doc_id // {AFP_CLASS} AS base,
+               doc_id % {AFP_CLASS} AS v
+        FROM documents WHERE doc_id < {VID_DOC_LIMIT}
+    ), a_win AS (
+        SELECT doc_id, base, v, ws.g AS w
+        FROM a_aud,
+             (SELECT unnest(generate_series(0, {AFP_WINDOWS - 1})) AS g) ws
+    ), a_amp AS (
+        SELECT doc_id, w,
+               CASE WHEN (v = 2 AND w IN (2, 19))
+                      OR (v = 3 AND w IN (3, 20, 37))
+                    THEN (((base + 1) * (w + 1) * {AFP_MIX}
+                           + base * w * w) % 256 + 128) % 256
+                    ELSE ((base + 1) * (w + 1) * {AFP_MIX}
+                          + base * w * w) % 256
+               END
+               * (CASE v WHEN 1 THEN 3 WHEN 3 THEN 2 ELSE 1 END)
+               * {AFP_WIN_LEN - 1} AS e
+        FROM a_win
+    ), a_bits AS (
+        SELECT x.doc_id, x.w AS b,
+               CASE WHEN y.e > x.e THEN 1 ELSE 0 END AS bit
+        FROM a_amp x JOIN a_amp y
+          ON x.doc_id = y.doc_id AND y.w = x.w + 1
+        WHERE x.w < 64
+    ), a_h AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN b < 32
+                    THEN bit * (CAST(1 AS BIGINT) << b)
+                    ELSE 0 END) AS BIGINT) AS h_lo,
+               CAST(sum(CASE WHEN b >= 32
+                    THEN bit * (CAST(1 AS BIGINT) << (b - 32))
+                    ELSE 0 END) AS BIGINT) AS h_hi
+        FROM a_bits GROUP BY doc_id
+    ), a_flag AS (
+        SELECT DISTINCT s.doc_id
+        FROM a_h s JOIN a_h i
+          ON s.doc_id % {VID_CLASS} <> 0 AND i.doc_id % {VID_CLASS} = 0
+         AND bit_count(xor(s.h_lo, i.h_lo))
+             + bit_count(xor(s.h_hi, i.h_hi)) <= {AFP_T}
+    ), v_vid AS (
+        SELECT doc_id, doc_id // {VID_CLASS} AS base,
+               doc_id % {VID_CLASS} AS v
+        FROM documents WHERE doc_id < {VID_DOC_LIMIT}
+    ), v_fk AS (
+        SELECT doc_id, base * {VID_KEY_STRIDE} + os.o AS key
+        FROM v_vid,
+             (SELECT unnest(generate_series(0, {VID_FRAMES - 1})) AS o) os
+        WHERE v IN (0, 1) OR os.o >= 1
+        UNION ALL
+        SELECT doc_id, base * {VID_KEY_STRIDE} + {VID_FOREIGN}
+        FROM v_vid WHERE v = 3
+    ), v_keys AS (
+        SELECT DISTINCT key FROM v_fk
+    ), v_grid AS (
+        SELECT key, cx.g AS cx, cy.g AS cy
+        FROM v_keys,
+             (SELECT unnest(generate_series(0, 8)) AS g) cx,
+             (SELECT unnest(generate_series(0, 7)) AS g) cy
+    ), v_cells AS (
+        SELECT key, cx, cy,
+               ((key + 1) * (cx + 9 * cy + 1) * {DHASH_MIX}
+                + key * (cx * cx + 3 * cy * cy)) % 256 AS c
+        FROM v_grid
+    ), v_bits AS (
+        SELECT a.key, a.cy, a.cx,
+               CASE WHEN b.c > a.c THEN 1 ELSE 0 END AS bit
+        FROM v_cells a JOIN v_cells b
+          ON a.key = b.key AND a.cy = b.cy AND b.cx = a.cx + 1
+        WHERE a.cx < 8
+    ), v_fh AS (
+        SELECT key,
+               CAST(sum(CASE WHEN cy < 4
+                    THEN bit * (CAST(1 AS BIGINT) << (cy * 8 + cx))
+                    ELSE 0 END) AS BIGINT) AS h_lo,
+               CAST(sum(CASE WHEN cy >= 4
+                    THEN bit * (CAST(1 AS BIGINT) << ((cy - 4) * 8 + cx))
+                    ELSE 0 END) AS BIGINT) AS h_hi
+        FROM v_bits GROUP BY key
+    ), v_sig AS (
+        SELECT DISTINCT fk.doc_id, fh.h_lo, fh.h_hi
+        FROM v_fk fk JOIN v_fh fh ON fk.key = fh.key
+    ), v_idx AS (
+        SELECT DISTINCT h_lo, h_hi FROM v_sig
+        WHERE doc_id % {VID_CLASS} = 0
+    ), v_sz AS (
+        SELECT doc_id, count(*) AS n FROM v_sig
+        WHERE doc_id % {VID_CLASS} <> 0 GROUP BY doc_id
+    ), v_hit AS (
+        SELECT s.doc_id, count(*) AS c
+        FROM v_sig s JOIN v_idx i
+          ON s.h_lo = i.h_lo AND s.h_hi = i.h_hi
+        WHERE s.doc_id % {VID_CLASS} <> 0
+        GROUP BY s.doc_id
+    ), v_flag AS (
+        SELECT z.doc_id
+        FROM v_sz z LEFT JOIN v_hit h ON h.doc_id = z.doc_id
+        WHERE 2 * coalesce(h.c, 0) >= z.n
+    ), arr AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id < {VID_DOC_LIMIT} AND doc_id % {VID_CLASS} <> 0
+    )
+    SELECT a.doc_id,
+           CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END AS text_dup,
+           CASE WHEN i.doc_id IS NULL THEN 0 ELSE 1 END AS image_dup,
+           CASE WHEN au.doc_id IS NULL THEN 0 ELSE 1 END AS audio_dup,
+           CASE WHEN v.doc_id IS NULL THEN 0 ELSE 1 END AS video_dup,
+           CAST(CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN i.doc_id IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN au.doc_id IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN v.doc_id IS NULL THEN 0 ELSE 1 END
+              AS INT) AS n_dup_modalities,
+           CASE WHEN t.doc_id IS NULL AND i.doc_id IS NULL
+                 AND au.doc_id IS NULL AND v.doc_id IS NULL
+                THEN 1 ELSE 0 END AS admitted
+    FROM arr a
+    LEFT JOIN t_flag t ON t.doc_id = a.doc_id
+    LEFT JOIN i_flag i ON i.doc_id = a.doc_id
+    LEFT JOIN a_flag au ON au.doc_id = a.doc_id
+    LEFT JOIN v_flag v ON v.doc_id = a.doc_id
+    ORDER BY a.doc_id
+    """
+
+
+@register("cross_modal_dup_census", oracle=_cross_modal_oracle())
+def cross_modal_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL dedup composition (r10, VERDICT r9 item 7): one
+    asset = one document carrying all four modalities (its text plus
+    the deterministic image/audio/video fixtures), one admission
+    verdict PER MODALITY against the standing class-representative
+    index (doc_id % 4 == 0 — the three media fixtures share the class
+    size), unioned into a per-asset ensemble census:
+
+    - text:  token-set Jaccard >= 0.7 vs any index doc (integer rule
+      10*c >= 7*(na+nb-c); the exact-fingerprint rule of
+      ``stream_dedup_admission`` never fires inside this fixture
+      domain, so the census uses the near-dup tier);
+    - image: dHash Hamming <= DHASH_T via the 4x16-bit banded
+      equi-join (pigeonhole-exact at t=3, as ``image_dhash_near_dup``);
+    - audio: gain-invariant fingerprint Hamming <= AFP_T, same bands
+      (``audio_fingerprint_near_dup``);
+    - video: frame-set containment >= 0.5 vs the pooled index frame
+      set on full (h_lo, h_hi) pairs (``stream_video_admission``).
+
+    An asset is ADMITTED only when every modality says unique — the
+    gate a multimodal training-data pipeline runs before ingest, here
+    as one composed batch census under one exact DuckDB oracle.
+
+    100 TB: each modality's candidate generation is the bounded shape
+    its parent query documents (token postings, banded fingerprints,
+    inverted frame index); the final composition is four doc_id-keyed
+    left joins over flag tables that are tiny relative to the corpus.
+
+    Reference basis: extension tier — multimodal x dedup x streaming
+    families composed (no analog in /root/reference)."""
+    from mapreduce511_spark.functions.text import tokenize
+    from mapreduce511_spark.multimodal import (
+        extract_audio_fingerprint,
+        extract_dhash,
+        extract_video_frame_hashes,
+        synth_audio_fp_media,
+        synth_dhash_media,
+        synth_video_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < VID_DOC_LIMIT
+    )
+    is_arr = F.col("doc_id") % VID_CLASS != 0
+
+    # text: token-set Jaccard vs index docs through a token posting join
+    tk = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize("text"))).alias("w")
+    )
+    sz = tk.groupBy("doc_id").agg(F.count("*").alias("n"))
+    co = (
+        tk.filter(is_arr)
+        .select(F.col("doc_id").alias("da"), "w")
+        .join(
+            tk.filter(~is_arr).select(F.col("doc_id").alias("db"), "w"),
+            "w",
+        )
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("c"))
+    )
+    t_flag = (
+        co.join(sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
+        .join(sz.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
+        .filter(
+            F.lit(10) * F.col("c")
+            >= F.lit(7) * (F.col("na") + F.col("nb") - F.col("c"))
+        )
+        .select(F.col("da").alias("doc_id"))
+        .distinct()
+        .withColumn("text_dup", F.lit(1))
+    )
+
+    def bands(hashes: DataFrame) -> DataFrame:
+        return hashes.select(
+            "doc_id",
+            "h_lo",
+            "h_hi",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("band"),
+                             F.col("h_lo").bitwiseAND(65535).alias("val")),
+                    F.struct(F.lit(1).alias("band"),
+                             F.shiftright("h_lo", 16).alias("val")),
+                    F.struct(F.lit(2).alias("band"),
+                             F.col("h_hi").bitwiseAND(65535).alias("val")),
+                    F.struct(F.lit(3).alias("band"),
+                             F.shiftright("h_hi", 16).alias("val")),
+                )
+            ).alias("b"),
+        ).select("doc_id", "h_lo", "h_hi", "b.band", "b.val")
+
+    def banded_flag(hashes: DataFrame, t: int, out: str) -> DataFrame:
+        """Arriving-vs-index banded Hamming gate, pigeonhole-exact at
+        t <= 3 over 4 x 16-bit bands."""
+        idx = bands(hashes.filter(~is_arr)).select(
+            F.col("band").alias("iband"),
+            F.col("val").alias("ival"),
+            F.col("h_lo").alias("i_lo"),
+            F.col("h_hi").alias("i_hi"),
+        )
+        cand = bands(hashes.filter(is_arr)).join(
+            idx,
+            (F.col("band") == F.col("iband"))
+            & (F.col("val") == F.col("ival")),
+        )
+        hamming = F.bit_count(
+            F.col("h_lo").bitwiseXOR(F.col("i_lo"))
+        ) + F.bit_count(F.col("h_hi").bitwiseXOR(F.col("i_hi")))
+        return (
+            cand.filter(hamming <= t)
+            .select("doc_id")
+            .distinct()
+            .withColumn(out, F.lit(1))
+        )
+
+    i_flag = banded_flag(
+        extract_dhash(synth_dhash_media(docs)), DHASH_T, "image_dup"
+    )
+    a_flag = banded_flag(
+        extract_audio_fingerprint(synth_audio_fp_media(docs)),
+        AFP_T,
+        "audio_dup",
+    )
+
+    v_sig = (
+        extract_video_frame_hashes(synth_video_media(docs))
+        .select("doc_id", "h_lo", "h_hi")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    v_idx = v_sig.filter(~is_arr).select("h_lo", "h_hi").distinct()
+    v_sz = v_sig.filter(is_arr).groupBy("doc_id").agg(
+        F.count("*").alias("n")
+    )
+    v_hit = (
+        v_sig.filter(is_arr)
+        .join(v_idx, ["h_lo", "h_hi"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    v_flag = (
+        v_sz.join(v_hit, "doc_id", "left")
+        .filter(
+            F.lit(2) * F.coalesce(F.col("c"), F.lit(0)) >= F.col("n")
+        )
+        .select("doc_id")
+        .withColumn("video_dup", F.lit(1))
+    )
+
+    out = (
+        docs.filter(is_arr)
+        .select("doc_id")
+        .join(t_flag, "doc_id", "left")
+        .join(i_flag, "doc_id", "left")
+        .join(a_flag, "doc_id", "left")
+        .join(v_flag, "doc_id", "left")
+        .select(
+            "doc_id",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).alias(c)
+                for c in ("text_dup", "image_dup", "audio_dup", "video_dup")
+            ],
+        )
+        .withColumn(
+            "n_dup_modalities",
+            (
+                F.col("text_dup")
+                + F.col("image_dup")
+                + F.col("audio_dup")
+                + F.col("video_dup")
+            ).cast("int"),
+        )
+        .withColumn(
+            "admitted",
+            F.when(F.col("n_dup_modalities") == 0, 1).otherwise(0),
+        )
+    )
+    return out.orderBy("doc_id")
