@@ -58,66 +58,65 @@ def register(name: str, oracle: str | None = None):
 # above it are ignored when recomputing the window.  Regenerating the
 # window for a new round must bump the stamp to the newest ledger
 # round the generator saw.
-_WINDOW_LEDGER_MAX: int = 8
+_WINDOW_LEDGER_MAX: int = 9
 
 _ENUMERATE_FIRST: list[str] = [
-    # ROUND 9 regeneration: `python tools/gen_enum_first.py --restamp`
-    # over the ledger through r08 (stamp above).  The three round-9
-    # debuts (suffix-array family) front-load per the debut-round
-    # guard; the remaining 47 slots are the oldest-stale names, all
-    # r03 (min driver row over the registry was r03 after the r8
-    # drain).  Queries registered later in round 9 front-load via
-    # regeneration before commit (debut-round guard).
-    "suffix_array_census",  # new
-    "suffix_repeated_phrases",  # new
-    "exact_duplicate_span_census",  # new
-    "audio_fingerprint_near_dup",  # new
-    "video_dhash_near_dup",  # new
-    "compression_quality_census",  # new
-    "stream_image_dhash_admission",  # new
-    "fingerprint_hamming_topk",  # new
-    "stream_audio_fp_admission",  # new
-    "stream_video_admission",  # new
-    "ann_quantized_topk",  # r03
-    "bigram_novelty_rate",  # r03
-    "bpe_first_merge",  # r03
-    "bpe_merge_rules",  # r03
-    "cohort_hourly_retention",  # r03
-    "concurrent_user_spans",  # r03
-    "copurchase_part_pairs",  # r03
-    "copurchase_triangles",  # r03
-    "data_quality_audit",  # r03
-    "embedding_norm_census",  # r03
-    "ensemble_near_dup",  # r03
-    "event_rate_anomaly",  # r03
-    "event_value_band_join",  # r03
-    "funnel_ordered_steps",  # r03
-    "heavy_hitter_tokens",  # r03
-    "latest_event_per_user",  # r03
-    "median_price_by_flag",  # r03
-    "merge_upsert_orders",  # r03
-    "near_dup_jaccard_capped",  # r03
-    "near_dup_jaccard_prefix",  # r03
-    "order_percentile_bands",  # r03
-    "order_value_ntile",  # r03
-    "pivot_event_type_counts",  # r03
-    "q11_value_concentration",  # r03
-    "q13_customer_distribution",  # r03
-    "q14_promo_revenue",  # r03
-    "q15_top_supplier",  # r03
-    "q16_parts_supplier_counts",  # r03
-    "q17_small_quantity_revenue",  # r03
-    "q18_large_orders",  # r03
-    "q19_disjunctive_revenue",  # r03
-    "q20_growing_suppliers",  # r03
-    "q21_waiting_supplier",  # r03
-    "q22_lapsed_rich_customers",  # r03
-    "q2_min_cost_supplier",  # r03
-    "q7_nation_volume",  # r03
-    "q8_market_share",  # r03
-    "q9_product_profit",  # r03
-    "quality_weighted_sample",  # r03
-    "rolling_value_sum",  # r03
+    # ROUND 10 regeneration: `python tools/gen_enum_first.py --restamp`
+    # over the ledger through r09 (stamp above).  The three round-10
+    # debuts front-load per the debut-round guard; the next 10 slots
+    # drain the LAST r03-stale names (min driver row over the registry
+    # is r04 after the r10 drop); the remaining 37 are the oldest r04
+    # names alphabetically.
+    "gif_animation_census",  # new
+    "cross_modal_dup_census",  # new
+    "exact_duplicate_span_removal",  # new
+    "rollup_region_nation_sales",  # r03
+    "salted_join_revenue",  # r03
+    "shuffle_shard_census",  # r03
+    "snapshot_diff_census",  # r03
+    "sql_grouping_sets",  # r03
+    "sql_window_lag",  # r03
+    "stream_dedup_admission",  # r03
+    "token_freq_histogram",  # r03
+    "top_customers_concat_by_nation",  # r03
+    "unigram_logprob_score",  # r03
+    "benford_price_census",  # r04
+    "bigram_entropy_rate",  # r04
+    "bigram_logprob_score",  # r04
+    "bloom_membership_census",  # r04
+    "bm25_top_docs",  # r04
+    "char_entropy_by_lang",  # r04
+    "chi2_distinctive_terms",  # r04
+    "cms_heavy_bigrams",  # r04
+    "copurchase_common_neighbors",  # r04
+    "copurchase_kcore_census",  # r04
+    "copurchase_pagerank",  # r04
+    "copurchase_triangles_approx",  # r04
+    "customer_name_er",  # r04
+    "customer_rfm_segments",  # r04
+    "decayed_user_engagement",  # r04
+    "doc_chunk_census",  # r04
+    "doc_chunks_expanded",  # r04
+    "embedding_dim_stats",  # r04
+    "event_transition_matrix",  # r04
+    "funnel_time_to_convert",  # r04
+    "gap_filled_minute_counts",  # r04
+    "hll_distinct_trigrams",  # r04
+    "hll_rolling_7d_users",  # r04
+    "hour_of_day_profile",  # r04
+    "hourly_count_autocorr",  # r04
+    "hybrid_rrf_top_docs",  # r04
+    "incremental_mv_refresh",  # r04
+    "join_key_skew_census",  # r04
+    "mad_value_anomaly",  # r04
+    "multimodal_frame_sample",  # r04
+    "multimodal_png_stats",  # r04
+    "near_dup_containment",  # r04
+    "padding_waste_by_bucket",  # r04
+    "pareto_frontier_parts",  # r04
+    "pii_screen_census",  # r04
+    "price_quantity_regression",  # r04
+    "rolling_7d_active_users",  # r04
 ]
 
 

@@ -105,13 +105,17 @@ PICKS = {
     "image_dhash_near_dup": "dHash: Arrow decode+hash; 4x16-bit banded equi-join, pigeonhole-exact recall",
     "multimodal_png_deflate_stats": "Native DEFLATE IDAT encoded+decoded where the bytes live; shuffle-free per-asset aggregate",
     # round 9
-    "suffix_array_census": "Suffix array served from the memoized checkpointed build; per-doc combinable checksum aggregate",
+    "suffix_array_census": "Suffix array served from the cross-session parquet artifact (r10); per-doc combinable checksum aggregate",
     "suffix_repeated_phrases": "Adjacent-LCP gather as pos+i equi-joins (never a range join); TakeOrdered top-k",
     "exact_duplicate_span_census": "Per-position LCP max union; doc-partitioned islands windows; combinable coverage aggregate",
     "audio_fingerprint_near_dup": "Arrow WAV decode+fingerprint; 4x16-bit banded equi-join, pigeonhole-exact recall",
     "video_dhash_near_dup": "Frame-walk + per-frame dHash in Arrow; inverted frame-hash equi-join; integer Jaccard verify",
     "compression_quality_census": "Native-DEFLATE ratio where the text lives; per-lang map-combinable rollup",
     "fingerprint_hamming_topk": "K-bounded probe broadcast (8 rows) x one fingerprint scan; per-probe rank window",
+    # round 10
+    "exact_duplicate_span_removal": "Covered offsets via sequence-explode; left-anti equi-join (no range join); per-doc kept-text digest",
+    "gif_animation_census": "Arrow multi-frame LZW decode + composition where the bytes live; shuffle-free per-frame aggregate",
+    "cross_modal_dup_census": "Token postings + two banded fingerprint joins + inverted frame index; doc_id-keyed flag joins",
 }
 
 

@@ -163,7 +163,7 @@ PICKS = {
     "multimodal_png_deflate_stats": "linear per-asset encode/decode where the bytes live",
     "stream_dsir_admission": "stateless per-row score; only the per-source census is stateful",
     # round 9
-    "suffix_array_census": "SA build (log(max doc len) prefix-doubling hash-shuffle rounds, ~31 s at sf0.1) amortized per corpus snapshot; census = one grouped scan of the array",
+    "suffix_array_census": "SA build (log(max doc len) prefix-doubling hash-shuffle rounds, ~31 s at sf0.1) amortized per corpus snapshot AND per session via the r10 durable parquet artifact; census = one grouped scan of the array",
     "suffix_repeated_phrases": "adjacent-LCP gather is a max_lcp-bounded pos+i equi-join; top-k via TakeOrdered",
     "exact_duplicate_span_census": "per-position LCP maxima + doc-partitioned islands windows; all work ~ corpus positions",
     "audio_fingerprint_near_dup": "fixed 400-asset fixture; linear Arrow decode+fingerprint; banded join bounded by bucket sizes",
@@ -173,6 +173,10 @@ PICKS = {
     "fingerprint_hamming_topk": "K-bounded probe broadcast x one corpus scan; per-probe rank window over probe-keyed candidates",
     "stream_audio_fp_admission": "fixed 400-asset fixture; per-batch banded gate vs the static index; zero streaming state",
     "stream_video_admission": "fixed 128-asset fixture; per-batch frame-index join + per-video containment count; zero streaming state",
+    # round 10
+    "exact_duplicate_span_removal": "islands + sequence-explode of covered offsets (linear in covered tokens) + per-doc kept-text digest, all off the durable SA artifact",
+    "gif_animation_census": "fixed 400-asset fixture; linear Arrow multi-frame decode+composition; one tiny aggregate per frame",
+    "cross_modal_dup_census": "fixed 128-asset fixture; four bounded candidate joins (token postings, 2x banded fingerprints, frame index) + doc_id-keyed flag joins",
 }
 
 

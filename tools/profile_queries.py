@@ -91,6 +91,9 @@ PICKS = {
     "audio_fingerprint_near_dup": "Arrow WAV decode+hash; banded equi-join candidates only",
     "video_dhash_near_dup": "frame hashes in Arrow; inverted frame-hash join; integer Jaccard verify",
     "fingerprint_hamming_topk": "8-row probe broadcast x one fingerprint scan; rank window",
+    # round 10
+    "exact_duplicate_span_removal": "covered-offset explode + anti-join; kept-text digest per doc partition",
+    "cross_modal_dup_census": "four modality gates composed; flag joins are doc_id-sized",
 }
 
 # static epilogue kept across regenerations (measured once; the
@@ -295,7 +298,7 @@ re-run. Production reading: "build once per snapshot" must be
 durable across sessions, or every restart both pays training cost
 and endangers concurrent readers.
 
-## Driver-mirror parity at sf0.01: full-registry re-proof (round 9)
+## Driver-mirror parity at sf0.01: full-registry re-proof (round 10)
 
 Per-round cadence (r8 VERDICT item 7): the full oracle-parity suite
 run at the DRIVER'S OWN scale factor, so every registered query is
@@ -304,18 +307,19 @@ rotation window samples.
 
 ```
 SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
-310 passed in 394.48s   (final r9 tree, 309 registered queries)
+313 passed in 416.87s   (r10 tree after the last registration; 312 registered queries)
 ```
 
-(Three earlier runs during the round — 305, 308 and 309 items — all
-passed on intermediate trees; the final run above re-proves
-everything after the last registration.) That is: all 265 exact
-DuckDB oracles hash-checked and all 44 rows-only queries executed at
-sf0.01 — the driver's compare, the driver's scale, in-repo. The
-guard in tests/test_ledgers.py pins this section to the round the
-checked-in window was generated for (`_WINDOW_LEDGER_MAX + 1`), so
-regenerating the window for a new round demands a fresh parity
-record.
+That is: all 268 exact DuckDB oracles hash-checked and all 44
+rows-only queries executed at sf0.01 — the driver's compare, the
+driver's scale, in-repo (r9's record: 310 passed in 394.5 s over 309
+queries). The run covers the three r10 debuts
+(`exact_duplicate_span_removal`, `gif_animation_census`,
+`cross_modal_dup_census`), the suffix family served from the new
+durable artifact, and the video frame-pair join fix. The guard in
+tests/test_ledgers.py pins this section to the round the checked-in
+window was generated for (`_WINDOW_LEDGER_MAX + 1`), so regenerating
+the window for a new round demands a fresh parity record.
 
 ## near_dup_jaccard_capped r07->r08 mover: NOISE (same-session min-of-5, round 9)
 
