@@ -62,14 +62,19 @@ _WINDOW_LEDGER_MAX: int = 9
 
 _ENUMERATE_FIRST: list[str] = [
     # ROUND 10 regeneration: `python tools/gen_enum_first.py --restamp`
-    # over the ledger through r09 (stamp above).  The three round-10
+    # over the ledger through r09 (stamp above).  The eight round-10
     # debuts front-load per the debut-round guard; the next 10 slots
     # drain the LAST r03-stale names (min driver row over the registry
-    # is r04 after the r10 drop); the remaining 37 are the oldest r04
+    # is r04 after the r10 drop); the remaining 32 are the oldest r04
     # names alphabetically.
     "gif_animation_census",  # new
     "cross_modal_dup_census",  # new
     "exact_duplicate_span_removal",  # new
+    "copurchase_hits",  # new
+    "textrank_keywords",  # new
+    "ffd_packing_census",  # new
+    "zipf_slope_census",  # new
+    "token_burstiness_census",  # new
     "rollup_region_nation_sales",  # r03
     "salted_join_revenue",  # r03
     "shuffle_shard_census",  # r03
@@ -112,11 +117,6 @@ _ENUMERATE_FIRST: list[str] = [
     "multimodal_frame_sample",  # r04
     "multimodal_png_stats",  # r04
     "near_dup_containment",  # r04
-    "padding_waste_by_bucket",  # r04
-    "pareto_frontier_parts",  # r04
-    "pii_screen_census",  # r04
-    "price_quantity_regression",  # r04
-    "rolling_7d_active_users",  # r04
 ]
 
 

@@ -3977,3 +3977,100 @@ def hilbert_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("price_span"),
         )
     )
+
+
+_HITS_ITER = """
+    a{i}r AS (
+        SELECT l_partkey, sum(h) AS a
+        FROM op JOIN h{j} USING (l_orderkey) GROUP BY 1
+    ),
+    a{i} AS (
+        SELECT l_partkey, a / (SELECT sum(a) FROM a{i}r) AS a FROM a{i}r
+    ),
+    h{i}r AS (
+        SELECT l_orderkey, sum(a) AS h
+        FROM op JOIN a{i} USING (l_partkey) GROUP BY 1
+    ),
+    h{i} AS (
+        SELECT l_orderkey, h / (SELECT sum(h) FROM h{i}r) AS h FROM h{i}r
+    )"""
+
+
+@register(
+    "copurchase_hits",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    h0 AS (SELECT DISTINCT l_orderkey, 1.0 AS h FROM op),
+    {_HITS_ITER.format(i=1, j=0)},
+    {_HITS_ITER.format(i=2, j=1)},
+    np AS (SELECT count(*) AS np FROM a2)
+    SELECT l_partkey AS part_id,
+           round(a * np.np, 4) AS auth_ratio
+    FROM a2 CROSS JOIN np
+    ORDER BY auth_ratio DESC, part_id
+    LIMIT 20
+    """,
+)
+def copurchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority scores (Kleinberg 1999) over the bipartite
+    order-part purchase graph: orders are hubs, parts authorities;
+    TWO full mutual-recursion rounds (authority <- sum of adjacent
+    hub scores, hub <- sum of adjacent authority scores, each
+    L1-normalized), unrolled into one deterministic DataFrame plan
+    under the exact DuckDB oracle (same chained CTEs). Structurally
+    distinct from ``copurchase_pagerank``: HITS is the bipartite
+    mutual recursion with explicit per-step normalization, PageRank
+    the stochastic-matrix fixpoint — the two classical link-analysis
+    families side by side on the same co-purchase data.
+
+    Scale shape: the bipartite edge relation (distinct order-part
+    pairs) materializes ONCE via localCheckpoint; each half-step is
+    one equi-join on a vertex key plus one partial-aggregated
+    shuffle-sum — the Pregel lowering. Score vectors are two-column
+    frames keyed by order/part id and are NEVER broadcast (both
+    dimensions grow with SF); only the 1-row normalization totals
+    ride broadcasts. L1 (sum) normalization rather than the
+    textbook L2 keeps every intermediate a plain SUM — restated
+    exactly in SQL with no sqrt, and the final ranking is invariant
+    to which norm is used. Reported as authority * |parts| (ratio
+    to uniform) ROUNDED to 4, and ordered by the ROUNDED column so
+    the top-20 cut is deterministic across engines.
+
+    Reference basis: extension tier — graph family beside
+    ``copurchase_pagerank`` (SURVEY.md §2 extensions); reference has
+    no graph surface (`/root/reference/analyze`)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    op = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = op.select("l_orderkey").distinct().withColumn("h", F.lit(1.0))
+    a = None
+    for _ in range(2):
+        ar = op.join(h, "l_orderkey").groupBy("l_partkey").agg(
+            F.sum("h").alias("a")
+        )
+        asum = ar.agg(F.sum("a").alias("s"))
+        a = ar.crossJoin(F.broadcast(asum)).select(
+            "l_partkey", (F.col("a") / F.col("s")).alias("a")
+        )
+        hr = op.join(a, "l_partkey").groupBy("l_orderkey").agg(
+            F.sum("a").alias("h")
+        )
+        hsum = hr.agg(F.sum("h").alias("s"))
+        h = hr.crossJoin(F.broadcast(hsum)).select(
+            "l_orderkey", (F.col("h") / F.col("s")).alias("h")
+        )
+    np_ = a.agg(F.count("*").alias("np"))
+    return (
+        a.crossJoin(F.broadcast(np_))
+        .select(
+            F.col("l_partkey").alias("part_id"),
+            F.round(F.col("a") * F.col("np"), 4).alias("auth_ratio"),
+        )
+        .orderBy(F.desc("auth_ratio"), "part_id")
+        .limit(20)
+    )

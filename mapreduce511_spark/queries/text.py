@@ -4760,3 +4760,410 @@ def compression_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_TEXTRANK_ITER = """
+    m{i} AS (
+        SELECT e.t AS x, sum(p.r * e.w / deg.d) AS m
+        FROM edges e JOIN r{j} p ON e.s = p.x JOIN deg ON deg.s = e.s
+        GROUP BY e.t
+    ),
+    r{i} AS (SELECT x, 0.15 / n.n + 0.85 * m AS r FROM m{i} CROSS JOIN n)"""
+
+
+@register(
+    "textrank_keywords",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents
+    ), tok AS (
+        SELECT doc_id, unnest(ts) AS token,
+               unnest(range(len(ts))) AS off
+        FROM base
+    ), pr AS (
+        SELECT a.token AS u, b.token AS v
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id
+         AND b.off - a.off BETWEEN 1 AND 2
+         AND a.token <> b.token
+    ), ue AS (
+        SELECT least(u, v) AS u, greatest(u, v) AS v, count(*) AS w
+        FROM pr GROUP BY 1, 2
+    ), edges AS (
+        SELECT u AS s, v AS t, w FROM ue
+        UNION ALL
+        SELECT v AS s, u AS t, w FROM ue
+    ), deg AS (SELECT s, sum(w) AS d FROM edges GROUP BY s),
+    n AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT deg.s AS x, 1.0 / n.n AS r FROM deg CROSS JOIN n),
+    {_TEXTRANK_ITER.format(i=1, j=0)},
+    {_TEXTRANK_ITER.format(i=2, j=1)},
+    {_TEXTRANK_ITER.format(i=3, j=2)}
+    SELECT x AS token, round(r * n.n, 4) AS rank_ratio
+    FROM r3 CROSS JOIN n
+    ORDER BY rank_ratio DESC, token
+    """,
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank over the word co-occurrence graph — an undirected edge
+    per ordered token pair at distance <= 2 within a document, weight
+    = co-occurrence count — THREE power iterations, damping 0.85,
+    unrolled into one deterministic DataFrame plan under the exact
+    DuckDB oracle (the oracle unrolls the same three chained CTEs,
+    the ``copurchase_pagerank`` discipline applied to text).
+
+    Scale shape: the co-occurrence self-join is an equi-join on
+    doc_id with a position-band post-filter (never a cross join);
+    the (edge, weighted-degree) relation materializes ONCE via
+    localCheckpoint and every iteration reuses it. The rank vector is
+    one row per DISTINCT TOKEN — the lexicon, which grows
+    sublinearly (Heaps' law) and is NOT broadcast (the r7 rule: no
+    per-word broadcast hints; AQE may still broadcast it at runtime
+    when it measures small). Reported as rank * |V| (ratio to the
+    uniform score) rounded to 4, resolution-independent of graph
+    size; the full vocabulary census is returned (lexicon-bounded),
+    top-k being a TakeOrdered away.
+
+    Reference basis: extension tier — graph-over-text composition
+    beside ``copurchase_pagerank``; no analog in
+    `/root/reference/analyze`."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokenize("text")).alias("off", "token")
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    pr = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("b.off") - F.col("a.off")).between(1, 2)
+        & (F.col("a.token") != F.col("b.token")),
+    ).select(
+        F.least("a.token", "b.token").alias("u"),
+        F.greatest("a.token", "b.token").alias("v"),
+    )
+    ue = pr.groupBy("u", "v").agg(F.count("*").alias("w"))
+    edges = ue.select(
+        F.col("u").alias("s"), F.col("v").alias("t"), "w"
+    ).unionAll(ue.select(F.col("v").alias("s"), F.col("u").alias("t"), "w"))
+    deg = edges.groupBy("s").agg(F.sum("w").alias("d"))
+    # one materialized pass reused by all three iterations (the
+    # pagerank recipe): weighted out-edges annotated with source
+    # weighted degree.
+    out = edges.join(deg, "s").localCheckpoint(eager=True)
+    verts = out.select("s").distinct()
+    n = verts.agg(F.count("*").alias("n"))
+    ranks = verts.crossJoin(F.broadcast(n)).select(
+        F.col("s").alias("x"), (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(3):
+        m = (
+            out.join(ranks, out["s"] == ranks["x"])
+            .groupBy("t")
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("d")).alias("m"))
+        )
+        ranks = m.crossJoin(F.broadcast(n)).select(
+            F.col("t").alias("x"),
+            (F.lit(0.15) / F.col("n") + 0.85 * F.col("m")).alias("r"),
+        )
+    return (
+        ranks.crossJoin(F.broadcast(n))
+        .select(
+            F.col("x").alias("token"),
+            F.round(F.col("r") * F.col("n"), 4).alias("rank_ratio"),
+        )
+        .orderBy(F.desc("rank_ratio"), "token")
+    )
+
+
+@register(
+    "ffd_packing_census",
+    oracle=f"""
+    WITH RECURSIVE lens AS (
+        SELECT lang, doc_id % 4 AS shard, doc_id,
+               len({_SQL_TOKENS}) AS n_tok
+        FROM documents
+    ), ordered AS (
+        SELECT lang, shard, n_tok,
+               row_number() OVER (
+                   PARTITION BY lang, shard
+                   ORDER BY n_tok DESC, doc_id) AS rk,
+               count(*) OVER (PARTITION BY lang, shard) AS cnt
+        FROM lens
+    ), ffd AS (
+        SELECT lang, shard, 0 AS step,
+               CAST([] AS BIGINT[]) AS fills, cnt
+        FROM (SELECT DISTINCT lang, shard, cnt FROM ordered)
+        UNION ALL
+        SELECT f.lang, f.shard, f.step + 1,
+               CASE WHEN idx.i IS NULL
+                    THEN list_append(f.fills, o.n_tok)
+                    ELSE list_transform(range(len(f.fills)),
+                           j -> CASE WHEN j = idx.i - 1
+                                     THEN f.fills[j+1] + o.n_tok
+                                     ELSE f.fills[j+1] END)
+               END AS fills,
+               f.cnt
+        FROM ffd f
+        JOIN ordered o
+          ON o.lang = f.lang AND o.shard = f.shard
+         AND o.rk = f.step + 1
+        LEFT JOIN LATERAL (
+            SELECT min(j) AS i
+            FROM (SELECT unnest(range(1, len(f.fills) + 1)) AS j)
+            WHERE f.fills[j] + o.n_tok <= 256
+        ) idx ON TRUE
+        WHERE f.step < f.cnt
+    ), packed AS (
+        SELECT lang, shard, fills FROM ffd WHERE step = cnt
+    ), stats AS (
+        SELECT lang, shard, count(*) AS n_docs,
+               sum(n_tok) AS n_tokens
+        FROM lens GROUP BY 1, 2
+    )
+    SELECT s.lang, s.shard,
+           CAST(s.n_docs AS BIGINT) AS n_docs,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           CAST(len(p.fills) AS BIGINT) AS n_bins,
+           CAST((s.n_tokens + 255) // 256 AS BIGINT) AS lb_bins,
+           CAST(len(p.fills) * 256 - s.n_tokens AS BIGINT) AS waste
+    FROM packed p JOIN stats s USING (lang, shard)
+    ORDER BY lang, shard
+    """,
+)
+def ffd_packing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing bin packing of documents into 256-token
+    training sequences, per (language, shard): the classic
+    sequence-packing step of an LLM data pipeline, measured as a
+    census — bins used vs the ceil(total/capacity) lower bound and
+    the padding waste.
+
+    FFD is inherently a SEQUENTIAL greedy fold (each placement
+    depends on every fill level so far), so the built-in operators
+    genuinely can't express it; this is the documented
+    ``applyInPandas`` case — the fold runs per (lang, shard) group,
+    Arrow-batched, embarrassingly parallel ACROSS groups. The shard
+    key (doc_id % 4) is the scale lever: packing quality only needs
+    locality within a shard, so at 100 TB you raise the shard count
+    until each group fits one task comfortably — the standard
+    per-shard packing shape (e.g. T5 / GPT pretraining loaders pack
+    per reader shard, not globally). Order within a group is fully
+    deterministic (n_tok DESC, doc_id ASC), and the census is pure
+    integer arithmetic, so the DuckDB oracle restates the SAME greedy
+    fold exactly as a recursive CTE carrying the bin-fill list —
+    groups step in lockstep, recursion depth = max group size.
+
+    Oversize items (n_tok > 256) open their own bin, never fit an
+    existing one — the fold handles them with no special case (the
+    first-fit scan just finds no bin), and `waste` can go negative
+    only for such bins; the fixture corpus has none.
+
+    Reference basis: extension tier — training-data assembly family
+    beside ``context_pack_stats`` (greedy concat packing); no analog
+    in `/root/reference/analyze`."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "lang",
+        (F.col("doc_id") % 4).alias("shard"),
+        "doc_id",
+        F.size(tokenize("text")).alias("n_tok"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["n_tok", "doc_id"], ascending=[False, True]
+        )
+        fills: list[int] = []
+        for n in pdf["n_tok"].tolist():
+            for i, fill in enumerate(fills):
+                if fill + n <= 256:
+                    fills[i] = fill + n
+                    break
+            else:
+                fills.append(n)
+        n_tokens = int(pdf["n_tok"].sum())
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "shard": [int(pdf["shard"].iloc[0])],
+                "n_docs": [len(pdf)],
+                "n_tokens": [n_tokens],
+                "n_bins": [len(fills)],
+                "lb_bins": [-(-n_tokens // 256)],
+                "waste": [len(fills) * 256 - n_tokens],
+            }
+        )
+
+    return (
+        lens.groupBy("lang", "shard")
+        .applyInPandas(
+            pack,
+            schema=(
+                "lang string, shard bigint, n_docs bigint, "
+                "n_tokens bigint, n_bins bigint, lb_bins bigint, "
+                "waste bigint"
+            ),
+        )
+        .orderBy("lang", "shard")
+    )
+
+
+@register(
+    "zipf_slope_census",
+    oracle=f"""
+    WITH freq AS (
+        SELECT lang, token, count(*) AS cnt
+        FROM (
+            SELECT lang, unnest({_SQL_TOKENS}) AS token FROM documents
+        )
+        GROUP BY lang, token
+    ), ranked AS (
+        SELECT lang, cnt,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY cnt DESC, token) AS rnk
+        FROM freq
+    ), xy AS (
+        SELECT lang, ln(rnk) AS x, ln(cnt) AS y FROM ranked
+    ), sums AS (
+        SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM xy GROUP BY lang
+    )
+    SELECT lang,
+           CAST(n AS BIGINT) AS vocab,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+               AS zipf_slope,
+           round((sy - sx * (n * sxy - sx * sy)
+                           / (n * sxx - sx * sx)) / n, 4)
+               AS zipf_intercept
+    FROM sums
+    ORDER BY lang
+    """,
+)
+def zipf_slope_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf's-law fit: OLS slope/intercept of
+    ln(frequency) against ln(rank) over the language's token
+    frequency table — the standard corpus-health diagnostic (natural
+    text sits near slope -1; template/boilerplate-heavy or synthetic
+    corpora drift away, making this a cheap pipeline smoke alarm
+    before expensive dedup passes).
+
+    Scale shape: one token-count aggregation (map-side combinable),
+    then ranking WITHIN each language partition — a partitioned
+    window over the per-lang vocabulary, never an unpartitioned
+    global sort — then a 5-sum OLS reduce per language. The rank
+    tie-break (cnt DESC, token ASC) is total, so ranks are identical
+    across engines; the only floating-point is the final closed-form
+    slope over five per-lang sums, rounded to 4 on both sides.
+
+    Reference basis: extension tier — corpus-statistics family
+    beside ``token_freq_histogram`` / ``heavy_hitter_tokens``
+    (SURVEY.md §2 extensions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("lang", F.explode(tokenize("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "token")
+    xy = freq.withColumn("rnk", F.row_number().over(w)).select(
+        "lang", F.log("rnk").alias("x"), F.log("cnt").alias("y")
+    )
+    sums = xy.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "lang",
+        F.col("n").alias("vocab"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - F.col("sx") * slope) / F.col("n"), 4).alias(
+            "zipf_intercept"
+        ),
+    ).orderBy("lang")
+
+
+@register(
+    "token_burstiness_census",
+    oracle=f"""
+    WITH percnt AS (
+        SELECT token, doc_id, count(*) AS c
+        FROM (
+            SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+        )
+        GROUP BY token, doc_id
+    ), stats AS (
+        SELECT token,
+               count(*) AS df,
+               sum(c) AS sc,
+               sum(c * c) AS scc
+        FROM percnt GROUP BY token
+        HAVING count(*) >= 20
+    )
+    SELECT token,
+           CAST(df AS BIGINT) AS df,
+           CAST(sc AS BIGINT) AS total_cnt,
+           round((df * scc - sc * sc) * 1.0 / (df * sc), 4) AS vmr
+    FROM stats
+    ORDER BY vmr DESC, token
+    LIMIT 20
+    """,
+)
+def token_burstiness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (Church & Gale 1995): variance-to-mean ratio
+    of a token's per-document counts among the documents containing
+    it — the classical boilerplate detector (bursty tokens cluster in
+    few documents: navigation chrome, license headers, templates;
+    VMR ~ 1 is Poisson-like natural usage). Top-20 bursty tokens with
+    document frequency >= 20.
+
+    Scale shape: two map-side-combinable aggregations (per
+    (token, doc) count, then per-token moment sums) — pure hash
+    shuffles, no windows, no joins. VMR = (df*Scc - Sc^2)/(df*Sc)
+    stays in exact integer arithmetic until ONE final division,
+    rounded to 4, and the top-20 cut orders by the ROUNDED value with
+    a token tie-break, so the selected set is deterministic across
+    engines. At 100 TB the HAVING df floor prunes the hapax tail
+    before the TakeOrdered.
+
+    Reference basis: extension tier — corpus-statistics family beside
+    ``repetition_score`` (SURVEY.md §2 extensions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    percnt = (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = (
+        percnt.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("c").alias("sc"),
+            F.sum(F.col("c") * F.col("c")).alias("scc"),
+        )
+        .filter(F.col("df") >= 20)
+    )
+    vmr = (
+        (F.col("df") * F.col("scc") - F.col("sc") * F.col("sc"))
+        / (F.col("df") * F.col("sc"))
+    )
+    return (
+        stats.select(
+            "token",
+            "df",
+            F.col("sc").alias("total_cnt"),
+            F.round(vmr, 4).alias("vmr"),
+        )
+        .orderBy(F.desc("vmr"), "token")
+        .limit(20)
+    )

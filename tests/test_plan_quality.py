@@ -476,6 +476,9 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("queries/relational.py", "copurchase_kcore_census", "edges.select(F.col('u').alias('x')).unionAll(edges.select(F.col('v').alias('x'))).agg(F.count_distinct('x').alias('n'))"): "1-row",
     ("queries/relational.py", "copurchase_pagerank", "n"): "1-row",
     ("queries/relational.py", "copurchase_pagerank", "ranks"): "dimension: per-node rank over the part dimension",
+    ("queries/relational.py", "copurchase_hits", "asum"): "1-row",
+    ("queries/relational.py", "copurchase_hits", "hsum"): "1-row",
+    ("queries/relational.py", "copurchase_hits", "np_"): "1-row",
     ("queries/relational.py", "copurchase_triangles", "n_edges"): "1-row",
     ("queries/relational.py", "copurchase_triangles_approx", "n_edges"): "1-row",
     ("queries/relational.py", "customer_rfm_segments", "ref"): "1-row",
@@ -574,6 +577,7 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("queries/text.py", "stratified_sample", "target"): "1-row",
     ("queries/text.py", "temperature_mixture_sample", "n_min"): "1-row",
     ("queries/text.py", "temperature_mixture_sample", "rates"): "per-lang",
+    ("queries/text.py", "textrank_keywords", "n"): "1-row",
     ("queries/text.py", "tfidf_top_terms", "n"): "1-row",
     ("queries/text.py", "token_kl_by_lang", "ctot"): "1-row",
     ("queries/text.py", "token_kl_by_lang", "lt"): "per-lang",
