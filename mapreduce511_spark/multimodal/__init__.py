@@ -135,6 +135,13 @@ FLAC_BLOCK = 256  # 3-8 frames per asset, partial last frame common
 # % 4096) - 2048 (left reuses the mono formula)
 FLAC_PX_A2 = 17
 FLAC_PX_B2 = 11
+# bit-depth fixture (r10, gate lift): depth cycles with doc_id % 5;
+# samples wrap the FULL range of each depth —
+#   bits = FLAC_DEPTHS[d % 5]
+#   step = (1 << bits) // FLAC_DEPTH_STEP_DIV
+#   s(i) = ((d*FLAC_PX_A + i*step) % (1 << bits)) - (1 << (bits-1))
+FLAC_DEPTHS = (8, 12, 16, 20, 24)
+FLAC_DEPTH_STEP_DIV = 353
 
 
 def _synth_payload(doc_id: int) -> tuple[bytes, str, int, int]:
@@ -470,6 +477,53 @@ def synth_flac_stereo_media(docs: DataFrame) -> DataFrame:
                 ]
                 payload = flac.encode_flac_stereo(
                     left, right, sample_rate=8000, block_size=FLAC_BLOCK
+                )
+                rows.append((d, payload, flac.FLAC_FMT))
+        yield pd.DataFrame(rows, columns=["doc_id", "content", "fmt"])
+
+    # see synth_flac_media: spread the pure-Python codec across cores
+    return (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") < SYNTH_DOC_LIMIT)
+        .repartition(32)
+        .mapInPandas(batches, schema="doc_id long, content binary, fmt string")
+    )
+
+
+def synth_flac_depth_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, content, fmt) with mono FLAC payloads cycling the
+    sample depth 8/12/16/20/24 bits with doc_id % 5 (r10: the
+    16-bit-only gate lift under the exact-oracle discipline).
+    Samples wrap the FULL range of each depth —
+    s(i) = ((d*FLAC_PX_A + i*step) % 2^bits) - 2^(bits-1) with
+    step = 2^bits // FLAC_DEPTH_STEP_DIV — so every depth exercises
+    its real dynamic range (min/max near the rails), the frame
+    header's explicit sample-size code, the width-parametric
+    subframe reader, and the MD5 signature's ceil(bps/8)-byte
+    little-endian packing. Lossless: the closed form IS the decoded
+    output, bit-exact at every depth."""
+    from mapreduce511_spark.multimodal import flac
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d >= SYNTH_DOC_LIMIT:
+                    continue
+                bits = FLAC_DEPTHS[d % 5]
+                step = (1 << bits) // FLAC_DEPTH_STEP_DIV
+                half = 1 << (bits - 1)
+                n = FLAC_N_BASE + (d % FLAC_N_MOD) * FLAC_N_STEP
+                pcm = [
+                    ((d * FLAC_PX_A + i * step) % (1 << bits)) - half
+                    for i in range(n)
+                ]
+                payload = flac.encode_flac(
+                    pcm,
+                    sample_rate=8000,
+                    block_size=FLAC_BLOCK,
+                    bps=bits,
                 )
                 rows.append((d, payload, flac.FLAC_FMT))
         yield pd.DataFrame(rows, columns=["doc_id", "content", "fmt"])

@@ -114,7 +114,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def decode_real(payload: bytes, fmt: str):
-    """Real decode dispatch. BMP, WAV, FLAC (16-bit mono — lossless,
+    """Real decode dispatch. BMP, WAV, FLAC (mono/stereo at every
+    explicitly-codable depth, 8/12/16/20/24-bit — lossless,
     CRC+MD5-verified, see ``flac.py``), (non-interlaced RGB8) PNG and
     JPEG — baseline SOF0, progressive SOF2 (each with 4:4:4 / 4:2:2 /
     4:2:0 chroma subsampling; see ``jpeg.py``) and ARITHMETIC-coded

@@ -1,4 +1,4 @@
-"""Native FLAC codec (16-bit mono subset): encoder + full decoder.
+"""Native FLAC codec: encoder + full decoder.
 
 Implemented from the public xiph.org FLAC format specification
 (https://xiph.org/flac/format.html). Scope — the honest contract:
@@ -6,7 +6,12 @@ Implemented from the public xiph.org FLAC format specification
 - STREAMINFO metadata block (with the REAL MD5 of the unencoded
   samples, which the decoder re-computes and verifies: a built-in
   end-to-end integrity gate the lossy codecs can't offer);
-- fixed-blocksize frames, mono, 16-bit; frame headers carry a
+- fixed-blocksize frames, mono or stereo, at every sample depth the
+  frame header can code explicitly — 8/12/16/20/24 bits (r10; the
+  16-bit-only gate was purely the hardcoded width constants: the
+  subframe reader was always width-parametric). The MD5 signature
+  follows the spec's packing — each sample little-endian in
+  ceil(bps/8) bytes, channel-interleaved; frame headers carry a
   UTF-8-coded frame number, explicit 16-bit blocksize, CRC-8;
   frame footer CRC-16 over the whole frame;
 - subframes: CONSTANT, VERBATIM, FIXED orders 0-4, and LPC with
@@ -53,6 +58,21 @@ _FIXED_COEFS = {
     3: [3, -3, 1],
     4: [4, -6, 4, -1],
 }
+
+# frame-header 3-bit sample-size codes (spec table; 0b011/0b111
+# reserved, 0b000 = "from STREAMINFO", never emitted here so every
+# frame is self-describing)
+_SIZE_CODES = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110}
+_SIZE_BITS = {c: b for b, c in _SIZE_CODES.items()}
+
+
+def _pack_samples(samples: list[int], bps: int) -> bytes:
+    """Samples as the MD5 signature sees them: little-endian
+    two's-complement in ceil(bps/8) bytes each, channel-interleaved
+    (the caller passes them already interleaved)."""
+    nb = (bps + 7) // 8
+    mask = (1 << (8 * nb)) - 1
+    return b"".join((s & mask).to_bytes(nb, "little") for s in samples)
 
 
 def _crc8(data: bytes) -> int:
@@ -366,7 +386,12 @@ def _write_subframe(
 
 
 def _stream_header(
-    block_size: int, sample_rate: int, n_channels: int, total: int, md5: bytes
+    block_size: int,
+    sample_rate: int,
+    n_channels: int,
+    total: int,
+    md5: bytes,
+    bps: int = 16,
 ) -> bytes:
     out = bytearray(b"fLaC")
     si = _BitWriter()
@@ -376,21 +401,23 @@ def _stream_header(
     si.write(0, 24)  # max frame size unknown
     si.write(sample_rate, 20)
     si.write(n_channels - 1, 3)
-    si.write(15, 5)  # bits per sample - 1
+    si.write(bps - 1, 5)
     si.write(total, 36)
     body = si.getvalue() + md5
     out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
     return bytes(out)
 
 
-def _frame_header(w: _BitWriter, chan_code: int, frame_idx: int, bs: int) -> None:
+def _frame_header(
+    w: _BitWriter, chan_code: int, frame_idx: int, bs: int, bps: int = 16
+) -> None:
     w.write(0b11111111111110, 14)
     w.write(0, 1)  # reserved
     w.write(0, 1)  # fixed blocksize stream
     w.write(0b0111, 4)  # blocksize: 16-bit at end of header
     w.write(0b0000, 4)  # sample rate: from STREAMINFO
     w.write(chan_code, 4)
-    w.write(0b100, 3)  # sample size: 16 bits
+    w.write(_SIZE_CODES[bps], 3)  # explicit sample size
     w.write(0, 1)  # reserved
     for b in _utf8_number(frame_idx):
         w.write(b, 8)
@@ -405,30 +432,35 @@ def encode_flac(
     block_size: int = 1024,
     lpc_every: int = 2,
     partition_order: int = 0,
+    bps: int = 16,
 ) -> bytes:
-    """Encode 16-bit mono PCM as a FLAC stream. Per block the encoder
-    picks CONSTANT when flat, else the best FIXED order 0-4 by
-    residual magnitude — and every ``lpc_every``-th block instead
-    writes the order-2 predictor as an explicit LPC subframe
-    (coefficients 2,-1, shift 0, precision 4) so the general LPC
-    decode path is exercised by every fixture, not just by tests."""
+    """Encode mono PCM as a FLAC stream at any explicitly-codable
+    sample depth (8/12/16/20/24 bits). Per block the encoder picks
+    CONSTANT when flat, else the best FIXED order 0-4 by residual
+    magnitude — and every ``lpc_every``-th block instead writes the
+    order-2 predictor as an explicit LPC subframe (coefficients 2,-1,
+    shift 0, precision 4) so the general LPC decode path is exercised
+    by every fixture, not just by tests."""
+    if bps not in _SIZE_CODES:
+        raise ValueError(f"bps must be one of {sorted(_SIZE_CODES)}")
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
     n = len(samples)
     for s in samples:
-        if not -32768 <= s <= 32767:
-            raise ValueError("16-bit PCM required")
-    md5 = hashlib.md5(
-        b"".join(struct.pack("<h", s) for s in samples)
-    ).digest()
-    out = bytearray(_stream_header(block_size, sample_rate, 1, n, md5))
+        if not lo <= s <= hi:
+            raise ValueError(f"{bps}-bit PCM required")
+    md5 = hashlib.md5(_pack_samples(samples, bps)).digest()
+    out = bytearray(
+        _stream_header(block_size, sample_rate, 1, n, md5, bps)
+    )
 
     frame_idx = 0
     pos = 0
     while pos < n:
         blk = samples[pos : pos + block_size]
         w = _BitWriter()
-        _frame_header(w, 0b0000, frame_idx, len(blk))
+        _frame_header(w, 0b0000, frame_idx, len(blk), bps)
         use_lpc = lpc_every > 0 and frame_idx % lpc_every == 1
-        _write_subframe(w, blk, 16, use_lpc, partition_order)
+        _write_subframe(w, blk, bps, use_lpc, partition_order)
         w.align()
         frame = w.getvalue()
         out += frame + struct.pack(">H", _crc16(frame))
@@ -451,24 +483,29 @@ def encode_flac_stereo(
     block_size: int = 1024,
     lpc_every: int = 2,
     partition_order: int = 0,
+    bps: int = 16,
 ) -> bytes:
-    """Encode 16-bit STEREO PCM, cycling the channel assignment
-    LR -> LS -> RS -> MS per frame so every stereo decorrelation mode
-    the spec defines is exercised by every multi-frame stream. Side
-    channels are coded at bps+1 = 17 bits (the spec's extra bit for
-    the difference signal); mid/side reconstruction is integer-exact
-    (mid stores (L+R)>>1, the lost LSB rides the side's parity)."""
+    """Encode STEREO PCM at any explicitly-codable sample depth,
+    cycling the channel assignment LR -> LS -> RS -> MS per frame so
+    every stereo decorrelation mode the spec defines is exercised by
+    every multi-frame stream. Side channels are coded at bps+1 bits
+    (the spec's extra bit for the difference signal); mid/side
+    reconstruction is integer-exact (mid stores (L+R)>>1, the lost
+    LSB rides the side's parity)."""
+    if bps not in _SIZE_CODES:
+        raise ValueError(f"bps must be one of {sorted(_SIZE_CODES)}")
     if len(left) != len(right):
         raise ValueError("stereo channels must be equal length")
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
     for s in list(left) + list(right):
-        if not -32768 <= s <= 32767:
-            raise ValueError("16-bit PCM required")
+        if not lo <= s <= hi:
+            raise ValueError(f"{bps}-bit PCM required")
     n = len(left)
-    inter = bytearray()
-    for lv, rv in zip(left, right):
-        inter += struct.pack("<hh", lv, rv)
-    md5 = hashlib.md5(bytes(inter)).digest()
-    out = bytearray(_stream_header(block_size, sample_rate, 2, n, md5))
+    inter = [x for pair in zip(left, right) for x in pair]
+    md5 = hashlib.md5(_pack_samples(inter, bps)).digest()
+    out = bytearray(
+        _stream_header(block_size, sample_rate, 2, n, md5, bps)
+    )
 
     modes = (_CH_LR, _CH_LS, _CH_RS, _CH_MS)
     frame_idx = 0
@@ -478,19 +515,19 @@ def encode_flac_stereo(
         rb = right[pos : pos + block_size]
         code = modes[frame_idx % 4]
         if code == _CH_LR:
-            chans = [(lb, 16), (rb, 16)]
+            chans = [(lb, bps), (rb, bps)]
         elif code == _CH_LS:
             side = [lv - rv for lv, rv in zip(lb, rb)]
-            chans = [(lb, 16), (side, 17)]
+            chans = [(lb, bps), (side, bps + 1)]
         elif code == _CH_RS:
             side = [lv - rv for lv, rv in zip(lb, rb)]
-            chans = [(side, 17), (rb, 16)]
+            chans = [(side, bps + 1), (rb, bps)]
         else:  # mid/side
             side = [lv - rv for lv, rv in zip(lb, rb)]
             mid = [(lv + rv) >> 1 for lv, rv in zip(lb, rb)]
-            chans = [(mid, 16), (side, 17)]
+            chans = [(mid, bps), (side, bps + 1)]
         w = _BitWriter()
-        _frame_header(w, code, frame_idx, len(lb))
+        _frame_header(w, code, frame_idx, len(lb), bps)
         use_lpc = lpc_every > 0 and frame_idx % lpc_every == 1
         for blk, bits in chans:
             _write_subframe(w, blk, bits, use_lpc, partition_order)
@@ -551,9 +588,10 @@ def _read_subframe(br: _BitReader, bs: int, bits: int) -> list[int]:
 def decode_flac(payload: bytes) -> tuple[int, int, list[int]]:
     """Decode a FLAC stream (the subset above, plus any partition
     order / Rice escape / LPC / stereo-decorrelation configuration a
-    conforming encoder may emit within 16-bit fixed-blocksize mono or
-    stereo streams — all four channel assignments: independent,
-    left-side, right-side, mid-side). Verifies both frame CRCs and
+    conforming encoder may emit within fixed-blocksize mono or stereo
+    streams at 8/12/16/20/24 bits — all four channel assignments:
+    independent, left-side, right-side, mid-side). Verifies both
+    frame CRCs and
     the STREAMINFO MD5 of the decoded samples — a single flipped bit
     anywhere fails loudly. Returns (sample_rate, n_channels,
     samples) with stereo samples interleaved L0 R0 L1 R1 ... (the
@@ -587,8 +625,11 @@ def decode_flac(payload: bytes) -> tuple[int, int, list[int]]:
     bps = r.read(5) + 1
     total = r.read(36)
     md5_expect = streaminfo[18:34]
-    if n_channels not in (1, 2) or bps != 16:
-        raise NotImplementedError("only 16-bit mono/stereo FLAC implemented")
+    if n_channels not in (1, 2) or bps not in _SIZE_CODES:
+        raise NotImplementedError(
+            "only mono/stereo FLAC at explicitly-codable sample sizes "
+            f"({sorted(_SIZE_CODES)} bits) implemented"
+        )
 
     samples: list[int] = []
     while pos < len(payload) and len(samples) < total * n_channels:
@@ -603,8 +644,10 @@ def decode_flac(payload: bytes) -> tuple[int, int, list[int]]:
         chan = br.read(4)
         size_code = br.read(3)
         br.read(1)
-        if size_code != 0b100:
-            raise NotImplementedError("only 16-bit frames")
+        if _SIZE_BITS.get(size_code) != bps:
+            raise ValueError(
+                "frame sample size disagrees with STREAMINFO"
+            )
         if n_channels == 1 and chan != 0:
             raise ValueError("channel assignment disagrees with STREAMINFO")
         if n_channels == 2 and chan not in (_CH_LR, _CH_LS, _CH_RS, _CH_MS):
@@ -647,17 +690,17 @@ def decode_flac(payload: bytes) -> tuple[int, int, list[int]]:
             raise ValueError("frame blocksize exceeds STREAMINFO max")
 
         if n_channels == 1:
-            blk = _read_subframe(br, bs, 16)
+            blk = _read_subframe(br, bs, bps)
         else:
             # per-channel effective widths: side channels carry bps+1
             if chan == _CH_LR:
-                widths = (16, 16)
+                widths = (bps, bps)
             elif chan == _CH_LS:
-                widths = (16, 17)
+                widths = (bps, bps + 1)
             elif chan == _CH_RS:
-                widths = (17, 16)
+                widths = (bps + 1, bps)
             else:
-                widths = (16, 17)
+                widths = (bps, bps + 1)
             c0 = _read_subframe(br, bs, widths[0])
             c1 = _read_subframe(br, bs, widths[1])
             if chan == _CH_LR:
@@ -687,9 +730,7 @@ def decode_flac(payload: bytes) -> tuple[int, int, list[int]]:
         raise ValueError(
             f"decoded {len(samples)} of {total * n_channels} samples"
         )
-    md5 = hashlib.md5(
-        b"".join(struct.pack("<h", s) for s in samples)
-    ).digest()
+    md5 = hashlib.md5(_pack_samples(samples, bps)).digest()
     if md5 != md5_expect:
         raise ValueError("decoded-audio MD5 mismatch")
     return sample_rate, n_channels, samples

@@ -1854,3 +1854,99 @@ def cross_modal_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("doc_id")
+
+
+from mapreduce511_spark.multimodal import (  # noqa: E402
+    FLAC_DEPTH_STEP_DIV,
+    FLAC_DEPTHS,
+)
+
+# CASE mapping doc_id % 5 -> bits, shared by the Spark select and the
+# oracle (single-definition discipline: both sides derive from the
+# FLAC_DEPTHS tuple).
+_FLAC_BITS_SQL = "CASE doc_id % 5 " + " ".join(
+    f"WHEN {i} THEN {b}" for i, b in enumerate(FLAC_DEPTHS[:-1])
+) + f" ELSE {FLAC_DEPTHS[-1]} END"
+
+
+@register(
+    "multimodal_flac_depth_stats",
+    # NOTE floor(), not //: DuckDB integer // truncates toward zero
+    # while the engine's histogram bin is an arithmetic shift (floor);
+    # (v + 2048) goes negative at the 20/24-bit depths. The quotient
+    # (v+2048)/256.0 is a power-of-two division of an int << 2^53, so
+    # the double is EXACT and floor() is exact floor division.
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id,
+               {FLAC_N_BASE} + (doc_id % {FLAC_N_MOD}) * {FLAC_N_STEP} AS n,
+               {_FLAC_BITS_SQL} AS bits
+        FROM documents WHERE doc_id < {SYNTH_DOC_LIMIT}
+    ), s AS (
+        SELECT doc_id, n, bits,
+               unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i
+        FROM a
+    ), px AS (
+        SELECT doc_id, n, bits,
+               (doc_id * {FLAC_PX_A}
+                + i * ((CAST(1 AS BIGINT) << bits) // {FLAC_DEPTH_STEP_DIV}))
+                   % (CAST(1 AS BIGINT) << bits)
+                   - (CAST(1 AS BIGINT) << (bits - 1)) AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(bits AS INT) AS bits,
+           count(*) AS n_vals,
+           CAST(sum(v) AS BIGINT) AS sum_val,
+           CAST(min(v) AS BIGINT) AS min_val,
+           CAST(max(v) AS BIGINT) AS max_val,
+           CAST(sum(CAST(floor((v + 2048) / 256.0) AS BIGINT) + 1)
+               AS BIGINT) AS hist_sum
+    FROM px GROUP BY doc_id, bits, n
+    """,
+)
+def multimodal_flac_depth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC at every explicitly-codable sample depth — 8/12/16/20/24
+    bits cycling with doc_id % 5 — under the EXACT oracle gate (r10:
+    the 16-bit-only gate lift). Each fixture wraps the FULL dynamic
+    range of its depth (min/max near the rails), so the frame
+    header's explicit sample-size code, the width-parametric subframe
+    reader (CONSTANT/FIXED/LPC at 8..24-bit warm-up widths), the
+    Rice residuals of much larger step sizes, and the MD5 signature's
+    ceil(bps/8)-byte little-endian packing are all inside the hash.
+    Lossless: the DuckDB closed form IS the decoded output bit-for-bit
+    at every depth. 12- and 20-bit streams also exercise sample
+    widths that are NOT byte multiples in the subframe coding while
+    packing to 2/3 bytes in the signature — the spec asymmetry the
+    16-bit subset never touched.
+
+    At 100 TB: decode runs where the bytes live (mapInPandas over
+    Arrow batches, no driver collect), same as the whole codec
+    family.
+
+    Reference basis: extension tier — multimodal decode family (no
+    analog in /root/reference, which is text-only)."""
+    from mapreduce511_spark.multimodal import (
+        extract_decoded_features,
+        synth_flac_depth_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_decoded_features(synth_flac_depth_media(docs))
+    bits = (
+        F.when(F.col("doc_id") % 5 == 0, FLAC_DEPTHS[0])
+        .when(F.col("doc_id") % 5 == 1, FLAC_DEPTHS[1])
+        .when(F.col("doc_id") % 5 == 2, FLAC_DEPTHS[2])
+        .when(F.col("doc_id") % 5 == 3, FLAC_DEPTHS[3])
+        .otherwise(FLAC_DEPTHS[4])
+        .cast("int")
+    )
+    return feats.select(
+        "doc_id",
+        bits.alias("bits"),
+        "n_vals",
+        "sum_val",
+        "min_val",
+        "max_val",
+        "hist_sum",
+    )

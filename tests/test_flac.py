@@ -272,3 +272,83 @@ def test_roundtrip_hypothesis_mono_and_stereo():
         assert dec == [x for p in zip(L, R) for x in p]
 
     check()
+
+
+# --- bit depths beyond 16 (r10 gate lift) ---------------------------
+
+
+@pytest.mark.parametrize("bps", [8, 12, 16, 20, 24])
+def test_depth_roundtrip_full_range(bps):
+    """Every explicitly-codable sample depth round-trips exactly,
+    including rail values and random full-range PCM (the Rice
+    escape at 24-bit step sizes)."""
+    from mapreduce511_spark.multimodal.flac import encode_flac_stereo
+
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    rng = random.Random(bps)
+    pcm = [hi, lo, 0] + [rng.randint(lo, hi) for _ in range(1500)]
+    _roundtrip(pcm, block_size=300, bps=bps)
+    smooth = [
+        max(lo, min(hi, int(hi * 0.6 * math.sin(i / 9))))
+        for i in range(1200)
+    ]
+    _roundtrip(smooth, block_size=256, bps=bps)
+    # stereo at depth: all four channel assignments cycle
+    left = smooth[:900]
+    right = [max(lo, min(hi, v // 3 + 5)) for v in left]
+    enc = encode_flac_stereo(left, right, block_size=200, bps=bps)
+    rate, ch, dec = decode_flac(enc)
+    assert ch == 2
+    assert dec == [x for p in zip(left, right) for x in p]
+
+
+@pytest.mark.parametrize("bps", [8, 12, 20, 24])
+def test_depth_range_enforced(bps):
+    with pytest.raises(ValueError, match="PCM required"):
+        encode_flac([1 << (bps - 1)], bps=bps)
+    with pytest.raises(ValueError, match="PCM required"):
+        encode_flac([-(1 << (bps - 1)) - 1], bps=bps)
+
+
+def test_unsupported_depth_rejected_by_encoder():
+    with pytest.raises(ValueError, match="bps must be one of"):
+        encode_flac([0], bps=32)
+
+
+def test_md5_packing_is_bytewidth_correct():
+    """The MD5 signature packs each sample in ceil(bps/8) bytes
+    little-endian: a 24-bit stream's signature differs from the same
+    values packed at 16-bit width (regression guard on the packing
+    helper), and the decoder verifies it per depth."""
+    import hashlib
+
+    from mapreduce511_spark.multimodal.flac import _pack_samples
+
+    vals = [0, 1, -1, 70000, -70000]
+    assert _pack_samples(vals[:3], 16) == b"\x00\x00\x01\x00\xff\xff"
+    p24 = _pack_samples(vals, 24)
+    assert len(p24) == 15
+    assert p24[9:12] == (70000).to_bytes(3, "little")
+    assert p24[12:15] == ((-70000) & 0xFFFFFF).to_bytes(3, "little")
+    assert hashlib.md5(p24).digest() != hashlib.md5(
+        _pack_samples(vals[:3], 16)
+    ).digest()
+
+
+def test_frame_size_code_must_match_streaminfo():
+    """A frame whose 3-bit sample-size code disagrees with STREAMINFO
+    fails loudly (the decoder trusts neither silently)."""
+    enc = bytearray(encode_flac([i % 100 for i in range(500)], bps=16))
+    # STREAMINFO bps-1 field: 5 bits spanning byte 20 bit 4 of the
+    # 34-byte block at offset 8 (4 magic + 4 header). Flip it to 8-bit
+    # (bps-1 = 7) without touching the frames.
+    # layout: bytes 8+12..: 16+16+24+24 bits = 10 bytes; sample rate
+    # 20 bits; channels 3 bits; then bps-1 (5 bits).
+    b = enc[8 + 12]  # byte containing last 4 sr bits + 3 chan + 1 bps
+    b2 = enc[8 + 13]  # remaining 4 bps bits + top of total
+    # bps-1 = ((b & 1) << 4) | (b2 >> 4) == 15 for 16-bit
+    assert ((b & 1) << 4) | (b2 >> 4) == 15
+    enc[8 + 12] = b & ~1  # high bit of bps-1 -> 0
+    enc[8 + 13] = (b2 & 0x0F) | (7 << 4)  # bps-1 = 7
+    with pytest.raises(ValueError, match="disagrees with STREAMINFO"):
+        decode_flac(bytes(enc))

@@ -116,6 +116,13 @@ PICKS = {
     "exact_duplicate_span_removal": "Covered offsets via sequence-explode; left-anti equi-join (no range join); per-doc kept-text digest",
     "gif_animation_census": "Arrow multi-frame LZW decode + composition where the bytes live; shuffle-free per-frame aggregate",
     "cross_modal_dup_census": "Token postings + two banded fingerprint joins + inverted frame index; doc_id-keyed flag joins",
+    # r10 second wave
+    "textrank_keywords": "3 weighted power iterations over one checkpointed co-occurrence relation; doc_id equi-join, never cartesian",
+    "copurchase_hits": "Bipartite hub/authority half-steps: vertex-keyed joins + combinable sums; 1-row norm broadcasts",
+    "ffd_packing_census": "Sequential FFD fold per (lang, shard) via Arrow applyInPandas; groups are the parallelism unit",
+    "zipf_slope_census": "Partitioned per-lang vocab ranking + 5-sum OLS reduce; no global sort",
+    "token_burstiness_census": "Two map-combinable aggs; hapax-pruning HAVING; rounded-value TakeOrdered",
+    "multimodal_flac_depth_stats": "Arrow decode at 8/12/16/20/24-bit sample depths; shuffle-free per-asset aggregate",
 }
 
 

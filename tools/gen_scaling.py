@@ -177,6 +177,13 @@ PICKS = {
     "exact_duplicate_span_removal": "islands + sequence-explode of covered offsets (linear in covered tokens) + per-doc kept-text digest, all off the durable SA artifact",
     "gif_animation_census": "fixed 400-asset fixture; linear Arrow multi-frame decode+composition; one tiny aggregate per frame",
     "cross_modal_dup_census": "fixed 128-asset fixture; four bounded candidate joins (token postings, 2x banded fingerprints, frame index) + doc_id-keyed flag joins",
+    # r10 second wave
+    "textrank_keywords": "co-occurrence equi-join linear in token positions; iterations shuffle vocab-sized edge/rank relations (Heaps-sublinear)",
+    "copurchase_hits": "linear distinct over lineitem; per half-step one vertex-keyed join + combinable sum",
+    "ffd_packing_census": "per-shard greedy fold, embarrassingly parallel across (lang, shard); shard count is the scale lever",
+    "zipf_slope_census": "linear token agg; per-lang vocab ranking (Heaps-sublinear) + 5-sum reduce",
+    "token_burstiness_census": "two linear map-combinable aggs; df floor prunes the hapax tail before TakeOrdered",
+    "multimodal_flac_depth_stats": "fixed 400-asset fixture; linear Arrow decode at cycling bit depths; one tiny per-asset aggregate",
 }
 
 
