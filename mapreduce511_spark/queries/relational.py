@@ -4074,3 +4074,77 @@ def copurchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("auth_ratio"), "part_id")
         .limit(20)
     )
+
+
+@register(
+    "k_anonymity_census",
+    oracle="""
+    WITH qi AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               count(*) AS k
+        FROM customer
+        GROUP BY 1, 2, 3
+    ), banded AS (
+        SELECT CASE WHEN k = 1 THEN 'k=1 (unique)'
+                    WHEN k < 5 THEN 'k=2-4'
+                    WHEN k < 10 THEN 'k=5-9'
+                    ELSE 'k>=10' END AS band,
+               k
+        FROM qi
+    )
+    SELECT band,
+           count(*) AS n_classes,
+           CAST(sum(k) AS BIGINT) AS n_rows,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM banded
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the customer table's
+    quasi-identifiers (nation, market segment, account-balance
+    thousand-band): the size distribution of QI equivalence classes,
+    banded by re-identification risk — k=1 rows are uniquely
+    re-identifiable from the quasi-identifiers alone, k<5 is the
+    conventional release threshold. The governance counterpart of
+    ``pii_screen_census`` (which finds direct identifiers; this
+    measures indirect linkability).
+
+    Scale shape: one map-side-combinable groupBy on the QI tuple,
+    then a 4-band rollup — two hash shuffles, the second over at
+    most |QI-classes| rows, no joins, no windows. Pure integer
+    arithmetic end to end. At 100 TB the QI aggregation is the same
+    shape as any distinct-count census; generalization-lattice
+    search (which k-anonymization proper adds) composes as repeated
+    runs with coarser bands.
+
+    Reference basis: extension tier — data-governance family beside
+    ``pii_screen_census`` (SURVEY.md §2 extensions); no analog in
+    `/root/reference/analyze`."""
+    (cust,) = _t(spark, sf_dir, "customer")
+    qi = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(F.count("*").alias("k"))
+    banded = qi.select(
+        F.when(F.col("k") == 1, "k=1 (unique)")
+        .when(F.col("k") < 5, "k=2-4")
+        .when(F.col("k") < 10, "k=5-9")
+        .otherwise("k>=10")
+        .alias("band"),
+        "k",
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("k").alias("n_rows"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("band")
+    )

@@ -110,8 +110,18 @@ def _corpus_sa(spark: SparkSession, sf_dir: str):
         )
         sa.write.mode("overwrite").parquet(os.path.join(art, "sa"))
         write_model_sidecar(art, {"n_positions": positions.count()})
-    positions = spark.read.parquet(os.path.join(art, "positions"))
-    sa = spark.read.parquet(os.path.join(art, "sa"))
+    # serve the session from RAM, not from repeated parquet scans:
+    # the LCP gather and the span queries reference these frames
+    # several times each, and an eager localCheckpoint here (paid
+    # once per session, ~1 s at sf0.1) keeps every reuse off disk —
+    # the r9 memo semantics, now layered OVER the durable artifact
+    # instead of replacing it.
+    positions = spark.read.parquet(
+        os.path.join(art, "positions")
+    ).localCheckpoint(eager=True)
+    sa = spark.read.parquet(os.path.join(art, "sa")).localCheckpoint(
+        eager=True
+    )
     _SA_MEMO[mkey] = (sig, positions, sa)
     return positions, sa
 

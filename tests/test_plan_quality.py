@@ -852,3 +852,73 @@ def test_suffix_lcp_gather_is_equi_join_only(spark):
         plan = _plan(spark, name)
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_textrank_cooccurrence_is_doc_equi_join(spark):
+    """r10: the co-occurrence pair stage must plan as an equi-join on
+    doc_id (position band as a post-filter) — never a quadratic token
+    pair plan; the only nested-loop joins are the 1-row |V| totals."""
+    plan = _plan(spark, "textrank_keywords")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # the 1-row crossJoins are the ONLY BNLJ sites: every BNLJ in the
+    # plan must be Cross (count-broadcast), not a pair-generation Inner
+    import re
+
+    for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan):
+        assert "Cross" in m.group(0), m.group(0)
+
+
+def test_hits_half_steps_are_vertex_keyed_joins(spark):
+    """r10: HITS hub/authority updates must plan as equi-joins on the
+    order/part vertex keys over the checkpointed bipartite relation;
+    norm totals are the only cross joins (1-row broadcasts)."""
+    plan = _plan(spark, "copurchase_hits")
+    assert "CartesianProduct" not in plan
+    import re
+
+    for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan):
+        assert "Cross" in m.group(0), m.group(0)
+    assert "TakeOrderedAndProject" in plan  # top-20, not a global sort
+
+
+def test_ffd_packing_is_one_grouped_arrow_fold(spark):
+    """r10: the FFD fold must plan as FlatMapGroupsInPandas over ONE
+    (lang, shard) exchange — no joins, no windows, nothing quadratic;
+    groups are the only parallelism unit the algorithm needs."""
+    plan = _plan(spark, "ffd_packing_census")
+    assert "FlatMapGroupsInPandas" in plan
+    for bad in ("Join", "Window", "CartesianProduct"):
+        assert bad not in plan, bad
+
+
+def test_zipf_ranking_is_lang_partitioned(spark):
+    """r10: the Zipf rank window must partition by lang — a global
+    vocabulary sort window would serialize onto one task."""
+    plan = _plan(spark, "zipf_slope_census")
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start() : m.start() + 400]
+        assert "lang" in seg, seg[:200]
+
+
+def test_burstiness_and_kanon_are_agg_only(spark):
+    """r10: the burstiness and k-anonymity censuses are pure
+    aggregation pipelines — no joins, no windows; burstiness ends in
+    TakeOrdered (top-20), never a global sort of the vocabulary."""
+    plan = _plan(spark, "token_burstiness_census")
+    assert "Join" not in plan and "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    plan2 = _plan(spark, "k_anonymity_census")
+    assert "Join" not in plan2 and "Window" not in plan2
+
+
+def test_flac_depth_decode_is_arrow_batched(spark):
+    """r10: the bit-depth fixture decodes in Arrow batches like the
+    rest of the codec family — no row-at-a-time Python eval, no
+    joins."""
+    plan = _plan(spark, "multimodal_flac_depth_stats")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan

@@ -123,6 +123,7 @@ PICKS = {
     "zipf_slope_census": "Partitioned per-lang vocab ranking + 5-sum OLS reduce; no global sort",
     "token_burstiness_census": "Two map-combinable aggs; hapax-pruning HAVING; rounded-value TakeOrdered",
     "multimodal_flac_depth_stats": "Arrow decode at 8/12/16/20/24-bit sample depths; shuffle-free per-asset aggregate",
+    "k_anonymity_census": "QI-tuple combinable groupBy + 4-band rollup; two hash shuffles, no joins",
 }
 
 

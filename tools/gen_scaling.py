@@ -184,6 +184,7 @@ PICKS = {
     "zipf_slope_census": "linear token agg; per-lang vocab ranking (Heaps-sublinear) + 5-sum reduce",
     "token_burstiness_census": "two linear map-combinable aggs; df floor prunes the hapax tail before TakeOrdered",
     "multimodal_flac_depth_stats": "fixed 400-asset fixture; linear Arrow decode at cycling bit depths; one tiny per-asset aggregate",
+    "k_anonymity_census": "linear QI aggregation (map-side combinable); rollup over |QI-classes| rows",
 }
 
 

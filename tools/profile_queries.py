@@ -94,6 +94,13 @@ PICKS = {
     # round 10
     "exact_duplicate_span_removal": "covered-offset explode + anti-join; kept-text digest per doc partition",
     "cross_modal_dup_census": "four modality gates composed; flag joins are doc_id-sized",
+    "textrank_keywords": "co-occurrence equi-join on doc_id; 3 iterations shuffle vocab-sized rank rows",
+    "copurchase_hits": "bipartite half-steps: vertex-keyed joins; only 1-row norms broadcast",
+    "ffd_packing_census": "Arrow greedy fold per (lang, shard); shuffle = one row per group",
+    "zipf_slope_census": "vocab-count shuffle; per-lang rank window; 5-sum reduce",
+    "token_burstiness_census": "two combinable aggs; hapax HAVING prunes before TakeOrdered",
+    "multimodal_flac_depth_stats": "Arrow decode at five sample depths; shuffle-free per-asset aggregate",
+    "k_anonymity_census": "QI groupBy combines map-side; band rollup shuffles <= |classes| rows",
 }
 
 # static epilogue kept across regenerations (measured once; the
@@ -307,16 +314,19 @@ rotation window samples.
 
 ```
 SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
-313 passed in 416.87s   (r10 tree after the last registration; 312 registered queries)
+320 passed in 501.59s   (r10 tree after the last registration; 319 registered queries)
 ```
 
-That is: all 268 exact DuckDB oracles hash-checked and all 44
+That is: all 275 exact DuckDB oracles hash-checked and all 44
 rows-only queries executed at sf0.01 — the driver's compare, the
 driver's scale, in-repo (r9's record: 310 passed in 394.5 s over 309
-queries). The run covers the three r10 debuts
+queries). The run covers all TEN r10 debuts
 (`exact_duplicate_span_removal`, `gif_animation_census`,
-`cross_modal_dup_census`), the suffix family served from the new
-durable artifact, and the video frame-pair join fix. The guard in
+`cross_modal_dup_census`, `textrank_keywords`, `copurchase_hits`,
+`ffd_packing_census`, `zipf_slope_census`, `token_burstiness_census`,
+`multimodal_flac_depth_stats`, `k_anonymity_census`), the suffix
+family served from the new durable artifact, the FLAC bit-depth
+fixture, and the video frame-pair join fix. The guard in
 tests/test_ledgers.py pins this section to the round the checked-in
 window was generated for (`_WINDOW_LEDGER_MAX + 1`), so regenerating
 the window for a new round demands a fresh parity record.
