@@ -62,10 +62,10 @@ _WINDOW_LEDGER_MAX: int = 9
 
 _ENUMERATE_FIRST: list[str] = [
     # ROUND 10 regeneration: `python tools/gen_enum_first.py --restamp`
-    # over the ledger through r09 (stamp above).  The ten round-10
+    # over the ledger through r09 (stamp above).  The twelve round-10
     # debuts front-load per the debut-round guard; the next 10 slots
     # drain the LAST r03-stale names (min driver row over the registry
-    # is r04 after the r10 drop); the remaining 30 are the oldest r04
+    # is r04 after the r10 drop); the remaining 28 are the oldest r04
     # names alphabetically.
     "gif_animation_census",  # new
     "cross_modal_dup_census",  # new
@@ -77,6 +77,8 @@ _ENUMERATE_FIRST: list[str] = [
     "token_burstiness_census",  # new
     "multimodal_flac_depth_stats",  # new
     "k_anonymity_census",  # new
+    "copurchase_assortativity",  # new
+    "heaps_law_fit",  # new
     "rollup_region_nation_sales",  # r03
     "salted_join_revenue",  # r03
     "shuffle_shard_census",  # r03
@@ -115,8 +117,6 @@ _ENUMERATE_FIRST: list[str] = [
     "hybrid_rrf_top_docs",  # r04
     "incremental_mv_refresh",  # r04
     "join_key_skew_census",  # r04
-    "mad_value_anomaly",  # r04
-    "multimodal_frame_sample",  # r04
 ]
 
 

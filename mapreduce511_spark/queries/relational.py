@@ -4148,3 +4148,98 @@ def k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@register(
+    "copurchase_assortativity",
+    oracle="""
+    WITH ppo AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    ue AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM ppo a JOIN ppo b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+        SELECT u AS s, v AS t FROM ue
+        UNION ALL
+        SELECT v AS s, u AS t FROM ue
+    ),
+    deg AS (SELECT s, count(*) AS d FROM edges GROUP BY s),
+    pairs AS (
+        SELECT ds.d AS j, dt.d AS k
+        FROM edges e
+        JOIN deg ds ON ds.s = e.s
+        JOIN deg dt ON dt.s = e.t
+    ),
+    sums AS (
+        SELECT count(*) AS m,
+               sum(j * k) AS sjk,
+               sum(j + k) AS sj,
+               sum(j * j + k * k) AS sj2
+        FROM pairs
+    )
+    SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+           CAST(sjk AS BIGINT) AS sum_jk,
+           round((1.0 * m * sjk - 0.25 * sj * sj)
+                 / (0.5 * m * sj2 - 0.25 * sj * sj), 4)
+               AS assortativity
+    FROM sums
+    """,
+)
+def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the part co-purchase
+    graph: the Pearson correlation of endpoint degrees over all
+    edges — positive means hub parts co-purchase with other hubs
+    (assortative mixing), negative the hub-and-spoke pattern typical
+    of product graphs. One scalar summarizing whether hot parts
+    cluster, which decides salting strategy for downstream graph
+    joins before any of them run.
+
+    Scale shape: the Newman formula over directed edge copies —
+    r = (M^-1 Σjk - [M^-1 Σ(j+k)/2]^2) / (M^-1 Σ(j^2+k^2)/2 - [...]^2)
+    — needs only FOUR sums over (edge, endpoint-degree) pairs: two
+    vertex-keyed degree joins onto the edge relation (the wedge-join
+    shape every graph query here shares), then one combinable
+    4-accumulator reduce. Every accumulator is an exact integer (the
+    (j+k)/2 halves are cleared symbolically: the formula is
+    restated over 2x sums so no fraction ever materializes); the one
+    double division happens on the final row, rounded to 4.
+
+    Reference basis: extension tier — graph family beside
+    ``copurchase_pagerank`` / ``copurchase_hits`` (SURVEY.md §2
+    extensions); reference has no graph surface."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    ue = _copurchase_edges(li)
+    edges = ue.select(
+        F.col("u").alias("s"), F.col("v").alias("t")
+    ).unionAll(ue.select(F.col("v").alias("s"), F.col("u").alias("t")))
+    deg = edges.groupBy("s").agg(F.count("*").alias("d"))
+    es = edges.join(deg, "s").select(
+        "t", F.col("d").alias("j")
+    )
+    pairs = es.join(
+        deg.select(F.col("s").alias("t"), F.col("d").alias("k")), "t"
+    )
+    sums = pairs.agg(
+        F.count("*").alias("m"),
+        F.sum(F.col("j") * F.col("k")).alias("sjk"),
+        F.sum(F.col("j") + F.col("k")).alias("sj"),
+        F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k")).alias(
+            "sj2"
+        ),
+    )
+    num = (
+        F.lit(1.0) * F.col("m") * F.col("sjk")
+        - 0.25 * F.col("sj") * F.col("sj")
+    )
+    den = (
+        0.5 * F.col("m") * F.col("sj2")
+        - 0.25 * F.col("sj") * F.col("sj")
+    )
+    return sums.select(
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.col("sjk").alias("sum_jk"),
+        F.round(num / den, 4).alias("assortativity"),
+    )

@@ -5167,3 +5167,120 @@ def token_burstiness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("vmr"), "token")
         .limit(20)
     )
+
+
+@register(
+    "heaps_law_fit",
+    oracle=f"""
+    WITH lens AS (
+        SELECT lang, doc_id, {_SQL_TOKENS} AS ts FROM documents
+    ), mx AS (
+        SELECT max(doc_id) + 1 AS nd FROM lens
+    ), grid AS (
+        SELECT CAST(ceil(nd * q / 5.0) AS BIGINT) AS cutoff
+        FROM mx, (SELECT unnest([1, 2, 3, 4, 5]) AS q)
+    ), firsts AS (
+        SELECT lang, token, min(doc_id) AS first_doc
+        FROM (SELECT lang, doc_id, unnest(ts) AS token FROM lens)
+        GROUP BY lang, token
+    ), vocab_at AS (
+        SELECT f.lang, g.cutoff, count(*) AS v
+        FROM firsts f JOIN grid g ON f.first_doc < g.cutoff
+        GROUP BY f.lang, g.cutoff
+    ), tokens_at AS (
+        SELECT l.lang, g.cutoff, sum(len(l.ts)) AS t
+        FROM lens l JOIN grid g ON l.doc_id < g.cutoff
+        GROUP BY l.lang, g.cutoff
+    ), xy AS (
+        SELECT v.lang, ln(t.t) AS x, ln(v.v) AS y
+        FROM vocab_at v JOIN tokens_at t USING (lang, cutoff)
+    ), sums AS (
+        SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM xy GROUP BY lang
+    )
+    SELECT lang,
+           CAST(n AS BIGINT) AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+               AS heaps_beta,
+           round((sy - sx * (n * sxy - sx * sy)
+                           / (n * sxx - sx * sx)) / n, 4)
+               AS heaps_logk
+    FROM sums
+    ORDER BY lang
+    """,
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Heaps'-law fit: OLS of ln(vocabulary) against
+    ln(corpus tokens) at five prefix cutoffs — the vocabulary-growth
+    counterpart of ``zipf_slope_census`` (natural text grows
+    V ~ K*T^beta with beta ~ 0.4-0.6; beta collapsing toward 0 flags
+    template/duplicated content, climbing toward 1 flags noise/OCR
+    garbage). Together the two fits are the standard one-screen
+    corpus-health panel.
+
+    Scale shape: the cumulative vocabulary curve V(N) never does
+    cumulative DISTINCT counting — each token's FIRST document id is
+    one map-combinable min-aggregation, and V(N) is then a count of
+    firsts below each cutoff (a 5-row broadcast join), exactly one
+    shuffle over the (lang, token) space. Token totals T(N) are
+    conditional sums over the same 5-row grid. The only
+    floating-point is ln() at five points per language and the
+    closed-form OLS, rounded to 4 on both engines.
+
+    Reference basis: extension tier — corpus-statistics family beside
+    ``zipf_slope_census`` / ``vocab_coverage_curve`` (SURVEY.md §2
+    extensions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "lang", "doc_id", tokenize("text").alias("ts")
+    )
+    mx = lens.agg((F.max("doc_id") + 1).alias("nd"))
+    grid = (
+        spark.range(1, 6)
+        .withColumnRenamed("id", "q")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.ceil(F.col("nd") * F.col("q") / 5.0)
+            .cast("long")
+            .alias("cutoff")
+        )
+    )
+    firsts = (
+        lens.select("lang", "doc_id", F.explode("ts").alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    vocab_at = (
+        firsts.join(
+            F.broadcast(grid), F.col("first_doc") < F.col("cutoff")
+        )
+        .groupBy("lang", "cutoff")
+        .agg(F.count("*").alias("v"))
+    )
+    tokens_at = (
+        lens.join(F.broadcast(grid), F.col("doc_id") < F.col("cutoff"))
+        .groupBy("lang", "cutoff")
+        .agg(F.sum(F.size("ts")).alias("t"))
+    )
+    xy = vocab_at.join(tokens_at, ["lang", "cutoff"]).select(
+        "lang", F.log("t").alias("x"), F.log("v").alias("y")
+    )
+    sums = xy.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "lang",
+        F.col("n").alias("n_points"),
+        F.round(slope, 4).alias("heaps_beta"),
+        F.round(
+            (F.col("sy") - F.col("sx") * slope) / F.col("n"), 4
+        ).alias("heaps_logk"),
+    ).orderBy("lang")

@@ -577,6 +577,8 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("queries/text.py", "stratified_sample", "target"): "1-row",
     ("queries/text.py", "temperature_mixture_sample", "n_min"): "1-row",
     ("queries/text.py", "temperature_mixture_sample", "rates"): "per-lang",
+    ("queries/text.py", "heaps_law_fit", "mx"): "1-row",
+    ("queries/text.py", "heaps_law_fit", "grid"): "const: 5 cutoff rows",
     ("queries/text.py", "textrank_keywords", "n"): "1-row",
     ("queries/text.py", "tfidf_top_terms", "n"): "1-row",
     ("queries/text.py", "token_kl_by_lang", "ctot"): "1-row",
@@ -922,3 +924,23 @@ def test_flac_depth_decode_is_arrow_batched(spark):
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_heaps_fit_avoids_cumulative_distinct(spark):
+    """r10: the vocabulary-growth curve must come from per-token
+    FIRST-occurrence minima joined to the 5-row cutoff grid — one
+    (lang, token) shuffle — never a cumulative-distinct window; the
+    grid joins are broadcasts."""
+    plan = _plan(spark, "heaps_law_fit")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 5-row grid range join
+    assert "CartesianProduct" not in plan
+
+
+def test_assortativity_is_two_degree_joins_and_a_reduce(spark):
+    """r10: the Newman accumulators must ride vertex-keyed equi-joins
+    (the shared wedge-join shape) into one combinable aggregate — no
+    nested-loop joins anywhere."""
+    plan = _plan(spark, "copurchase_assortativity")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

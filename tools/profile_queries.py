@@ -101,6 +101,8 @@ PICKS = {
     "token_burstiness_census": "two combinable aggs; hapax HAVING prunes before TakeOrdered",
     "multimodal_flac_depth_stats": "Arrow decode at five sample depths; shuffle-free per-asset aggregate",
     "k_anonymity_census": "QI groupBy combines map-side; band rollup shuffles <= |classes| rows",
+    "heaps_law_fit": "first-occurrence min shuffle over (lang, token); 5-row grid broadcasts",
+    "copurchase_assortativity": "edge-degree joins; shuffle bounded by edges, output one row",
 }
 
 # static epilogue kept across regenerations (measured once; the
@@ -314,19 +316,22 @@ rotation window samples.
 
 ```
 SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
-320 passed in 501.59s   (r10 tree after the last registration; 319 registered queries)
+322 passed in 667.66s   (r10 tree after the last registration; 321 registered queries)
 ```
 
-That is: all 275 exact DuckDB oracles hash-checked and all 44
+That is: all 277 exact DuckDB oracles hash-checked and all 44
 rows-only queries executed at sf0.01 — the driver's compare, the
 driver's scale, in-repo (r9's record: 310 passed in 394.5 s over 309
-queries). The run covers all TEN r10 debuts
+queries; this run shared the machine with an EXPLAIN regeneration,
+hence the wall — an earlier same-tree pass over 319 queries read
+501.6 s). The run covers all TWELVE r10 debuts
 (`exact_duplicate_span_removal`, `gif_animation_census`,
 `cross_modal_dup_census`, `textrank_keywords`, `copurchase_hits`,
 `ffd_packing_census`, `zipf_slope_census`, `token_burstiness_census`,
-`multimodal_flac_depth_stats`, `k_anonymity_census`), the suffix
-family served from the new durable artifact, the FLAC bit-depth
-fixture, and the video frame-pair join fix. The guard in
+`multimodal_flac_depth_stats`, `k_anonymity_census`,
+`heaps_law_fit`, `copurchase_assortativity`), the suffix family
+served from the new durable artifact, the FLAC bit-depth fixture,
+and the video frame-pair join fix. The guard in
 tests/test_ledgers.py pins this section to the round the checked-in
 window was generated for (`_WINDOW_LEDGER_MAX + 1`), so regenerating
 the window for a new round demands a fresh parity record.
