@@ -140,8 +140,14 @@ FLAC_PX_B2 = 11
 #   bits = FLAC_DEPTHS[d % 5]
 #   step = (1 << bits) // FLAC_DEPTH_STEP_DIV
 #   s(i) = ((d*FLAC_PX_A + i*step) % (1 << bits)) - (1 << (bits-1))
+# The divisor must stay BELOW 2^min(FLAC_DEPTHS) or the smallest
+# depth's step floors to 0 and its signal degenerates to a constant
+# (the original 353 did exactly that at 8-bit: 256 // 353 == 0 — the
+# oracle shared the closed form, so parity passed while the 8-bit
+# decode path saw only CONSTANT subframes).
 FLAC_DEPTHS = (8, 12, 16, 20, 24)
-FLAC_DEPTH_STEP_DIV = 353
+FLAC_DEPTH_STEP_DIV = 199
+assert (1 << min(FLAC_DEPTHS)) // FLAC_DEPTH_STEP_DIV >= 1
 
 
 def _synth_payload(doc_id: int) -> tuple[bytes, str, int, int]:
@@ -535,6 +541,40 @@ def synth_flac_depth_media(docs: DataFrame) -> DataFrame:
         .repartition(32)
         .mapInPandas(batches, schema="doc_id long, content binary, fmt string")
     )
+
+
+def fingerprint_bands(hashes: DataFrame, keep_hash: bool = False) -> DataFrame:
+    """4 x 16-bit band explode of a (doc_id, h_lo, h_hi) fingerprint
+    frame — the banded-equi-join candidate discipline every
+    fingerprint near-dup query and streaming admission gate shares
+    (pigeonhole-EXACT recall at Hamming <= 3: 4 bands, <= 3 differing
+    bits => some band untouched). The 64-bit hash rides as two signed
+    32-bit halves so band extraction never touches a sign bit.
+    ``keep_hash=True`` carries h_lo/h_hi through for gates that verify
+    Hamming against the banded index directly (one definition, r10
+    review: this block existed in five query bodies)."""
+    out_cols = (
+        ["doc_id", "h_lo", "h_hi", "b.band", "b.val"]
+        if keep_hash
+        else ["doc_id", "b.band", "b.val"]
+    )
+    return hashes.select(
+        "doc_id",
+        "h_lo",
+        "h_hi",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"),
+                         F.col("h_lo").bitwiseAND(65535).alias("val")),
+                F.struct(F.lit(1).alias("band"),
+                         F.shiftright("h_lo", 16).alias("val")),
+                F.struct(F.lit(2).alias("band"),
+                         F.col("h_hi").bitwiseAND(65535).alias("val")),
+                F.struct(F.lit(3).alias("band"),
+                         F.shiftright("h_hi", 16).alias("val")),
+            )
+        ).alias("b"),
+    ).select(*out_cols)
 
 
 def extract_decoded_features(media_df: DataFrame) -> DataFrame:

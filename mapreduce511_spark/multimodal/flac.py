@@ -644,7 +644,11 @@ def decode_flac(payload: bytes) -> tuple[int, int, list[int]]:
         chan = br.read(4)
         size_code = br.read(3)
         br.read(1)
-        if _SIZE_BITS.get(size_code) != bps:
+        # 0b000 is spec-legal "get sample size from STREAMINFO" (our
+        # encoder always writes the explicit code, but a conforming
+        # foreign encoder may not); any OTHER code must agree with
+        # STREAMINFO.
+        if size_code != 0 and _SIZE_BITS.get(size_code) != bps:
             raise ValueError(
                 "frame sample size disagrees with STREAMINFO"
             )

@@ -388,6 +388,8 @@ def _decode_frames(payload: bytes, first_only: bool):
                 raise ValueError("GIF contains no image")
             return w, h, frames
         if b == 0x21:  # extension: label + sub-blocks
+            if pos >= len(payload):
+                raise ValueError("GIF extension truncated")
             label = payload[pos]
             pos += 1
             blocks = []
@@ -411,6 +413,13 @@ def _decode_frames(payload: bytes, first_only: bool):
                     raise NotImplementedError(
                         "GIF disposal method 3 (restore to previous) "
                         "not supported"
+                    )
+                if disposal > 3:
+                    # 4-7 are reserved by GIF89a §23: composing them
+                    # as anything would be a silent guess — the
+                    # module contract is loud rejection
+                    raise ValueError(
+                        f"reserved GIF disposal method {disposal}"
                     )
             continue
         if b == 0x2C:  # image descriptor

@@ -933,21 +933,9 @@ def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = extract_dhash(synth_dhash_media(docs)).localCheckpoint(
         eager=True
     )
-    bands = hashes.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band"),
-                         F.col("h_lo").bitwiseAND(65535).alias("val")),
-                F.struct(F.lit(1).alias("band"),
-                         F.shiftright("h_lo", 16).alias("val")),
-                F.struct(F.lit(2).alias("band"),
-                         F.col("h_hi").bitwiseAND(65535).alias("val")),
-                F.struct(F.lit(3).alias("band"),
-                         F.shiftright("h_hi", 16).alias("val")),
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band", "b.val")
+    from mapreduce511_spark.multimodal import fingerprint_bands
+
+    bands = fingerprint_bands(hashes)
     cand = (
         bands.alias("x")
         .join(
@@ -1146,21 +1134,9 @@ def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = extract_audio_fingerprint(
         synth_audio_fp_media(docs)
     ).localCheckpoint(eager=True)
-    bands = hashes.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band"),
-                         F.col("h_lo").bitwiseAND(65535).alias("val")),
-                F.struct(F.lit(1).alias("band"),
-                         F.shiftright("h_lo", 16).alias("val")),
-                F.struct(F.lit(2).alias("band"),
-                         F.col("h_hi").bitwiseAND(65535).alias("val")),
-                F.struct(F.lit(3).alias("band"),
-                         F.shiftright("h_hi", 16).alias("val")),
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band", "b.val")
+    from mapreduce511_spark.multimodal import fingerprint_bands
+
+    bands = fingerprint_bands(hashes)
     cand = (
         bands.alias("x")
         .join(
@@ -1748,24 +1724,10 @@ def cross_modal_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("text_dup", F.lit(1))
     )
 
+    from mapreduce511_spark.multimodal import fingerprint_bands
+
     def bands(hashes: DataFrame) -> DataFrame:
-        return hashes.select(
-            "doc_id",
-            "h_lo",
-            "h_hi",
-            F.explode(
-                F.array(
-                    F.struct(F.lit(0).alias("band"),
-                             F.col("h_lo").bitwiseAND(65535).alias("val")),
-                    F.struct(F.lit(1).alias("band"),
-                             F.shiftright("h_lo", 16).alias("val")),
-                    F.struct(F.lit(2).alias("band"),
-                             F.col("h_hi").bitwiseAND(65535).alias("val")),
-                    F.struct(F.lit(3).alias("band"),
-                             F.shiftright("h_hi", 16).alias("val")),
-                )
-            ).alias("b"),
-        ).select("doc_id", "h_lo", "h_hi", "b.band", "b.val")
+        return fingerprint_bands(hashes, keep_hash=True)
 
     def banded_flag(hashes: DataFrame, t: int, out: str) -> DataFrame:
         """Arriving-vs-index banded Hamming gate, pigeonhole-exact at

@@ -4212,9 +4212,16 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     extensions); reference has no graph surface."""
     (li,) = _t(spark, sf_dir, "lineitem")
     ue = _copurchase_edges(li)
-    edges = ue.select(
-        F.col("u").alias("s"), F.col("v").alias("t")
-    ).unionAll(ue.select(F.col("v").alias("s"), F.col("u").alias("t")))
+    # the directed edge relation feeds THREE consumers (deg, the j
+    # join, the k join): materialize the lineitem self-join once,
+    # per the helper's contract (same move as pagerank/hits)
+    edges = (
+        ue.select(F.col("u").alias("s"), F.col("v").alias("t"))
+        .unionAll(
+            ue.select(F.col("v").alias("s"), F.col("u").alias("t"))
+        )
+        .localCheckpoint(eager=True)
+    )
     deg = edges.groupBy("s").agg(F.count("*").alias("d"))
     es = edges.join(deg, "s").select(
         "t", F.col("d").alias("j")

@@ -2071,24 +2071,10 @@ def stream_image_dhash_admission(
             .localCheckpoint(eager=True)
         )
 
+        from mapreduce511_spark.multimodal import fingerprint_bands
+
         def bands(hashes: DataFrame) -> DataFrame:
-            return hashes.select(
-                "doc_id",
-                "h_lo",
-                "h_hi",
-                F.explode(
-                    F.array(
-                        F.struct(F.lit(0).alias("band"),
-                                 F.col("h_lo").bitwiseAND(65535).alias("val")),
-                        F.struct(F.lit(1).alias("band"),
-                                 F.shiftright("h_lo", 16).alias("val")),
-                        F.struct(F.lit(2).alias("band"),
-                                 F.col("h_hi").bitwiseAND(65535).alias("val")),
-                        F.struct(F.lit(3).alias("band"),
-                                 F.shiftright("h_hi", 16).alias("val")),
-                    )
-                ).alias("b"),
-            ).select("doc_id", "h_lo", "h_hi", "b.band", "b.val")
+            return fingerprint_bands(hashes, keep_hash=True)
 
         idx_bands = bands(idx_hashes).select(
             F.col("band").alias("iband"),
@@ -2255,24 +2241,10 @@ def stream_audio_fp_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).localCheckpoint(eager=True)
 
+        from mapreduce511_spark.multimodal import fingerprint_bands
+
         def bands(hashes: DataFrame) -> DataFrame:
-            return hashes.select(
-                "doc_id",
-                "h_lo",
-                "h_hi",
-                F.explode(
-                    F.array(
-                        F.struct(F.lit(0).alias("band"),
-                                 F.col("h_lo").bitwiseAND(65535).alias("val")),
-                        F.struct(F.lit(1).alias("band"),
-                                 F.shiftright("h_lo", 16).alias("val")),
-                        F.struct(F.lit(2).alias("band"),
-                                 F.col("h_hi").bitwiseAND(65535).alias("val")),
-                        F.struct(F.lit(3).alias("band"),
-                                 F.shiftright("h_hi", 16).alias("val")),
-                    )
-                ).alias("b"),
-            ).select("doc_id", "h_lo", "h_hi", "b.band", "b.val")
+            return fingerprint_bands(hashes, keep_hash=True)
 
         idx_bands = bands(idx_hashes).select(
             F.col("band").alias("iband"),

@@ -110,18 +110,22 @@ def _corpus_sa(spark: SparkSession, sf_dir: str):
         )
         sa.write.mode("overwrite").parquet(os.path.join(art, "sa"))
         write_model_sidecar(art, {"n_positions": positions.count()})
-    # serve the session from RAM, not from repeated parquet scans:
-    # the LCP gather and the span queries reference these frames
-    # several times each, and an eager localCheckpoint here (paid
-    # once per session, ~1 s at sf0.1) keeps every reuse off disk —
-    # the r9 memo semantics, now layered OVER the durable artifact
-    # instead of replacing it.
-    positions = spark.read.parquet(
-        os.path.join(art, "positions")
-    ).localCheckpoint(eager=True)
-    sa = spark.read.parquet(os.path.join(art, "sa")).localCheckpoint(
-        eager=True
-    )
+        # the build path already holds checkpointed frames — memoize
+        # THOSE; re-reading the parquet just written would pay a
+        # pointless third materialization of each frame
+    else:
+        # reload path: serve the session from RAM, not from repeated
+        # parquet scans — the LCP gather and the span queries
+        # reference these frames several times each, and an eager
+        # localCheckpoint here (paid once per session, ~1 s at sf0.1)
+        # keeps every reuse off disk: the r9 memo semantics, layered
+        # OVER the durable artifact instead of replacing it.
+        positions = spark.read.parquet(
+            os.path.join(art, "positions")
+        ).localCheckpoint(eager=True)
+        sa = spark.read.parquet(
+            os.path.join(art, "sa")
+        ).localCheckpoint(eager=True)
     _SA_MEMO[mkey] = (sig, positions, sa)
     return positions, sa
 
@@ -462,10 +466,17 @@ def exact_duplicate_span_removal(
         "doc_id",
         F.explode(F.sequence(F.col("s"), F.col("e") - 1)).alias("off"),
     )
+    # only AFFECTED documents appear in the manifest (the final join
+    # keys off `summary`), so cut the token stream down to them
+    # BEFORE the expensive per-doc collect+sort — without this
+    # semi-join the kept-text digest aggregates the whole corpus and
+    # the join discards the unaffected rows afterwards (r10 review)
+    affected = islands.select("doc_id").distinct()
     kept = (
         positions.join(lens, "doc_id")
         .filter(F.col("off") < F.col("n_tokens"))
         .select("doc_id", "off", "token")
+        .join(affected, "doc_id", "left_semi")
         .join(cov, ["doc_id", "off"], "left_anti")
     )
     kept_agg = (

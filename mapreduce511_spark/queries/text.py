@@ -5010,6 +5010,54 @@ def ffd_packing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _sql_ols_tail(n_name: str, slope_name: str, intercept_name: str) -> str:
+    """Shared DuckDB tail for the per-language 5-sum OLS fits: expects
+    a CTE named ``xy`` with (lang, x, y). One definition serves the
+    Zipf and Heaps oracles (r10 review: the formula was duplicated
+    verbatim and a fix to one would silently miss the other)."""
+    return f"""sums AS (
+        SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM xy GROUP BY lang
+    )
+    SELECT lang,
+           CAST(n AS BIGINT) AS {n_name},
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+               AS {slope_name},
+           round((sy - sx * (n * sxy - sx * sy)
+                           / (n * sxx - sx * sx)) / n, 4)
+               AS {intercept_name}
+    FROM sums
+    ORDER BY lang"""
+
+
+def _ols_per_lang(xy, n_name: str, slope_name: str, intercept_name: str):
+    """Spark twin of ``_sql_ols_tail``: closed-form OLS of y on x per
+    language over an (lang, x, y) frame; identical arithmetic to the
+    SQL so the only cross-engine difference is fp summation order
+    (absorbed by the round-to-4)."""
+    sums = xy.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "lang",
+        F.col("n").alias(n_name),
+        F.round(slope, 4).alias(slope_name),
+        F.round(
+            (F.col("sy") - F.col("sx") * slope) / F.col("n"), 4
+        ).alias(intercept_name),
+    ).orderBy("lang")
+
+
 @register(
     "zipf_slope_census",
     oracle=f"""
@@ -5026,20 +5074,7 @@ def ffd_packing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM freq
     ), xy AS (
         SELECT lang, ln(rnk) AS x, ln(cnt) AS y FROM ranked
-    ), sums AS (
-        SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-               sum(x * y) AS sxy, sum(x * x) AS sxx
-        FROM xy GROUP BY lang
-    )
-    SELECT lang,
-           CAST(n AS BIGINT) AS vocab,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
-               AS zipf_slope,
-           round((sy - sx * (n * sxy - sx * sy)
-                           / (n * sxx - sx * sx)) / n, 4)
-               AS zipf_intercept
-    FROM sums
-    ORDER BY lang
+    ), {_sql_ols_tail("vocab", "zipf_slope", "zipf_intercept")}
     """,
 )
 def zipf_slope_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5073,24 +5108,7 @@ def zipf_slope_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     xy = freq.withColumn("rnk", F.row_number().over(w)).select(
         "lang", F.log("rnk").alias("x"), F.log("cnt").alias("y")
     )
-    sums = xy.groupBy("lang").agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-    )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
-    return sums.select(
-        "lang",
-        F.col("n").alias("vocab"),
-        F.round(slope, 4).alias("zipf_slope"),
-        F.round((F.col("sy") - F.col("sx") * slope) / F.col("n"), 4).alias(
-            "zipf_intercept"
-        ),
-    ).orderBy("lang")
+    return _ols_per_lang(xy, "vocab", "zipf_slope", "zipf_intercept")
 
 
 @register(
@@ -5194,20 +5212,7 @@ def token_burstiness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), xy AS (
         SELECT v.lang, ln(t.t) AS x, ln(v.v) AS y
         FROM vocab_at v JOIN tokens_at t USING (lang, cutoff)
-    ), sums AS (
-        SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-               sum(x * y) AS sxy, sum(x * x) AS sxx
-        FROM xy GROUP BY lang
-    )
-    SELECT lang,
-           CAST(n AS BIGINT) AS n_points,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
-               AS heaps_beta,
-           round((sy - sx * (n * sxy - sx * sy)
-                           / (n * sxx - sx * sx)) / n, 4)
-               AS heaps_logk
-    FROM sums
-    ORDER BY lang
+    ), {_sql_ols_tail("n_points", "heaps_beta", "heaps_logk")}
     """,
 )
 def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5266,21 +5271,4 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     xy = vocab_at.join(tokens_at, ["lang", "cutoff"]).select(
         "lang", F.log("t").alias("x"), F.log("v").alias("y")
     )
-    sums = xy.groupBy("lang").agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-    )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
-    return sums.select(
-        "lang",
-        F.col("n").alias("n_points"),
-        F.round(slope, 4).alias("heaps_beta"),
-        F.round(
-            (F.col("sy") - F.col("sx") * slope) / F.col("n"), 4
-        ).alias("heaps_logk"),
-    ).orderBy("lang")
+    return _ols_per_lang(xy, "n_points", "heaps_beta", "heaps_logk")

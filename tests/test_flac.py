@@ -352,3 +352,47 @@ def test_frame_size_code_must_match_streaminfo():
     enc[8 + 13] = (b2 & 0x0F) | (7 << 4)  # bps-1 = 7
     with pytest.raises(ValueError, match="disagrees with STREAMINFO"):
         decode_flac(bytes(enc))
+
+
+def test_size_code_zero_defers_to_streaminfo():
+    """A conforming foreign encoder may write frame sample-size code
+    0b000 ('get from STREAMINFO'); the decoder must accept it (r10
+    review — it previously raised a bogus 'disagrees' error)."""
+    from mapreduce511_spark.multimodal import flac as m
+
+    pcm = [((i * 7) % 4096) - 2048 for i in range(900)]
+    saved = dict(m._SIZE_CODES)
+    try:
+        m._SIZE_CODES[16] = 0b000  # every frame defers to STREAMINFO
+        enc = encode_flac(pcm, block_size=256)
+    finally:
+        m._SIZE_CODES.clear()
+        m._SIZE_CODES.update(saved)
+    rate, ch, dec = decode_flac(enc)
+    assert dec == pcm
+
+
+def test_depth_fixture_constants_are_non_degenerate():
+    """Every depth's fixture step must be >= 1 and the closed form
+    must span a wide value range (r10 review: divisor 353 floored the
+    8-bit step to 0, degenerating that depth to a constant signal the
+    shared oracle could never notice)."""
+    from mapreduce511_spark.multimodal import (
+        FLAC_DEPTH_STEP_DIV,
+        FLAC_DEPTHS,
+        FLAC_N_BASE,
+        FLAC_PX_A,
+    )
+
+    for bits in FLAC_DEPTHS:
+        step = (1 << bits) // FLAC_DEPTH_STEP_DIV
+        assert step >= 1, bits
+        half = 1 << (bits - 1)
+        pcm = [
+            ((0 * FLAC_PX_A + i * step) % (1 << bits)) - half
+            for i in range(FLAC_N_BASE)
+        ]
+        assert len(set(pcm)) > 100, bits
+        # the signal must actually use the depth's range, not hide
+        # inside a narrower one
+        assert max(pcm) > half // 2 and min(pcm) < -half // 2, bits

@@ -274,3 +274,42 @@ def test_animation_single_full_frame_matches_single_image_decode():
         encode_gif_animation(9, 5, pal, [(0, 0, rows, 1)])
     )
     assert len(frames) == 1 and (frames[0] == plain).all()
+
+
+def test_truncation_after_extension_introducer_is_valueerror():
+    """A payload ending right after 0x21 must raise ValueError like
+    every other truncation, not IndexError (r10 review)."""
+    from mapreduce511_spark.multimodal.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    patch = [[(x + y) % 4 for x in range(5)] for y in range(4)]
+    enc = encode_gif_animation(5, 4, _pal(4), [(0, 0, patch, 1)])
+    assert enc.endswith(b"\x3b")
+    bad = enc[:-1] + b"\x21"  # trailer replaced by a bare introducer
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif_frames(bad)
+
+
+def test_reserved_disposal_methods_rejected():
+    """GIF89a §23 reserves disposal 4-7: the decoder must reject them
+    loudly, never compose a spec-undefined guess (r10 review)."""
+    from mapreduce511_spark.multimodal.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    patch = [[(x + y) % 8 for x in range(4)] for y in range(3)]
+    enc = encode_gif_animation(
+        6, 5, _pal(8), [(0, 0, patch, 1), (1, 1, patch, 1)]
+    )
+    i = enc.index(b"\x21\xf9\x04")
+    packed = enc[i + 3]
+    bad = (
+        enc[: i + 3]
+        + bytes([(packed & ~0x1C) | (5 << 2)])
+        + enc[i + 4 :]
+    )
+    with pytest.raises(ValueError, match="reserved GIF disposal"):
+        decode_gif_frames(bad)
