@@ -316,15 +316,18 @@ rotation window samples.
 
 ```
 SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
-322 passed in 667.66s   (r10 tree after the last registration; 321 registered queries)
+322 passed in 464.21s   (FINAL r10 tree, post-review-fixes; 321 registered queries)
 ```
 
 That is: all 277 exact DuckDB oracles hash-checked and all 44
 rows-only queries executed at sf0.01 — the driver's compare, the
 driver's scale, in-repo (r9's record: 310 passed in 394.5 s over 309
-queries; this run shared the machine with an EXPLAIN regeneration,
-hence the wall — an earlier same-tree pass over 319 queries read
-501.6 s). The run covers all TWELVE r10 debuts
+queries; two earlier same-round passes: 320/319 queries in 501.6 s,
+then 322/321 in 667.7 s sharing the machine with an EXPLAIN
+regeneration). This final run post-dates the review-fix commit
+(8-bit FLAC fixture constants, span-removal semi-join, banding/OLS
+helpers), so the pinned record is of the shipped tree. The run
+covers all TWELVE r10 debuts
 (`exact_duplicate_span_removal`, `gif_animation_census`,
 `cross_modal_dup_census`, `textrank_keywords`, `copurchase_hits`,
 `ffd_packing_census`, `zipf_slope_census`, `token_burstiness_census`,
