@@ -16,6 +16,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
+
+def norm0(col):
+    """Normalize IEEE -0.0 to +0.0 on a rounded float column.
+
+    Adding +0.0 is the identity on every double except -0.0 (IEEE
+    754 round-to-nearest: -0.0 + 0.0 = +0.0; NaN + 0.0 = NaN), so
+    wrapping a final rounded projection costs nothing and removes the
+    one value class whose bit pattern differs while comparing equal.
+    The driver's hash distinguishes signed zeros (r10: heaps_law_fit
+    went red because DuckDB rounded fp-cancellation noise to -0.0
+    where Spark gave +0.0), so every rounded output whose TRUE value
+    can be a tiny signed epsilon — slopes, z-scores, correlations,
+    entropy differences, variance ratios — must pass through this on
+    the Spark side and add ``+ 0.0`` in the oracle SQL."""
+    from pyspark.sql import functions as F
+
+    return col + F.lit(0.0)
+
 _QUERIES: dict[str, SparkQuery] = {}
 _ORACLES: dict[str, str] = {}
 

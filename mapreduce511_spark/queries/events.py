@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mapreduce511_spark.queries import register
+from mapreduce511_spark.queries import norm0, register
 from mapreduce511_spark.sources.tables import load_table
 
 SESSION_GAP_SECONDS = 1800
@@ -1431,7 +1431,7 @@ def time_weighted_value_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
                / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
                   * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
-               4) AS autocorr
+               4) + 0.0 AS autocorr
     FROM m
     ORDER BY lag
     """,
@@ -1490,7 +1490,7 @@ def hourly_count_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "lag",
         n.alias("n_pairs"),
-        F.round(num / den, 4).alias("autocorr"),
+        norm0(F.round(num / den, 4)).alias("autocorr"),
     ).orderBy("lag")
 
 
@@ -1945,7 +1945,7 @@ def user_first_path_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ((c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
                    * (1 - (c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
                    * (1.0 / n_a + 1.0 / n_b)
-               ), 4) AS z_score
+               ), 4) + 0.0 AS z_score
     FROM wide
     """,
 )
@@ -2019,5 +2019,5 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_b",
         F.expr("(10000 * c_a) DIV n_a").alias("rate_a_bp"),
         F.expr("(10000 * c_b) DIV n_b").alias("rate_b_bp"),
-        F.round(z, 4).alias("z_score"),
+        norm0(F.round(z, 4)).alias("z_score"),
     )

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mapreduce511_spark.queries import register
+from mapreduce511_spark.queries import norm0, register
 from mapreduce511_spark.sources.tables import load_table
 
 
@@ -2099,7 +2099,7 @@ def join_key_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY e.t
     ),
     r3 AS (SELECT x, 0.15 / n.n + 0.85 * m AS r FROM m3 CROSS JOIN n)
-    SELECT x AS part_id, round(r * n.n, 4) AS rank_ratio
+    SELECT x AS part_id, round(r * n.n, 4) + 0.0 AS rank_ratio
     FROM r3 CROSS JOIN n
     ORDER BY rank_ratio DESC, part_id
     LIMIT 20
@@ -2166,7 +2166,7 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     scored = ranks.crossJoin(F.broadcast(n)).select(
         F.col("x").alias("part_id"),
-        F.round(F.col("r") * F.col("n"), 4).alias("rank_ratio"),
+        norm0(F.round(F.col("r") * F.col("n"), 4)).alias("rank_ratio"),
     )
     return scored.orderBy(F.desc("rank_ratio"), "part_id").limit(20)
 
@@ -3024,10 +3024,10 @@ def _item_cosine(
         SELECT regr_slope(l_extendedprice, l_quantity) AS b1 FROM lineitem
     )
     SELECT count(*) AS n_pairs,
-           round(quantile_cont(s, 0.5), 6) AS median_slope,
-           round(quantile_cont(s, 0.25), 6) AS p25_slope,
-           round(quantile_cont(s, 0.75), 6) AS p75_slope,
-           round(max(ols.b1), 6) AS ols_slope
+           round(quantile_cont(s, 0.5), 6) + 0.0 AS median_slope,
+           round(quantile_cont(s, 0.25), 6) + 0.0 AS p25_slope,
+           round(quantile_cont(s, 0.75), 6) + 0.0 AS p75_slope,
+           round(max(ols.b1), 6) + 0.0 AS ols_slope
     FROM slopes CROSS JOIN ols
     """,
 )
@@ -3090,10 +3090,10 @@ def theil_sen_price_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.crossJoin(F.broadcast(ols)).agg(
         F.count("*").alias("n_pairs"),
-        F.round(F.percentile("s", F.lit(0.5)), 6).alias("median_slope"),
-        F.round(F.percentile("s", F.lit(0.25)), 6).alias("p25_slope"),
-        F.round(F.percentile("s", F.lit(0.75)), 6).alias("p75_slope"),
-        F.round(F.max("b1"), 6).alias("ols_slope"),
+        norm0(F.round(F.percentile("s", F.lit(0.5)), 6)).alias("median_slope"),
+        norm0(F.round(F.percentile("s", F.lit(0.25)), 6)).alias("p25_slope"),
+        norm0(F.round(F.percentile("s", F.lit(0.75)), 6)).alias("p75_slope"),
+        norm0(F.round(F.max("b1"), 6)).alias("ols_slope"),
     )
 
 
@@ -4007,7 +4007,7 @@ _HITS_ITER = """
     {_HITS_ITER.format(i=2, j=1)},
     np AS (SELECT count(*) AS np FROM a2)
     SELECT l_partkey AS part_id,
-           round(a * np.np, 4) AS auth_ratio
+           round(a * np.np, 4) + 0.0 AS auth_ratio
     FROM a2 CROSS JOIN np
     ORDER BY auth_ratio DESC, part_id
     LIMIT 20
@@ -4069,7 +4069,7 @@ def copurchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(F.broadcast(np_))
         .select(
             F.col("l_partkey").alias("part_id"),
-            F.round(F.col("a") * F.col("np"), 4).alias("auth_ratio"),
+            norm0(F.round(F.col("a") * F.col("np"), 4)).alias("auth_ratio"),
         )
         .orderBy(F.desc("auth_ratio"), "part_id")
         .limit(20)
@@ -4183,7 +4183,7 @@ def k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(m / 2 AS BIGINT) AS n_edges,
            CAST(sjk AS BIGINT) AS sum_jk,
            round((1.0 * m * sjk - 0.25 * sj * sj)
-                 / (0.5 * m * sj2 - 0.25 * sj * sj), 4)
+                 / (0.5 * m * sj2 - 0.25 * sj * sj), 4) + 0.0
                AS assortativity
     FROM sums
     """,
@@ -4248,5 +4248,5 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         (F.col("m") / 2).cast("long").alias("n_edges"),
         F.col("sjk").alias("sum_jk"),
-        F.round(num / den, 4).alias("assortativity"),
+        norm0(F.round(num / den, 4)).alias("assortativity"),
     )

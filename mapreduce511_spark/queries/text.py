@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from mapreduce511_spark.functions.text import normalize_text, tokenize, word_ngrams
 from mapreduce511_spark.operators.wordcount import word_count
-from mapreduce511_spark.queries import register
+from mapreduce511_spark.queries import norm0, register
 from mapreduce511_spark.sources.tables import load_table
 
 # DuckDB-side tokenization identical to tokenize(): whitespace split,
@@ -2674,7 +2674,7 @@ def chi2_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT hu.lang,
            round(hu.h, 6) AS h_unigram,
            round(hb.h, 6) AS h_bigram,
-           round(hb.h - hu.h, 6) AS h_conditional
+           round(hb.h - hu.h, 6) + 0.0 AS h_conditional
     FROM hu JOIN hb ON hu.lang = hb.lang
     ORDER BY hu.lang
     """,
@@ -2730,7 +2730,7 @@ def bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.round("hu", 6).alias("h_unigram"),
             F.round("hb", 6).alias("h_bigram"),
-            F.round(F.col("hb") - F.col("hu"), 6).alias("h_conditional"),
+            norm0(F.round(F.col("hb") - F.col("hu"), 6)).alias("h_conditional"),
         )
         .orderBy("lang")
     )
@@ -4799,7 +4799,7 @@ _TEXTRANK_ITER = """
     {_TEXTRANK_ITER.format(i=1, j=0)},
     {_TEXTRANK_ITER.format(i=2, j=1)},
     {_TEXTRANK_ITER.format(i=3, j=2)}
-    SELECT x AS token, round(r * n.n, 4) AS rank_ratio
+    SELECT x AS token, round(r * n.n, 4) + 0.0 AS rank_ratio
     FROM r3 CROSS JOIN n
     ORDER BY rank_ratio DESC, token
     """,
@@ -4870,7 +4870,7 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.crossJoin(F.broadcast(n))
         .select(
             F.col("x").alias("token"),
-            F.round(F.col("r") * F.col("n"), 4).alias("rank_ratio"),
+            norm0(F.round(F.col("r") * F.col("n"), 4)).alias("rank_ratio"),
         )
         .orderBy(F.desc("rank_ratio"), "token")
     )
@@ -5016,45 +5016,75 @@ def _sql_ols_tail(n_name: str, slope_name: str, intercept_name: str) -> str:
     """Shared DuckDB tail for the per-language 5-sum OLS fits: expects
     a CTE named ``xy`` with (lang, x, y). One definition serves the
     Zipf and Heaps oracles (r10 review: the formula was duplicated
-    verbatim and a fix to one would silently miss the other)."""
+    verbatim and a fix to one would silently miss the other).
+
+    Degeneracy discipline (r10 driver-red postmortem): when y is
+    constant the true slope is EXACTLY 0 and the OLS numerator is
+    pure fp-cancellation noise whose sign differs across engines
+    (DuckDB rounded heaps_law_fit to -0.0 for de/fr while Spark gave
+    +0.0) — so constant-y takes an exact 0.0 branch, a zero
+    denominator (x constant, slope undefined) is pinned to 0.0 by
+    convention, and every rounded output adds +0.0, which by IEEE 754
+    maps -0.0 to +0.0 and is the identity on everything else
+    (including NaN). ``_ols_per_lang`` states the identical
+    arithmetic for Spark."""
     return f"""sums AS (
         SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-               sum(x * y) AS sxy, sum(x * x) AS sxx
+               sum(x * y) AS sxy, sum(x * x) AS sxx,
+               min(y) AS ymin, max(y) AS ymax
         FROM xy GROUP BY lang
     )
     SELECT lang,
            CAST(n AS BIGINT) AS {n_name},
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
-               AS {slope_name},
-           round((sy - sx * (n * sxy - sx * sy)
-                           / (n * sxx - sx * sx)) / n, 4)
-               AS {intercept_name}
+           CASE WHEN ymin = ymax OR n * sxx - sx * sx = 0 THEN 0.0
+                ELSE round((n * sxy - sx * sy)
+                           / (n * sxx - sx * sx), 4) + 0.0
+           END AS {slope_name},
+           CASE WHEN ymin = ymax OR n * sxx - sx * sx = 0
+                THEN round(sy / n, 4) + 0.0
+                ELSE round((sy - sx * (n * sxy - sx * sy)
+                                / (n * sxx - sx * sx)) / n, 4) + 0.0
+           END AS {intercept_name}
     FROM sums
     ORDER BY lang"""
 
 
 def _ols_per_lang(xy, n_name: str, slope_name: str, intercept_name: str):
     """Spark twin of ``_sql_ols_tail``: closed-form OLS of y on x per
-    language over an (lang, x, y) frame; identical arithmetic to the
-    SQL so the only cross-engine difference is fp summation order
-    (absorbed by the round-to-4)."""
+    language over an (lang, x, y) frame; identical arithmetic AND
+    identical degeneracy branches to the SQL (constant y -> exact
+    0.0 slope; zero denominator -> 0.0 by convention; +0.0 after
+    every round so -0.0 from fp-cancellation noise normalizes to
+    +0.0 on both engines — the r10 heaps_law_fit driver-red class).
+    Remaining cross-engine difference is fp summation order on
+    non-degenerate fits, absorbed by the round-to-4."""
     sums = xy.groupBy("lang").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.min("y").alias("ymin"),
+        F.max("y").alias("ymax"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    degenerate = (F.col("ymin") == F.col("ymax")) | (denom == 0)
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
     return sums.select(
         "lang",
         F.col("n").alias(n_name),
-        F.round(slope, 4).alias(slope_name),
-        F.round(
-            (F.col("sy") - F.col("sx") * slope) / F.col("n"), 4
-        ).alias(intercept_name),
+        F.when(degenerate, F.lit(0.0))
+        .otherwise(F.round(slope, 4) + F.lit(0.0))
+        .alias(slope_name),
+        F.when(
+            degenerate,
+            F.round(F.col("sy") / F.col("n"), 4) + F.lit(0.0),
+        )
+        .otherwise(
+            F.round((F.col("sy") - F.col("sx") * slope) / F.col("n"), 4)
+            + F.lit(0.0)
+        )
+        .alias(intercept_name),
     ).orderBy("lang")
 
 
@@ -5131,7 +5161,7 @@ def zipf_slope_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT token,
            CAST(df AS BIGINT) AS df,
            CAST(sc AS BIGINT) AS total_cnt,
-           round((df * scc - sc * sc) * 1.0 / (df * sc), 4) AS vmr
+           round((df * scc - sc * sc) * 1.0 / (df * sc), 4) + 0.0 AS vmr
     FROM stats
     ORDER BY vmr DESC, token
     LIMIT 20
@@ -5180,7 +5210,7 @@ def token_burstiness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token",
             "df",
             F.col("sc").alias("total_cnt"),
-            F.round(vmr, 4).alias("vmr"),
+            norm0(F.round(vmr, 4)).alias("vmr"),
         )
         .orderBy(F.desc("vmr"), "token")
         .limit(20)
@@ -5195,8 +5225,10 @@ def token_burstiness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), mx AS (
         SELECT max(doc_id) + 1 AS nd FROM lens
     ), grid AS (
-        SELECT CAST(ceil(nd * q / 5.0) AS BIGINT) AS cutoff
-        FROM mx, (SELECT unnest([1, 2, 3, 4, 5]) AS q)
+        SELECT CAST(c AS BIGINT) AS cutoff
+        FROM (SELECT unnest([1, 2, 4, 8]) AS c)
+        UNION
+        SELECT CAST(nd AS BIGINT) FROM mx
     ), firsts AS (
         SELECT lang, token, min(doc_id) AS first_doc
         FROM (SELECT lang, doc_id, unnest(ts) AS token FROM lens)
@@ -5217,12 +5249,26 @@ def token_burstiness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language Heaps'-law fit: OLS of ln(vocabulary) against
-    ln(corpus tokens) at five prefix cutoffs — the vocabulary-growth
-    counterpart of ``zipf_slope_census`` (natural text grows
-    V ~ K*T^beta with beta ~ 0.4-0.6; beta collapsing toward 0 flags
-    template/duplicated content, climbing toward 1 flags noise/OCR
-    garbage). Together the two fits are the standard one-screen
-    corpus-health panel.
+    ln(corpus tokens) at geometric prefix cutoffs — the
+    vocabulary-growth counterpart of ``zipf_slope_census`` (natural
+    text grows V ~ K*T^beta with beta ~ 0.4-0.6; beta collapsing
+    toward 0 flags template/duplicated content, climbing toward 1
+    flags noise/OCR garbage). Together the two fits are the standard
+    one-screen corpus-health panel.
+
+    Grid design (r10 driver-red postmortem): the cutoff grid is
+    geometric-from-one — {{1, 2, 4, 8, nd}} document prefixes — not
+    evenly spaced fractions of the corpus. An even grid put every
+    cutoff past the point where the fixture vocabulary saturates, so
+    the true slope was exactly 0 and the OLS numerator was pure fp
+    cancellation noise (DuckDB rounded it to -0.0 where Spark gave
+    +0.0). Geometric-from-one cutoffs always sample the growth
+    region regardless of corpus size (standard Heaps plotting
+    practice), and the shared OLS helpers now take an exact-0.0
+    branch on constant y plus a +0.0 signed-zero normalization, so
+    even a degenerate language is engine-stable. Languages with no
+    documents below a small cutoff simply contribute fewer grid
+    points (inner-join semantics, identical on both engines).
 
     Scale shape: the cumulative vocabulary curve V(N) never does
     cumulative DISTINCT counting — each token's FIRST document id is
@@ -5230,8 +5276,9 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     firsts below each cutoff (a 5-row broadcast join), exactly one
     shuffle over the (lang, token) space. Token totals T(N) are
     conditional sums over the same 5-row grid. The only
-    floating-point is ln() at five points per language and the
-    closed-form OLS, rounded to 4 on both engines.
+    floating-point is ln() at up to five points per language and the
+    closed-form OLS, rounded to 4 (and zero-normalized) on both
+    engines.
 
     Reference basis: extension tier — corpus-statistics family beside
     ``zipf_slope_census`` / ``vocab_coverage_curve`` (SURVEY.md §2
@@ -5242,14 +5289,9 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = lens.agg((F.max("doc_id") + 1).alias("nd"))
     grid = (
-        spark.range(1, 6)
-        .withColumnRenamed("id", "q")
-        .crossJoin(F.broadcast(mx))
-        .select(
-            F.ceil(F.col("nd") * F.col("q") / 5.0)
-            .cast("long")
-            .alias("cutoff")
-        )
+        spark.createDataFrame([(1,), (2,), (4,), (8,)], "cutoff long")
+        .union(mx.select(F.col("nd").cast("long").alias("cutoff")))
+        .distinct()
     )
     firsts = (
         lens.select("lang", "doc_id", F.explode("ts").alias("token"))

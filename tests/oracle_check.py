@@ -36,10 +36,13 @@ def _canon(value):
     if isinstance(value, float):
         if math.isnan(value):
             return "NaN"
-        r = round(value, 6)
-        if r == 0.0:
-            r = 0.0  # collapse -0.0 (they compare equal as floats)
-        return str(r)
+        # NO -0.0 collapse: the driver's hash distinguishes signed
+        # zeros, and a mirror more forgiving than the driver cannot
+        # catch that class (r10 verdict: heaps_law_fit went driver-red
+        # while the mirror stayed green precisely because an r5-era
+        # collapse lived here). Queries must emit normalized zeros
+        # themselves (round-then-+0.0 at final projection).
+        return str(round(value, 6))
     return str(value)
 
 

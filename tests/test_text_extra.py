@@ -223,3 +223,29 @@ def test_kneser_ney_vs_laplace_same_split(spark):
         assert 1.0 < kn[lang].perplexity < 1e6
         assert kn[lang].cross_entropy > 0
         assert kn[lang].perplexity != lp[lang].perplexity
+
+
+def test_heaps_fit_is_non_degenerate(spark):
+    """r11 (r10 driver-red postmortem): the geometric-from-one cutoff
+    grid must sample the vocabulary-GROWTH region, not just the
+    saturated plateau — at both parity scale factors at least one
+    language must fit a strictly positive Heaps beta, and every beta
+    must round-trip as +0.0-normalized (no negative zero survives the
+    shared OLS tail). The r10 even-fraction grid put every cutoff
+    past saturation, so the true slope was exactly 0 and fp
+    cancellation noise rounded to -0.0 on one engine — a fit that
+    measured nothing."""
+    import math
+
+    from mapreduce511_spark.queries import all_queries
+
+    q = all_queries()["heaps_law_fit"]
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = q(spark, sf).collect()
+        assert rows, sf
+        assert any(r.heaps_beta > 0 for r in rows), sf
+        for r in rows:
+            for v in (r.heaps_beta, r.heaps_logk):
+                assert not (v == 0.0 and math.copysign(1.0, v) < 0), (
+                    f"negative zero leaked at {sf}: {r}"
+                )
