@@ -517,7 +517,7 @@ def synth_flac_depth_media(docs: DataFrame) -> DataFrame:
                 d = int(d)
                 if d >= SYNTH_DOC_LIMIT:
                     continue
-                bits = FLAC_DEPTHS[d % 5]
+                bits = FLAC_DEPTHS[d % len(FLAC_DEPTHS)]
                 step = (1 << bits) // FLAC_DEPTH_STEP_DIV
                 half = 1 << (bits - 1)
                 n = FLAC_N_BASE + (d % FLAC_N_MOD) * FLAC_N_STEP
@@ -864,22 +864,29 @@ def synth_gif_media(docs: DataFrame) -> DataFrame:
 
 # Animated-GIF fixture geometry — single definition shared by
 # synth_gif_anim_media AND the gif_animation_census oracle f-string
-# (r10 gate lift: sub-rectangle frames + disposal):
+# (r10 gate lift: sub-rectangle frames + disposal; r11: transparency
+# + disposal 3):
 #   screen ws = 6 + d % 5, hs = 6 + (d*3) % 5; nf = 2 + d % 3 frames
 #   frame f: 3x3 patch at (lf, tp) = (f % (ws-3), (f*2) % (hs-3))
 #   patch index p(x, y, f) = (d*GIF_PX_A + f*GIF_ANIM_FR_MIX
 #                             + (y*3 + x)*GIF_PX_B) % GIF_NCOLORS
-#   disposal(f) = 2 (restore to background) when (d + f) % 3 == 0,
-#   else 1 (leave in place); background = palette[0] = (0, 0, 0)
+#     (the nine cell values are pairwise distinct: GIF_PX_B=7 is a
+#     unit mod GIF_NCOLORS=16)
+#   disposal(f) = (d + f) % 4 — cycles all four defined methods
+#   transparency ON when (d + 2*f) % 3 == 0, transparent index =
+#     p at cell i_t = (d + f) % 9, so exactly that one cell skips
+#   background = palette[0] = (0, 0, 0)
 GIF_ANIM_FR_MIX = 31
 
 
 def synth_gif_anim_media(docs: DataFrame) -> DataFrame:
     """(doc_id, content, fmt) with real ANIMATED GIF payloads for
     doc_id < SYNTH_DOC_LIMIT: 2-4 sub-rectangle frames per asset,
-    overlapping patches, mixed disposal methods 1 and 2 — so the
-    composed canvases exercise graphic-control parsing, sub-rect
-    placement AND background restores under the exact oracle."""
+    overlapping patches, ALL FOUR disposal methods and per-frame
+    transparency cycling on/off — so the composed canvases exercise
+    graphic-control parsing, sub-rect placement, background restores,
+    restore-to-previous AND transparent-pixel skip under the exact
+    oracle."""
     from mapreduce511_spark.multimodal import gif
 
     palette = [
@@ -910,12 +917,17 @@ def synth_gif_anim_media(docs: DataFrame) -> DataFrame:
                         ]
                         for y in range(3)
                     ]
+                    t_idx = None
+                    if (d + 2 * f) % 3 == 0:
+                        i_t = (d + f) % 9
+                        t_idx = patch[i_t // 3][i_t % 3]
                     frames.append(
                         (
                             f % (ws - 3),
                             (f * 2) % (hs - 3),
                             patch,
-                            2 if (d + f) % 3 == 0 else 1,
+                            (d + f) % 4,
+                            t_idx,
                         )
                     )
                 payload = gif.encode_gif_animation(ws, hs, palette, frames)

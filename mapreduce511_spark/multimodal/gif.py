@@ -12,8 +12,12 @@ Scope — the honest contract:
   color tables (r9 lift);
 - MULTI-FRAME ANIMATION (r10 lift): sub-rectangle frames composed
   onto the background-colored logical screen per §23's graphic
-  control extension, disposal methods 0/1 (leave in place) and 2
-  (restore rect to background), encoder + decoder;
+  control extension, ALL FOUR defined disposal methods — 0/1 (leave
+  in place), 2 (restore rect to background), 3 (restore rect to
+  previous content, r11 lift) — and TRANSPARENCY (r11 lift: pixels
+  carrying the GCE transparent index are skipped during composition,
+  the canvas underneath shows through), encoder + decoder; reserved
+  disposal methods 4-7 stay loudly rejected;
 - optional INTERLACED row order (the spec's 4-pass 8/8-4/8-2/4-1/2
   scheme, encoded and decoded);
 - comment/application extension blocks are SKIPPED structurally on
@@ -22,10 +26,7 @@ Scope — the honest contract:
   LSB-FIRST (the opposite bit order of FLAC's big-endian streams),
   dictionary growth to 4096 with the spec's deferred-clear handling,
   the KwKwK case, explicit CLEAR emitted by the encoder whenever the
-  table fills, EOI terminated, 255-byte sub-block packing;
-- transparency rendering and disposal method 3 (restore to previous)
-  remain out of scope and rejected loudly, never silently
-  mis-decoded.
+  table fills, EOI terminated, 255-byte sub-block packing.
 
 Reference basis: extension tier — multimodal decode family (no
 analog in /root/reference, which is text-only).
@@ -240,16 +241,20 @@ def encode_gif_animation(
     screen_w: int,
     screen_h: int,
     palette: list[tuple[int, int, int]],
-    frames,  # iterable of (left, top, rows, disposal)
+    frames,  # iterable of (left, top, rows, disposal[, t_idx])
     bg_index: int = 0,
     delay_cs: int = 4,
 ) -> bytes:
     """Encode an animated GIF89a: one GLOBAL color table, then per
-    frame a Graphic Control Extension (§23: disposal method + delay,
-    no transparency) followed by a SUB-RECTANGLE image descriptor at
-    (left, top) — the r10 gate lift's encoder side. ``rows`` is the
+    frame a Graphic Control Extension (§23: disposal method, delay,
+    optional transparency) followed by a SUB-RECTANGLE image
+    descriptor at (left, top) — the r10 gate lift's encoder side,
+    extended in r11 with disposal 3 and transparency. ``rows`` is the
     frame's own ih x iw index patch; ``disposal`` is 0 (unspecified),
-    1 (leave in place) or 2 (restore rect to background)."""
+    1 (leave in place), 2 (restore rect to background) or 3 (restore
+    rect to previous content); an optional fifth element ``t_idx``
+    sets the GCE transparent-color index — pixels of that index are
+    skipped during composition, showing the canvas underneath."""
     n = len(palette)
     if not 2 <= n <= 256:
         raise ValueError("palette must have 2..256 entries")
@@ -265,12 +270,16 @@ def encode_gif_animation(
         r_, g_, b_ = palette[i] if i < n else (0, 0, 0)
         out += bytes((r_, g_, b_))
     min_code_size = max(bits, 2)
-    for left, top, rows, disposal in frames:
-        if disposal not in (0, 1, 2):
+    for frame in frames:
+        left, top, rows, disposal, *rest = frame
+        t_idx = rest[0] if rest else None
+        if disposal not in (0, 1, 2, 3):
             raise ValueError(
-                "disposal must be 0/1/2 (3 is not supported by the "
-                "decoder and would be rejected)"
+                "disposal must be 0/1/2/3 (4-7 are reserved by "
+                "GIF89a §23 and the decoder rejects them)"
             )
+        if t_idx is not None and not 0 <= t_idx < n:
+            raise ValueError("transparent index outside palette")
         grid = [list(r) for r in rows]
         ih = len(grid)
         iw = len(grid[0]) if ih else 0
@@ -282,11 +291,14 @@ def encode_gif_animation(
             for px in r:
                 if not 0 <= px < n:
                     raise ValueError("pixel index outside palette")
-        # graphic control extension: size 4, packed disposal bits 2-4,
-        # no user input, no transparency
-        out += bytes((0x21, 0xF9, 0x04, (disposal & 0x07) << 2))
+        # graphic control extension: size 4, packed disposal bits 2-4
+        # + transparency flag bit 0, no user input
+        gpacked = ((disposal & 0x07) << 2) | (
+            0x01 if t_idx is not None else 0x00
+        )
+        out += bytes((0x21, 0xF9, 0x04, gpacked))
         out += struct.pack("<H", delay_cs)
-        out += bytes((0, 0))  # transparent index (unused), terminator
+        out += bytes((t_idx or 0, 0))  # transparent index, terminator
         out += b"\x2c" + struct.pack("<HHHHB", left, top, iw, ih, 0)
         out.append(min_code_size)
         data = _lzw_encode([px for r in grid for px in r], min_code_size)
@@ -301,9 +313,12 @@ def encode_gif_animation(
 
 def _parse_image_block(payload: bytes, pos: int, global_palette):
     """Parse one image descriptor (the 0x2C byte already consumed) +
-    its LZW data. Returns (left, top, rgb_patch, new_pos) where
-    rgb_patch is an ih x iw x 3 uint8 array (local color table applied
-    when present, rows de-interlaced when interlaced)."""
+    its LZW data. Returns (left, top, idx_grid, palette, new_pos)
+    where idx_grid is the ih x iw palette-INDEX array (rows
+    de-interlaced when interlaced) and palette is the table that
+    applies to this image (local when present, else global) — the
+    caller composes, because transparency (r11 gate lift) is decided
+    per-pixel on the INDEX, not the looked-up color."""
     import numpy as np
 
     left, top, iw, ih, ipacked = struct.unpack(
@@ -350,7 +365,7 @@ def _parse_image_block(payload: bytes, pos: int, global_palette):
         out = np.empty_like(grid)
         out[_interlace_rows(ih)] = grid
         grid = out
-    return left, top, palette[grid], pos
+    return left, top, grid, palette, pos
 
 
 def _decode_frames(payload: bytes, first_only: bool):
@@ -377,7 +392,9 @@ def _decode_frames(payload: bytes, first_only: bool):
     )
     canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
     frames: list = []
-    disposal = 0  # from the GCE preceding the NEXT image; reset after
+    # both carried from the GCE preceding the NEXT image; reset after
+    disposal = 0
+    t_idx: int | None = None
     while True:
         if pos >= len(payload):
             raise ValueError("GIF ended without trailer")
@@ -403,17 +420,14 @@ def _decode_frames(payload: bytes, first_only: bool):
                 pos += 1 + ln
             pos += 1
             if label == 0xF9 and blocks:  # graphic control (§23)
+                if len(blocks[0]) < 4:
+                    raise ValueError("GIF graphic control block truncated")
                 gpacked = blocks[0][0]
                 disposal = (gpacked >> 2) & 0x07
-                if gpacked & 0x01:
-                    raise NotImplementedError(
-                        "GIF transparency rendering not supported"
-                    )
-                if disposal == 3:
-                    raise NotImplementedError(
-                        "GIF disposal method 3 (restore to previous) "
-                        "not supported"
-                    )
+                # transparency (r11 gate lift): when the flag bit is
+                # set, pixels carrying the transparent index are NOT
+                # painted — the canvas underneath shows through
+                t_idx = blocks[0][3] if gpacked & 0x01 else None
                 if disposal > 3:
                     # 4-7 are reserved by GIF89a §23: composing them
                     # as anything would be a silent guess — the
@@ -423,17 +437,34 @@ def _decode_frames(payload: bytes, first_only: bool):
                     )
             continue
         if b == 0x2C:  # image descriptor
-            left, top, patch, pos = _parse_image_block(payload, pos, palette)
-            ih, iw = patch.shape[:2]
+            left, top, grid, pal, pos = _parse_image_block(
+                payload, pos, palette
+            )
+            ih, iw = grid.shape
             if left + iw > w or top + ih > h:
                 raise ValueError("GIF frame exceeds the logical screen")
-            canvas[top : top + ih, left : left + iw] = patch
+            rect = canvas[top : top + ih, left : left + iw]
+            if disposal == 3:
+                # restore-to-previous (r11 gate lift): snapshot the
+                # rect BEFORE this frame paints; only the frame's own
+                # rectangle can differ afterwards, so the rect is the
+                # whole saved state
+                saved = rect.copy()
+            patch = pal[grid]
+            if t_idx is None:
+                rect[:] = patch
+            else:
+                mask = grid != t_idx
+                rect[mask] = patch[mask]
             frames.append(canvas.copy())
             if first_only:
                 return w, h, frames
             if disposal == 2:  # restore the frame's rect to background
-                canvas[top : top + ih, left : left + iw] = bg_rgb
+                rect[:] = bg_rgb
+            elif disposal == 3:
+                rect[:] = saved
             disposal = 0
+            t_idx = None
             continue
         raise ValueError(f"unknown GIF block 0x{b:02x}")
 
@@ -451,10 +482,11 @@ def decode_gif(payload: bytes):
 def decode_gif_frames(payload: bytes):
     """Decode a (possibly animated) GIF to (width, height, [rgb]) —
     one COMPOSED h x w x 3 canvas per image block, per GIF89a's
-    animation model (r10, VERDICT r9 item 6): each frame paints its
-    sub-rectangle onto the logical screen at (left, top); disposal
-    methods 0/1 leave it in place for the next frame, method 2
-    restores the rectangle to the background color after the
-    snapshot. Transparency rendering and disposal method 3 (restore
-    to previous) stay gated loudly — rejected, never mis-decoded."""
+    animation model (r10, VERDICT r9 item 6; transparency + disposal
+    3 lifted in r11): each frame paints its sub-rectangle onto the
+    logical screen at (left, top), skipping pixels that carry the
+    GCE transparent index when the transparency flag is set; after
+    the snapshot, disposal 0/1 leave the rect in place, 2 restores
+    it to the background color, 3 restores it to its pre-frame
+    content. Reserved disposal methods 4-7 stay loudly rejected."""
     return _decode_frames(payload, first_only=False)

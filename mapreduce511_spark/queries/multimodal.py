@@ -712,13 +712,16 @@ def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "gif_animation_census",
-    # Composed-canvas closed form (r10 gate lift): the visible source
-    # of pixel (x, y) in frame fr is the LATEST frame f <= fr whose
-    # 3x3 patch covers it and is still on canvas at fr (disposal 2
-    # erases its rect after its own snapshot — so it contributes only
-    # when f = fr); uncovered pixels are the background, palette[0] =
-    # (0,0,0). The position-weighted checksum makes placement AND
-    # restore order load-bearing. Constants live once in
+    # Composed-canvas closed form (r10 gate lift; r11: transparency +
+    # disposal 3): pixel (x, y) in snapshot fr shows the LATEST
+    # persistent opaque paint — disposal-3 frames revert after their
+    # own snapshot (count only at fr = f) and a frame's transparent
+    # cell never paints — unless a disposal-2 background restore
+    # covering the pixel happened at-or-after that paint (the erase
+    # at f acts AFTER f's snapshot, so "ef >= pf" means erased);
+    # otherwise background, palette[0] = (0,0,0). The
+    # position-weighted checksum makes placement, skip AND restore
+    # order load-bearing. Constants live once in
     # multimodal/__init__.py beside the fixture.
     oracle=f"""
     WITH anim AS (
@@ -728,7 +731,9 @@ def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), geo AS (
         SELECT d, ws, hs, t.f AS f,
                t.f % (ws - 3) AS lf, (t.f * 2) % (hs - 3) AS tp,
-               CASE WHEN (d + t.f) % 3 = 0 THEN 2 ELSE 1 END AS disp
+               (d + t.f) % 4 AS disp,
+               CASE WHEN (d + 2 * t.f) % 3 = 0 THEN (d + t.f) % 9
+                    ELSE -1 END AS ti
         FROM anim,
              unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS t(f)
     ), pix AS (
@@ -736,28 +741,40 @@ def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM geo g,
              unnest(generate_series(0, CAST(g.ws - 1 AS BIGINT))) AS xx(x),
              unnest(generate_series(0, CAST(g.hs - 1 AS BIGINT))) AS yy(y)
-    ), src AS (
-        -- last frame to TOUCH the pixel at or before fr (paint or,
-        -- for disposal 2 after its snapshot, erase-to-background:
-        -- the restore wipes whatever earlier frames left there)
-        SELECT p.d, p.fr, p.x, p.y, max(g.f) AS sf
+    ), paint AS (
+        -- latest persistent OPAQUE paint of (x, y) at or before fr
+        SELECT p.d, p.fr, p.x, p.y, max(g.f) AS pf
         FROM pix p JOIN geo g
           ON g.d = p.d AND g.f <= p.fr
+         AND p.x BETWEEN g.lf AND g.lf + 2
+         AND p.y BETWEEN g.tp AND g.tp + 2
+         AND (g.f = p.fr OR g.disp <> 3)
+         AND (p.y - g.tp) * 3 + (p.x - g.lf) <> g.ti
+        GROUP BY p.d, p.fr, p.x, p.y
+    ), erase AS (
+        -- latest disposal-2 restore covering (x, y) strictly before
+        -- fr: it wipes its WHOLE rect to background after its own
+        -- snapshot, including cells it skipped as transparent
+        SELECT p.d, p.fr, p.x, p.y, max(g.f) AS ef
+        FROM pix p JOIN geo g
+          ON g.d = p.d AND g.f < p.fr AND g.disp = 2
          AND p.x BETWEEN g.lf AND g.lf + 2
          AND p.y BETWEEN g.tp AND g.tp + 2
         GROUP BY p.d, p.fr, p.x, p.y
     ), val AS (
         SELECT p.d, p.fr, p.ws, p.hs, p.x, p.y,
-               CASE WHEN s.sf IS NULL THEN 0
-                    WHEN g2.disp = 2 AND s.sf <> p.fr THEN 0
-                    ELSE (p.d * {GIF_PX_A} + s.sf * {GIF_ANIM_FR_MIX}
+               CASE WHEN pa.pf IS NULL THEN 0
+                    WHEN e.ef IS NOT NULL AND e.ef >= pa.pf THEN 0
+                    ELSE (p.d * {GIF_PX_A} + pa.pf * {GIF_ANIM_FR_MIX}
                           + ((p.y - g2.tp) * 3 + (p.x - g2.lf))
                             * {GIF_PX_B}) % {GIF_NCOLORS}
                END AS pc
         FROM pix p
-        LEFT JOIN src s
-          ON s.d = p.d AND s.fr = p.fr AND s.x = p.x AND s.y = p.y
-        LEFT JOIN geo g2 ON g2.d = p.d AND g2.f = s.sf
+        LEFT JOIN paint pa
+          ON pa.d = p.d AND pa.fr = p.fr AND pa.x = p.x AND pa.y = p.y
+        LEFT JOIN erase e
+          ON e.d = p.d AND e.fr = p.fr AND e.x = p.x AND e.y = p.y
+        LEFT JOIN geo g2 ON g2.d = p.d AND g2.f = pa.pf
     ), ch AS (
         SELECT d, fr, ws, hs, y * ws + x AS i,
                (pc * 37) % 256 AS r, (pc * 59) % 256 AS g,
@@ -778,14 +795,16 @@ def gif_animation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifted after local color tables and DAC conditioning, on the same
     argument: GIF89a specifies frame composition entirely in-document,
     nothing spec-fixed to mis-recall): every fixture is a real
-    multi-frame GIF with sub-rectangle frames, overlapping patches and
-    mixed disposal methods; the engine decodes WHERE THE BYTES LIVE
-    (Arrow mapInPandas) into one composed logical-screen canvas per
-    frame, and the census's position-weighted checksum holds every
-    canvas to the oracle's closed-form re-derivation of the §23
-    composition model — placement, painting order and disposal-2
-    background restores all sit inside the DuckDB hash. Transparency
-    and disposal 3 stay gated loudly (``multimodal/gif.py``).
+    multi-frame GIF with sub-rectangle frames, overlapping patches,
+    ALL FOUR defined disposal methods and per-frame transparency
+    cycling on/off (r11 — the last two GIF89a composition gates
+    lifted); the engine decodes WHERE THE BYTES LIVE (Arrow
+    mapInPandas) into one composed logical-screen canvas per frame,
+    and the census's position-weighted checksum holds every canvas to
+    the oracle's closed-form re-derivation of the §23 composition
+    model — placement, painting order, transparent-pixel skip,
+    disposal-2 background restores and disposal-3
+    restore-to-previous all sit inside the DuckDB hash.
 
     Reference basis: extension tier — multimodal decode family (no
     analog in /root/reference, which is text-only)."""
@@ -1823,12 +1842,24 @@ from mapreduce511_spark.multimodal import (  # noqa: E402
     FLAC_DEPTHS,
 )
 
-# CASE mapping doc_id % 5 -> bits, shared by the Spark select and the
-# oracle (single-definition discipline: both sides derive from the
-# FLAC_DEPTHS tuple).
-_FLAC_BITS_SQL = "CASE doc_id % 5 " + " ".join(
+# CASE mapping doc_id % len(FLAC_DEPTHS) -> bits, shared by the Spark
+# select and the oracle (single-definition discipline: both sides —
+# modulus INCLUDED — derive from the FLAC_DEPTHS tuple, so growing or
+# shrinking it can never desynchronize engine, oracle and synth;
+# r10 ADVICE).
+_FLAC_BITS_SQL = f"CASE doc_id % {len(FLAC_DEPTHS)} " + " ".join(
     f"WHEN {i} THEN {b}" for i, b in enumerate(FLAC_DEPTHS[:-1])
 ) + f" ELSE {FLAC_DEPTHS[-1]} END"
+
+
+def _flac_bits_col():
+    """Spark twin of ``_FLAC_BITS_SQL``: the when-chain is folded from
+    the same enumerate(FLAC_DEPTHS), never written out by hand."""
+    expr = None
+    mod = F.col("doc_id") % len(FLAC_DEPTHS)
+    for i, b in enumerate(FLAC_DEPTHS[:-1]):
+        expr = (expr.when if expr is not None else F.when)(mod == i, b)
+    return expr.otherwise(FLAC_DEPTHS[-1]).cast("int")
 
 
 @register(
@@ -1895,17 +1926,9 @@ def multimodal_flac_depth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     feats = extract_decoded_features(synth_flac_depth_media(docs))
-    bits = (
-        F.when(F.col("doc_id") % 5 == 0, FLAC_DEPTHS[0])
-        .when(F.col("doc_id") % 5 == 1, FLAC_DEPTHS[1])
-        .when(F.col("doc_id") % 5 == 2, FLAC_DEPTHS[2])
-        .when(F.col("doc_id") % 5 == 3, FLAC_DEPTHS[3])
-        .otherwise(FLAC_DEPTHS[4])
-        .cast("int")
-    )
     return feats.select(
         "doc_id",
-        bits.alias("bits"),
+        _flac_bits_col().alias("bits"),
         "n_vals",
         "sum_val",
         "min_val",

@@ -357,18 +357,49 @@ def test_frame_size_code_must_match_streaminfo():
 def test_size_code_zero_defers_to_streaminfo():
     """A conforming foreign encoder may write frame sample-size code
     0b000 ('get from STREAMINFO'); the decoder must accept it (r10
-    review — it previously raised a bogus 'disagrees' error)."""
+    review — it previously raised a bogus 'disagrees' error).
+
+    The code-0 frames are forged by patching the 3 sample-size bits
+    in each emitted frame header and recomputing CRC-8/CRC-16 — pure
+    byte surgery on the encoder's output, no shared module state
+    (r10 ADVICE: mutating flac._SIZE_CODES coupled this test to
+    encoder internals and raced parallel encodes)."""
+    import struct
+
     from mapreduce511_spark.multimodal import flac as m
 
     pcm = [((i * 7) % 4096) - 2048 for i in range(900)]
-    saved = dict(m._SIZE_CODES)
-    try:
-        m._SIZE_CODES[16] = 0b000  # every frame defers to STREAMINFO
-        enc = encode_flac(pcm, block_size=256)
-    finally:
-        m._SIZE_CODES.clear()
-        m._SIZE_CODES.update(saved)
-    rate, ch, dec = decode_flac(enc)
+    bs = 256
+    enc = bytearray(encode_flac(pcm, block_size=bs))
+    off = 4 + 4 + 34  # fLaC magic + metadata block header + STREAMINFO
+    frame_idx, pos = 0, 0
+    while pos < len(pcm):
+        blk = pcm[pos : pos + bs]
+        # re-derive this frame's bytes (the encoder is deterministic)
+        # to learn its length, then patch the ORIGINAL stream in place
+        w = m._BitWriter()
+        m._frame_header(w, 0b0000, frame_idx, len(blk), 16)
+        use_lpc = frame_idx % 2 == 1  # encode_flac default lpc_every=2
+        m._write_subframe(w, blk, 16, use_lpc, 0)
+        w.align()
+        n_frame = len(w.getvalue())
+        frame = bytearray(enc[off : off + n_frame])
+        assert frame == w.getvalue()  # offsets derived correctly
+        # header byte 3 = chan(4) | size_code(3) | reserved(1):
+        # clear the size bits -> 0b000 ("get from STREAMINFO")
+        assert (frame[3] >> 1) & 0x07 == 0b100  # 16-bit explicit code
+        frame[3] &= ~0x0E
+        hdr_len = 4 + len(m._utf8_number(frame_idx)) + 2
+        frame[hdr_len] = m._crc8(bytes(frame[:hdr_len]))
+        enc[off : off + n_frame] = frame
+        enc[off + n_frame : off + n_frame + 2] = struct.pack(
+            ">H", m._crc16(bytes(frame))
+        )
+        off += n_frame + 2
+        frame_idx += 1
+        pos += len(blk)
+    assert off == len(enc)  # every frame visited
+    rate, ch, dec = decode_flac(bytes(enc))
     assert dec == pcm
 
 

@@ -186,21 +186,28 @@ def test_lzw_raw_fuzz():
 
 
 def _anim_reference(screen, palette, frames):
-    """Pure-python composition oracle: paint each patch, snapshot,
-    apply disposal-2 background restore."""
+    """Pure-python composition oracle: paint each patch (skipping
+    transparent-index pixels when a t_idx rides along), snapshot,
+    then apply disposal — 2 restores the rect to background, 3 (r11)
+    restores it to its pre-frame content."""
     w, h = screen
     bg = np.array(palette[0], dtype=np.uint8)
     canvas = np.broadcast_to(bg, (h, w, 3)).copy()
     out = []
-    for left, top, rows, disposal in frames:
+    for frame in frames:
+        left, top, rows, disposal, *rest = frame
+        t_idx = rest[0] if rest else None
         ih, iw = len(rows), len(rows[0])
-        patch = np.array(
-            [[palette[v] for v in r] for r in rows], dtype=np.uint8
-        )
-        canvas[top : top + ih, left : left + iw] = patch
+        saved = canvas[top : top + ih, left : left + iw].copy()
+        for y in range(ih):
+            for x in range(iw):
+                if t_idx is None or rows[y][x] != t_idx:
+                    canvas[top + y, left + x] = palette[rows[y][x]]
         out.append(canvas.copy())
         if disposal == 2:
             canvas[top : top + ih, left : left + iw] = bg
+        elif disposal == 3:
+            canvas[top : top + ih, left : left + iw] = saved
     return out
 
 
@@ -235,28 +242,98 @@ def test_animation_roundtrip_composes_and_disposes():
     assert (first == want[0]).all()
 
 
-def test_animation_gates_stay_loud():
-    """Transparency rendering and disposal 3 remain honest gates; the
-    encoder refuses disposal 3 and off-screen frames outright."""
+def test_animation_encoder_rejects_bad_frames():
+    """The encoder still refuses reserved disposal methods,
+    off-screen frames and out-of-palette transparent indices."""
+    from mapreduce511_spark.multimodal.gif import encode_gif_animation
+
+    pal = _pal(4)
+    with pytest.raises(ValueError, match="disposal"):
+        encode_gif_animation(4, 4, pal, [(0, 0, [[1]], 4)])
+    with pytest.raises(ValueError, match="exceeds"):
+        encode_gif_animation(4, 4, pal, [(3, 3, [[1, 1], [1, 1]], 1)])
+    with pytest.raises(ValueError, match="transparent index"):
+        encode_gif_animation(4, 4, pal, [(0, 0, [[1]], 1, 9)])
+
+
+def test_transparency_composition_shows_canvas_through():
+    """r11 gate lift: pixels carrying the GCE transparent index are
+    NOT painted — the prior canvas (background or an earlier frame's
+    pixels) shows through, and opaque pixels of the same frame still
+    paint. Cycles transparency on/off across frames."""
+    from mapreduce511_spark.multimodal.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    pal = _pal(8)
+    frames = [
+        (0, 0, [[1, 2, 3], [4, 5, 6], [7, 1, 2]], 1),        # opaque base
+        (0, 0, [[3, 3, 3], [3, 6, 3], [3, 3, 3]], 1, 3),     # 3=transparent
+        (1, 1, [[2, 2], [2, 7]], 0, 2),                      # 2=transparent
+    ]
+    enc = encode_gif_animation(5, 4, pal, frames)
+    w, h, got = decode_gif_frames(enc)
+    assert (w, h) == (5, 4) and len(got) == 3
+    want = _anim_reference((5, 4), pal, frames)
+    for g, x in zip(got, want):
+        assert (g == x).all()
+    # frame 1's transparent ring leaves frame 0's pixels in place...
+    assert (got[1][0, 0] == np.array(pal[1])).all()
+    # ...while its single opaque pixel (index 6 at center) paints
+    assert (got[1][1, 1] == np.array(pal[6])).all()
+    # frame 2's transparent 2s leave frame 1 showing; its 7 paints
+    assert (got[2][2, 2] == np.array(pal[7])).all()
+    assert (got[2][1, 1] == np.array(pal[6])).all()
+
+
+def test_disposal_3_restores_previous_content():
+    """r11 gate lift: disposal 3 snapshots the frame, then puts the
+    rect back to what was there BEFORE the frame painted — an earlier
+    frame's pixels, not the background."""
+    from mapreduce511_spark.multimodal.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    pal = _pal(8)
+    frames = [
+        (0, 0, [[1, 1, 1], [1, 1, 1], [1, 1, 1]], 1),  # paint all 1s
+        (0, 0, [[2, 2], [2, 2]], 3),                   # flash 2s, restore
+        (2, 2, [[3]], 1),                              # tiny corner paint
+    ]
+    enc = encode_gif_animation(3, 3, pal, frames)
+    _, _, got = decode_gif_frames(enc)
+    want = _anim_reference((3, 3), pal, frames)
+    for g, x in zip(got, want):
+        assert (g == x).all()
+    # the flash is visible in ITS snapshot...
+    assert (got[1][0, 0] == np.array(pal[2])).all()
+    # ...but frame 2 sees frame 0's pixels restored, NOT background
+    assert (got[2][0, 0] == np.array(pal[1])).all()
+    assert (got[2][2, 2] == np.array(pal[3])).all()
+
+
+def test_disposal_3_with_transparency_composes_both():
+    """Disposal 3 + transparency in one frame: transparent pixels
+    never paint, opaque ones flash and restore."""
     from mapreduce511_spark.multimodal.gif import (
         decode_gif_frames,
         encode_gif_animation,
     )
 
     pal = _pal(4)
-    with pytest.raises(ValueError, match="disposal"):
-        encode_gif_animation(4, 4, pal, [(0, 0, [[1]], 3)])
-    with pytest.raises(ValueError, match="exceeds"):
-        encode_gif_animation(4, 4, pal, [(3, 3, [[1, 1], [1, 1]], 1)])
-    enc = bytearray(encode_gif_animation(4, 4, pal, [(1, 1, [[1]], 1)]))
-    # GCE packed byte sits right after 0x21 0xF9 0x04
-    at = enc.index(bytes((0x21, 0xF9, 0x04))) + 3
-    enc[at] |= 0x01  # transparency flag
-    with pytest.raises(NotImplementedError, match="transparency"):
-        decode_gif_frames(bytes(enc))
-    enc[at] = (3 << 2)  # disposal 3, no transparency
-    with pytest.raises(NotImplementedError, match="disposal method 3"):
-        decode_gif_frames(bytes(enc))
+    frames = [
+        (0, 0, [[1, 2], [2, 1]], 1),
+        (0, 0, [[3, 0], [0, 3]], 3, 0),  # 0=transparent, flash 3s
+    ]
+    enc = encode_gif_animation(2, 2, pal, frames)
+    _, _, got = decode_gif_frames(enc)
+    want = _anim_reference((2, 2), pal, frames)
+    for g, x in zip(got, want):
+        assert (g == x).all()
+    assert (got[1][0, 1] == np.array(pal[2])).all()  # transparent: kept
+    assert (got[1][0, 0] == np.array(pal[3])).all()  # opaque: flashed
 
 
 def test_animation_single_full_frame_matches_single_image_decode():
