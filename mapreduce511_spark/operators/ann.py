@@ -467,6 +467,50 @@ def load_model_sidecar(path: str, require_success: bool = True):
         return json.load(fh)
 
 
+def artifact_source(df: DataFrame) -> str:
+    """Stable source identity for keep-latest retention: the sorted
+    input-file PATHS (no stat info — the stat is exactly what changes
+    on a rewrite, and retention must group across rewrites). Empty
+    string for in-memory frames, which opt out of retention."""
+    return "|".join(sorted(df.inputFiles()))
+
+
+def retain_latest_artifact(keep: str, source: str) -> None:
+    """Keep-latest-per-source on-disk retention for the content-
+    fingerprinted index artifacts (r10 VERDICT item 6: every corpus
+    rewrite minted a new ``{prefix}_{tag}`` dir forever — the
+    in-process memos already keep only the latest signature per
+    source, this mirrors that on disk). Called AFTER publishing
+    ``keep``: deletes sibling artifacts of the same prefix whose
+    sidecar declares the same source. Those siblings belong to
+    earlier snapshots of a corpus that has since been rewritten —
+    their stat-signature cache key can never be produced again, so
+    nothing can ever reload them. Siblings of other sources, other
+    prefix families (the remainder-is-a-bare-tag guard keeps
+    ``lloyd_`` from matching ``lloyd_admit_...``), or without a
+    source field (pre-r11 artifacts) are left alone."""
+    import os
+    import shutil
+
+    if not source:
+        return
+    root, name = os.path.split(os.path.abspath(keep))
+    prefix = name.rsplit("_", 1)[0]
+    if not os.path.isdir(root):
+        return
+    for sib in os.listdir(root):
+        if sib == name or not sib.startswith(prefix + "_"):
+            continue
+        if "_" in sib[len(prefix) + 1 :]:
+            continue  # longer prefix family sharing this one as a stem
+        d = os.path.join(root, sib)
+        if not os.path.isdir(d):
+            continue
+        side = load_model_sidecar(d, require_success=False)
+        if side is not None and side.get("source") == source:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def write_model_sidecar(path: str, model) -> None:
     """Atomically publish the sidecar (write temp + rename) so a
     concurrent reader never observes a partial model; written LAST,
@@ -499,7 +543,9 @@ def ensure_ivf_index(
         return _INDEX_CACHE[key]
     centroids = train_centroids(emb, k, iters)
     ivf_write_partitioned(emb, centroids, path)
-    write_model_sidecar(path, {"centroids": centroids})
+    src = artifact_source(emb)
+    write_model_sidecar(path, {"centroids": centroids, "source": src})
+    retain_latest_artifact(path, src)
     _INDEX_CACHE[key] = (path, centroids)
     return path, centroids
 
@@ -539,7 +585,11 @@ def ensure_pq_index(
         ).parquet(path)
     else:
         coded.write.mode("overwrite").parquet(path)
-    write_model_sidecar(path, {"books": books, "centroids": centroids})
+    src = artifact_source(emb)
+    write_model_sidecar(
+        path, {"books": books, "centroids": centroids, "source": src}
+    )
+    retain_latest_artifact(path, src)
     _INDEX_CACHE[key] = (path, books, centroids)
     return path, books, centroids
 
@@ -567,7 +617,11 @@ def ensure_pq_residual_index(
     books = train_pq_residual_codebooks(emb, centroids, m, k, iters)
     coded = pq_encode_residual(emb, centroids, books)
     coded.write.mode("overwrite").partitionBy("cell").parquet(path)
-    write_model_sidecar(path, {"books": books, "centroids": centroids})
+    src = artifact_source(emb)
+    write_model_sidecar(
+        path, {"books": books, "centroids": centroids, "source": src}
+    )
+    retain_latest_artifact(path, src)
     _INDEX_CACHE[key] = (path, books, centroids)
     return path, books, centroids
 

@@ -34,6 +34,7 @@ def norm0(col):
 
     return col + F.lit(0.0)
 
+
 _QUERIES: dict[str, SparkQuery] = {}
 _ORACLES: dict[str, str] = {}
 
@@ -76,65 +77,64 @@ def register(name: str, oracle: str | None = None):
 # above it are ignored when recomputing the window.  Regenerating the
 # window for a new round must bump the stamp to the newest ledger
 # round the generator saw.
-_WINDOW_LEDGER_MAX: int = 9
+_WINDOW_LEDGER_MAX: int = 10
 
 _ENUMERATE_FIRST: list[str] = [
-    # ROUND 10 regeneration: `python tools/gen_enum_first.py --restamp`
-    # over the ledger through r09 (stamp above).  The twelve round-10
-    # debuts front-load per the debut-round guard; the next 10 slots
-    # drain the LAST r03-stale names (min driver row over the registry
-    # is r04 after the r10 drop); the remaining 28 are the oldest r04
-    # names alphabetically.
-    "gif_animation_census",  # new
-    "cross_modal_dup_census",  # new
-    "exact_duplicate_span_removal",  # new
-    "copurchase_hits",  # new
-    "textrank_keywords",  # new
-    "ffd_packing_census",  # new
-    "zipf_slope_census",  # new
-    "token_burstiness_census",  # new
-    "multimodal_flac_depth_stats",  # new
-    "k_anonymity_census",  # new
-    "copurchase_assortativity",  # new
-    "heaps_law_fit",  # new
-    "rollup_region_nation_sales",  # r03
-    "salted_join_revenue",  # r03
-    "shuffle_shard_census",  # r03
-    "snapshot_diff_census",  # r03
-    "sql_grouping_sets",  # r03
-    "sql_window_lag",  # r03
-    "stream_dedup_admission",  # r03
-    "token_freq_histogram",  # r03
-    "top_customers_concat_by_nation",  # r03
-    "unigram_logprob_score",  # r03
-    "benford_price_census",  # r04
-    "bigram_entropy_rate",  # r04
-    "bigram_logprob_score",  # r04
-    "bloom_membership_census",  # r04
-    "bm25_top_docs",  # r04
-    "char_entropy_by_lang",  # r04
-    "chi2_distinctive_terms",  # r04
-    "cms_heavy_bigrams",  # r04
-    "copurchase_common_neighbors",  # r04
-    "copurchase_kcore_census",  # r04
-    "copurchase_pagerank",  # r04
-    "copurchase_triangles_approx",  # r04
-    "customer_name_er",  # r04
-    "customer_rfm_segments",  # r04
-    "decayed_user_engagement",  # r04
-    "doc_chunk_census",  # r04
-    "doc_chunks_expanded",  # r04
-    "embedding_dim_stats",  # r04
-    "event_transition_matrix",  # r04
-    "funnel_time_to_convert",  # r04
-    "gap_filled_minute_counts",  # r04
-    "hll_distinct_trigrams",  # r04
-    "hll_rolling_7d_users",  # r04
-    "hour_of_day_profile",  # r04
-    "hourly_count_autocorr",  # r04
-    "hybrid_rrf_top_docs",  # r04
-    "incremental_mv_refresh",  # r04
-    "join_key_skew_census",  # r04
+    # ROUND 11 regeneration: `python tools/gen_enum_first.py --restamp`
+    # over the ledger through r10 (stamp above).  The one round-11
+    # debut (corpus_health_census) front-loads per the debut-round
+    # guard; the next 22 slots drain the remaining r04-stale names
+    # alphabetically; the rest are the oldest r05 names.
+    "corpus_health_census",  # new
+    "mad_value_anomaly",  # r04
+    "multimodal_frame_sample",  # r04
+    "multimodal_png_stats",  # r04
+    "near_dup_containment",  # r04
+    "padding_waste_by_bucket",  # r04
+    "pareto_frontier_parts",  # r04
+    "pii_screen_census",  # r04
+    "price_quantity_regression",  # r04
+    "rolling_7d_active_users",  # r04
+    "stream_click_attribution",  # r04
+    "stream_late_drop_census",  # r04
+    "stream_sliding_event_counts",  # r04
+    "stream_topk_per_window",  # r04
+    "stream_user_running_stats",  # r04
+    "time_weighted_value_avg",  # r04
+    "token_kl_by_lang",  # r04
+    "user_type_scd2",  # r04
+    "vocab_coverage_curve",  # r04
+    "weighted_reservoir_sample",  # r04
+    "winnowing_fingerprints",  # r04
+    "winsorized_price_stats",  # r04
+    "zorder_cell_census",  # r04
+    "ab_conversion_ztest",  # r05
+    "ann_ivf_lloyd_topk",  # r05
+    "ann_ivf_pq_topk",  # r05
+    "ann_lsh_topk",  # r05
+    "ann_pq_topk",  # r05
+    "approx_percentile_error_census",  # r05
+    "asof_next_purchase_census",  # r05
+    "bpe_encode_census",  # r05
+    "bpe_merge_rules_batched",  # r05
+    "bucketed_join_revenue",  # r05
+    "collocation_pmi_top20",  # r05
+    "copurchase_clustering",  # r05
+    "curriculum_order_manifest",  # r05
+    "doc_quality_features",  # r05
+    "dup_cluster_canonical",  # r05
+    "duplicate_span_removal",  # r05
+    "embedding_top_component",  # r05
+    "good_turing_unseen_mass",  # r05
+    "gopher_quality_rules",  # r05
+    "heldout_bigram_ppl",  # r05
+    "item_cosine_similarity",  # r05
+    "item_cosine_similarity_capped",  # r05
+    "lsh_recall_curve",  # r05
+    "minhash_jaccard_estimate",  # r05
+    "mixture_epochs_plan",  # r05
+    "multimodal_jpeg_stats",  # r05
+    "quality_classifier_score",  # r05
 ]
 
 

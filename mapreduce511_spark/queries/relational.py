@@ -4082,7 +4082,8 @@ def copurchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH qi AS (
         SELECT c_nationkey, c_mktsegment,
                CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
-               count(*) AS k
+               count(*) AS k,
+               count(DISTINCT c_acctbal) AS l
         FROM customer
         GROUP BY 1, 2, 3
     ), banded AS (
@@ -4090,14 +4091,15 @@ def copurchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN k < 5 THEN 'k=2-4'
                     WHEN k < 10 THEN 'k=5-9'
                     ELSE 'k>=10' END AS band,
-               k
+               k, l
         FROM qi
     )
     SELECT band,
            count(*) AS n_classes,
            CAST(sum(k) AS BIGINT) AS n_rows,
            CAST(min(k) AS BIGINT) AS min_k,
-           CAST(max(k) AS BIGINT) AS max_k
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(min(l) AS BIGINT) AS min_l
     FROM banded
     GROUP BY band
     ORDER BY band
@@ -4109,9 +4111,14 @@ def k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     thousand-band): the size distribution of QI equivalence classes,
     banded by re-identification risk — k=1 rows are uniquely
     re-identifiable from the quasi-identifiers alone, k<5 is the
-    conventional release threshold. The governance counterpart of
-    ``pii_screen_census`` (which finds direct identifiers; this
-    measures indirect linkability).
+    conventional release threshold. Each band also reports its
+    worst-case l-DIVERSITY (Machanavajjhala 2007; r11, VERDICT r10
+    item 8): min over classes of count(DISTINCT c_acctbal) — a class
+    can be k-anonymous yet expose the sensitive value outright when
+    every member shares it (the homogeneity attack); min_l = 1 flags
+    exactly that. The governance counterpart of ``pii_screen_census``
+    (which finds direct identifiers; this measures indirect
+    linkability and attribute disclosure).
 
     Scale shape: one map-side-combinable groupBy on the QI tuple,
     then a 4-band rollup — two hash shuffles, the second over at
@@ -4129,7 +4136,10 @@ def k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         "c_mktsegment",
         F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
-    ).agg(F.count("*").alias("k"))
+    ).agg(
+        F.count("*").alias("k"),
+        F.countDistinct("c_acctbal").alias("l"),
+    )
     banded = qi.select(
         F.when(F.col("k") == 1, "k=1 (unique)")
         .when(F.col("k") < 5, "k=2-4")
@@ -4137,6 +4147,7 @@ def k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("k>=10")
         .alias("band"),
         "k",
+        "l",
     )
     return (
         banded.groupBy("band")
@@ -4145,6 +4156,7 @@ def k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("n_rows"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
+            F.min("l").alias("min_l"),
         )
         .orderBy("band")
     )

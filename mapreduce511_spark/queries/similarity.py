@@ -2577,7 +2577,9 @@ def _ensure_lloyd_index(emb: DataFrame) -> tuple[str, list]:
         _INDEX_CACHE,
         _cache_key,
         _index_path,
+        artifact_source,
         load_model_sidecar,
+        retain_latest_artifact,
         write_model_sidecar,
     )
 
@@ -2602,7 +2604,9 @@ def _ensure_lloyd_index(emb: DataFrame) -> tuple[str, list]:
         .parquet(path)
     )
     cent_rows = [(int(r.cell), [float(x) for x in r.cv]) for r in cent.collect()]
-    write_model_sidecar(path, {"cent_rows": cent_rows})
+    src = artifact_source(emb)
+    write_model_sidecar(path, {"cent_rows": cent_rows, "source": src})
+    retain_latest_artifact(path, src)
     _INDEX_CACHE[key] = (path, cent_rows)
     return path, cent_rows
 
@@ -2791,7 +2795,9 @@ def _ensure_admitted_lloyd_index(emb: DataFrame) -> tuple[str, list]:
         _cache_key,
         _index_path,
         admit_batch_lloyd,
+        artifact_source,
         load_model_sidecar,
+        retain_latest_artifact,
         write_model_sidecar,
     )
 
@@ -2823,7 +2829,9 @@ def _ensure_admitted_lloyd_index(emb: DataFrame) -> tuple[str, list]:
         .parquet(path)
     )
     admit_batch_lloyd(spark, path, cent_rows, batch)
-    write_model_sidecar(path, {"cent_rows": cent_rows})
+    src = artifact_source(emb)
+    write_model_sidecar(path, {"cent_rows": cent_rows, "source": src})
+    retain_latest_artifact(path, src)
     _INDEX_CACHE[key] = (path, cent_rows)
     return path, cent_rows
 

@@ -1579,7 +1579,9 @@ def ensure_stream_admitted_lloyd_index(emb: DataFrame) -> tuple[str, list]:
         _INDEX_CACHE,
         _cache_key,
         _index_path,
+        artifact_source,
         load_model_sidecar,
+        retain_latest_artifact,
         write_model_sidecar,
     )
     from mapreduce511_spark.queries.similarity import (
@@ -1647,7 +1649,11 @@ def ensure_stream_admitted_lloyd_index(emb: DataFrame) -> tuple[str, list]:
             .start()
             .awaitTermination()
         )
-        write_model_sidecar(path, {"cent_rows": cent_rows})
+        origin = artifact_source(emb)
+        write_model_sidecar(
+            path, {"cent_rows": cent_rows, "source": origin}
+        )
+        retain_latest_artifact(path, origin)
         _INDEX_CACHE[key] = (path, cent_rows)
         return path, cent_rows
     finally:
@@ -1736,7 +1742,9 @@ def ann_index_compaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _cache_key(emb, "lloyd_compacted", _LLOYD_K, _LLOYD_ITERS)
     if key not in _INDEX_CACHE:
         from mapreduce511_spark.operators.ann import (
+            artifact_source,
             load_model_sidecar,
+            retain_latest_artifact,
             write_model_sidecar,
         )
 
@@ -1747,7 +1755,11 @@ def ann_index_compaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spath, cent_rows = ensure_stream_admitted_lloyd_index(emb)
             compact_parquet(spark, spath, cpath, partition_by=["cell"])
-            write_model_sidecar(cpath, {"cent_rows": cent_rows})
+            origin = artifact_source(emb)
+            write_model_sidecar(
+                cpath, {"cent_rows": cent_rows, "source": origin}
+            )
+            retain_latest_artifact(cpath, origin)
             _INDEX_CACHE[key] = (cpath, cent_rows)
     cpath, _ = _INDEX_CACHE[key]
     af = read_parquet_checked(spark, cpath)

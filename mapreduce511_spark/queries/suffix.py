@@ -91,7 +91,10 @@ def _sa_artifact_complete(art: str) -> bool:
 def _corpus_sa(spark: SparkSession, sf_dir: str):
     import os
 
-    from mapreduce511_spark.operators.ann import write_model_sidecar
+    from mapreduce511_spark.operators.ann import (
+        retain_latest_artifact,
+        write_model_sidecar,
+    )
 
     path = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
     st = os.stat(path)
@@ -109,7 +112,10 @@ def _corpus_sa(spark: SparkSession, sf_dir: str):
             os.path.join(art, "positions")
         )
         sa.write.mode("overwrite").parquet(os.path.join(art, "sa"))
-        write_model_sidecar(art, {"n_positions": positions.count()})
+        write_model_sidecar(
+            art, {"n_positions": positions.count(), "source": path}
+        )
+        retain_latest_artifact(art, path)
         # the build path already holds checkpointed frames — memoize
         # THOSE; re-reading the parquet just written would pay a
         # pointless third materialization of each frame

@@ -5028,25 +5028,45 @@ def _sql_ols_tail(n_name: str, slope_name: str, intercept_name: str) -> str:
     maps -0.0 to +0.0 and is the identity on everything else
     (including NaN). ``_ols_per_lang`` states the identical
     arithmetic for Spark."""
-    return f"""sums AS (
+    return (
+        _sql_ols_cte("xy", "fit", n_name, slope_name, intercept_name)
+        + f"""
+    SELECT lang, {n_name}, {slope_name}, {intercept_name}
+    FROM fit
+    ORDER BY lang"""
+    )
+
+
+def _sql_ols_cte(
+    xy: str, out: str, n_name: str, slope_name: str, intercept_name: str
+) -> str:
+    """The composable CTE form of the shared OLS: given an (lang, x,
+    y) CTE named ``xy``, emits two chained CTEs ending in ``out`` with
+    (lang, {n_name}, {slope_name}, {intercept_name}) — for queries
+    that fit MORE THAN ONE curve in a single statement
+    (``corpus_health_census`` fits Zipf and Heaps side by side).
+    ``_sql_ols_tail`` is this plus the final ORDER BY, so there is
+    still exactly one statement of the arithmetic and its degeneracy
+    branches."""
+    return f"""{out}_sums AS (
         SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
                sum(x * y) AS sxy, sum(x * x) AS sxx,
                min(y) AS ymin, max(y) AS ymax
-        FROM xy GROUP BY lang
-    )
-    SELECT lang,
-           CAST(n AS BIGINT) AS {n_name},
-           CASE WHEN ymin = ymax OR n * sxx - sx * sx = 0 THEN 0.0
-                ELSE round((n * sxy - sx * sy)
-                           / (n * sxx - sx * sx), 4) + 0.0
-           END AS {slope_name},
-           CASE WHEN ymin = ymax OR n * sxx - sx * sx = 0
-                THEN round(sy / n, 4) + 0.0
-                ELSE round((sy - sx * (n * sxy - sx * sy)
-                                / (n * sxx - sx * sx)) / n, 4) + 0.0
-           END AS {intercept_name}
-    FROM sums
-    ORDER BY lang"""
+        FROM {xy} GROUP BY lang
+    ), {out} AS (
+        SELECT lang,
+               CAST(n AS BIGINT) AS {n_name},
+               CASE WHEN ymin = ymax OR n * sxx - sx * sx = 0 THEN 0.0
+                    ELSE round((n * sxy - sx * sy)
+                               / (n * sxx - sx * sx), 4) + 0.0
+               END AS {slope_name},
+               CASE WHEN ymin = ymax OR n * sxx - sx * sx = 0
+                    THEN round(sy / n, 4) + 0.0
+                    ELSE round((sy - sx * (n * sxy - sx * sy)
+                                    / (n * sxx - sx * sx)) / n, 4) + 0.0
+               END AS {intercept_name}
+        FROM {out}_sums
+    )"""
 
 
 def _ols_per_lang(xy, n_name: str, slope_name: str, intercept_name: str):
@@ -5132,13 +5152,22 @@ def zipf_slope_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "token")
         .agg(F.count("*").alias("cnt"))
     )
+    return _ols_per_lang(
+        _zipf_xy(freq), "vocab", "zipf_slope", "zipf_intercept"
+    )
+
+
+def _zipf_xy(freq):
+    """(lang, x, y) Zipf coordinates from a (lang, token, cnt)
+    frequency table: x = ln(rank within language, ties broken by
+    token for a total order), y = ln(count). Shared by
+    ``zipf_slope_census`` and ``corpus_health_census``."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "token")
-    xy = freq.withColumn("rnk", F.row_number().over(w)).select(
+    return freq.withColumn("rnk", F.row_number().over(w)).select(
         "lang", F.log("rnk").alias("x"), F.log("cnt").alias("y")
     )
-    return _ols_per_lang(xy, "vocab", "zipf_slope", "zipf_intercept")
 
 
 @register(
@@ -5287,6 +5316,16 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lens = docs.select(
         "lang", "doc_id", tokenize("text").alias("ts")
     )
+    return _ols_per_lang(
+        _heaps_xy(spark, lens), "n_points", "heaps_beta", "heaps_logk"
+    )
+
+
+def _heaps_xy(spark, lens):
+    """(lang, x, y) Heaps coordinates from a (lang, doc_id, ts)
+    tokenized frame: x = ln(tokens), y = ln(vocabulary) at the
+    geometric-from-one cutoff grid {1, 2, 4, 8, nd}. Shared by
+    ``heaps_law_fit`` and ``corpus_health_census``."""
     mx = lens.agg((F.max("doc_id") + 1).alias("nd"))
     grid = (
         spark.createDataFrame([(1,), (2,), (4,), (8,)], "cutoff long")
@@ -5310,7 +5349,159 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "cutoff")
         .agg(F.sum(F.size("ts")).alias("t"))
     )
-    xy = vocab_at.join(tokens_at, ["lang", "cutoff"]).select(
+    return vocab_at.join(tokens_at, ["lang", "cutoff"]).select(
         "lang", F.log("t").alias("x"), F.log("v").alias("y")
     )
-    return _ols_per_lang(xy, "n_points", "heaps_beta", "heaps_logk")
+
+
+@register(
+    "corpus_health_census",
+    oracle=f"""
+    WITH lens AS (
+        SELECT lang, doc_id, {_SQL_TOKENS} AS ts FROM documents
+    ), toks AS (
+        SELECT lang, doc_id, unnest(ts) AS token FROM lens
+    ), freq AS (
+        SELECT lang, token, count(*) AS cnt FROM toks GROUP BY lang, token
+    ), ranked AS (
+        SELECT lang, cnt,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY cnt DESC, token) AS rnk
+        FROM freq
+    ), zxy AS (
+        SELECT lang, ln(rnk) AS x, ln(cnt) AS y FROM ranked
+    ), {_sql_ols_cte("zxy", "zfit", "vocab", "zipf_slope", "zipf_intercept")},
+    mx AS (
+        SELECT max(doc_id) + 1 AS nd FROM lens
+    ), grid AS (
+        SELECT CAST(c AS BIGINT) AS cutoff
+        FROM (SELECT unnest([1, 2, 4, 8]) AS c)
+        UNION
+        SELECT CAST(nd AS BIGINT) FROM mx
+    ), firsts AS (
+        SELECT lang, token, min(doc_id) AS first_doc
+        FROM toks GROUP BY lang, token
+    ), vocab_at AS (
+        SELECT f.lang, g.cutoff, count(*) AS v
+        FROM firsts f JOIN grid g ON f.first_doc < g.cutoff
+        GROUP BY f.lang, g.cutoff
+    ), tokens_at AS (
+        SELECT l.lang, g.cutoff, sum(len(l.ts)) AS t
+        FROM lens l JOIN grid g ON l.doc_id < g.cutoff
+        GROUP BY l.lang, g.cutoff
+    ), hxy AS (
+        SELECT v.lang, ln(t.t) AS x, ln(v.v) AS y
+        FROM vocab_at v JOIN tokens_at t USING (lang, cutoff)
+    ), {_sql_ols_cte("hxy", "hfit", "h_points", "heaps_beta", "heaps_logk")},
+    tot AS (
+        SELECT lang, CAST(sum(cnt) AS BIGINT) AS total_tokens
+        FROM freq GROUP BY lang
+    ), hu AS (
+        SELECT f.lang,
+               -sum((f.cnt / CAST(tt.total_tokens AS DOUBLE))
+                    * ln(f.cnt / CAST(tt.total_tokens AS DOUBLE))) AS h
+        FROM freq f JOIN tot tt ON f.lang = tt.lang GROUP BY f.lang
+    ), percnt AS (
+        SELECT lang, token, doc_id, count(*) AS c
+        FROM toks GROUP BY lang, token, doc_id
+    ), tstats AS (
+        SELECT lang, token,
+               count(*) AS df, sum(c) AS sc, sum(c * c) AS scc
+        FROM percnt GROUP BY lang, token
+    ), burst AS (
+        SELECT lang,
+               avg((df * scc - sc * sc) * 1.0 / (df * sc)) AS mean_vmr
+        FROM tstats GROUP BY lang
+    )
+    SELECT z.lang,
+           z.vocab,
+           tot.total_tokens,
+           z.zipf_slope,
+           h.heaps_beta,
+           round(hu.h, 6) AS h_unigram,
+           round(b.mean_vmr, 4) + 0.0 AS mean_vmr
+    FROM zfit z
+    JOIN hfit h ON h.lang = z.lang
+    JOIN tot ON tot.lang = z.lang
+    JOIN hu ON hu.lang = z.lang
+    JOIN burst b ON b.lang = z.lang
+    ORDER BY z.lang
+    """,
+)
+def corpus_health_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-screen per-language corpus-health panel (r11, VERDICT
+    r10 item 8): the diagnostic the individual fits exist to feed,
+    composed into a single query — vocabulary size, token total,
+    Zipf slope (template/boilerplate drift), Heaps beta (vocabulary
+    growth: duplication pushes it toward 0, OCR noise toward 1),
+    unigram entropy (predictability) and mean token burstiness
+    (variance-to-mean of per-document counts: topical text is
+    bursty, machine-generated filler is not). One row per language;
+    the pipeline smoke alarm to read BEFORE paying for dedup or
+    training runs.
+
+    Scale shape: every panel column derives from the SAME tokenized
+    base — one (lang, token) count shuffle feeds Zipf, totals and
+    entropy; one (lang, token, doc) count feeds burstiness; the
+    Heaps curve is the first-occurrence min-agg against the
+    broadcast cutoff grid. No windows over the token stream (the
+    Zipf rank window runs over the per-language VOCABULARY), no
+    driver collection, and both OLS fits share
+    ``_ols_per_lang``/``_sql_ols_cte`` — the degeneracy-branched,
+    signed-zero-normalized helpers every fit in the repo uses.
+
+    Reference basis: extension tier — composition of the
+    corpus-statistics family (``zipf_slope_census``,
+    ``heaps_law_fit``, ``token_burstiness_census``,
+    ``bigram_entropy_rate``); SURVEY.md §2 extensions."""
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select("lang", "doc_id", tokenize("text").alias("ts"))
+    toks = lens.select("lang", "doc_id", F.explode("ts").alias("token"))
+    freq = toks.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
+    zfit = _ols_per_lang(
+        _zipf_xy(freq), "vocab", "zipf_slope", "zipf_intercept"
+    ).select("lang", "vocab", "zipf_slope")
+    hfit = _ols_per_lang(
+        _heaps_xy(spark, lens), "h_points", "heaps_beta", "heaps_logk"
+    ).select("lang", "heaps_beta")
+    tot = freq.groupBy("lang").agg(
+        F.sum("cnt").cast("long").alias("total_tokens")
+    )
+    p = F.col("cnt") / F.col("total_tokens").cast("double")
+    hu = (
+        freq.join(tot, "lang")
+        .groupBy("lang")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("h_unigram"))
+    )
+    tstats = (
+        toks.groupBy("lang", "token", "doc_id")
+        .agg(F.count("*").alias("c"))
+        .groupBy("lang", "token")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("c").alias("sc"),
+            F.sum(F.col("c") * F.col("c")).alias("scc"),
+        )
+    )
+    vmr = (
+        (F.col("df") * F.col("scc") - F.col("sc") * F.col("sc")) * 1.0
+    ) / (F.col("df") * F.col("sc"))
+    burst = tstats.groupBy("lang").agg(
+        norm0(F.round(F.avg(vmr), 4)).alias("mean_vmr")
+    )
+    return (
+        zfit.join(hfit, "lang")
+        .join(tot, "lang")
+        .join(hu, "lang")
+        .join(burst, "lang")
+        .select(
+            "lang",
+            "vocab",
+            "total_tokens",
+            "zipf_slope",
+            "heaps_beta",
+            "h_unigram",
+            "mean_vmr",
+        )
+        .orderBy("lang")
+    )

@@ -861,3 +861,82 @@ def test_index_artifacts_reused_across_processes(spark):
         assert model2 == model1  # JSON round-trips IEEE doubles exactly
         files2 = sorted(glob.glob(f"{path}/**/*.parquet", recursive=True))
         assert files2 == files1  # no rewrite: same part files, untouched
+
+
+def test_retain_latest_artifact_scopes_prefix_and_source(tmp_path):
+    """r11 retention helper semantics: only siblings of the SAME
+    prefix family AND the same declared source are retired; longer
+    prefix families sharing the stem (lloyd vs lloyd_admit), other
+    sources, legacy sidecars without a source, and the keep dir
+    itself all survive; an empty source (in-memory frame) is a
+    no-op."""
+    import os
+
+    from mapreduce511_spark.operators.ann import (
+        retain_latest_artifact,
+        write_model_sidecar,
+    )
+
+    root = tmp_path / "ann_index"
+    root.mkdir()
+
+    def mk(name, model):
+        d = root / name
+        d.mkdir()
+        write_model_sidecar(str(d), model)
+        return d
+
+    keep = mk("lloyd_" + "a" * 16, {"source": "S"})
+    stale = mk("lloyd_" + "b" * 16, {"source": "S"})
+    other_src = mk("lloyd_" + "c" * 16, {"source": "T"})
+    other_family = mk("lloyd_admit_" + "d" * 16, {"source": "S"})
+    legacy = mk("lloyd_" + "e" * 16, {"cent_rows": []})
+    retain_latest_artifact(str(keep), "S")
+    assert keep.exists()
+    assert not stale.exists()
+    assert other_src.exists()
+    assert other_family.exists()
+    assert legacy.exists()
+    # the admit family retires ITS stale twin without touching lloyd_
+    keep2 = mk("lloyd_admit_" + "f" * 16, {"source": "S"})
+    retain_latest_artifact(str(keep2), "S")
+    assert not other_family.exists()
+    assert keep.exists() and keep2.exists()
+    before = sorted(os.listdir(root))
+    retain_latest_artifact(str(keep), "")
+    assert sorted(os.listdir(root)) == before  # empty source: no-op
+
+
+def test_ivf_index_retention_retires_stale_snapshot(spark):
+    """r11 wiring: rebuilding the IVF index after a (simulated)
+    corpus rewrite retires the prior snapshot's artifact — the disk
+    mirror of the in-process keep-latest memos."""
+    import os
+    import shutil
+
+    from mapreduce511_spark.operators.ann import (
+        _INDEX_CACHE,
+        artifact_source,
+        ensure_ivf_index,
+        write_model_sidecar,
+    )
+    from mapreduce511_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path, _ = ensure_ivf_index(emb)
+    root = os.path.dirname(path)
+    src = artifact_source(emb)
+    assert src  # parquet-backed: retention applies
+    stale = os.path.join(root, "ivf_" + "0" * 16)
+    os.makedirs(stale, exist_ok=True)
+    write_model_sidecar(stale, {"centroids": [], "source": src})
+    try:
+        shutil.rmtree(path)  # force a fresh publish
+        for k in [k for k, v in _INDEX_CACHE.items() if v[0] == path]:
+            del _INDEX_CACHE[k]
+        path2, _ = ensure_ivf_index(emb)
+        assert path2 == path and os.path.exists(path)
+        assert not os.path.exists(stale), "stale snapshot kept"
+    finally:
+        shutil.rmtree(stale, ignore_errors=True)

@@ -577,7 +577,7 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("queries/text.py", "stratified_sample", "target"): "1-row",
     ("queries/text.py", "temperature_mixture_sample", "n_min"): "1-row",
     ("queries/text.py", "temperature_mixture_sample", "rates"): "per-lang",
-    ("queries/text.py", "heaps_law_fit", "grid"): "const: <=5 cutoff rows",
+    ("queries/text.py", "_heaps_xy", "grid"): "const: <=5 cutoff rows",
     ("queries/text.py", "textrank_keywords", "n"): "1-row",
     ("queries/text.py", "tfidf_top_terms", "n"): "1-row",
     ("queries/text.py", "token_kl_by_lang", "ctot"): "1-row",

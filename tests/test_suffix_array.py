@@ -236,3 +236,47 @@ def test_suffix_array_artifact_durable_across_processes(spark):
     ).first()
     assert (checks2.n, checks2.x) == (checks1.n, checks1.x)
     assert pos2.count() == pos1.count()
+
+
+def test_sa_artifact_retention_keeps_latest_per_corpus(spark):
+    """r11 (VERDICT r10 item 6): each corpus rewrite used to mint a
+    new content-fingerprinted ``sa_<tag>`` dir forever. The build
+    path now retires sibling artifacts whose sidecar declares the
+    SAME source corpus — and only those: artifacts of other corpora
+    and pre-r11 artifacts without a source field are untouched."""
+    import os
+    import shutil
+
+    from mapreduce511_spark.operators.ann import write_model_sidecar
+    from mapreduce511_spark.queries import suffix
+
+    suffix._corpus_sa(spark, SF_SMOKE)  # current artifact exists
+    path = os.path.abspath(os.path.join(SF_SMOKE, "documents.parquet"))
+    st = os.stat(path)
+    art = suffix._sa_artifact_path(
+        spark, (path, st.st_mtime_ns, st.st_size)
+    )
+    root = os.path.dirname(art)
+    stale = os.path.join(root, "sa_" + "0" * 16)
+    other = os.path.join(root, "sa_" + "1" * 16)
+    legacy = os.path.join(root, "sa_" + "2" * 16)
+    for d, model in (
+        (stale, {"n_positions": 1, "source": path}),
+        (other, {"n_positions": 1, "source": "/elsewhere/documents.parquet"}),
+        (legacy, {"n_positions": 1}),
+    ):
+        os.makedirs(d, exist_ok=True)
+        write_model_sidecar(d, model)
+    try:
+        # force the BUILD path (retention runs after a fresh publish)
+        shutil.rmtree(art)
+        suffix._SA_MEMO.clear()
+        suffix._corpus_sa(spark, SF_SMOKE)
+        assert suffix._sa_artifact_complete(art)
+        assert not os.path.exists(stale), "same-corpus stale kept"
+        assert os.path.exists(other), "other corpus retired"
+        assert os.path.exists(legacy), "pre-r11 artifact retired"
+    finally:
+        shutil.rmtree(other, ignore_errors=True)
+        shutil.rmtree(legacy, ignore_errors=True)
+        shutil.rmtree(stale, ignore_errors=True)

@@ -101,6 +101,7 @@ PICKS = {
     "token_burstiness_census": "two combinable aggs; hapax HAVING prunes before TakeOrdered",
     "multimodal_flac_depth_stats": "Arrow decode at five sample depths; shuffle-free per-asset aggregate",
     "k_anonymity_census": "QI groupBy combines map-side; band rollup shuffles <= |classes| rows",
+    "corpus_health_census": "shared tokenized base; vocabulary-sized shuffles; 5-sum OLS reduces per language",
     "heaps_law_fit": "first-occurrence min shuffle over (lang, token); 5-row grid broadcasts",
     "copurchase_assortativity": "edge-degree joins; shuffle bounded by edges, output one row",
 }
@@ -385,6 +386,29 @@ Verdict: NOISE; no state-store profiling warranted. The micro-batch
 bring-up cost of the two streaming queries (~5.5-6 s floor at fixture
 scale) is the documented availableNow drain overhead, not state-store
 growth.
+
+## r09->r10 bench movers: NOISE (same-session min-of-5, round 11)
+
+The r10 VERDICT flagged two untouched queries moving >20% between the
+r09 and r10 bench artifacts, against a canary that ran 21% FASTER —
+`copurchase_label_propagation` 7.50 -> 9.46 s (+26%) and
+`tfidf_cosine_pairs_capped` 4.92 -> 5.91 s (+20%). Adjudicated on the
+r11 tree, quiet machine, one `get_spark` session, bench-style warmup
+then min-of-5 (local[32], sf0.1):
+
+| query | r09 artifact | r10 artifact | r11 same-session min-of-5 |
+|---|---|---|---|
+| copurchase_label_propagation | 7.50 s | 9.46 s | **7.36 s** (runs 8.0/7.9/7.5/7.6/7.4) |
+| tfidf_cosine_pairs_capped | 4.92 s | 5.91 s | **3.94 s** (runs 4.8/4.8/4.3/4.6/3.9) |
+| wordcount (control) | 0.267 s | 0.230 s | **0.28 s** |
+
+Both return to (tfidf: below) their r09 neighborhood with zero code
+changes in their paths, so the r10 artifact numbers were
+hypervisor-steal outliers, not load added by the new
+`copurchase_hits`/`copurchase_assortativity` siblings sharing
+`_copurchase_edges` — the checkpoint-reuse hypothesis the verdict
+raised is ruled out (LPA's min lands under its r09 number WITH the
+siblings in the registry). Verdict: NOISE for both.
 """
 
 def _metrics(node) -> dict:
