@@ -467,12 +467,30 @@ def load_model_sidecar(path: str, require_success: bool = True):
         return json.load(fh)
 
 
-def artifact_source(df: DataFrame) -> str:
-    """Stable source identity for keep-latest retention: the sorted
-    input-file PATHS (no stat info — the stat is exactly what changes
-    on a rewrite, and retention must group across rewrites). Empty
-    string for in-memory frames, which opt out of retention."""
-    return "|".join(sorted(df.inputFiles()))
+def artifact_source(df: DataFrame, key: tuple = ()) -> str:
+    """Stable GROUP identity for keep-latest retention: everything
+    that must MATCH for two artifacts to be snapshots of the same
+    logical index — the sorted input-file PATHS (stat-free: the stat
+    is exactly what changes on a rewrite, and retention must group
+    ACROSS rewrites), the expression-id-normalized logical plan (so
+    ``emb`` and ``emb.filter(...)`` read the same files but group
+    separately — both keys stay producible within one snapshot), and
+    the cache key's non-content tail (columns + hyperparameters, so
+    a k=8 index never retires the k=16 one; r11 review). Only the
+    content hash may differ within a group. Empty string for
+    in-memory frames, which opt out of retention. If the plan string
+    ever proved session-unstable the failure mode is the SAFE one:
+    groups stop matching and stale artifacts are merely kept, never
+    live ones deleted."""
+    import re
+
+    files = "|".join(sorted(df.inputFiles()))
+    if not files:
+        return ""
+    plan = re.sub(
+        r"#\d+", "#", df._jdf.queryExecution().logical().toString()
+    )
+    return repr((files, plan, key[2:]))
 
 
 def retain_latest_artifact(keep: str, source: str) -> None:
@@ -484,8 +502,10 @@ def retain_latest_artifact(keep: str, source: str) -> None:
     ``keep``: deletes sibling artifacts of the same prefix whose
     sidecar declares the same source. Those siblings belong to
     earlier snapshots of a corpus that has since been rewritten —
-    their stat-signature cache key can never be produced again, so
-    nothing can ever reload them. Siblings of other sources, other
+    within a group only the content hash varies, and the rewritten
+    corpus no longer produces the old hash, so nothing reloads them
+    (if the data were ever reverted byte-for-byte, the index is
+    simply rebuilt once). Siblings of other groups, other
     prefix families (the remainder-is-a-bare-tag guard keeps
     ``lloyd_`` from matching ``lloyd_admit_...``), or without a
     source field (pre-r11 artifacts) are left alone."""
@@ -543,7 +563,7 @@ def ensure_ivf_index(
         return _INDEX_CACHE[key]
     centroids = train_centroids(emb, k, iters)
     ivf_write_partitioned(emb, centroids, path)
-    src = artifact_source(emb)
+    src = artifact_source(emb, key)
     write_model_sidecar(path, {"centroids": centroids, "source": src})
     retain_latest_artifact(path, src)
     _INDEX_CACHE[key] = (path, centroids)
@@ -585,7 +605,7 @@ def ensure_pq_index(
         ).parquet(path)
     else:
         coded.write.mode("overwrite").parquet(path)
-    src = artifact_source(emb)
+    src = artifact_source(emb, key)
     write_model_sidecar(
         path, {"books": books, "centroids": centroids, "source": src}
     )
@@ -617,7 +637,7 @@ def ensure_pq_residual_index(
     books = train_pq_residual_codebooks(emb, centroids, m, k, iters)
     coded = pq_encode_residual(emb, centroids, books)
     coded.write.mode("overwrite").partitionBy("cell").parquet(path)
-    src = artifact_source(emb)
+    src = artifact_source(emb, key)
     write_model_sidecar(
         path, {"books": books, "centroids": centroids, "source": src}
     )

@@ -2604,7 +2604,7 @@ def _ensure_lloyd_index(emb: DataFrame) -> tuple[str, list]:
         .parquet(path)
     )
     cent_rows = [(int(r.cell), [float(x) for x in r.cv]) for r in cent.collect()]
-    src = artifact_source(emb)
+    src = artifact_source(emb, key)
     write_model_sidecar(path, {"cent_rows": cent_rows, "source": src})
     retain_latest_artifact(path, src)
     _INDEX_CACHE[key] = (path, cent_rows)
@@ -2829,7 +2829,7 @@ def _ensure_admitted_lloyd_index(emb: DataFrame) -> tuple[str, list]:
         .parquet(path)
     )
     admit_batch_lloyd(spark, path, cent_rows, batch)
-    src = artifact_source(emb)
+    src = artifact_source(emb, key)
     write_model_sidecar(path, {"cent_rows": cent_rows, "source": src})
     retain_latest_artifact(path, src)
     _INDEX_CACHE[key] = (path, cent_rows)

@@ -1649,7 +1649,7 @@ def ensure_stream_admitted_lloyd_index(emb: DataFrame) -> tuple[str, list]:
             .start()
             .awaitTermination()
         )
-        origin = artifact_source(emb)
+        origin = artifact_source(emb, key)
         write_model_sidecar(
             path, {"cent_rows": cent_rows, "source": origin}
         )
@@ -1755,7 +1755,7 @@ def ann_index_compaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spath, cent_rows = ensure_stream_admitted_lloyd_index(emb)
             compact_parquet(spark, spath, cpath, partition_by=["cell"])
-            origin = artifact_source(emb)
+            origin = artifact_source(emb, key)
             write_model_sidecar(
                 cpath, {"cent_rows": cent_rows, "source": origin}
             )

@@ -2672,8 +2672,8 @@ def chi2_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bi JOIN bt ON bi.lang = bt.lang GROUP BY bi.lang
     )
     SELECT hu.lang,
-           round(hu.h, 6) AS h_unigram,
-           round(hb.h, 6) AS h_bigram,
+           round(hu.h, 6) + 0.0 AS h_unigram,
+           round(hb.h, 6) + 0.0 AS h_bigram,
            round(hb.h - hu.h, 6) + 0.0 AS h_conditional
     FROM hu JOIN hb ON hu.lang = hb.lang
     ORDER BY hu.lang
@@ -2728,8 +2728,8 @@ def bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         hu.join(hb, "lang")
         .select(
             "lang",
-            F.round("hu", 6).alias("h_unigram"),
-            F.round("hb", 6).alias("h_bigram"),
+            norm0(F.round("hu", 6)).alias("h_unigram"),
+            norm0(F.round("hb", 6)).alias("h_bigram"),
             norm0(F.round(F.col("hb") - F.col("hu"), 6)).alias("h_conditional"),
         )
         .orderBy("lang")
@@ -5012,6 +5012,48 @@ def ffd_packing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# Heaps cutoff grid — ONE definition feeds the Spark builder and both
+# oracle f-strings (r11 review: the geometric-from-one literal was
+# stated in three places; a tweak to one would silently desynchronize
+# engine and oracle — the duplicated-definition class r10 fixed for
+# the OLS tail and this round fixed for FLAC_DEPTHS). The SQL form
+# expects an ``mx`` CTE exposing nd = max(doc_id) + 1.
+_HEAPS_GRID = (1, 2, 4, 8)
+_SQL_HEAPS_GRID = f"""grid AS (
+        SELECT CAST(c AS BIGINT) AS cutoff
+        FROM (SELECT unnest([{", ".join(map(str, _HEAPS_GRID))}]) AS c)
+        UNION
+        SELECT CAST(nd AS BIGINT) FROM mx
+    )"""
+
+# Token variance-to-mean ratio over per-document counts (Church &
+# Gale burstiness) from (df, sc, scc) integer moments — shared by
+# ``token_burstiness_census`` and ``corpus_health_census`` on both
+# engines (integer numerator/denominator, ONE double division).
+_SQL_VMR = "(df * scc - sc * sc) * 1.0 / (df * sc)"
+
+
+def _vmr_col():
+    """Spark twin of ``_SQL_VMR``."""
+    return (
+        (F.col("df") * F.col("scc") - F.col("sc") * F.col("sc")) * 1.0
+    ) / (F.col("df") * F.col("sc"))
+
+
+def _sql_zipf_xy(out: str) -> str:
+    """Zipf (lang, x, y) coordinates as chained CTEs over a CTE named
+    ``freq`` with (lang, token, cnt) — the SQL twin of ``_zipf_xy``,
+    shared by the standalone fit and the corpus-health panel."""
+    return f"""{out}_ranked AS (
+        SELECT lang, cnt,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY cnt DESC, token) AS rnk
+        FROM freq
+    ), {out} AS (
+        SELECT lang, ln(rnk) AS x, ln(cnt) AS y FROM {out}_ranked
+    )"""
+
+
 def _sql_ols_tail(n_name: str, slope_name: str, intercept_name: str) -> str:
     """Shared DuckDB tail for the per-language 5-sum OLS fits: expects
     a CTE named ``xy`` with (lang, x, y). One definition serves the
@@ -5117,14 +5159,8 @@ def _ols_per_lang(xy, n_name: str, slope_name: str, intercept_name: str):
             SELECT lang, unnest({_SQL_TOKENS}) AS token FROM documents
         )
         GROUP BY lang, token
-    ), ranked AS (
-        SELECT lang, cnt,
-               row_number() OVER (
-                   PARTITION BY lang ORDER BY cnt DESC, token) AS rnk
-        FROM freq
-    ), xy AS (
-        SELECT lang, ln(rnk) AS x, ln(cnt) AS y FROM ranked
-    ), {_sql_ols_tail("vocab", "zipf_slope", "zipf_intercept")}
+    ), {_sql_zipf_xy("xy")},
+    {_sql_ols_tail("vocab", "zipf_slope", "zipf_intercept")}
     """,
 )
 def zipf_slope_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5190,7 +5226,7 @@ def _zipf_xy(freq):
     SELECT token,
            CAST(df AS BIGINT) AS df,
            CAST(sc AS BIGINT) AS total_cnt,
-           round((df * scc - sc * sc) * 1.0 / (df * sc), 4) + 0.0 AS vmr
+           round({_SQL_VMR}, 4) + 0.0 AS vmr
     FROM stats
     ORDER BY vmr DESC, token
     LIMIT 20
@@ -5230,10 +5266,7 @@ def token_burstiness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 20)
     )
-    vmr = (
-        (F.col("df") * F.col("scc") - F.col("sc") * F.col("sc"))
-        / (F.col("df") * F.col("sc"))
-    )
+    vmr = _vmr_col()
     return (
         stats.select(
             "token",
@@ -5253,12 +5286,7 @@ def token_burstiness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, doc_id, {_SQL_TOKENS} AS ts FROM documents
     ), mx AS (
         SELECT max(doc_id) + 1 AS nd FROM lens
-    ), grid AS (
-        SELECT CAST(c AS BIGINT) AS cutoff
-        FROM (SELECT unnest([1, 2, 4, 8]) AS c)
-        UNION
-        SELECT CAST(nd AS BIGINT) FROM mx
-    ), firsts AS (
+    ), {_SQL_HEAPS_GRID}, firsts AS (
         SELECT lang, token, min(doc_id) AS first_doc
         FROM (SELECT lang, doc_id, unnest(ts) AS token FROM lens)
         GROUP BY lang, token
@@ -5328,7 +5356,7 @@ def _heaps_xy(spark, lens):
     ``heaps_law_fit`` and ``corpus_health_census``."""
     mx = lens.agg((F.max("doc_id") + 1).alias("nd"))
     grid = (
-        spark.createDataFrame([(1,), (2,), (4,), (8,)], "cutoff long")
+        spark.createDataFrame([(c,) for c in _HEAPS_GRID], "cutoff long")
         .union(mx.select(F.col("nd").cast("long").alias("cutoff")))
         .distinct()
     )
@@ -5363,22 +5391,11 @@ def _heaps_xy(spark, lens):
         SELECT lang, doc_id, unnest(ts) AS token FROM lens
     ), freq AS (
         SELECT lang, token, count(*) AS cnt FROM toks GROUP BY lang, token
-    ), ranked AS (
-        SELECT lang, cnt,
-               row_number() OVER (
-                   PARTITION BY lang ORDER BY cnt DESC, token) AS rnk
-        FROM freq
-    ), zxy AS (
-        SELECT lang, ln(rnk) AS x, ln(cnt) AS y FROM ranked
-    ), {_sql_ols_cte("zxy", "zfit", "vocab", "zipf_slope", "zipf_intercept")},
+    ), {_sql_zipf_xy("zxy")},
+    {_sql_ols_cte("zxy", "zfit", "vocab", "zipf_slope", "zipf_intercept")},
     mx AS (
         SELECT max(doc_id) + 1 AS nd FROM lens
-    ), grid AS (
-        SELECT CAST(c AS BIGINT) AS cutoff
-        FROM (SELECT unnest([1, 2, 4, 8]) AS c)
-        UNION
-        SELECT CAST(nd AS BIGINT) FROM mx
-    ), firsts AS (
+    ), {_SQL_HEAPS_GRID}, firsts AS (
         SELECT lang, token, min(doc_id) AS first_doc
         FROM toks GROUP BY lang, token
     ), vocab_at AS (
@@ -5409,8 +5426,7 @@ def _heaps_xy(spark, lens):
                count(*) AS df, sum(c) AS sc, sum(c * c) AS scc
         FROM percnt GROUP BY lang, token
     ), burst AS (
-        SELECT lang,
-               avg((df * scc - sc * sc) * 1.0 / (df * sc)) AS mean_vmr
+        SELECT lang, avg({_SQL_VMR}) AS mean_vmr
         FROM tstats GROUP BY lang
     )
     SELECT z.lang,
@@ -5418,7 +5434,7 @@ def _heaps_xy(spark, lens):
            tot.total_tokens,
            z.zipf_slope,
            h.heaps_beta,
-           round(hu.h, 6) AS h_unigram,
+           round(hu.h, 6) + 0.0 AS h_unigram,
            round(b.mean_vmr, 4) + 0.0 AS mean_vmr
     FROM zfit z
     JOIN hfit h ON h.lang = z.lang
@@ -5471,7 +5487,7 @@ def corpus_health_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     hu = (
         freq.join(tot, "lang")
         .groupBy("lang")
-        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("h_unigram"))
+        .agg(norm0(F.round(-F.sum(p * F.log(p)), 6)).alias("h_unigram"))
     )
     tstats = (
         toks.groupBy("lang", "token", "doc_id")
@@ -5483,9 +5499,7 @@ def corpus_health_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c") * F.col("c")).alias("scc"),
         )
     )
-    vmr = (
-        (F.col("df") * F.col("scc") - F.col("sc") * F.col("sc")) * 1.0
-    ) / (F.col("df") * F.col("sc"))
+    vmr = _vmr_col()
     burst = tstats.groupBy("lang").agg(
         norm0(F.round(F.avg(vmr), 4)).alias("mean_vmr")
     )

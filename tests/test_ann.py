@@ -916,6 +916,9 @@ def test_ivf_index_retention_retires_stale_snapshot(spark):
 
     from mapreduce511_spark.operators.ann import (
         _INDEX_CACHE,
+        K_CELLS,
+        KMEANS_ITERS,
+        _cache_key,
         artifact_source,
         ensure_ivf_index,
         write_model_sidecar,
@@ -926,7 +929,9 @@ def test_ivf_index_retention_retires_stale_snapshot(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     path, _ = ensure_ivf_index(emb)
     root = os.path.dirname(path)
-    src = artifact_source(emb)
+    src = artifact_source(
+        emb, _cache_key(emb, "ivf_index", K_CELLS, KMEANS_ITERS)
+    )
     assert src  # parquet-backed: retention applies
     stale = os.path.join(root, "ivf_" + "0" * 16)
     os.makedirs(stale, exist_ok=True)
@@ -940,3 +945,26 @@ def test_ivf_index_retention_retires_stale_snapshot(spark):
         assert not os.path.exists(stale), "stale snapshot kept"
     finally:
         shutil.rmtree(stale, ignore_errors=True)
+
+
+def test_artifact_group_distinguishes_params_plans_and_memory(spark):
+    """r11 review: the retention group must include the cache key's
+    non-content tail and the normalized plan — a k=8 index must never
+    retire the k=16 one, a filtered frame must never retire the full
+    frame's index (both keys stay producible within one snapshot),
+    and in-memory frames opt out entirely."""
+    from pyspark.sql import functions as F
+
+    from mapreduce511_spark.operators.ann import _cache_key, artifact_source
+    from mapreduce511_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    k8 = artifact_source(emb, _cache_key(emb, "ivf_index", 8, 3))
+    k16 = artifact_source(emb, _cache_key(emb, "ivf_index", 16, 3))
+    assert k8 and k16 and k8 != k16
+    assert k8 == artifact_source(emb, _cache_key(emb, "ivf_index", 8, 3))
+    filt = emb.filter(F.col("vec_id") % 2 == 0)
+    assert artifact_source(filt, _cache_key(filt, "ivf_index", 8, 3)) != k8
+    mem = spark.createDataFrame([(1, [0.0])], ["vec_id", "embedding"])
+    assert artifact_source(mem, _cache_key(mem, "ivf_index", 8, 3)) == ""
