@@ -81,11 +81,13 @@ _WINDOW_LEDGER_MAX: int = 10
 
 _ENUMERATE_FIRST: list[str] = [
     # ROUND 11 regeneration: `python tools/gen_enum_first.py --restamp`
-    # over the ledger through r10 (stamp above).  The one round-11
-    # debut (corpus_health_census) front-loads per the debut-round
-    # guard; the next 22 slots drain the remaining r04-stale names
-    # alphabetically; the rest are the oldest r05 names.
+    # over the ledger through r10 (stamp above).  The two round-11
+    # debuts (corpus_health_census, t_closeness_census) front-load
+    # per the debut-round guard; the next slots drain the remaining
+    # r04-stale names alphabetically; the rest are the oldest r05
+    # names.
     "corpus_health_census",  # new
+    "t_closeness_census",  # new
     "mad_value_anomaly",  # r04
     "multimodal_frame_sample",  # r04
     "multimodal_png_stats",  # r04
@@ -134,7 +136,6 @@ _ENUMERATE_FIRST: list[str] = [
     "minhash_jaccard_estimate",  # r05
     "mixture_epochs_plan",  # r05
     "multimodal_jpeg_stats",  # r05
-    "quality_classifier_score",  # r05
 ]
 
 

@@ -4163,6 +4163,175 @@ def k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_closeness_census",
+    oracle="""
+    WITH base AS (
+        SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+               CAST(floor(c.c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               least(count(o.o_orderkey), 9) AS sb
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_nationkey, c.c_mktsegment,
+                 CAST(floor(c.c_acctbal / 1000.0) AS BIGINT)
+    ), g AS (
+        SELECT sb, count(*) AS gi FROM base GROUP BY sb
+    ), tots AS (
+        SELECT CAST(count(*) AS BIGINT) AS nn,
+               (SELECT count(*) FROM g) AS nb
+        FROM base
+    ), cls AS (
+        SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS ni
+        FROM base GROUP BY 1, 2, 3
+    ), cc AS (
+        SELECT c_nationkey, c_mktsegment, bal_band, sb, count(*) AS ci
+        FROM base GROUP BY 1, 2, 3, 4
+    ), dense AS (
+        SELECT cls.c_nationkey, cls.c_mktsegment, cls.bal_band,
+               cls.ni, g.sb, g.gi, coalesce(cc.ci, 0) AS ci
+        FROM cls CROSS JOIN g
+        LEFT JOIN cc
+          ON cc.c_nationkey = cls.c_nationkey
+         AND cc.c_mktsegment = cls.c_mktsegment
+         AND cc.bal_band = cls.bal_band
+         AND cc.sb = g.sb
+    ), cum AS (
+        SELECT c_nationkey, c_mktsegment, bal_band, ni,
+               sum(ci * tots.nn - gi * ni) OVER (
+                   PARTITION BY c_nationkey, c_mktsegment, bal_band
+                   ORDER BY sb
+               ) AS cj,
+               tots.nn AS nn, tots.nb AS nb
+        FROM dense CROSS JOIN tots
+    ), emd AS (
+        SELECT c_nationkey, c_mktsegment, bal_band, ni,
+               CASE WHEN max(nb) > 1
+                    THEN CAST(sum(abs(cj)) AS DOUBLE)
+                         / (ni * max(nn) * (max(nb) - 1))
+                    ELSE 0.0 END AS t
+        FROM cum GROUP BY c_nationkey, c_mktsegment, bal_band, ni
+    ), banded AS (
+        SELECT CASE WHEN ni = 1 THEN 'k=1 (unique)'
+                    WHEN ni < 5 THEN 'k=2-4'
+                    WHEN ni < 10 THEN 'k=5-9'
+                    ELSE 'k>=10' END AS band,
+               ni, t
+        FROM emd
+    )
+    SELECT band,
+           count(*) AS n_classes,
+           CAST(sum(ni) AS BIGINT) AS n_rows,
+           round(max(t), 4) + 0.0 AS max_t,
+           round(avg(t), 4) + 0.0 AS avg_t
+    FROM banded
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def t_closeness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    third rung of the privacy-audit ladder after ``k_anonymity_census``
+    (class sizes) and its l-diversity column (distinct sensitive
+    values): per QI equivalence class, the Earth Mover's Distance
+    between the class's SENSITIVE-attribute distribution and the
+    global one, reported as max/avg per risk band. The sensitive
+    attribute is purchasing behavior — each customer's order count
+    capped into ordered bands 0..9 off a customer⋈orders rollup — so
+    the QI (demographics) and the sensitive dimension are genuinely
+    different tables. l-diversity misses skew (a class can hold many
+    distinct but near-identical sensitive values); EMD catches it.
+
+    Numeric discipline: for ordered bands, EMD = Σ_j |C_j| /
+    (n_i · N · (B-1)) with C_j = Σ_{{i<=j}} (c_i·N − g_i·n_i) — the
+    cumulative term is INTEGER-EXACT (counts cross-multiplied before
+    any division), so each class's t is one double division on both
+    engines; only the band-level avg sees float summation order,
+    absorbed by round-4 + the signed-zero normalization. The B=1
+    degenerate case takes an exact 0.0 branch stated identically in
+    both engines.
+
+    Scale shape: one customer⋈orders aggregation (orders shuffles on
+    its foreign key once), then everything is |classes| x B rows —
+    the dense class-band spine is a broadcast-sized cross join
+    against the B<=10-row global histogram, the cumulative sum is a
+    window over B rows per class, never over customers. Same 100 TB
+    posture as any distinct-count census.
+
+    Reference basis: extension tier — data-governance family beside
+    ``k_anonymity_census`` / ``pii_screen_census`` (SURVEY.md §2
+    extensions); no analog in /root/reference/analyze."""
+    from pyspark.sql import Window
+
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    base = (
+        cust.join(
+            orders, orders.o_custkey == cust.c_custkey, "left"
+        )
+        .groupBy(
+            "c_custkey",
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0)
+            .cast("long")
+            .alias("bal_band"),
+        )
+        .agg(F.least(F.count("o_orderkey"), F.lit(9)).alias("sb"))
+    )
+    g = base.groupBy("sb").agg(F.count("*").alias("gi"))
+    tots = base.crossJoin(F.broadcast(g.agg(F.count("*").alias("nb")))).agg(
+        F.count("*").alias("nn"), F.max("nb").alias("nb")
+    )
+    cls = base.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").alias("ni")
+    )
+    cc = base.groupBy("c_nationkey", "c_mktsegment", "bal_band", "sb").agg(
+        F.count("*").alias("ci")
+    )
+    dense = (
+        cls.crossJoin(F.broadcast(g))
+        .join(cc, ["c_nationkey", "c_mktsegment", "bal_band", "sb"], "left")
+        .withColumn("ci", F.coalesce(F.col("ci"), F.lit(0)))
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment", "bal_band")
+        .orderBy("sb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dense.crossJoin(F.broadcast(tots)).withColumn(
+        "cj",
+        F.sum(
+            F.col("ci") * F.col("nn") - F.col("gi") * F.col("ni")
+        ).over(w),
+    )
+    emd = cum.groupBy("c_nationkey", "c_mktsegment", "bal_band", "ni").agg(
+        F.when(
+            F.max("nb") > 1,
+            F.sum(F.abs(F.col("cj"))).cast("double")
+            / (F.col("ni") * F.max("nn") * (F.max("nb") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("t")
+    )
+    banded = emd.select(
+        F.when(F.col("ni") == 1, "k=1 (unique)")
+        .when(F.col("ni") < 5, "k=2-4")
+        .when(F.col("ni") < 10, "k=5-9")
+        .otherwise("k>=10")
+        .alias("band"),
+        "ni",
+        "t",
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("ni").alias("n_rows"),
+            norm0(F.round(F.max("t"), 4)).alias("max_t"),
+            norm0(F.round(F.avg("t"), 4)).alias("avg_t"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
     "copurchase_assortativity",
     oracle="""
     WITH ppo AS (

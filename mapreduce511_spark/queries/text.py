@@ -5353,17 +5353,28 @@ def _heaps_xy(spark, lens):
     """(lang, x, y) Heaps coordinates from a (lang, doc_id, ts)
     tokenized frame: x = ln(tokens), y = ln(vocabulary) at the
     geometric-from-one cutoff grid {1, 2, 4, 8, nd}. Shared by
-    ``heaps_law_fit`` and ``corpus_health_census``."""
-    mx = lens.agg((F.max("doc_id") + 1).alias("nd"))
-    grid = (
-        spark.createDataFrame([(c,) for c in _HEAPS_GRID], "cutoff long")
-        .union(mx.select(F.col("nd").cast("long").alias("cutoff")))
-        .distinct()
-    )
+    ``heaps_law_fit`` and (via ``_heaps_xy_from``, which the panel
+    feeds from its checkpointed vocabulary aggregate)
+    ``corpus_health_census``."""
     firsts = (
         lens.select("lang", "doc_id", F.explode("ts").alias("token"))
         .groupBy("lang", "token")
         .agg(F.min("doc_id").alias("first_doc"))
+    )
+    doclens = lens.select(
+        "lang", "doc_id", F.size("ts").alias("nt")
+    )
+    return _heaps_xy_from(spark, firsts, doclens)
+
+
+def _heaps_xy_from(spark, firsts, doclens):
+    """The fit's joins over pre-reduced parts: ``firsts`` is
+    (lang, token, first_doc) and ``doclens`` is (lang, doc_id, nt)."""
+    mx = doclens.agg((F.max("doc_id") + 1).alias("nd"))
+    grid = (
+        spark.createDataFrame([(c,) for c in _HEAPS_GRID], "cutoff long")
+        .union(mx.select(F.col("nd").cast("long").alias("cutoff")))
+        .distinct()
     )
     vocab_at = (
         firsts.join(
@@ -5373,9 +5384,9 @@ def _heaps_xy(spark, lens):
         .agg(F.count("*").alias("v"))
     )
     tokens_at = (
-        lens.join(F.broadcast(grid), F.col("doc_id") < F.col("cutoff"))
+        doclens.join(F.broadcast(grid), F.col("doc_id") < F.col("cutoff"))
         .groupBy("lang", "cutoff")
-        .agg(F.sum(F.size("ts")).alias("t"))
+        .agg(F.sum("nt").alias("t"))
     )
     return vocab_at.join(tokens_at, ["lang", "cutoff"]).select(
         "lang", F.log("t").alias("x"), F.log("v").alias("y")
@@ -5456,13 +5467,15 @@ def corpus_health_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pipeline smoke alarm to read BEFORE paying for dedup or
     training runs.
 
-    Scale shape: every panel column derives from the SAME tokenized
-    base — one (lang, token) count shuffle feeds Zipf, totals and
-    entropy; one (lang, token, doc) count feeds burstiness; the
-    Heaps curve is the first-occurrence min-agg against the
-    broadcast cutoff grid. No windows over the token stream (the
-    Zipf rank window runs over the per-language VOCABULARY), no
-    driver collection, and both OLS fits share
+    Scale shape: the corpus is tokenized exactly TWICE — one
+    exploded (lang, token, doc) -> (lang, token) aggregation pipeline
+    whose vocabulary-sized result is eagerly checkpointed and feeds
+    Zipf, totals, entropy, burstiness AND the Heaps first-occurrence
+    column in one pass, and one explode-free doc-length scan for the
+    token-prefix totals. Every join after that is vocabulary- or
+    grid-sized. No windows over the token stream (the Zipf rank
+    window runs over the per-language VOCABULARY), no driver
+    collection, and both OLS fits share
     ``_ols_per_lang``/``_sql_ols_cte`` — the degeneracy-branched,
     signed-zero-normalized helpers every fit in the repo uses.
 
@@ -5472,13 +5485,43 @@ def corpus_health_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bigram_entropy_rate``); SURVEY.md §2 extensions."""
     docs = load_table(spark, sf_dir, "documents")
     lens = docs.select("lang", "doc_id", tokenize("text").alias("ts"))
-    toks = lens.select("lang", "doc_id", F.explode("ts").alias("token"))
-    freq = toks.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
+    # ONE exploded aggregation carries every per-(lang, token) fact
+    # the panel needs — count moments for burstiness, the total count
+    # (sc) for Zipf/entropy, the first-occurrence doc for Heaps — and
+    # the result is VOCABULARY-sized, so the eager localCheckpoint is
+    # tiny and every downstream branch reads it instead of re-scanning
+    # and re-exploding the corpus (the naive composition planned 9
+    # corpus scans; this plans 2: the explode pipeline and the
+    # no-explode doc-length pass).
+    tstats = (
+        lens.select("lang", "doc_id", F.explode("ts").alias("token"))
+        .groupBy("lang", "token", "doc_id")
+        .agg(F.count("*").alias("c"))
+        .groupBy("lang", "token")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("c").alias("sc"),
+            F.sum(F.col("c") * F.col("c")).alias("scc"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    freq = tstats.select("lang", "token", F.col("sc").alias("cnt"))
+    # |docs|-sized and consumed twice (max-doc grid + prefix totals):
+    # checkpointing it keeps the returned plan at ONE corpus pass
+    doclens = lens.select(
+        "lang", "doc_id", F.size("ts").alias("nt")
+    ).localCheckpoint(eager=True)
     zfit = _ols_per_lang(
         _zipf_xy(freq), "vocab", "zipf_slope", "zipf_intercept"
     ).select("lang", "vocab", "zipf_slope")
     hfit = _ols_per_lang(
-        _heaps_xy(spark, lens), "h_points", "heaps_beta", "heaps_logk"
+        _heaps_xy_from(
+            spark, tstats.select("lang", "token", "first_doc"), doclens
+        ),
+        "h_points",
+        "heaps_beta",
+        "heaps_logk",
     ).select("lang", "heaps_beta")
     tot = freq.groupBy("lang").agg(
         F.sum("cnt").cast("long").alias("total_tokens")
@@ -5488,16 +5531,6 @@ def corpus_health_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         freq.join(tot, "lang")
         .groupBy("lang")
         .agg(norm0(F.round(-F.sum(p * F.log(p)), 6)).alias("h_unigram"))
-    )
-    tstats = (
-        toks.groupBy("lang", "token", "doc_id")
-        .agg(F.count("*").alias("c"))
-        .groupBy("lang", "token")
-        .agg(
-            F.count("*").alias("df"),
-            F.sum("c").alias("sc"),
-            F.sum(F.col("c") * F.col("c")).alias("scc"),
-        )
     )
     vmr = _vmr_col()
     burst = tstats.groupBy("lang").agg(

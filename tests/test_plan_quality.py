@@ -578,6 +578,9 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("queries/text.py", "temperature_mixture_sample", "n_min"): "1-row",
     ("queries/text.py", "temperature_mixture_sample", "rates"): "per-lang",
     ("queries/text.py", "_heaps_xy", "grid"): "const: <=5 cutoff rows",
+    ("queries/relational.py", "t_closeness_census", "g"): "const: <=10 sensitive bands",
+    ("queries/relational.py", "t_closeness_census", "g.agg(F.count('*').alias('nb'))"): "1-row",
+    ("queries/relational.py", "t_closeness_census", "tots"): "1-row",
     ("queries/text.py", "textrank_keywords", "n"): "1-row",
     ("queries/text.py", "tfidf_top_terms", "n"): "1-row",
     ("queries/text.py", "token_kl_by_lang", "ctot"): "1-row",
@@ -933,6 +936,21 @@ def test_heaps_fit_avoids_cumulative_distinct(spark):
     plan = _plan(spark, "heaps_law_fit")
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 5-row grid range join
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_health_panel_shares_one_tokenized_base(spark):
+    """r11: the panel's returned plan must reference only its two
+    eagerly-checkpointed intermediates (vocabulary-sized token stats
+    + doc lengths) — a documents FileScan in the returned plan means
+    some branch re-tokenizes the corpus (the naive composition
+    planned NINE corpus scans; the checkpointed shape plans two at
+    construction and zero afterwards)."""
+    plan = _plan(spark, "corpus_health_census")
+    assert "documents.parquet" not in plan, (
+        "a panel branch re-scans the corpus:\n" + plan[:2000]
+    )
+    assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
 
 
