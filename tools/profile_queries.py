@@ -388,6 +388,33 @@ bring-up cost of the two streaming queries (~5.5-6 s floor at fixture
 scale) is the documented availableNow drain overhead, not state-store
 growth.
 
+## Driver-mirror parity at sf0.01: full-registry re-proof (round 11) — STRICT CANON
+
+The r10 verdict's worst finding was structural: the mirror's `_canon`
+collapsed `-0.0` to `0.0` (an r5 convenience) while the driver's hash
+distinguishes signed zeros, so the in-repo parity pin could pass a
+tree the driver fails — and did (`heaps_law_fit`, the first driver-red
+row in ten rounds). Round 11 removed the collapse (the mirror is now
+at least as strict as the driver), normalized signed zero at the
+QUERY level across every epsilon-capable rounded output (shared
+`norm0` helper + exact degeneracy branches in the shared OLS tail),
+and re-proved the registry under the strict compare TWICE:
+
+```
+SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
+322 passed in 519.56s   (strict-canon sweep, immediately after the norm0/OLS fixes)
+324 passed in 590.23s   (FINAL r11 tree: 323 queries — 279 exact oracles + 44 rows-only)
+```
+
+The first run was the flush-out sweep the verdict asked for: with the
+collapse gone, any other ±0-divergent output in the 277 then-oracled
+queries would have gone red — none did beyond the already-fixed
+`heaps_law_fit` class. The second run post-dates every r11 commit
+(GIF transparency/disposal-3 oracle, corpus-health panel,
+t-closeness, retention, self-review fixes), so the pinned record is
+of the shipped tree and covers both r11 debuts plus the widened
+`k_anonymity_census`.
+
 ## r09->r10 bench movers: NOISE (same-session min-of-5, round 11)
 
 The r10 VERDICT flagged two untouched queries moving >20% between the
