@@ -81,13 +81,14 @@ _WINDOW_LEDGER_MAX: int = 10
 
 _ENUMERATE_FIRST: list[str] = [
     # ROUND 11 regeneration: `python tools/gen_enum_first.py --restamp`
-    # over the ledger through r10 (stamp above).  The two round-11
-    # debuts (corpus_health_census, t_closeness_census) front-load
-    # per the debut-round guard; the next slots drain the remaining
-    # r04-stale names alphabetically; the rest are the oldest r05
-    # names.
+    # over the ledger through r10 (stamp above).  The three round-11
+    # debuts (corpus_health_census, t_closeness_census,
+    # dp_noisy_count_release) front-load per the debut-round guard;
+    # the next slots drain the remaining r04-stale names
+    # alphabetically; the rest are the oldest r05 names.
     "corpus_health_census",  # new
     "t_closeness_census",  # new
+    "dp_noisy_count_release",  # new
     "mad_value_anomaly",  # r04
     "multimodal_frame_sample",  # r04
     "multimodal_png_stats",  # r04
@@ -135,7 +136,6 @@ _ENUMERATE_FIRST: list[str] = [
     "lsh_recall_curve",  # r05
     "minhash_jaccard_estimate",  # r05
     "mixture_epochs_plan",  # r05
-    "multimodal_jpeg_stats",  # r05
 ]
 
 

@@ -4332,6 +4332,78 @@ def t_closeness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dp_noisy_count_release",
+    oracle="""
+    WITH grp AS (
+        SELECT c_nationkey, count(*) AS n FROM customer GROUP BY c_nationkey
+    ), seeded AS (
+        SELECT c_nationkey, n,
+               (CAST('0x' || substr(md5(CAST(c_nationkey AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 16777216 + 0.5) / 16777216.0 AS u
+        FROM grp
+    ), noised AS (
+        SELECT c_nationkey, n,
+               -2.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)) AS noise
+        FROM seeded
+    )
+    SELECT c_nationkey,
+           CAST(n AS BIGINT) AS true_count,
+           round(n + noise, 4) + 0.0 AS noisy_count,
+           round(abs(noise), 4) + 0.0 AS noise_abs,
+           0.5 AS epsilon
+    FROM noised
+    ORDER BY c_nationkey
+    """,
+)
+def dp_noisy_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Dwork et al. 2006) — the
+    fourth rung of the privacy-audit ladder after k-anonymity,
+    l-diversity and t-closeness: per-nation customer counts released
+    through the Laplace mechanism at epsilon = 0.5 (sensitivity 1 for
+    a count), with the true count and realized noise beside the
+    release so the census doubles as a utility audit (how much
+    accuracy the epsilon buys at this group size).
+
+    The Laplace draw is the standard inverse-CDF transform
+    noise = -(1/eps) * sign(u - 1/2) * ln(1 - 2|u - 1/2|) over a
+    uniform u — here md5-DERIVED per group (the repo's deterministic
+    sampling idiom, ``hash60``) so the release is reproducible and
+    the whole mechanism sits under the exact oracle. A production
+    release swaps the hash for a CSPRNG draw — the mechanism,
+    sensitivity accounting and utility columns are unchanged; what
+    this census verifies is the TRANSFORM, exactly. Numeric
+    discipline: u is a dyadic rational (exact on both engines), the
+    only cross-engine float is one ln() per group, absorbed by
+    round-4 + the signed-zero normalization.
+
+    Scale shape: one map-side-combinable count shuffle, then O(groups)
+    rows of scalar arithmetic — the cheapest census shape there is.
+
+    Reference basis: extension tier — data-governance family closing
+    the ``k_anonymity_census`` / ``t_closeness_census`` arc
+    (SURVEY.md §2 extensions); no analog in /root/reference/analyze."""
+    from mapreduce511_spark.operators.dedup import hash60
+
+    (cust,) = _t(spark, sf_dir, "customer")
+    grp = cust.groupBy("c_nationkey").agg(F.count("*").alias("n"))
+    u = (
+        hash60(F.col("c_nationkey").cast("string")) % 16777216 + 0.5
+    ) / 16777216.0
+    noise = (
+        F.lit(-2.0)
+        * F.signum(u - 0.5)
+        * F.log(1 - 2 * F.abs(u - 0.5))
+    )
+    return grp.select(
+        "c_nationkey",
+        F.col("n").cast("long").alias("true_count"),
+        norm0(F.round(F.col("n") + noise, 4)).alias("noisy_count"),
+        norm0(F.round(F.abs(noise), 4)).alias("noise_abs"),
+        F.lit(0.5).alias("epsilon"),
+    ).orderBy("c_nationkey")
+
+
+@register(
     "copurchase_assortativity",
     oracle="""
     WITH ppo AS (

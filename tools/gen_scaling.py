@@ -187,6 +187,7 @@ PICKS = {
     "k_anonymity_census": "linear QI aggregation (map-side combinable); rollup over |QI-classes| rows",
     "corpus_health_census": "linear token-stream aggregations collapsing to vocabulary size; both OLS fits reduce 5 sums per language",
     "t_closeness_census": "one orders-keyed shuffle; everything after is n_classes x <=10 rows",
+    "dp_noisy_count_release": "one count shuffle; noise is per-group scalar arithmetic",
     "heaps_law_fit": "one (lang, token) min-shuffle + 5-row grid broadcasts; OLS over 5 points per lang",
     "copurchase_assortativity": "wedge-shaped degree joins linear in edges; one 4-sum reduce",
 }

@@ -103,6 +103,7 @@ PICKS = {
     "k_anonymity_census": "QI groupBy combines map-side; band rollup shuffles <= |classes| rows",
     "corpus_health_census": "shared tokenized base; vocabulary-sized shuffles; 5-sum OLS reduces per language",
     "t_closeness_census": "orders rollup shuffles once; integer-exact EMD over the class-band spine",
+    "dp_noisy_count_release": "one combinable count shuffle; O(groups) Laplace transform",
     "heaps_law_fit": "first-occurrence min shuffle over (lang, token); 5-row grid broadcasts",
     "copurchase_assortativity": "edge-degree joins; shuffle bounded by edges, output one row",
 }
@@ -403,17 +404,18 @@ and re-proved the registry under the strict compare TWICE:
 ```
 SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
 322 passed in 519.56s   (strict-canon sweep, immediately after the norm0/OLS fixes)
-324 passed in 590.23s   (FINAL r11 tree: 323 queries — 279 exact oracles + 44 rows-only)
+324 passed in 590.23s   (post-debut tree: corpus-health panel + t-closeness)
+325 passed in 676.11s   (FINAL r11 tree: 324 queries — 280 exact oracles + 44 rows-only)
 ```
 
 The first run was the flush-out sweep the verdict asked for: with the
 collapse gone, any other ±0-divergent output in the 277 then-oracled
 queries would have gone red — none did beyond the already-fixed
-`heaps_law_fit` class. The second run post-dates every r11 commit
+`heaps_law_fit` class. The final run post-dates every r11 change
 (GIF transparency/disposal-3 oracle, corpus-health panel,
-t-closeness, retention, self-review fixes), so the pinned record is
-of the shipped tree and covers both r11 debuts plus the widened
-`k_anonymity_census`.
+t-closeness, the DP count release, retention, self-review fixes), so
+the pinned record is of the shipped tree and covers all three r11
+debuts plus the widened `k_anonymity_census`.
 
 ## r09->r10 bench movers: NOISE (same-session min-of-5, round 11)
 
