@@ -417,6 +417,29 @@ t-closeness, the DP count release, retention, self-review fixes), so
 the pinned record is of the shipped tree and covers all three r11
 debuts plus the widened `k_anonymity_census`.
 
+## Round-11 self-bench (local[32], sf0.1, final tree)
+
+A full `bench.py` run on the shipped r11 tree, for comparison against
+the driver's official BENCH_r11 artifact: suite total **605.4 s over
+324 queries** (r10 artifact: 791.1 s over 321), frozen 20-query
+canary **13.08 s** (r10: 12.67 s, +3% — flat), WordCount steady
+**0.224 s = 1,207,908 tokens/s**, steady production total **425.4 s**
+(r10: 438.0 s with three fewer queries), spec tier 48.7 s (flat). The
+three r11 debuts are cheap at steady state: `corpus_health_census`
+1.49 s (the checkpointed shared-base shape), `t_closeness_census`
+0.70 s, `dp_noisy_count_release` 0.17 s; `gif_animation_census` holds
+0.61 s despite the r11 transparency/disposal-3 composition model, and
+`heaps_law_fit` holds 0.80 s on the geometric grid.
+
+Three queries looked elevated in this run's one-shot steadies and
+were min-of-5 adjudicated in the same session, quiet machine — all
+NOISE: `token_freq_histogram` 8.49 -> **0.50 s** (runs
+.63/.58/.57/.54/.50 — the 8.49 was a pure hypervisor-steal outlier),
+`stream_state_metrics_census` 8.71 -> **4.37 s**,
+`copurchase_triangles` 8.37 -> **4.82 s** (control wordcount 0.28 s).
+If the driver's BENCH_r11 shows the same spikes, this section is the
+same-session adjudication.
+
 ## r09->r10 bench movers: NOISE (same-session min-of-5, round 11)
 
 The r10 VERDICT flagged two untouched queries moving >20% between the
