@@ -487,13 +487,28 @@ def artifact_source(df: DataFrame, key: tuple = ()) -> str:
     files = "|".join(sorted(df.inputFiles()))
     if not files:
         return ""
+    # anchored to a word character so only attribute references
+    # (name#123) normalize — a string LITERAL like '#1' in a filter
+    # prints unanchored and must keep distinguishing plans (r11
+    # review: collapsing literals could merge two live groups)
     plan = re.sub(
-        r"#\d+", "#", df._jdf.queryExecution().logical().toString()
+        r"(?<=\w)#\d+", "#", df._jdf.queryExecution().logical().toString()
     )
     return repr((files, plan, key[2:]))
 
 
-def retain_latest_artifact(keep: str, source: str) -> None:
+def legacy_source(df: DataFrame) -> str:
+    """The r11 pre-review retention group (plain joined input files,
+    no plan/params): passed alongside the current group so the
+    handful of sidecars written under that one-session-old format
+    still get retired when their corpus rewrites, instead of leaking
+    one orphan dir per format change."""
+    return "|".join(sorted(df.inputFiles()))
+
+
+def retain_latest_artifact(
+    keep: str, source: str, legacy: str = ""
+) -> None:
     """Keep-latest-per-source on-disk retention for the content-
     fingerprinted index artifacts (r10 VERDICT item 6: every corpus
     rewrite minted a new ``{prefix}_{tag}`` dir forever — the
@@ -527,8 +542,21 @@ def retain_latest_artifact(keep: str, source: str) -> None:
         if not os.path.isdir(d):
             continue
         side = load_model_sidecar(d, require_success=False)
-        if side is not None and side.get("source") == source:
+        if side is None:
+            continue
+        sib_src = side.get("source")
+        if sib_src == source or (legacy and sib_src == legacy):
             shutil.rmtree(d, ignore_errors=True)
+            # a session-cached key may still point at the retired dir
+            # (byte-for-byte data reverts re-produce old keys); evict
+            # so the next hit rebuilds instead of reading a deleted
+            # path (r11 review)
+            for k in [
+                k
+                for k, v in _INDEX_CACHE.items()
+                if isinstance(v, tuple) and v and v[0] == d
+            ]:
+                del _INDEX_CACHE[k]
 
 
 def write_model_sidecar(path: str, model) -> None:
@@ -565,7 +593,7 @@ def ensure_ivf_index(
     ivf_write_partitioned(emb, centroids, path)
     src = artifact_source(emb, key)
     write_model_sidecar(path, {"centroids": centroids, "source": src})
-    retain_latest_artifact(path, src)
+    retain_latest_artifact(path, src, legacy_source(emb))
     _INDEX_CACHE[key] = (path, centroids)
     return path, centroids
 
@@ -609,7 +637,7 @@ def ensure_pq_index(
     write_model_sidecar(
         path, {"books": books, "centroids": centroids, "source": src}
     )
-    retain_latest_artifact(path, src)
+    retain_latest_artifact(path, src, legacy_source(emb))
     _INDEX_CACHE[key] = (path, books, centroids)
     return path, books, centroids
 
@@ -641,7 +669,7 @@ def ensure_pq_residual_index(
     write_model_sidecar(
         path, {"books": books, "centroids": centroids, "source": src}
     )
-    retain_latest_artifact(path, src)
+    retain_latest_artifact(path, src, legacy_source(emb))
     _INDEX_CACHE[key] = (path, books, centroids)
     return path, books, centroids
 

@@ -4248,12 +4248,15 @@ def t_closeness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate case takes an exact 0.0 branch stated identically in
     both engines.
 
-    Scale shape: one customer⋈orders aggregation (orders shuffles on
-    its foreign key once), then everything is |classes| x B rows —
-    the dense class-band spine is a broadcast-sized cross join
-    against the B<=10-row global histogram, the cumulative sum is a
-    window over B rows per class, never over customers. Same 100 TB
-    posture as any distinct-count census.
+    Scale shape: ONE customer⋈orders aggregation reduced straight to
+    the class-band count table — the smallest complete sufficient
+    statistic, |classes| x B rows — which is eagerly checkpointed so
+    the class sizes, global histogram and totals all roll up from it
+    without re-executing the join. Everything downstream is
+    |classes| x B rows: the dense spine is a broadcast-sized cross
+    join against the B<=10-row global histogram, and the cumulative
+    sum is a window over B rows per class, never over customers.
+    Same 100 TB posture as any distinct-count census.
 
     Reference basis: extension tier — data-governance family beside
     ``k_anonymity_census`` / ``pii_screen_census`` (SURVEY.md §2
@@ -4275,15 +4278,25 @@ def t_closeness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.least(F.count("o_orderkey"), F.lit(9)).alias("sb"))
     )
-    g = base.groupBy("sb").agg(F.count("*").alias("gi"))
-    tots = base.crossJoin(F.broadcast(g.agg(F.count("*").alias("nb")))).agg(
-        F.count("*").alias("nn"), F.max("nb").alias("nb")
+    # the class-band count table is the SMALLEST complete sufficient
+    # statistic (|classes| x B rows) — every other aggregate (class
+    # sizes, global histogram, totals) is a rollup of it, so the
+    # eager checkpoint HERE runs the customer-orders join exactly
+    # once and materializes kilobytes (r11 review: checkpointing the
+    # |customers|-sized base cost 5x the whole query at fixture
+    # scale; the naive un-checkpointed composition re-executed the
+    # join three times)
+    cc = (
+        base.groupBy("c_nationkey", "c_mktsegment", "bal_band", "sb")
+        .agg(F.count("*").alias("ci"))
+        .localCheckpoint(eager=True)
     )
-    cls = base.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
-        F.count("*").alias("ni")
+    cls = cc.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.sum("ci").alias("ni")
     )
-    cc = base.groupBy("c_nationkey", "c_mktsegment", "bal_band", "sb").agg(
-        F.count("*").alias("ci")
+    g = cc.groupBy("sb").agg(F.sum("ci").alias("gi"))
+    tots = cc.agg(
+        F.sum("ci").alias("nn"), F.countDistinct("sb").alias("nb")
     )
     dense = (
         cls.crossJoin(F.broadcast(g))

@@ -2578,6 +2578,7 @@ def _ensure_lloyd_index(emb: DataFrame) -> tuple[str, list]:
         _cache_key,
         _index_path,
         artifact_source,
+        legacy_source,
         load_model_sidecar,
         retain_latest_artifact,
         write_model_sidecar,
@@ -2606,7 +2607,7 @@ def _ensure_lloyd_index(emb: DataFrame) -> tuple[str, list]:
     cent_rows = [(int(r.cell), [float(x) for x in r.cv]) for r in cent.collect()]
     src = artifact_source(emb, key)
     write_model_sidecar(path, {"cent_rows": cent_rows, "source": src})
-    retain_latest_artifact(path, src)
+    retain_latest_artifact(path, src, legacy_source(emb))
     _INDEX_CACHE[key] = (path, cent_rows)
     return path, cent_rows
 
@@ -2796,6 +2797,7 @@ def _ensure_admitted_lloyd_index(emb: DataFrame) -> tuple[str, list]:
         _index_path,
         admit_batch_lloyd,
         artifact_source,
+        legacy_source,
         load_model_sidecar,
         retain_latest_artifact,
         write_model_sidecar,
@@ -2831,7 +2833,7 @@ def _ensure_admitted_lloyd_index(emb: DataFrame) -> tuple[str, list]:
     admit_batch_lloyd(spark, path, cent_rows, batch)
     src = artifact_source(emb, key)
     write_model_sidecar(path, {"cent_rows": cent_rows, "source": src})
-    retain_latest_artifact(path, src)
+    retain_latest_artifact(path, src, legacy_source(emb))
     _INDEX_CACHE[key] = (path, cent_rows)
     return path, cent_rows
 

@@ -1580,6 +1580,7 @@ def ensure_stream_admitted_lloyd_index(emb: DataFrame) -> tuple[str, list]:
         _cache_key,
         _index_path,
         artifact_source,
+        legacy_source,
         load_model_sidecar,
         retain_latest_artifact,
         write_model_sidecar,
@@ -1653,7 +1654,7 @@ def ensure_stream_admitted_lloyd_index(emb: DataFrame) -> tuple[str, list]:
         write_model_sidecar(
             path, {"cent_rows": cent_rows, "source": origin}
         )
-        retain_latest_artifact(path, origin)
+        retain_latest_artifact(path, origin, legacy_source(emb))
         _INDEX_CACHE[key] = (path, cent_rows)
         return path, cent_rows
     finally:
@@ -1743,6 +1744,7 @@ def ann_index_compaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _INDEX_CACHE:
         from mapreduce511_spark.operators.ann import (
             artifact_source,
+            legacy_source,
             load_model_sidecar,
             retain_latest_artifact,
             write_model_sidecar,
@@ -1759,7 +1761,7 @@ def ann_index_compaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             write_model_sidecar(
                 cpath, {"cent_rows": cent_rows, "source": origin}
             )
-            retain_latest_artifact(cpath, origin)
+            retain_latest_artifact(cpath, origin, legacy_source(emb))
             _INDEX_CACHE[key] = (cpath, cent_rows)
     cpath, _ = _INDEX_CACHE[key]
     af = read_parquet_checked(spark, cpath)

@@ -905,6 +905,40 @@ def test_retain_latest_artifact_scopes_prefix_and_source(tmp_path):
     before = sorted(os.listdir(root))
     retain_latest_artifact(str(keep), "")
     assert sorted(os.listdir(root)) == before  # empty source: no-op
+    # legacy-format sidecars (r11 pre-review: plain joined files, no
+    # plan/params) retire when passed as the legacy group — the
+    # one-session-old format must not leak orphan dirs forever
+    old_fmt = mk("lloyd_" + "9" * 16, {"source": "file:/e.parquet"})
+    retain_latest_artifact(str(keep), "S", legacy="file:/e.parquet")
+    assert not old_fmt.exists() and keep.exists()
+
+
+def test_retention_evicts_stale_index_cache_entries(tmp_path):
+    """r11 review: a session cache entry pointing at a retired dir
+    must be evicted — a byte-for-byte data revert re-produces the old
+    cache key, and serving the deleted path would crash the read
+    instead of rebuilding."""
+    from mapreduce511_spark.operators.ann import (
+        _INDEX_CACHE,
+        retain_latest_artifact,
+        write_model_sidecar,
+    )
+
+    root = tmp_path / "ann_index"
+    root.mkdir()
+    keep = root / ("ivf_" + "a" * 16)
+    stale = root / ("ivf_" + "b" * 16)
+    for d in (keep, stale):
+        d.mkdir()
+        write_model_sidecar(str(d), {"source": "S"})
+    sentinel = ("fake-key-r11-eviction",)
+    _INDEX_CACHE[sentinel] = (str(stale), ["model"])
+    try:
+        retain_latest_artifact(str(keep), "S")
+        assert not stale.exists()
+        assert sentinel not in _INDEX_CACHE
+    finally:
+        _INDEX_CACHE.pop(sentinel, None)
 
 
 def test_ivf_index_retention_retires_stale_snapshot(spark):

@@ -954,6 +954,18 @@ def test_corpus_health_panel_shares_one_tokenized_base(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_t_closeness_base_rollup_computes_once(spark):
+    """r11 review: the customer-orders rollup feeds four branches and
+    must be checkpointed — a customer/orders FileScan in the returned
+    plan means a branch re-executes the join (the naive composition
+    scanned customer five times)."""
+    plan = _plan(spark, "t_closeness_census")
+    assert "customer.parquet" not in plan, plan[:2000]
+    assert "orders.parquet" not in plan
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_assortativity_is_two_degree_joins_and_a_reduce(spark):
     """r10: the Newman accumulators must ride vertex-keyed equi-joins
     (the shared wedge-join shape) into one combinable aggregate — no

@@ -125,7 +125,7 @@ PICKS = {
     "multimodal_flac_depth_stats": "Arrow decode at 8/12/16/20/24-bit sample depths; shuffle-free per-asset aggregate",
     "k_anonymity_census": "QI-tuple combinable groupBy + 4-band rollup; two hash shuffles, no joins",
     "corpus_health_census": "one tokenized base feeds Zipf/Heaps OLS + entropy + burstiness; per-lang vocab window only, grid broadcasts",
-    "t_closeness_census": "customer-orders rollup once; EMD over a broadcast <=10-band spine; window over B rows per class",
+    "t_closeness_census": "checkpointed customer-orders rollup feeds all four branches; EMD over a broadcast <=10-band spine",
     "dp_noisy_count_release": "one combinable count shuffle; Laplace transform is O(groups) scalar arithmetic",
     "heaps_law_fit": "First-occurrence minima + 5-row grid broadcasts; no cumulative distinct, no windows",
     "copurchase_assortativity": "Two vertex-keyed degree joins into one 4-accumulator combinable reduce",

@@ -186,7 +186,7 @@ PICKS = {
     "multimodal_flac_depth_stats": "fixed 400-asset fixture; linear Arrow decode at cycling bit depths; one tiny per-asset aggregate",
     "k_anonymity_census": "linear QI aggregation (map-side combinable); rollup over |QI-classes| rows",
     "corpus_health_census": "linear token-stream aggregations collapsing to vocabulary size; both OLS fits reduce 5 sums per language",
-    "t_closeness_census": "one orders-keyed shuffle; everything after is n_classes x <=10 rows",
+    "t_closeness_census": "one checkpointed orders-keyed rollup; everything after is n_classes x <=10 rows",
     "dp_noisy_count_release": "one count shuffle; noise is per-group scalar arithmetic",
     "heaps_law_fit": "one (lang, token) min-shuffle + 5-row grid broadcasts; OLS over 5 points per lang",
     "copurchase_assortativity": "wedge-shaped degree joins linear in edges; one 4-sum reduce",

@@ -102,7 +102,7 @@ PICKS = {
     "multimodal_flac_depth_stats": "Arrow decode at five sample depths; shuffle-free per-asset aggregate",
     "k_anonymity_census": "QI groupBy combines map-side; band rollup shuffles <= |classes| rows",
     "corpus_health_census": "shared tokenized base; vocabulary-sized shuffles; 5-sum OLS reduces per language",
-    "t_closeness_census": "orders rollup shuffles once; integer-exact EMD over the class-band spine",
+    "t_closeness_census": "checkpointed orders rollup; integer-exact EMD over the class-band spine",
     "dp_noisy_count_release": "one combinable count shuffle; O(groups) Laplace transform",
     "heaps_law_fit": "first-occurrence min shuffle over (lang, token); 5-row grid broadcasts",
     "copurchase_assortativity": "edge-degree joins; shuffle bounded by edges, output one row",
