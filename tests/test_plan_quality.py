@@ -579,7 +579,6 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("queries/text.py", "temperature_mixture_sample", "rates"): "per-lang",
     ("queries/text.py", "_heaps_xy_from", "grid"): "const: <=5 cutoff rows",
     ("queries/relational.py", "t_closeness_census", "g"): "const: <=10 sensitive bands",
-    ("queries/relational.py", "t_closeness_census", "g.agg(F.count('*').alias('nb'))"): "1-row",
     ("queries/relational.py", "t_closeness_census", "tots"): "1-row",
     ("queries/text.py", "textrank_keywords", "n"): "1-row",
     ("queries/text.py", "tfidf_top_terms", "n"): "1-row",
