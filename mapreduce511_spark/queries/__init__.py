@@ -80,15 +80,22 @@ def register(name: str, oracle: str | None = None):
 _WINDOW_LEDGER_MAX: int = 10
 
 _ENUMERATE_FIRST: list[str] = [
-    # ROUND 11 regeneration: `python tools/gen_enum_first.py --restamp`
-    # over the ledger through r10 (stamp above).  The three round-11
-    # debuts (corpus_health_census, t_closeness_census,
-    # dp_noisy_count_release) front-load per the debut-round guard;
-    # the next slots drain the remaining r04-stale names
-    # alphabetically; the rest are the oldest r05 names.
+    # ROUND 11 regeneration (second pass): `python tools/
+    # gen_enum_first.py` over the ledger through r10 (stamp above).
+    # All nine round-11 debuts front-load per the debut-round guard
+    # (three from the first r11 pass, six from the statistical-testing
+    # / lexical-diversity pass); the next slots drain the remaining
+    # r04-stale names alphabetically; the rest are the oldest r05
+    # names.
     "corpus_health_census",  # new
     "t_closeness_census",  # new
     "dp_noisy_count_release",  # new
+    "ks_two_sample_census",  # new
+    "mann_whitney_census",  # new
+    "cusum_changepoint_census",  # new
+    "mutual_information_census",  # new
+    "lexical_diversity_census",  # new
+    "rake_keywords",  # new
     "mad_value_anomaly",  # r04
     "multimodal_frame_sample",  # r04
     "multimodal_png_stats",  # r04
@@ -130,12 +137,6 @@ _ENUMERATE_FIRST: list[str] = [
     "embedding_top_component",  # r05
     "good_turing_unseen_mass",  # r05
     "gopher_quality_rules",  # r05
-    "heldout_bigram_ppl",  # r05
-    "item_cosine_similarity",  # r05
-    "item_cosine_similarity_capped",  # r05
-    "lsh_recall_curve",  # r05
-    "minhash_jaccard_estimate",  # r05
-    "mixture_epochs_plan",  # r05
 ]
 
 

@@ -2021,3 +2021,343 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(10000 * c_b) DIV n_b").alias("rate_b_bp"),
         norm0(F.round(z, 4)).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift panel: nonparametric two-sample tests between the
+# per-event-type value distributions, plus a CUSUM changepoint scan
+# over the hourly rate series.  All three share one discipline: every
+# statistic is assembled from EXACT integer moments (counts, cumulative
+# counts, tie-group sizes), with a single mirrored float expression at
+# the end — never engine-internal rank()/corr() builtins, whose tie and
+# accumulation semantics differ between engines.
+
+
+def _type_value_cum(events):
+    """Per-type ECDF support grid: for every (event_type, pooled
+    distinct value) cell — the cross of ALL distinct values with the
+    type alphabet — the type's count AT the value (``c``), cumulative
+    count at-or-below it (``cum``), and total count (``n``).  Both
+    two-sample tests read off this one grid: the KS gap needs per-type
+    CDFs at common support points, the Mann-Whitney U needs
+    count-below and tie counts at each value.
+
+    Scale shape: one (type, value) count aggregation, a
+    broadcast-of-the-type-alphabet expansion (|distinct values| x
+    |types| rows — linear in distinct values), and a window cumsum
+    PARTITIONED by type.  ``c``/``cum``/``n`` stay exact longs."""
+    cnt = events.groupBy("event_type", "value").agg(
+        F.count("*").alias("c")
+    )
+    tot = events.groupBy("event_type").agg(F.count("*").alias("n"))
+    vals = events.select("value").distinct()
+    grid = vals.crossJoin(F.broadcast(tot)).join(
+        cnt, ["event_type", "value"], "left"
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    return grid.select(
+        "event_type",
+        "value",
+        "n",
+        F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+    ).withColumn("cum", F.sum("c").over(w))
+
+
+# DuckDB twin of _type_value_cum, shared by both test oracles.
+_SQL_TYPE_VALUE_CUM = """
+    cnt AS (
+        SELECT event_type, value, count(*) AS c
+        FROM events GROUP BY event_type, value
+    ), tot AS (
+        SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    ), vals AS (SELECT DISTINCT value FROM events),
+    grid AS (
+        SELECT t.event_type, t.n, v.value, coalesce(c.c, 0) AS c
+        FROM vals v
+        CROSS JOIN tot t
+        LEFT JOIN cnt c
+          ON c.event_type = t.event_type AND c.value = v.value
+    ), ecdf AS (
+        SELECT event_type, value, n, c,
+               sum(c) OVER (PARTITION BY event_type ORDER BY value) AS cum
+        FROM grid
+    )"""
+
+
+@register(
+    "ks_two_sample_census",
+    oracle=f"""
+    WITH {_SQL_TYPE_VALUE_CUM}
+    SELECT a.event_type AS type_a,
+           b.event_type AS type_b,
+           a.n AS n_a,
+           b.n AS n_b,
+           round(max(abs(a.cum * b.n - b.cum * a.n)) * 1.0
+                 / (a.n * b.n), 6) AS ks_d
+    FROM ecdf a
+    JOIN ecdf b
+      ON a.value = b.value AND a.event_type < b.event_type
+    GROUP BY type_a, type_b, n_a, n_b
+    ORDER BY type_a, type_b
+    """,
+)
+def ks_two_sample_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic for every unordered
+    pair of event types: D = max over the pooled value support of
+    |F_a(v) - F_b(v)| — the standard distribution-drift alarm between
+    segments of a metric (did 'error' events shift their value
+    distribution relative to 'click'?).
+
+    The gap numerator |cum_a*n_b - cum_b*n_a| stays an exact integer
+    (cross-multiplied ECDFs), so the max is engine-independent; the
+    ONE division by n_a*n_b happens after the max, rounded to 6.
+    Ties need no special casing — both CDFs step at the shared
+    support point.  The pair join is an equi-join on value over the
+    |values| x |types| grid; nothing is quadratic in events.
+
+    Reference basis: extension tier — statistical-testing family
+    beside ``ab_conversion_ztest`` (SURVEY.md §2 extensions)."""
+    grid = _type_value_cum(load_table(spark, sf_dir, "events"))
+    a, b = grid.alias("a"), grid.alias("b")
+    d_num = F.abs(
+        F.col("a.cum") * F.col("b.n") - F.col("b.cum") * F.col("a.n")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.value") == F.col("b.value"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.max(d_num).alias("dn"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("dn")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("ks_d"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "mann_whitney_census",
+    oracle=f"""
+    WITH {_SQL_TYPE_VALUE_CUM},
+    pairs AS (
+        SELECT a.event_type AS type_a,
+               b.event_type AS type_b,
+               a.n AS n_a,
+               b.n AS n_b,
+               sum(2 * a.c * (b.cum - b.c) + a.c * b.c) AS u2,
+               sum((a.c + b.c) * (a.c + b.c) * (a.c + b.c)
+                   - (a.c + b.c)) AS ties
+        FROM ecdf a
+        JOIN ecdf b
+          ON a.value = b.value AND a.event_type < b.event_type
+        GROUP BY type_a, type_b, n_a, n_b
+    )
+    SELECT type_a, type_b, n_a, n_b,
+           u2 / 2.0 AS u_a,
+           round((CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
+                 / (2.0 * sqrt(
+                       (CAST(n_a AS DOUBLE) * n_b / 12.0)
+                       * ((n_a + n_b + 1)
+                          - CAST(ties AS DOUBLE)
+                            / ((n_a + n_b)
+                               * (CAST(n_a AS DOUBLE) + n_b - 1))))),
+                 4) + 0.0 AS z_score
+    FROM pairs
+    ORDER BY type_a, type_b
+    """,
+)
+def mann_whitney_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test for every unordered pair of event types:
+    U_a counts (i,j) pairs where a's value exceeds b's, ties at half
+    weight — the rank-sum drift test that, unlike KS, is sensitive to
+    a consistent median shift even when the shapes match.
+
+    Doubled to stay integral: 2*U_a = sum over shared support of
+    2*c_a*(cum_b - c_b) + c_a*c_b (strictly-below pairs twice, ties
+    once) — exact longs off the same grid as the KS census, no
+    pooled re-ranking per pair, no rank() builtin (engine tie
+    semantics differ).  The tie-corrected normal z uses
+    sigma^2 = (n_a*n_b/12) * ((N+1) - sum(t^3 - t)/(N*(N-1))) with
+    tie-group sizes t = c_a + c_b, also exact until the single final
+    float expression (round 4, signed-zero-normalized: the z of two
+    identically-distributed types is a genuine +/-epsilon).
+
+    Reference basis: extension tier — statistical-testing family
+    beside ``ab_conversion_ztest`` / ``ks_two_sample_census``."""
+    grid = _type_value_cum(load_table(spark, sf_dir, "events"))
+    a, b = grid.alias("a"), grid.alias("b")
+    t = F.col("a.c") + F.col("b.c")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.value") == F.col("b.value"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(
+            F.sum(
+                2 * F.col("a.c") * (F.col("b.cum") - F.col("b.c"))
+                + F.col("a.c") * F.col("b.c")
+            ).alias("u2"),
+            F.sum(t * t * t - t).alias("ties"),
+        )
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    n_tot = n_a + n_b
+    sigma = F.sqrt(
+        (n_a.cast("double") * n_b / 12.0)
+        * (
+            (n_tot + 1)
+            - F.col("ties").cast("double")
+            / (n_tot * (n_a.cast("double") + n_b - 1))
+        )
+    )
+    z = (F.col("u2").cast("double") - n_a.cast("double") * n_b) / (
+        2.0 * sigma
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        (F.col("u2") / F.lit(2.0)).alias("u_a"),
+        norm0(F.round(z, 4)).alias("z_score"),
+    ).orderBy("type_a", "type_b")
+
+
+@register(
+    "cusum_changepoint_census",
+    oracle="""
+    WITH cnt AS (
+        SELECT event_type,
+               CAST(epoch_us(date_trunc('hour', ts)) / 3600000000
+                    AS BIGINT) AS h,
+               count(*) AS c
+        FROM events GROUP BY event_type, h
+    ), bounds AS (SELECT min(h) AS mn, max(h) AS mx FROM cnt),
+    hours AS (
+        SELECT unnest(generate_series(mn, mx)) AS h,
+               mx - mn + 1 AS nh, mn
+        FROM bounds
+    ), tot AS (
+        SELECT event_type, CAST(sum(c) AS BIGINT) AS total
+        FROM cnt GROUP BY event_type
+    ), grid AS (
+        SELECT t.event_type, t.total, hrs.nh,
+               hrs.h - hrs.mn + 1 AS tix,
+               coalesce(c.c, 0) AS c
+        FROM hours hrs
+        CROSS JOIN tot t
+        LEFT JOIN cnt c ON c.event_type = t.event_type AND c.h = hrs.h
+    ), cum AS (
+        SELECT event_type, total, nh, tix,
+               sum(c) OVER (PARTITION BY event_type ORDER BY tix) AS cs
+        FROM grid
+    ), scored AS (
+        SELECT event_type, total, nh, tix,
+               abs(nh * cs - tix * total) AS score,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY abs(nh * cs - tix * total) DESC, tix
+               ) AS rn
+        FROM cum
+    )
+    SELECT event_type,
+           CAST(nh AS BIGINT) AS n_hours,
+           total AS n_events,
+           CAST(tix AS BIGINT) AS cp_hour_index,
+           round(score * 1.0 / nh, 4) AS cusum_peak
+    FROM scored WHERE rn = 1
+    ORDER BY event_type
+    """,
+)
+def cusum_changepoint_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan per event type: over the gap-filled
+    hourly count series, the hour index maximizing |S_t| where
+    S_t = sum_{i<=t}(c_i - mean) — the classical single-changepoint
+    locator for a level shift in an event rate (Page 1954).  Missing
+    hours are REAL zero-rate observations, so the series is the full
+    [min_h, max_h] grid, not just observed hours.
+
+    Scaled by n_hours to stay integral: n_hours*S_t =
+    n_hours*cum_t - t*total is an exact long, so the argmax (ties
+    broken to the earliest hour) is engine-independent; the peak
+    magnitude divides once at the end (round 4).  Scale shape: one
+    (type, hour) count, a broadcast type-alphabet expansion over the
+    bounded hour grid, and per-type window cumsums — the series
+    collapses to |hours| x |types| rows before any window.
+
+    Reference basis: the monitor time-series family (SURVEY.md §2
+    W1/A3, first-event detection A7) — locating WHEN the CPU/event
+    series shifted is the natural follow-on; extension tier."""
+    events = load_table(spark, sf_dir, "events")
+    cnt = events.groupBy(
+        "event_type",
+        (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / 3_600_000_000)
+        .cast("long")
+        .alias("h"),
+    ).agg(F.count("*").alias("c"))
+    bounds = cnt.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    hours = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("h"),
+        (F.col("mx") - F.col("mn") + 1).alias("nh"),
+        "mn",
+    )
+    tot = cnt.groupBy("event_type").agg(F.sum("c").alias("total"))
+    grid = (
+        hours.crossJoin(F.broadcast(tot))
+        .join(cnt, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "total",
+            "nh",
+            (F.col("h") - F.col("mn") + 1).alias("tix"),
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("tix")
+    cum = grid.withColumn("cs", F.sum("c").over(w))
+    score = F.abs(
+        F.col("nh") * F.col("cs") - F.col("tix") * F.col("total")
+    )
+    ranked = cum.withColumn("score", score).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.desc("score"), "tix"
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("nh").cast("long").alias("n_hours"),
+            F.col("total").alias("n_events"),
+            F.col("tix").cast("long").alias("cp_hour_index"),
+            F.round(F.col("score") / F.col("nh").cast("double"), 4).alias(
+                "cusum_peak"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -4516,3 +4516,103 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sjk").alias("sum_jk"),
         norm0(F.round(num / den, 4)).alias("assortativity"),
     )
+
+
+@register(
+    "mutual_information_census",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority AS px, o_orderstatus AS sy,
+               count(*) AS c
+        FROM orders GROUP BY px, sy
+    ), rx AS (SELECT px, CAST(sum(c) AS BIGINT) AS rx FROM cells GROUP BY px),
+    cy AS (SELECT sy, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY sy),
+    tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               count(DISTINCT px) AS nr,
+               count(DISTINCT sy) AS nc
+        FROM cells
+    ), terms AS (
+        SELECT t.n, t.nr, t.nc, cl.c,
+               (cl.c * 1.0 / t.n)
+                   * ln(cl.c * CAST(t.n AS DOUBLE) / (r.rx * CAST(y.cy AS DOUBLE)))
+                   AS mi_term,
+               (cl.c - r.rx * CAST(y.cy AS DOUBLE) / t.n)
+                   * (cl.c - r.rx * CAST(y.cy AS DOUBLE) / t.n)
+                   / (r.rx * CAST(y.cy AS DOUBLE) / t.n) AS chi_term
+        FROM cells cl
+        JOIN rx r USING (px)
+        JOIN cy y USING (sy)
+        CROSS JOIN tot t
+    )
+    SELECT max(n) AS n_orders,
+           count(*) AS n_cells,
+           round(sum(mi_term), 6) + 0.0 AS mi_nats,
+           round(sqrt(sum(chi_term)
+                      / (max(n) * (least(max(nr), max(nc)) - 1.0))),
+                 6) + 0.0 AS cramers_v
+    FROM terms
+    """,
+)
+def mutual_information_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-association census between order priority and
+    order status: mutual information in nats plus Cramér's V off the
+    same contingency table — the screening statistic for "are these
+    two labels independent?" before building stratified samples or
+    mixture weights on their cross (near-zero MI says the cross adds
+    nothing over the margins).
+
+    The contingency table, both margins, and the grand total are
+    exact integer counts; MI = sum (c/n)*ln(c*n/(rx*cy)) and
+    chi-square assemble in one mirrored float expression over the
+    alphabet-sized cell set (|priorities| x |statuses| terms — the
+    round-to-6 absorbs summation-order ulps, the entropy-census
+    precedent).  Cramér's V = sqrt(chi2/(n*(min(r,c)-1))).  Margins
+    ride broadcasts (label alphabets); nothing scales past the first
+    count aggregation.
+
+    Reference basis: extension tier — statistical-testing family
+    beside ``chi2_distinctive_terms`` (SURVEY.md §2 extensions)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("px"),
+        F.col("o_orderstatus").alias("sy"),
+    ).agg(F.count("*").alias("c"))
+    rx = cells.groupBy("px").agg(F.sum("c").alias("rx"))
+    cy = cells.groupBy("sy").agg(F.sum("c").alias("cy"))
+    tot = cells.agg(
+        F.sum("c").alias("n"),
+        F.count_distinct("px").alias("nr"),
+        F.count_distinct("sy").alias("nc"),
+    )
+    joined = (
+        cells.join(F.broadcast(rx), "px")
+        .join(F.broadcast(cy), "sy")
+        .crossJoin(F.broadcast(tot))
+    )
+    c = F.col("c").cast("double")
+    n = F.col("n").cast("double")
+    e = F.col("rx") * F.col("cy").cast("double") / n
+    mi_term = (c / n) * F.log(c * n / (F.col("rx") * F.col("cy").cast("double")))
+    chi_term = (c - e) * (c - e) / e
+    agg = joined.agg(
+        F.max("n").alias("n_orders"),
+        F.count("*").alias("n_cells"),
+        F.sum(mi_term).alias("smi"),
+        F.sum(chi_term).alias("schi"),
+        F.max("nr").alias("nr"),
+        F.max("nc").alias("nc"),
+    )
+    v = F.sqrt(
+        F.col("schi")
+        / (
+            F.col("n_orders")
+            * (F.least(F.col("nr"), F.col("nc")) - F.lit(1.0))
+        )
+    )
+    return agg.select(
+        "n_orders",
+        "n_cells",
+        norm0(F.round("smi", 6)).alias("mi_nats"),
+        norm0(F.round(v, 6)).alias("cramers_v"),
+    )

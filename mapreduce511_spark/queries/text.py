@@ -5552,3 +5552,221 @@ def corpus_health_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "lexical_diversity_census",
+    oracle=f"""
+    WITH freq AS (
+        SELECT lang, token, count(*) AS c
+        FROM (
+            SELECT lang, unnest({_SQL_TOKENS}) AS token FROM documents
+        )
+        GROUP BY lang, token
+    ), moments AS (
+        SELECT lang,
+               CAST(sum(c) AS BIGINT) AS n,
+               count(*) AS v,
+               CAST(sum(c * c) AS BIGINT) AS scc,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1
+        FROM freq GROUP BY lang
+    )
+    SELECT lang,
+           n AS n_tokens,
+           v AS vocab,
+           round(10000.0 * (scc - n) / (CAST(n AS DOUBLE) * n), 4)
+               AS yule_k,
+           round((scc - n) / (CAST(n AS DOUBLE) * (n - 1)), 6)
+               AS simpson_d,
+           round(v / CAST(n AS DOUBLE), 6) AS ttr,
+           round(v1 / CAST(v AS DOUBLE), 6) AS hapax_ratio
+    FROM moments
+    ORDER BY lang
+    """,
+)
+def lexical_diversity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language lexical-diversity panel: Yule's K (Yule 1944,
+    K = 10^4 * (sum c^2 - N)/N^2 over the token frequency spectrum),
+    Simpson's repeat-rate D = sum c(c-1)/(N(N-1)) (the probability
+    two random tokens coincide), type-token ratio, and hapax ratio
+    V1/V — the standard vocabulary-richness battery.  Template or
+    machine-repeated text drives K and D up and the hapax ratio down,
+    making this the cheap companion alarm to ``zipf_slope_census``
+    (rank-spectrum shape) and ``token_burstiness_census``
+    (per-document clumping).
+
+    All four statistics reduce to three exact integer moments of the
+    frequency table — N = sum c, V = count, sum c^2, V1 = |c=1| — in
+    ONE map-side-combinable aggregation per language; each output is
+    a single final division (no float accumulates across rows).
+    Unlike TTR, K and D are corpus-size-invariant, so the panel is
+    comparable across SFs.
+
+    Reference basis: extension tier — corpus-statistics family
+    beside ``zipf_slope_census`` / ``heaps_law_fit`` (SURVEY.md §2
+    extensions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("lang", F.explode(tokenize("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    m = freq.groupBy("lang").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("v"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("v1"),
+    )
+    n = F.col("n").cast("double")
+    return m.select(
+        "lang",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("vocab"),
+        F.round(10000.0 * (F.col("scc") - F.col("n")) / (n * n), 4).alias(
+            "yule_k"
+        ),
+        F.round(
+            (F.col("scc") - F.col("n")) / (n * (F.col("n") - 1)), 6
+        ).alias("simpson_d"),
+        F.round(F.col("v") / n, 6).alias("ttr"),
+        F.round(
+            F.col("v1") / F.col("v").cast("double"), 6
+        ).alias("hapax_ratio"),
+    ).orderBy("lang")
+
+
+# RAKE (Rose, Engel, Cramer & Cowley 2010): candidate phrases are
+# maximal runs of consecutive non-stopword tokens, capped at
+# _RAKE_MAX_LEN words (longer runs REJECTED outright, the rake-nltk
+# max_length convention — truncation would manufacture phrases the
+# text never contained).  Word scores are degree/frequency over the
+# accepted phrases.
+_RAKE_MAX_LEN = 4
+_RAKE_TOP = 20
+
+
+@register(
+    "rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lower(t) AS w, p
+        FROM (
+            SELECT doc_id,
+                   unnest({_SQL_TOKENS}) AS t,
+                   unnest(range(len({_SQL_TOKENS}))) AS p
+            FROM documents
+        )
+    ), ns AS (
+        SELECT doc_id, w, p,
+               p - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY p) AS grp
+        FROM toks
+        WHERE NOT list_contains({list(_STOPWORDS)!r}, w)
+    ), runs AS (
+        SELECT doc_id, grp,
+               count(*) AS len,
+               string_agg(w, ' ' ORDER BY p) AS phrase
+        FROM ns GROUP BY doc_id, grp
+        HAVING count(*) <= {_RAKE_MAX_LEN}
+    ), occ AS (
+        SELECT ns.w, r.len, r.doc_id, r.grp
+        FROM ns JOIN runs r USING (doc_id, grp)
+    ), wordstats AS (
+        SELECT w,
+               count(*) AS freq,
+               CAST(sum(len) AS BIGINT) AS deg
+        FROM occ GROUP BY w
+    ), phrase_occ AS (
+        SELECT phrase, len, count(*) AS n_occurrences
+        FROM runs GROUP BY phrase, len
+    ), members AS (
+        SELECT p.phrase, p.len, p.n_occurrences, unnest(string_split(p.phrase, ' ')) AS w
+        FROM phrase_occ p
+    )
+    SELECT m.phrase,
+           CAST(max(m.len) AS BIGINT) AS n_words,
+           CAST(max(m.n_occurrences) AS BIGINT) AS n_occurrences,
+           round(sum(s.deg * 1.0 / s.freq), 4) AS rake_score
+    FROM members m JOIN wordstats s USING (w)
+    GROUP BY m.phrase
+    ORDER BY rake_score DESC, m.phrase
+    LIMIT {_RAKE_TOP}
+    """,
+)
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs of at most
+    4 words; each word scores degree/frequency over the
+    accepted phrases (degree = summed length of phrases containing
+    it); a phrase scores the sum of its members' scores — the
+    document-set keyword panel, top-20 by score.
+
+    Runs are found with the islands trick (position minus non-stopword
+    rank is constant within a run) — one window per document, no
+    self-joins.  Word degree/frequency are exact integer aggregates;
+    the only float is the final per-distinct-phrase sum of at most
+    4 deg/freq rationals (round-to-4 absorbs
+    summation-order ulps).  Identical phrases are collapsed BEFORE
+    scoring so each distinct phrase sums its member scores exactly
+    once; the top-20 cut orders by the ROUNDED score with a
+    phrase tie-break, so the selected set is engine-independent.
+
+    Reference basis: extension tier — keyword family beside
+    ``textrank_keywords`` (graph-free counterpart; SURVEY.md §2
+    extensions)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize("text")).alias("p", "t")
+    ).select("doc_id", "p", F.lower("t").alias("w"))
+    ns = toks.filter(~F.array_contains(stop, F.col("w"))).withColumn(
+        "grp",
+        F.col("p")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("p")
+        ),
+    )
+    runs = (
+        ns.groupBy("doc_id", "grp")
+        .agg(
+            F.count("*").alias("len"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("p", "w"))
+                    ),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+        )
+        .filter(F.col("len") <= _RAKE_MAX_LEN)
+    )
+    occ = ns.join(runs, ["doc_id", "grp"]).select("w", "len")
+    wordstats = occ.groupBy("w").agg(
+        F.count("*").alias("freq"), F.sum("len").alias("deg")
+    )
+    phrase_occ = runs.groupBy("phrase", "len").agg(
+        F.count("*").alias("n_occurrences")
+    )
+    members = phrase_occ.select(
+        "phrase",
+        "len",
+        "n_occurrences",
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    return (
+        members.join(wordstats, "w")
+        .groupBy("phrase")
+        .agg(
+            F.max("len").cast("long").alias("n_words"),
+            F.max("n_occurrences").alias("n_occurrences"),
+            F.round(
+                F.sum(F.col("deg") / F.col("freq").cast("double")), 4
+            ).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(_RAKE_TOP)
+    )

@@ -462,6 +462,11 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("queries/events.py", "mad_value_anomaly", "mad"): "1-row",
     ("queries/events.py", "mad_value_anomaly", "med"): "1-row",
     ("queries/events.py", "rolling_7d_active_users", "rng"): "k-rows: day range",
+    ("queries/events.py", "_type_value_cum", "tot"): "per-lang: event-type alphabet (one count row per type)",
+    ("queries/events.py", "cusum_changepoint_census", "tot"): "per-lang: event-type alphabet (one total row per type)",
+    ("queries/relational.py", "mutual_information_census", "rx"): "per-lang: order-priority alphabet margin",
+    ("queries/relational.py", "mutual_information_census", "cy"): "per-lang: order-status alphabet margin",
+    ("queries/relational.py", "mutual_information_census", "tot"): "1-row",
     # --- relational: TPC-H dims + tiny aggregates + graph dimension
     ("queries/relational.py", "_clustering_census", "du"): "dimension: per-node degree over the part dimension",
     ("queries/relational.py", "_clustering_census", "dv"): "dimension: per-node degree over the part dimension",
