@@ -149,6 +149,24 @@ FLAC_DEPTHS = (8, 12, 16, 20, 24)
 FLAC_DEPTH_STEP_DIV = 199
 assert (1 << min(FLAC_DEPTHS)) // FLAC_DEPTH_STEP_DIV >= 1
 
+# TIFF fixture geometry/pixel formula — single definition shared by
+# synth_tiff_media AND the multimodal_tiff_stats oracle f-string:
+#   w = TIFF_W_BASE + d % TIFF_W_MOD,  h = TIFF_H_BASE + (d*3) % TIFF_H_MOD
+#   spp = 1 (gray) when d even else 3 (RGB)
+#   v(i) = (d*TIFF_PX_A + (i // TIFF_PX_RUN)*TIFF_PX_STEP) % 256
+# The i//TIFF_PX_RUN quotient makes the pixel stream piecewise-
+# constant in runs of TIFF_PX_RUN bytes, so the PackBits-compressed
+# variants exercise BOTH repeat packets (inside runs) and literal
+# packets (run fragments at row/strip boundaries, where compression
+# restarts per spec §9).
+TIFF_W_BASE = 5
+TIFF_W_MOD = 9
+TIFF_H_BASE = 4
+TIFF_H_MOD = 6
+TIFF_PX_A = 13
+TIFF_PX_RUN = 7
+TIFF_PX_STEP = 29
+
 
 def _synth_payload(doc_id: int) -> tuple[bytes, str, int, int]:
     """(payload, fmt, width, height) for one doc. Image channel bytes
@@ -218,6 +236,54 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
                     row_filter=lambda r, d=d: (d + r) % 5,
                 )
                 rows.append((d, payload, codecs.PNG_FMT))
+        yield pd.DataFrame(rows, columns=["doc_id", "content", "fmt"])
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, content binary, fmt string"
+    )
+
+
+def synth_tiff_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, content, fmt) with real baseline TIFF payloads for
+    doc_id < SYNTH_DOC_LIMIT, sweeping the whole baseline matrix as a
+    function of doc_id: grayscale (even d) vs RGB (odd d), PackBits
+    (default) vs uncompressed (d % 3 == 0), little-endian ``II``
+    (default) vs big-endian ``MM`` (d % 5 == 0), and a multi-strip
+    layout (rows_per_strip = 1 + d % 4, so most assets split into
+    several strips and the last strip is usually partial).  Pixel
+    bytes follow the shared closed form (see the TIFF_* constants),
+    piecewise-constant in runs so PackBits emits both packet kinds.
+    The analytic oracle knows only the pixel formula — any IFD walk,
+    strip-geometry, byte-order or PackBits bug breaks the match."""
+    import numpy as np
+
+    from mapreduce511_spark.multimodal import tiff
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d >= SYNTH_DOC_LIMIT:
+                    continue
+                w = TIFF_W_BASE + d % TIFF_W_MOD
+                h = TIFF_H_BASE + (d * 3) % TIFF_H_MOD
+                spp = 1 if d % 2 == 0 else 3
+                vals = (
+                    d * TIFF_PX_A
+                    + (np.arange(w * h * spp, dtype=np.int64) // TIFF_PX_RUN)
+                    * TIFF_PX_STEP
+                ) % 256
+                px = vals.astype(np.uint8).reshape(
+                    (h, w) if spp == 1 else (h, w, 3)
+                )
+                payload = tiff.encode_tiff(
+                    px,
+                    compression=1 if d % 3 == 0 else 32773,
+                    byte_order=">" if d % 5 == 0 else "<",
+                    rows_per_strip=1 + d % 4,
+                )
+                rows.append((d, payload, tiff.TIFF_FMT))
         yield pd.DataFrame(rows, columns=["doc_id", "content", "fmt"])
 
     return docs.select("doc_id").mapInPandas(
@@ -614,6 +680,12 @@ def extract_decoded_features(media_df: DataFrame) -> DataFrame:
                         w, h, px = jpeg_arith.decode_jpeg_arith(pb)
                     else:
                         w, h, px = jpeg.decode_jpeg(pb)
+                    vals = px.reshape(-1).astype(np.int64)
+                    kind, bins = "image", vals >> 4
+                elif fmt == "image/tiff":
+                    from mapreduce511_spark.multimodal import tiff
+
+                    w, h, px = tiff.decode_tiff(bytes(payload))
                     vals = px.reshape(-1).astype(np.int64)
                     kind, bins = "image", vals >> 4
                 elif fmt == codecs.WAV_FMT:

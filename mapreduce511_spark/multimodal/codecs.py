@@ -150,9 +150,14 @@ def decode_real(payload: bytes, fmt: str):
         from mapreduce511_spark.multimodal.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if fmt in ("image/tiff", "tiff", "tif"):
+        from mapreduce511_spark.multimodal.tiff import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError(
         f"no native decoder for {fmt!r}: this environment has no "
-        "image/audio codec libraries; BMP, WAV, FLAC, GIF, RGB8 PNG "
+        "image/audio codec libraries; BMP, WAV, FLAC, GIF, RGB8 PNG, "
+        "baseline TIFF (gray/RGB, both byte orders, PackBits) "
         "and JPEG (baseline + progressive) decode natively"
     )
 

@@ -82,9 +82,9 @@ _WINDOW_LEDGER_MAX: int = 10
 _ENUMERATE_FIRST: list[str] = [
     # ROUND 11 regeneration (second pass): `python tools/
     # gen_enum_first.py` over the ledger through r10 (stamp above).
-    # All nine round-11 debuts front-load per the debut-round guard
+    # All ten round-11 debuts front-load per the debut-round guard
     # (three from the first r11 pass, six from the statistical-testing
-    # / lexical-diversity pass); the next slots drain the remaining
+    # / lexical-diversity pass, one TIFF codec); the next slots drain the remaining
     # r04-stale names alphabetically; the rest are the oldest r05
     # names.
     "corpus_health_census",  # new
@@ -96,6 +96,7 @@ _ENUMERATE_FIRST: list[str] = [
     "mutual_information_census",  # new
     "lexical_diversity_census",  # new
     "rake_keywords",  # new
+    "multimodal_tiff_stats",  # new
     "mad_value_anomaly",  # r04
     "multimodal_frame_sample",  # r04
     "multimodal_png_stats",  # r04
@@ -136,7 +137,6 @@ _ENUMERATE_FIRST: list[str] = [
     "duplicate_span_removal",  # r05
     "embedding_top_component",  # r05
     "good_turing_unseen_mass",  # r05
-    "gopher_quality_rules",  # r05
 ]
 
 

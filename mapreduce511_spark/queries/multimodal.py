@@ -31,6 +31,13 @@ from mapreduce511_spark.multimodal import (
     JPEG_PX_BX,
     JPEG_PX_BY,
     SYNTH_DOC_LIMIT,
+    TIFF_H_BASE,
+    TIFF_H_MOD,
+    TIFF_PX_A,
+    TIFF_PX_RUN,
+    TIFF_PX_STEP,
+    TIFF_W_BASE,
+    TIFF_W_MOD,
     attach_fake_media,
     extract_features,
     sample_frames,
@@ -1935,3 +1942,66 @@ def multimodal_flac_depth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_val",
         "hist_sum",
     )
+
+
+@register(
+    "multimodal_tiff_stats",
+    # f-string shares ONE definition of the fixture geometry/pixel
+    # formula with synth_tiff_media (the r5 ADVICE discipline — a
+    # hardcoded copy here would desynchronize silently on any fixture
+    # change).
+    oracle=f"""
+    WITH img AS (
+        SELECT doc_id,
+               CAST({TIFF_W_BASE} + doc_id % {TIFF_W_MOD} AS INT) AS w,
+               CAST({TIFF_H_BASE} + (doc_id * 3) % {TIFF_H_MOD} AS INT) AS h,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS spp
+        FROM documents WHERE doc_id < {SYNTH_DOC_LIMIT}
+    ), idx AS (
+        SELECT doc_id, w, h,
+               unnest(generate_series(0, CAST(w * h * spp - 1 AS BIGINT)))
+                   AS i
+        FROM img
+    ), px AS (
+        SELECT doc_id, w, h,
+               (doc_id * {TIFF_PX_A}
+                + (i // {TIFF_PX_RUN}) * {TIFF_PX_STEP}) % 256 AS v
+        FROM idx
+    )
+    SELECT doc_id, 'image' AS kind, w AS width, h AS height,
+           COUNT(*) AS n_vals,
+           CAST(SUM(v) AS BIGINT) AS sum_val,
+           CAST(MIN(v) AS BIGINT) AS min_val,
+           CAST(MAX(v) AS BIGINT) AS max_val,
+           CAST(SUM(v // 16 + 1) AS BIGINT) AS hist_sum
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF codec round-trip under the exact oracle gate:
+    synthesize real TIFF 6.0 files sweeping the whole baseline matrix
+    — grayscale and RGB, little- AND big-endian headers, uncompressed
+    and PackBits strips, multi-strip layouts with partial last strips
+    — decode them with the native parser (``multimodal/tiff.py``: IFD
+    walk with inline/offset values, strip reassembly, per-row
+    PackBits), and emit integer pixel statistics.  The DuckDB oracle
+    computes the same statistics analytically from the shared pixel
+    formula alone — it knows nothing about TIFF — so a green row
+    proves the IFD/strip/PackBits pipeline is lossless end to end on
+    every (endianness x photometric x compression x strip-geometry)
+    cell the fixture sweeps.  Companion of ``multimodal_png_stats``
+    (DEFLATE+filters) and ``multimodal_gif_stats`` (LZW).
+
+    At 100 TB: decode runs where the bytes live (mapInPandas over
+    Arrow batches, no driver collect); metadata-only queries prune
+    the binary column at the scan.
+
+    Reference basis: extension tier — multimodal decode family
+    (no analog in /root/reference, which is text-only)."""
+    from mapreduce511_spark.multimodal import (
+        extract_decoded_features,
+        synth_tiff_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_decoded_features(synth_tiff_media(docs))
