@@ -116,7 +116,9 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
 def decode_real(payload: bytes, fmt: str):
     """Real decode dispatch. BMP, WAV, FLAC (mono/stereo at every
     explicitly-codable depth, 8/12/16/20/24-bit — lossless,
-    CRC+MD5-verified, see ``flac.py``), (non-interlaced RGB8) PNG and
+    CRC+MD5-verified, see ``flac.py``), (non-interlaced RGB8) PNG,
+    baseline TIFF (8-bit gray/RGB, both byte orders, multi-strip,
+    PackBits — see ``tiff.py``) and
     JPEG — baseline SOF0, progressive SOF2 (each with 4:4:4 / 4:2:2 /
     4:2:0 chroma subsampling; see ``jpeg.py``) and ARITHMETIC-coded
     SOF9 grayscale (r8 — ``jpeg_arith.py``: the full T.81 Annex D QM

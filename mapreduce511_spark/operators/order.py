@@ -161,3 +161,71 @@ def dense_rank_global(
     return left.join(right, cond).select(
         *[F.col(f"_drg_l.{c}") for c in df.columns], F.col(f"_drg_r.{out_col}")
     )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    sort_cols: list[str],
+    sum_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append an inclusive running sum of ``sum_col`` within each
+    ``group_cols`` group ordered by ``sort_cols`` — WITHOUT a
+    per-group single-task window sort.
+
+    ``Window.partitionBy(group).orderBy(key)`` ships every row of a
+    group to ONE task; when the group alphabet is small (event types,
+    languages) each group is corpus-sized and the cumsum becomes the
+    single-partition bottleneck the two-pass recipe exists to kill.
+    Same shape as ``global_row_number``: repartitionByRange on
+    (group, key) so each range partition holds a contiguous key slice
+    of at most a few groups, sum ``sum_col`` per (partition, group),
+    turn those into per-(partition, group) EXCLUSIVE prefix offsets on
+    the driver, and add the offset to a partition-local running sum.
+
+    The driver offset table is |partitions| x |groups crossing each
+    partition| rows — bounded by P + |alphabet| extra rows total
+    (each group spans a contiguous partition range), i.e. the same
+    K-row driver state class as the centroid/offset collects
+    elsewhere. Requires a bounded group alphabet; sort_cols must
+    totally order rows WITHIN a group for a deterministic result.
+
+    Reference basis: extension tier — distributed-ordering support
+    (SURVEY.md §2 extensions), the r9 ``global_row_number`` recipe
+    generalized to grouped running sums."""
+    spark = df.sparkSession
+    keys = [*group_cols, *sort_cols]
+    d = (
+        df.repartitionByRange(_sized_partitions(df, num_partitions), *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    psums = d.groupBy("_pid", *group_cols).agg(
+        F.sum(sum_col).alias("_ps")
+    )
+    rows = sorted(
+        psums.collect(),
+        key=lambda r: (tuple(r[g] for g in group_cols), r["_pid"]),
+    )
+    acc: dict[tuple, int] = {}
+    off_rows = []
+    for r in rows:
+        gkey = tuple(r[g] for g in group_cols)
+        off_rows.append((r["_pid"], *gkey, acc.get(gkey, 0)))
+        acc[gkey] = acc.get(gkey, 0) + r["_ps"]
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    base = d.select("_pid", *group_cols).schema
+    off_schema = StructType(
+        [*base.fields, StructField("_off", LongType(), False)]
+    )
+    off_df = spark.createDataFrame(off_rows, off_schema)
+    w = Window.partitionBy("_pid", *group_cols).orderBy(*sort_cols)
+    return (
+        d.join(F.broadcast(off_df), ["_pid", *group_cols])
+        .withColumn(out_col, F.sum(sum_col).over(w) + F.col("_off"))
+        .drop("_pid", "_off")
+    )

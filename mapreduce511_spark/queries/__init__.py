@@ -82,7 +82,7 @@ _WINDOW_LEDGER_MAX: int = 10
 _ENUMERATE_FIRST: list[str] = [
     # ROUND 11 regeneration (second pass): `python tools/
     # gen_enum_first.py` over the ledger through r10 (stamp above).
-    # All ten round-11 debuts front-load per the debut-round guard
+    # All eleven round-11 debuts front-load per the debut-round guard
     # (three from the first r11 pass, six from the statistical-testing
     # / lexical-diversity pass, one TIFF codec); the next slots drain the remaining
     # r04-stale names alphabetically; the rest are the oldest r05
@@ -97,6 +97,7 @@ _ENUMERATE_FIRST: list[str] = [
     "lexical_diversity_census",  # new
     "rake_keywords",  # new
     "multimodal_tiff_stats",  # new
+    "mann_whitney_fdr_census",  # new
     "mad_value_anomaly",  # r04
     "multimodal_frame_sample",  # r04
     "multimodal_png_stats",  # r04
@@ -136,7 +137,6 @@ _ENUMERATE_FIRST: list[str] = [
     "dup_cluster_canonical",  # r05
     "duplicate_span_removal",  # r05
     "embedding_top_component",  # r05
-    "good_turing_unseen_mass",  # r05
 ]
 
 

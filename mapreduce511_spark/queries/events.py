@@ -9,6 +9,8 @@ monitor feed is an append-only sampler consumed post-hoc).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2044,8 +2046,15 @@ def _type_value_cum(events):
 
     Scale shape: one (type, value) count aggregation, a
     broadcast-of-the-type-alphabet expansion (|distinct values| x
-    |types| rows — linear in distinct values), and a window cumsum
-    PARTITIONED by type.  ``c``/``cum``/``n`` stay exact longs."""
+    |types| rows — linear in distinct values), and the cumulative
+    count via ``operators/order.grouped_prefix_sum`` — a
+    ``Window.partitionBy(type)`` cumsum would ship each type's ENTIRE
+    distinct-value set to one task (the type alphabet is tiny, so
+    each partition is corpus-sized); the two-pass range-partition
+    recipe keeps the sort distributed with only a P x |types| offset
+    collect.  ``c``/``cum``/``n`` stay exact longs."""
+    from mapreduce511_spark.operators.order import grouped_prefix_sum
+
     cnt = events.groupBy("event_type", "value").agg(
         F.count("*").alias("c")
     )
@@ -2054,13 +2063,15 @@ def _type_value_cum(events):
     grid = vals.crossJoin(F.broadcast(tot)).join(
         cnt, ["event_type", "value"], "left"
     )
-    w = Window.partitionBy("event_type").orderBy("value")
-    return grid.select(
+    filled = grid.select(
         "event_type",
         "value",
         "n",
         F.coalesce("c", F.lit(0)).cast("long").alias("c"),
-    ).withColumn("cum", F.sum("c").over(w))
+    )
+    return grouped_prefix_sum(
+        filled, ["event_type"], ["value"], "c", out_col="cum"
+    )
 
 
 # DuckDB twin of _type_value_cum, shared by both test oracles.
@@ -2200,41 +2211,8 @@ def mann_whitney_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference basis: extension tier — statistical-testing family
     beside ``ab_conversion_ztest`` / ``ks_two_sample_census``."""
     grid = _type_value_cum(load_table(spark, sf_dir, "events"))
-    a, b = grid.alias("a"), grid.alias("b")
-    t = F.col("a.c") + F.col("b.c")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.value") == F.col("b.value"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
-        )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-            F.col("a.n").alias("n_a"),
-            F.col("b.n").alias("n_b"),
-        )
-        .agg(
-            F.sum(
-                2 * F.col("a.c") * (F.col("b.cum") - F.col("b.c"))
-                + F.col("a.c") * F.col("b.c")
-            ).alias("u2"),
-            F.sum(t * t * t - t).alias("ties"),
-        )
-    )
-    n_a, n_b = F.col("n_a"), F.col("n_b")
-    n_tot = n_a + n_b
-    sigma = F.sqrt(
-        (n_a.cast("double") * n_b / 12.0)
-        * (
-            (n_tot + 1)
-            - F.col("ties").cast("double")
-            / (n_tot * (n_a.cast("double") + n_b - 1))
-        )
-    )
-    z = (F.col("u2").cast("double") - n_a.cast("double") * n_b) / (
-        2.0 * sigma
-    )
+    pairs = _mwu_pair_moments(grid)
+    z = _mwu_z()
     return pairs.select(
         "type_a",
         "type_b",
@@ -2360,4 +2338,202 @@ def cusum_changepoint_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("event_type")
+    )
+
+
+# Zelen & Severo rational approximation of the standard normal upper
+# tail (Abramowitz & Stegun 26.2.17, |error| < 7.5e-8): for x >= 0,
+# 1 - Phi(x) = phi(x) * (b1 t + b2 t^2 + b3 t^3 + b4 t^4 + b5 t^5)
+# with t = 1/(1 + 0.2316419 x).  Neither engine ships erf-based
+# normal CDFs with identical rounding, so BOTH sides evaluate THIS
+# formula — cross-engine agreement then needs only exp/sqrt to be
+# faithful to the last ulp or so, absorbed by the round-to-6.
+_NORM_T = 0.2316419
+_NORM_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_BH_Q = 0.05  # Benjamini-Hochberg target FDR
+
+
+def _mwu_pair_moments(grid):
+    """Exact-integer Mann-Whitney pair moments off the shared ECDF
+    grid: (type_a, type_b, n_a, n_b, u2 = 2*U_a, ties = sum t^3 - t).
+    Shared by ``mann_whitney_census`` and the BH-FDR panel."""
+    a, b = grid.alias("a"), grid.alias("b")
+    t = F.col("a.c") + F.col("b.c")
+    return (
+        a.join(
+            b,
+            (F.col("a.value") == F.col("b.value"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(
+            F.sum(
+                2 * F.col("a.c") * (F.col("b.cum") - F.col("b.c"))
+                + F.col("a.c") * F.col("b.c")
+            ).alias("u2"),
+            F.sum(t * t * t - t).alias("ties"),
+        )
+    )
+
+
+def _mwu_z():
+    """The tie-corrected normal z as a Column over the pair moments
+    (one mirrored float expression; see mann_whitney_census)."""
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    n_tot = n_a + n_b
+    sigma = F.sqrt(
+        (n_a.cast("double") * n_b / 12.0)
+        * (
+            (n_tot + 1)
+            - F.col("ties").cast("double")
+            / (n_tot * (n_a.cast("double") + n_b - 1))
+        )
+    )
+    return (F.col("u2").cast("double") - n_a.cast("double") * n_b) / (
+        2.0 * sigma
+    )
+
+
+# the shared pair-moment CTE (DuckDB twin of _mwu_pair_moments + _mwu_z)
+_SQL_MWU_PAIRS = """
+    pairs AS (
+        SELECT a.event_type AS type_a,
+               b.event_type AS type_b,
+               a.n AS n_a,
+               b.n AS n_b,
+               sum(2 * a.c * (b.cum - b.c) + a.c * b.c) AS u2,
+               sum((a.c + b.c) * (a.c + b.c) * (a.c + b.c)
+                   - (a.c + b.c)) AS ties
+        FROM ecdf a
+        JOIN ecdf b
+          ON a.value = b.value AND a.event_type < b.event_type
+        GROUP BY type_a, type_b, n_a, n_b
+    ), zs AS (
+        SELECT type_a, type_b, n_a, n_b, u2,
+               (CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
+               / (2.0 * sqrt(
+                     (CAST(n_a AS DOUBLE) * n_b / 12.0)
+                     * ((n_a + n_b + 1)
+                        - CAST(ties AS DOUBLE)
+                          / ((n_a + n_b)
+                             * (CAST(n_a AS DOUBLE) + n_b - 1))))) AS z
+        FROM pairs
+    )"""
+
+
+@register(
+    "mann_whitney_fdr_census",
+    oracle=f"""
+    WITH {_SQL_TYPE_VALUE_CUM}, {_SQL_MWU_PAIRS},
+    ps AS (
+        SELECT type_a, type_b,
+               round(z, 4) + 0.0 AS z_score,
+               round(least(1.0,
+                   2.0 * (exp(-(z * z) / 2.0) / sqrt(2.0 * pi()))
+                       * ({_NORM_B[0]} * tt + {_NORM_B[1]} * tt * tt
+                          + {_NORM_B[2]} * tt * tt * tt
+                          + {_NORM_B[3]} * tt * tt * tt * tt
+                          + {_NORM_B[4]} * tt * tt * tt * tt * tt)),
+                   6) AS p_value
+        FROM (SELECT *, 1.0 / (1.0 + {_NORM_T} * abs(z)) AS tt FROM zs)
+    ), ranked AS (
+        SELECT *,
+               CAST(row_number() OVER (
+                   ORDER BY p_value, type_a, type_b) AS BIGINT) AS bh_rank
+        FROM ps
+    ), m AS (SELECT count(*) AS m FROM ps),
+    k AS (
+        SELECT coalesce(max(CASE WHEN r.p_value * m.m
+                                      <= r.bh_rank * {_BH_Q}
+                                 THEN r.bh_rank END), 0) AS kmax
+        FROM ranked r CROSS JOIN m
+    )
+    SELECT type_a, type_b, z_score, p_value, bh_rank,
+           CAST(CASE WHEN bh_rank <= k.kmax THEN 1 ELSE 0 END AS INT)
+               AS significant
+    FROM ranked CROSS JOIN k
+    ORDER BY type_a, type_b
+    """,
+)
+def mann_whitney_fdr_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control over the Mann-Whitney pair panel:
+    two-sided p-values from the tie-corrected z (normal CDF via the
+    Zelen & Severo 26.2.17 rational approximation, evaluated
+    IDENTICALLY on both engines — no erf builtin dependence), then
+    Benjamini-Hochberg at FDR q=0.05 — the step every drift dashboard
+    needs once it tests all type pairs at once (at 10 simultaneous
+    pairs, one raw p<0.05 is expected under the null).
+
+    Every BH decision compares the ROUNDED p (identical doubles on
+    both engines after round-6) against exact rank*q/m thresholds, so
+    the significance flags are engine-independent even on the
+    rejection boundary.  The panel is |types|-choose-2 rows — the
+    unpartitioned rank window and the two 1-row broadcast scalars
+    (m, kmax) are alphabet-bounded at any corpus size; all the heavy
+    lifting is the shared ECDF grid (see ``_type_value_cum``).
+
+    Reference basis: extension tier — statistical-testing family
+    capstone over ``mann_whitney_census``."""
+    grid = _type_value_cum(load_table(spark, sf_dir, "events"))
+    z = _mwu_z()
+    zs = _mwu_pair_moments(grid).select(
+        "type_a", "type_b", z.alias("z")
+    )
+    az = F.abs(F.col("z"))
+    tt = 1.0 / (1.0 + _NORM_T * az)
+    poly = (
+        _NORM_B[0] * tt
+        + _NORM_B[1] * tt * tt
+        + _NORM_B[2] * tt * tt * tt
+        + _NORM_B[3] * tt * tt * tt * tt
+        + _NORM_B[4] * tt * tt * tt * tt * tt
+    )
+    tail = (
+        F.exp(-(F.col("z") * F.col("z")) / 2.0)
+        / F.sqrt(F.lit(2.0) * F.lit(math.pi))
+    ) * poly
+    ps = zs.select(
+        "type_a",
+        "type_b",
+        norm0(F.round("z", 4)).alias("z_score"),
+        F.round(F.least(F.lit(1.0), 2.0 * tail), 6).alias("p_value"),
+    )
+    ranked = ps.withColumn(
+        "bh_rank",
+        F.row_number()
+        .over(Window.orderBy("p_value", "type_a", "type_b"))
+        .cast("long"),
+    )
+    m_df = ps.agg(F.count("*").alias("m"))
+    with_m = ranked.crossJoin(F.broadcast(m_df))
+    k_df = with_m.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_value") * F.col("m")
+                    <= F.col("bh_rank") * F.lit(_BH_Q),
+                    F.col("bh_rank"),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("kmax")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(k_df))
+        .select(
+            "type_a",
+            "type_b",
+            "z_score",
+            "p_value",
+            "bh_rank",
+            (F.col("bh_rank") <= F.col("kmax"))
+            .cast("int")
+            .alias("significant"),
+        )
+        .orderBy("type_a", "type_b")
     )

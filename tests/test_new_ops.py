@@ -138,3 +138,50 @@ def test_scd2_intervals_tile_each_user(spark):
         for a, b in zip(vs, vs[1:]):
             assert a.valid_to == b.valid_from
         assert sum(v.n_events for v in vs) == ev_counts[uid]
+
+
+def test_grouped_prefix_sum_matches_window(spark):
+    """The two-pass grouped running sum reproduces the window cumsum
+    exactly, across group boundaries inside range partitions and
+    groups spanning several partitions (num_partitions forced high so
+    a 60-row input still exercises multi-partition offsets)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mapreduce511_spark.operators.order import grouped_prefix_sum
+
+    pdf = pd.DataFrame(
+        {
+            "g": [f"g{i % 3}" for i in range(60)],
+            "k": [(i * 7) % 60 for i in range(60)],
+            "c": [(i % 5) + 1 for i in range(60)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = grouped_prefix_sum(
+        df, ["g"], ["k"], "c", out_col="cum", num_partitions=8
+    ).toPandas()
+    w = Window.partitionBy("g").orderBy("k")
+    want = (
+        df.withColumn("cum", F.sum("c").over(w))
+        .toPandas()
+        .sort_values(["g", "k"])
+        .reset_index(drop=True)
+    )
+    got = got.sort_values(["g", "k"]).reset_index(drop=True)
+    assert got[["g", "k", "c", "cum"]].equals(want[["g", "k", "c", "cum"]])
+
+
+def test_grouped_prefix_sum_single_group_and_ties_free_keys(spark):
+    from mapreduce511_spark.operators.order import grouped_prefix_sum
+
+    df = spark.createDataFrame(
+        [("a", i, 2) for i in range(10)], "g string, k int, c int"
+    )
+    out = (
+        grouped_prefix_sum(df, ["g"], ["k"], "c", num_partitions=4)
+        .orderBy("k")
+        .toPandas()
+    )
+    assert out["cum"].tolist() == [2 * (i + 1) for i in range(10)]

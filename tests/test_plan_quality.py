@@ -464,6 +464,8 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("queries/events.py", "rolling_7d_active_users", "rng"): "k-rows: day range",
     ("queries/events.py", "_type_value_cum", "tot"): "per-lang: event-type alphabet (one count row per type)",
     ("queries/events.py", "cusum_changepoint_census", "tot"): "per-lang: event-type alphabet (one total row per type)",
+    ("queries/events.py", "mann_whitney_fdr_census", "m_df"): "1-row",
+    ("queries/events.py", "mann_whitney_fdr_census", "k_df"): "1-row",
     ("queries/relational.py", "mutual_information_census", "rx"): "per-lang: order-priority alphabet margin",
     ("queries/relational.py", "mutual_information_census", "cy"): "per-lang: order-status alphabet margin",
     ("queries/relational.py", "mutual_information_census", "tot"): "1-row",
@@ -535,6 +537,7 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("queries/relational.py", "zorder_cell_census", "rng"): "1-row",
     ("queries/relational.py", "hilbert_cell_census", "rng"): "1-row",
     ("operators/order.py", "global_row_number", "off_df"): "k-rows: <= num_partitions offsets",
+    ("operators/order.py", "grouped_prefix_sum", "off_df"): "k-rows: <= num_partitions x group-alphabet offsets",
     ("queries/relational.py", "zonemap_skipping_census", "pred_df"): "const: 8 predicates",
     ("queries/relational.py", "zonemap_skipping_census", "m"): "const: 8 predicate match counts",
     # --- sketches (driver-sized sketch state by construction)
@@ -674,6 +677,7 @@ def test_allowlist_has_no_stale_entries():
 #               value quantization, not corpus size
 _UNPARTITIONED_WINDOW_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/events.py", "event_rate_anomaly"): "histogram: per-hour rollup, |hours| rows bounded by the time range",
+    ("queries/events.py", "mann_whitney_fdr_census"): "k-rows: BH rank over the |types|-choose-2 pair panel (type alphabet, not corpus size)",
     ("queries/relational.py", "join_key_skew_census"): "histogram: count-of-counts over key multiplicities",
     ("queries/relational.py", "pareto_frontier_parts"): "histogram: per-distinct-retailprice grid (TPC-H price formula alphabet, SF-independent)",
     ("queries/retrieval.py", "hybrid_rrf_top_docs"): "k-rows: RRF candidate pools are orderBy().limit(RRF_CAND) TakeOrdered outputs",

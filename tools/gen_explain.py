@@ -129,6 +129,10 @@ PICKS = {
     "dp_noisy_count_release": "one combinable count shuffle; Laplace transform is O(groups) scalar arithmetic",
     "heaps_law_fit": "First-occurrence minima + 5-row grid broadcasts; no cumulative distinct, no windows",
     "copurchase_assortativity": "Two vertex-keyed degree joins into one 4-accumulator combinable reduce",
+    # round 11 second wave
+    "ks_two_sample_census": "Type-alphabet broadcast grid + per-type window cumsum; pair equi-join on value; integer gap max",
+    "cusum_changepoint_census": "Gap-filled hour grid via sequence-explode; per-type cumsum + argmax windows; one final division",
+    "rake_keywords": "Islands trick (pos minus row_number) for phrase runs; integer degree/freq join; rounded-score TakeOrdered",
 }
 
 

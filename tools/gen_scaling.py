@@ -190,6 +190,14 @@ PICKS = {
     "dp_noisy_count_release": "one count shuffle; noise is per-group scalar arithmetic",
     "heaps_law_fit": "one (lang, token) min-shuffle + 5-row grid broadcasts; OLS over 5 points per lang",
     "copurchase_assortativity": "wedge-shaped degree joins linear in edges; one 4-sum reduce",
+    # round 11 second wave
+    "ks_two_sample_census": "collapses to |distinct values| x |types| grid before the pair join; per-type window cumsum, never quadratic in events",
+    "mann_whitney_census": "same ECDF grid as the KS census; U and tie moments are combinable integer sums per pair",
+    "cusum_changepoint_census": "collapses to the hour x type grid before windows; argmax via per-type row_number over grid-sized input",
+    "mutual_information_census": "one alphabet-sized contingency aggregation; margins + 1-row total broadcast back",
+    "lexical_diversity_census": "one vocab-keyed count shuffle; four statistics from 4 integer moments per lang",
+    "rake_keywords": "one doc-keyed window pass for islands; degree/freq aggregates are vocabulary-sized",
+    "multimodal_tiff_stats": "fixed 400-asset fixture; linear Arrow TIFF decode (both endians, PackBits); one tiny per-asset aggregate",
 }
 
 
