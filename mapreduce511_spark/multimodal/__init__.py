@@ -151,18 +151,23 @@ assert (1 << min(FLAC_DEPTHS)) // FLAC_DEPTH_STEP_DIV >= 1
 
 # TIFF fixture geometry/pixel formula — single definition shared by
 # synth_tiff_media AND the multimodal_tiff_stats oracle f-string:
-#   w = TIFF_W_BASE + d % TIFF_W_MOD,  h = TIFF_H_BASE + (d*3) % TIFF_H_MOD
+#   w = TIFF_W_BASE + d % TIFF_W_MOD,  h = TIFF_H_BASE + (d*5) % TIFF_H_MOD
 #   spp = 1 (gray) when d even else 3 (RGB)
 #   v(i) = (d*TIFF_PX_A + (i // TIFF_PX_RUN)*TIFF_PX_STEP) % 256
-# The i//TIFF_PX_RUN quotient makes the pixel stream piecewise-
-# constant in runs of TIFF_PX_RUN bytes, so the PackBits-compressed
-# variants exercise BOTH repeat packets (inside runs) and literal
-# packets (run fragments at row/strip boundaries, where compression
-# restarts per spec §9).
+# The height multiplier (5) is coprime to TIFF_H_MOD (7) so height
+# sweeps all seven values INDEPENDENTLY of the even/odd gray-vs-RGB
+# axis (a *3 stride against mod 6 collapsed to two heights perfectly
+# correlated with parity — a height-dependent strip bug confounded
+# with photometric would have gone unseen; the PNG fixture's (d*5)%7
+# precedent).  The i//TIFF_PX_RUN quotient makes the pixel stream
+# piecewise-constant in runs of TIFF_PX_RUN bytes, so the
+# PackBits-compressed variants exercise BOTH repeat packets (inside
+# runs) and literal packets (run fragments at row/strip boundaries,
+# where compression restarts per spec §9).
 TIFF_W_BASE = 5
 TIFF_W_MOD = 9
 TIFF_H_BASE = 4
-TIFF_H_MOD = 6
+TIFF_H_MOD = 7
 TIFF_PX_A = 13
 TIFF_PX_RUN = 7
 TIFF_PX_STEP = 29
@@ -267,7 +272,7 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
                 if d >= SYNTH_DOC_LIMIT:
                     continue
                 w = TIFF_W_BASE + d % TIFF_W_MOD
-                h = TIFF_H_BASE + (d * 3) % TIFF_H_MOD
+                h = TIFF_H_BASE + (d * 5) % TIFF_H_MOD
                 spp = 1 if d % 2 == 0 else 3
                 vals = (
                     d * TIFF_PX_A

@@ -265,6 +265,10 @@ def decode_tiff(payload: bytes) -> tuple[int, int, np.ndarray]:
     if ifd_off + 2 > len(payload):
         raise ValueError("IFD offset past end of file")
     (n_entries,) = struct.unpack_from(e + "H", payload, ifd_off)
+    if ifd_off + 2 + 12 * n_entries > len(payload):
+        raise ValueError(
+            f"IFD entry table ({n_entries} entries) past end of file"
+        )
     tags: dict[int, list[int]] = {}
     for k in range(n_entries):
         tag, ftype, count, raw = struct.unpack_from(

@@ -2161,10 +2161,66 @@ def ks_two_sample_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "mann_whitney_census",
-    oracle=f"""
-    WITH {_SQL_TYPE_VALUE_CUM},
+# Zelen & Severo rational approximation of the standard normal upper
+# tail (Abramowitz & Stegun 26.2.17, |error| < 7.5e-8): for x >= 0,
+# 1 - Phi(x) = phi(x) * (b1 t + b2 t^2 + b3 t^3 + b4 t^4 + b5 t^5)
+# with t = 1/(1 + 0.2316419 x).  Neither engine ships erf-based
+# normal CDFs with identical rounding, so BOTH sides evaluate THIS
+# formula — cross-engine agreement then needs only exp/sqrt to be
+# faithful to the last ulp or so, absorbed by the round-to-6.
+_NORM_T = 0.2316419
+_NORM_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_BH_Q = 0.05  # Benjamini-Hochberg target FDR
+
+
+def _mwu_pair_moments(grid):
+    """Exact-integer Mann-Whitney pair moments off the shared ECDF
+    grid: (type_a, type_b, n_a, n_b, u2 = 2*U_a, ties = sum t^3 - t).
+    Shared by ``mann_whitney_census`` and the BH-FDR panel."""
+    a, b = grid.alias("a"), grid.alias("b")
+    t = F.col("a.c") + F.col("b.c")
+    return (
+        a.join(
+            b,
+            (F.col("a.value") == F.col("b.value"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(
+            F.sum(
+                2 * F.col("a.c") * (F.col("b.cum") - F.col("b.c"))
+                + F.col("a.c") * F.col("b.c")
+            ).alias("u2"),
+            F.sum(t * t * t - t).alias("ties"),
+        )
+    )
+
+
+def _mwu_z():
+    """The tie-corrected normal z as a Column over the pair moments
+    (one mirrored float expression; see mann_whitney_census)."""
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    n_tot = n_a + n_b
+    sigma = F.sqrt(
+        (n_a.cast("double") * n_b / 12.0)
+        * (
+            (n_tot + 1)
+            - F.col("ties").cast("double")
+            / (n_tot * (n_a.cast("double") + n_b - 1))
+        )
+    )
+    return (F.col("u2").cast("double") - n_a.cast("double") * n_b) / (
+        2.0 * sigma
+    )
+
+
+# the shared pair-moment CTE (DuckDB twin of _mwu_pair_moments + _mwu_z)
+_SQL_MWU_PAIRS = """
     pairs AS (
         SELECT a.event_type AS type_a,
                b.event_type AS type_b,
@@ -2177,18 +2233,27 @@ def ks_two_sample_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN ecdf b
           ON a.value = b.value AND a.event_type < b.event_type
         GROUP BY type_a, type_b, n_a, n_b
-    )
+    ), zs AS (
+        SELECT type_a, type_b, n_a, n_b, u2,
+               (CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
+               / (2.0 * sqrt(
+                     (CAST(n_a AS DOUBLE) * n_b / 12.0)
+                     * ((n_a + n_b + 1)
+                        - CAST(ties AS DOUBLE)
+                          / ((n_a + n_b)
+                             * (CAST(n_a AS DOUBLE) + n_b - 1))))) AS z
+        FROM pairs
+    )"""
+
+
+@register(
+    "mann_whitney_census",
+    oracle=f"""
+    WITH {_SQL_TYPE_VALUE_CUM}, {_SQL_MWU_PAIRS}
     SELECT type_a, type_b, n_a, n_b,
            u2 / 2.0 AS u_a,
-           round((CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
-                 / (2.0 * sqrt(
-                       (CAST(n_a AS DOUBLE) * n_b / 12.0)
-                       * ((n_a + n_b + 1)
-                          - CAST(ties AS DOUBLE)
-                            / ((n_a + n_b)
-                               * (CAST(n_a AS DOUBLE) + n_b - 1))))),
-                 4) + 0.0 AS z_score
-    FROM pairs
+           round(z, 4) + 0.0 AS z_score
+    FROM zs
     ORDER BY type_a, type_b
     """,
 )
@@ -2341,89 +2406,6 @@ def cusum_changepoint_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Zelen & Severo rational approximation of the standard normal upper
-# tail (Abramowitz & Stegun 26.2.17, |error| < 7.5e-8): for x >= 0,
-# 1 - Phi(x) = phi(x) * (b1 t + b2 t^2 + b3 t^3 + b4 t^4 + b5 t^5)
-# with t = 1/(1 + 0.2316419 x).  Neither engine ships erf-based
-# normal CDFs with identical rounding, so BOTH sides evaluate THIS
-# formula — cross-engine agreement then needs only exp/sqrt to be
-# faithful to the last ulp or so, absorbed by the round-to-6.
-_NORM_T = 0.2316419
-_NORM_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
-_BH_Q = 0.05  # Benjamini-Hochberg target FDR
-
-
-def _mwu_pair_moments(grid):
-    """Exact-integer Mann-Whitney pair moments off the shared ECDF
-    grid: (type_a, type_b, n_a, n_b, u2 = 2*U_a, ties = sum t^3 - t).
-    Shared by ``mann_whitney_census`` and the BH-FDR panel."""
-    a, b = grid.alias("a"), grid.alias("b")
-    t = F.col("a.c") + F.col("b.c")
-    return (
-        a.join(
-            b,
-            (F.col("a.value") == F.col("b.value"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
-        )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-            F.col("a.n").alias("n_a"),
-            F.col("b.n").alias("n_b"),
-        )
-        .agg(
-            F.sum(
-                2 * F.col("a.c") * (F.col("b.cum") - F.col("b.c"))
-                + F.col("a.c") * F.col("b.c")
-            ).alias("u2"),
-            F.sum(t * t * t - t).alias("ties"),
-        )
-    )
-
-
-def _mwu_z():
-    """The tie-corrected normal z as a Column over the pair moments
-    (one mirrored float expression; see mann_whitney_census)."""
-    n_a, n_b = F.col("n_a"), F.col("n_b")
-    n_tot = n_a + n_b
-    sigma = F.sqrt(
-        (n_a.cast("double") * n_b / 12.0)
-        * (
-            (n_tot + 1)
-            - F.col("ties").cast("double")
-            / (n_tot * (n_a.cast("double") + n_b - 1))
-        )
-    )
-    return (F.col("u2").cast("double") - n_a.cast("double") * n_b) / (
-        2.0 * sigma
-    )
-
-
-# the shared pair-moment CTE (DuckDB twin of _mwu_pair_moments + _mwu_z)
-_SQL_MWU_PAIRS = """
-    pairs AS (
-        SELECT a.event_type AS type_a,
-               b.event_type AS type_b,
-               a.n AS n_a,
-               b.n AS n_b,
-               sum(2 * a.c * (b.cum - b.c) + a.c * b.c) AS u2,
-               sum((a.c + b.c) * (a.c + b.c) * (a.c + b.c)
-                   - (a.c + b.c)) AS ties
-        FROM ecdf a
-        JOIN ecdf b
-          ON a.value = b.value AND a.event_type < b.event_type
-        GROUP BY type_a, type_b, n_a, n_b
-    ), zs AS (
-        SELECT type_a, type_b, n_a, n_b, u2,
-               (CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
-               / (2.0 * sqrt(
-                     (CAST(n_a AS DOUBLE) * n_b / 12.0)
-                     * ((n_a + n_b + 1)
-                        - CAST(ties AS DOUBLE)
-                          / ((n_a + n_b)
-                             * (CAST(n_a AS DOUBLE) + n_b - 1))))) AS z
-        FROM pairs
-    )"""
 
 
 @register(
@@ -2497,12 +2479,16 @@ def mann_whitney_fdr_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exp(-(F.col("z") * F.col("z")) / 2.0)
         / F.sqrt(F.lit(2.0) * F.lit(math.pi))
     ) * poly
+    # materialize the alphabet-sized panel ONCE: the m/kmax scalars
+    # and the final projection are three more consumers, and without
+    # the checkpoint each plan branch re-executes the corpus-scale
+    # grid self-join + pair aggregation feeding it
     ps = zs.select(
         "type_a",
         "type_b",
         norm0(F.round("z", 4)).alias("z_score"),
         F.round(F.least(F.lit(1.0), 2.0 * tail), 6).alias("p_value"),
-    )
+    ).localCheckpoint(eager=True)
     ranked = ps.withColumn(
         "bh_rank",
         F.row_number()

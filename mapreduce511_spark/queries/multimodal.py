@@ -1954,7 +1954,7 @@ def multimodal_flac_depth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH img AS (
         SELECT doc_id,
                CAST({TIFF_W_BASE} + doc_id % {TIFF_W_MOD} AS INT) AS w,
-               CAST({TIFF_H_BASE} + (doc_id * 3) % {TIFF_H_MOD} AS INT) AS h,
+               CAST({TIFF_H_BASE} + (doc_id * 5) % {TIFF_H_MOD} AS INT) AS h,
                CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS spp
         FROM documents WHERE doc_id < {SYNTH_DOC_LIMIT}
     ), idx AS (

@@ -226,7 +226,7 @@ def test_fixture_sweeps_every_baseline_cell():
     saw_repeat = saw_literal = saw_partial_strip = False
     for d in range(30):
         w = TIFF_W_BASE + d % TIFF_W_MOD
-        h = TIFF_H_BASE + (d * 3) % TIFF_H_MOD
+        h = TIFF_H_BASE + (d * 5) % TIFF_H_MOD
         spp = 1 if d % 2 == 0 else 3
         vals = (
             d * TIFF_PX_A
@@ -255,6 +255,14 @@ def test_fixture_sweeps_every_baseline_cell():
         got_w, got_h, out = decode_tiff(payload)
         assert (got_w, got_h) == (w, h) and np.array_equal(out, px)
     assert {s for s, _, _ in seen} == {1, 3}
+    # height must sweep multiple values WITHIN each photometric class
+    # (the *3-stride-mod-6 formula collapsed to one height per parity)
+    heights = {}
+    for d in range(30):
+        heights.setdefault(1 if d % 2 == 0 else 3, set()).add(
+            TIFF_H_BASE + (d * 5) % TIFF_H_MOD
+        )
+    assert len(heights[1]) >= 4 and len(heights[3]) >= 4
     assert {c for _, c, _ in seen} == {1, 32773}
     assert {o for _, _, o in seen} == {b"II", b"MM"}
     assert saw_repeat and saw_literal and saw_partial_strip
@@ -266,3 +274,12 @@ def test_decode_real_dispatches_tiff():
     px = np.arange(6, dtype=np.uint8).reshape(2, 3)
     w, h, out = codecs.decode_real(encode_tiff(px), "image/tiff")
     assert (w, h) == (3, 2) and np.array_equal(out, px)
+
+
+def test_truncated_ifd_entry_table_raises_valueerror():
+    """A file cut mid-IFD (entry count intact, entry table truncated)
+    must raise the documented ValueError, not struct.error."""
+    payload = encode_tiff(np.arange(9, dtype=np.uint8).reshape(3, 3))
+    (ifd_off,) = struct.unpack_from("<I", payload, 4)
+    with pytest.raises(ValueError, match="entry table"):
+        decode_tiff(payload[: ifd_off + 7])
