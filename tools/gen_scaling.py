@@ -191,7 +191,7 @@ PICKS = {
     "heaps_law_fit": "one (lang, token) min-shuffle + 5-row grid broadcasts; OLS over 5 points per lang",
     "copurchase_assortativity": "wedge-shaped degree joins linear in edges; one 4-sum reduce",
     # round 11 second wave
-    "ks_two_sample_census": "collapses to |distinct values| x |types| grid before the pair join; per-type window cumsum, never quadratic in events",
+    "ks_two_sample_census": "collapses to |distinct values| x |types| grid before the pair join; cumulative counts via the two-pass grouped_prefix_sum (no one-task-per-type window), never quadratic in events",
     "mann_whitney_census": "same ECDF grid as the KS census; U and tie moments are combinable integer sums per pair",
     "cusum_changepoint_census": "collapses to the hour x type grid before windows; argmax via per-type row_number over grid-sized input",
     "mutual_information_census": "one alphabet-sized contingency aggregation; margins + 1-row total broadcast back",
