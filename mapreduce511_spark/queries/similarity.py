@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from mapreduce511_spark.functions.text import tokenize, word_ngrams
 from mapreduce511_spark.functions.vectors import cosine_similarity
-from mapreduce511_spark.queries import register
+from mapreduce511_spark.queries import norm0, register
 from mapreduce511_spark.sources.tables import load_table
 
 # DuckDB twin of functions.vectors.cosine_similarity — identical
@@ -63,7 +63,9 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_centroids",
     oracle="""
-    SELECT label, CAST(p AS INTEGER) AS dim, round(avg(v), 4) AS centroid_v
+    SELECT label, CAST(p AS INTEGER) AS dim,
+           round(sum(CAST(round(v * 1000000.0) AS BIGINT))
+                 / (1000000.0 * count(*)), 4) + 0.0 AS centroid_v
     FROM (
         SELECT label,
                unnest(CAST(embedding AS DOUBLE[])) AS v,
@@ -75,12 +77,34 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid, one row per (label, dim): posexplode +
-    groupBy — mergeable partial aggs, no driver collect."""
+    groupBy — mergeable partial aggs, no driver collect.
+
+    Means ride the integer-micro discipline (the
+    ``ann_ivf_lloyd_topk`` centroid precedent): each component is
+    quantized to exact micro-units (round half-away, identical rule
+    on both engines) BEFORE summation, so the per-cell sum is an
+    exact long at any parallelism and the mean is one final division.
+    A raw ``avg(double)`` here is order-dependent in its last ulp and
+    flips ``round(.., 4)`` whenever a cell's true mean sits within an
+    ulp of a 0.00005 boundary — latent for ten rounds, surfaced by
+    the r11 testdata regeneration at sf0.001 (337-row cascade from a
+    handful of boundary cells). Quantization error <= 5e-7 per value
+    is two orders under the displayed precision."""
     emb = load_table(spark, sf_dir, "embeddings")
+    micro = F.round(F.col("v").cast("double") * 1_000_000.0).cast("long")
     return (
         emb.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", "dim")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("centroid_v"))
+        .agg(F.sum(micro).alias("s"), F.count("*").alias("n"))
+        .select(
+            "label",
+            "dim",
+            norm0(
+                F.round(
+                    F.col("s") / (F.lit(1_000_000.0) * F.col("n")), 4
+                )
+            ).alias("centroid_v"),
+        )
     )
 
 
