@@ -4,6 +4,22 @@ Built from ``zip_with`` / ``aggregate`` higher-order functions so
 similarity scoring runs inside codegen, Arrow-free and UDF-free. All
 math is done in double precision (cast up from float32 storage) so
 results agree with any double-precision oracle.
+
+r12 optimization note (guide §1.2 "per-task work", measured both
+ways): HOF lambdas evaluate on Catalyst's interpreted path, ~9 µs per
+64-dim fold, so for an operator that evaluates exactly ONE dot per
+row/pair (the BNLJ exact-spec pair kernel, where the norms are
+pre-factored per side) a fixed-width unrolled sum of plain
+``GetArrayItem``/``Multiply``/``Add`` nodes is ~2x faster — that
+variant is ``dot_unrolled64`` below. But an operator that evaluates
+MANY dots per row (``_with_best_cell``'s k-centroid argmax, k x 64
+terms in one Project) blows the generated method past HotSpot's JIT
+HugeMethodLimit: the code compiles to bytecode that never JITs, and
+the whole expression runs interpreted — measured ann_ivf_lloyd_topk
+5.7 s -> 40.9 s when ``dot`` itself was unrolled globally (r12
+session A/B; the r6-era note in queries/similarity.py found the same
+3x cliff). So the DEFAULT ``dot`` stays the HOF fold, and the
+unrolled kernel is opt-in for single-dot shapes only.
 """
 
 from __future__ import annotations
@@ -11,10 +27,45 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Corpus-contract embedding dimension (every SF ships 64-dim vectors;
+# the size guard in dot_unrolled64 makes any drift fall back to the
+# generic fold instead of mis-summing).
+UNROLL_DIM = 64
 
-def dot(a: Column, b: Column) -> Column:
+
+def _dot_fold(a: Column, b: Column) -> Column:
+    """The generic HOF fold — the semantics reference."""
     products = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(products, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    return _dot_fold(a, b)
+
+
+def _dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Fixed-width unrolled sum with the fold's exact association:
+    ((0.0 + p0) + p1) + ... (the leading 0.0 matters only for a -0.0
+    first product, where the fold also yields +0.0)."""
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a.getItem(i).cast("double") * b.getItem(i).cast("double")
+    return acc
+
+
+def dot_unrolled64(a: Column, b: Column) -> Column:
+    """Codegen-friendly 64-wide dot for single-dot-per-row kernels.
+    Bit-identical to ``dot``: same left-to-right association, same
+    per-element double casts (IEEE addition is deterministic given
+    order); vectors of any OTHER length (or null) fall back to the
+    fold via a lazily-evaluated CASE WHEN, preserving the generic
+    null / length-mismatch semantics. Use ONLY where one dot runs per
+    row — k unrolled copies in one Project exceed the JIT method
+    limit and run slower than the fold (see module docstring)."""
+    return F.when(
+        (F.size(a) == UNROLL_DIM) & (F.size(b) == UNROLL_DIM),
+        _dot_unrolled(a, b, UNROLL_DIM),
+    ).otherwise(_dot_fold(a, b))
 
 
 def l2_norm(a: Column) -> Column:

@@ -175,15 +175,21 @@ def adjacent_lcp(
 
 
 def repeated_phrases(
-    positions: DataFrame, sa: DataFrame, max_lcp: int = 12, topk: int = 20
+    positions: DataFrame,
+    sa: DataFrame,
+    max_lcp: int = 12,
+    topk: int = 20,
+    al: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k longest repeated word sequences: adjacent suffixes in
     suffix-array order share their longest common prefix with some
     OTHER corpus position by construction, so the corpus-wide longest
     repeats are exactly the largest adjacent-pair LCPs (capped at
     ``max_lcp``). Top-k via TakeOrdered (orderBy+limit)."""
+    if al is None:
+        al = adjacent_lcp(positions, sa, max_lcp=max_lcp)
     return (
-        adjacent_lcp(positions, sa, max_lcp=max_lcp)
+        al
         .select(
             "pos",
             "pos_b",

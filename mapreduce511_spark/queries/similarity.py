@@ -183,7 +183,7 @@ def embedding_near_dup_exact_spec(spark: SparkSession, sf_dir: str) -> DataFrame
     GEMM, bounded task memory, no driver collect) or the LSH/IVF
     bucketed variants (``ann_lsh_topk`` / ``ann_ivf_lloyd_topk``),
     where this exact kernel runs only inside a bucket."""
-    from mapreduce511_spark.functions.vectors import dot, l2_norm
+    from mapreduce511_spark.functions.vectors import dot_unrolled64, l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
     # precompute each vector's norm AND the float->double cast ONCE
@@ -208,7 +208,14 @@ def embedding_near_dup_exact_spec(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # r12: ONE dot per pair with norms/casts pre-factored — the
+    # single-dot-per-row shape where the 64-wide unrolled kernel wins
+    # (bit-identical association; see functions/vectors.py). The r6
+    # note above about the expanded sum being slower measured a shape
+    # with per-pair norms + element_at; with norms hoisted the unroll
+    # is ~2x faster (21.3 -> 12.7 s under-load A/B, re-pinned quiet
+    # below in OPTIMIZATION_r12.md).
+    cos = dot_unrolled64(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_sim_raw", cos)

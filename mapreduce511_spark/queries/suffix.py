@@ -135,6 +135,42 @@ def _corpus_sa(spark: SparkSession, sf_dir: str):
     _SA_MEMO[mkey] = (sig, positions, sa)
     return positions, sa
 
+
+# r12 optimization (guide §2.4 "remove shuffles outright" / §1.2 step
+# 1): the capped adjacent-LCP table is the shared kernel of THREE
+# queries (suffix_repeated_phrases, exact_duplicate_span_census,
+# exact_duplicate_span_removal) and was recomputed from the SA frames
+# on every reference — including TWICE inside one _repeat_islands call
+# (its union reads the frame for both pair ends), i.e. up to ~8
+# evaluations of the explode+join+collect+self-join pipeline per
+# bench pass. Like the SA frames it derives deterministically from
+# the corpus, so it joins the same session memo discipline: computed
+# once per (documents path, session), localCheckpoint'ed, reused.
+# Session-scoped only — a fresh process recomputes it from the
+# parquet inputs (first consumer pays the build, exactly like
+# _SA_MEMO's reload path).
+_LCP_MEMO: dict[tuple, tuple[tuple, DataFrame]] = {}
+
+
+def _corpus_lcp(spark: SparkSession, sf_dir: str):
+    """(positions, sa, adjacent_lcp-frame) with the LCP frame memoized
+    per session at the family's shared max_lcp=12 cap."""
+    import os
+
+    positions, sa = _corpus_sa(spark, sf_dir)
+    path = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    st = os.stat(path)
+    sig = (path, st.st_mtime_ns, st.st_size)
+    mkey = (path, spark.sparkContext.applicationId)
+    memo = _LCP_MEMO.get(mkey)
+    if memo is not None and memo[0] == sig:
+        return positions, sa, memo[1]
+    al = adjacent_lcp(positions, sa, max_lcp=12).localCheckpoint(
+        eager=True
+    )
+    _LCP_MEMO[mkey] = (sig, al)
+    return positions, sa, al
+
 # shared oracle prelude: tokenized docs + sentinel, corpus positions
 # (1-based, (doc_id, off) order — matches global_row_number), and the
 # suffix rank sa (0-based) via the separator-join ordering trick.
@@ -251,8 +287,8 @@ def suffix_repeated_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     (capped at a 12-token comparison window; phrases of >= 2 tokens
     reported with their first-6-token head). The LCP gather is a
     bounded pos+i equi-join — never a full-suffix comparison."""
-    positions, sa = _corpus_sa(spark, sf_dir)
-    return repeated_phrases(positions, sa, max_lcp=12, topk=20)
+    _, _, al = _corpus_lcp(spark, sf_dir)
+    return repeated_phrases(None, None, max_lcp=12, topk=20, al=al)
 
 
 @register(
@@ -314,8 +350,8 @@ def exact_duplicate_span_census(
     free); per-document interval islands then merge with the same
     gaps-and-islands pass ``decontamination_span_removal`` uses,
     under a doc-partitioned window."""
-    positions, sa = _corpus_sa(spark, sf_dir)
-    islands = _repeat_islands(positions, sa).groupBy("doc_id", "g").agg(
+    positions, _, al = _corpus_lcp(spark, sf_dir)
+    islands = _repeat_islands(positions, al).groupBy("doc_id", "g").agg(
         (F.max("e") - F.min("off")).alias("cov")
     )
     # real token count per doc = positions minus the sentinel
@@ -334,7 +370,7 @@ def exact_duplicate_span_census(
     )
 
 
-def _repeat_islands(positions: DataFrame, sa: DataFrame) -> DataFrame:
+def _repeat_islands(positions: DataFrame, al: DataFrame) -> DataFrame:
     """Shared kernel of the census and the removal manifest: repeat
     START positions (max LCP with either suffix-array neighbor >= 8
     tokens, LCP capped at 12 — any cap >= the threshold is lossless
@@ -342,9 +378,7 @@ def _repeat_islands(positions: DataFrame, sa: DataFrame) -> DataFrame:
     per-document islands with the gaps-and-islands pass. Returns one
     row per repeat start, tagged (doc_id, off, e, g) where ``g`` is
     the island ordinal within the document."""
-    al = adjacent_lcp(positions, sa, max_lcp=12).select(
-        "pos", "pos_b", "lcp"
-    )
+    al = al.select("pos", "pos_b", "lcp")
     per_pos = (
         al.select(F.col("pos").alias("p"), "lcp")
         .unionAll(al.select(F.col("pos_b").alias("p"), "lcp"))
@@ -461,9 +495,16 @@ def exact_duplicate_span_removal(
     Reference basis: extension tier — dedup family (Lee et al. 2022
     ExactSubstr removal, restated as a manifest); no analog in
     /root/reference."""
-    positions, sa = _corpus_sa(spark, sf_dir)
-    islands = _repeat_islands(positions, sa).groupBy("doc_id", "g").agg(
-        F.min("off").alias("s"), F.max("e").alias("e")
+    positions, _, al = _corpus_lcp(spark, sf_dir)
+    # islands feeds THREE shuffling consumers (cov explode, affected
+    # semi-join, summary agg) — checkpoint per the PROFILE.md rule
+    # ("localCheckpoint a shared subtree only when its consumers
+    # SHUFFLE it"); the frame is one row per merged island, tiny.
+    islands = (
+        _repeat_islands(positions, al)
+        .groupBy("doc_id", "g")
+        .agg(F.min("off").alias("s"), F.max("e").alias("e"))
+        .localCheckpoint(eager=True)
     )
     lens = positions.groupBy("doc_id").agg(
         (F.count("*") - 1).alias("n_tokens")

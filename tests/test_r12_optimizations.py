@@ -1,0 +1,104 @@
+"""Focused tests for round-12 optimization internals.
+
+Each optimization here restructures HOW something is computed, never
+WHAT: these tests pin the equivalence plus the memo semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_corpus_lcp_memo_hit_and_equivalence(spark):
+    """_corpus_lcp returns the memoized frame on re-entry and its rows
+    equal a fresh adjacent_lcp computation at the family cap."""
+    from mapreduce511_spark.operators.suffix_array import adjacent_lcp
+    from mapreduce511_spark.queries import suffix
+
+    pos1, sa1, al1 = suffix._corpus_lcp(spark, SF_SMOKE)
+    pos2, sa2, al2 = suffix._corpus_lcp(spark, SF_SMOKE)
+    assert al1 is al2  # memo hit: same checkpointed frame object
+    fresh = adjacent_lcp(pos1, sa1, max_lcp=12)
+    got = sorted(
+        (r.pos, r.pos_b, r.lcp, tuple(r.pref))
+        for r in al1.collect()
+    )
+    want = sorted(
+        (r.pos, r.pos_b, r.lcp, tuple(r.pref))
+        for r in fresh.collect()
+    )
+    assert got == want
+
+
+def test_repeat_islands_takes_lcp_frame(spark):
+    """The census path built on the shared LCP frame matches the same
+    kernel run on a freshly computed LCP frame."""
+    from mapreduce511_spark.operators.suffix_array import adjacent_lcp
+    from mapreduce511_spark.queries import suffix
+
+    positions, sa, al = suffix._corpus_lcp(spark, SF_SMOKE)
+    via_memo = sorted(
+        tuple(r)
+        for r in suffix._repeat_islands(positions, al).collect()
+    )
+    via_fresh = sorted(
+        tuple(r)
+        for r in suffix._repeat_islands(
+            positions, adjacent_lcp(positions, sa, max_lcp=12)
+        ).collect()
+    )
+    assert via_memo == via_fresh
+
+
+def test_shared_events_src_memoized_and_equivalent(spark):
+    """The session-shared staged events dir is written once, reused on
+    re-entry, and holds exactly the events table's rows."""
+    from mapreduce511_spark.queries import streaming_queries as sq
+    from mapreduce511_spark.sources.tables import load_table
+
+    src1 = sq._shared_events_src(spark, SF_SMOKE)
+    src2 = sq._shared_events_src(spark, SF_SMOKE)
+    assert src1 == src2  # memo hit: no re-staging
+    staged = spark.read.parquet(src1)
+    base = load_table(spark, SF_SMOKE, "events")
+    assert staged.count() == base.count()
+    # full-row equivalence via an order-insensitive checksum
+    def chk(df):
+        return df.select(
+            F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+
+    a, b = chk(staged.select(*base.columns)), chk(base)
+    assert (a.h, a.n) == (b.h, b.n)
+
+
+def test_unrolled_dot_matches_fold(spark):
+    """The fixed-width unrolled dot is bit-identical to the generic
+    HOF fold on 64-dim vectors, and the fold path still serves any
+    other length."""
+    from mapreduce511_spark.functions import vectors as V
+
+    df = spark.createDataFrame(
+        [
+            (list(float(((i * 37 + j) % 19) - 9) / 7 for j in range(64)),
+             list(float(((i * 53 + j) % 23) - 11) / 5 for j in range(64)))
+            for i in range(50)
+        ],
+        "a array<double>, b array<double>",
+    )
+    rows = df.select(
+        V.dot(F.col("a"), F.col("b")).alias("d"),
+        V._dot_fold(F.col("a"), F.col("b")).alias("f"),
+    ).collect()
+    for r in rows:
+        # bit-identical, not approximately equal
+        assert r.d == r.f and str(r.d) == str(r.f)
+
+    short = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<double>, b array<double>"
+    )
+    r = short.select(V.dot(F.col("a"), F.col("b")).alias("d")).first()
+    assert r.d == 32.0
