@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mapreduce511_spark.functions.vectors import cosine_similarity
+from mapreduce511_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
 K_CELLS = 16
 KMEANS_ITERS = 3
@@ -47,19 +47,52 @@ def _with_best_cell(df: DataFrame, vec_col: str, centroids: list[list[float]]) -
     The k similarities are materialized as ONE array column first and
     argmax reads that bound column — chaining when(sim > best) instead
     would nest each step's expression into the next twice over,
-    exploding the plan exponentially in k."""
-    sims = F.array(
+    exploding the plan exponentially in k.
+
+    r12 (guide §1.2 step 2): the original built k separate
+    ``cosine_similarity(vec, lit)`` expressions — 3 interpreted HOF
+    folds each (dot + ‖vec‖ + ‖lit‖, the latter two re-folded per
+    centroid). Now ‖vec‖ is bound once per row, each centroid's norm
+    is a Python-precomputed literal (same left-to-right 0.0+x·x
+    accumulation and IEEE sqrt as the fold — bit-identical), and a
+    single ``transform`` scores each centroid with one dot fold:
+    k+1 folds per row instead of 3k. The sims values are the same
+    doubles — dot/(‖v‖·‖c‖) with identical association — and the
+    argmax stays the SAME array_position(array_max) expression, so
+    tie and NaN behavior are untouched by construction."""
+    import math
+
+    def _lit_norm(c: list[float]) -> float:
+        acc = 0.0
+        for x in c:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    cent_structs = F.array(
         *[
-            cosine_similarity(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
+            F.struct(
+                F.array(*[F.lit(float(x)) for x in c]).alias("cv"),
+                F.lit(_lit_norm(c)).alias("cn"),
+            )
             for c in centroids
         ]
     )
-    return df.withColumn("_sims", sims).withColumn(
-        "cell",
-        (F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))) - 1).cast(
-            "int"
-        ),
-    ).drop("_sims")
+    sims = F.transform(
+        cent_structs,
+        lambda c: dot(F.col(vec_col), c["cv"]) / (F.col("_wbc_nv") * c["cn"]),
+    )
+    return (
+        df.withColumn("_wbc_nv", l2_norm(F.col(vec_col)))
+        .withColumn("_sims", sims)
+        .withColumn(
+            "cell",
+            (
+                F.array_position(F.col("_sims"), F.array_max(F.col("_sims")))
+                - 1
+            ).cast("int"),
+        )
+        .drop("_sims", "_wbc_nv")
+    )
 
 
 # Session-lifetime cache of trained index artifacts, keyed by a
