@@ -102,3 +102,37 @@ def test_unrolled_dot_matches_fold(spark):
     )
     r = short.select(V.dot(F.col("a"), F.col("b")).alias("d")).first()
     assert r.d == 32.0
+
+
+def test_session_standing_memo_semantics(spark):
+    """_session_standing calls the builder once per (session, sf_dir,
+    tag), returns the memoized value on re-entry, and keys tags
+    independently."""
+    from mapreduce511_spark.queries import streaming_queries as sq
+
+    calls = {"a": 0, "b": 0}
+
+    def mk(tag):
+        def build():
+            calls[tag] += 1
+            return ("payload", tag)
+
+        return build
+
+    v1 = sq._session_standing(spark, SF_SMOKE, "_t_memo_a", mk("a"))
+    v2 = sq._session_standing(spark, SF_SMOKE, "_t_memo_a", mk("a"))
+    v3 = sq._session_standing(spark, SF_SMOKE, "_t_memo_b", mk("b"))
+    assert v1 is v2 and calls["a"] == 1
+    assert v3 == ("payload", "b") and calls["b"] == 1
+
+
+def test_admission_census_stable_across_invocations(spark):
+    """An admission query's drained census is identical on a fresh
+    staging (first call) and on the memoized standing side (second
+    call) — the memo changes where the standing inputs come from,
+    never what the stream computes."""
+    from mapreduce511_spark.queries import streaming_queries as sq
+
+    a = sorted(tuple(r) for r in sq.stream_dedup_admission(spark, SF_SMOKE).collect())
+    b = sorted(tuple(r) for r in sq.stream_dedup_admission(spark, SF_SMOKE).collect())
+    assert a == b
