@@ -49,6 +49,8 @@ _TAG_STRIP_OFFSETS = 273
 _TAG_SPP = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
+_TAG_ORIENTATION = 274
+_TAG_PLANAR = 284
 
 _COMP_NONE = 1
 _COMP_PACKBITS = 32773
@@ -284,6 +286,8 @@ def decode_tiff(payload: bytes) -> tuple[int, int, np.ndarray]:
             _TAG_SPP,
             _TAG_ROWS_PER_STRIP,
             _TAG_STRIP_COUNTS,
+            _TAG_ORIENTATION,
+            _TAG_PLANAR,
         ):
             tags[tag] = _read_values(payload, e, ftype, count, raw)
 
@@ -312,6 +316,17 @@ def decode_tiff(payload: bytes) -> tuple[int, int, np.ndarray]:
         )
     if comp not in (_COMP_NONE, _COMP_PACKBITS):
         raise ValueError(f"unsupported compression {comp}")
+    # r11 ADVICE: a planar (PlanarConfiguration=2) RGB file stores
+    # channel planes separately — silently interleaving them as chunky
+    # mis-decodes every pixel, and a non-default Orientation transposes
+    # or flips the raster. Both are non-baseline here: raise, never
+    # mis-decode (the module contract).
+    planar = _one(_TAG_PLANAR, default=1)
+    if planar != 1:
+        raise ValueError(f"unsupported PlanarConfiguration {planar}")
+    orientation = _one(_TAG_ORIENTATION, default=1)
+    if orientation != 1:
+        raise ValueError(f"unsupported Orientation {orientation}")
     if _TAG_STRIP_OFFSETS not in tags or _TAG_STRIP_COUNTS not in tags:
         raise ValueError("TIFF missing strip offsets/byte counts")
     offsets = tags[_TAG_STRIP_OFFSETS]

@@ -203,8 +203,12 @@ def grouped_prefix_sum(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    # r11 ADVICE: an all-NULL sum_col within a (partition, group) makes
+    # F.sum return NULL and the driver-side accumulation below would
+    # raise TypeError — coalesce to 0 so the operator honors its own
+    # contract without requiring callers to pre-coalesce.
     psums = d.groupBy("_pid", *group_cols).agg(
-        F.sum(sum_col).alias("_ps")
+        F.coalesce(F.sum(sum_col), F.lit(0)).alias("_ps")
     )
     rows = sorted(
         psums.collect(),

@@ -2214,8 +2214,12 @@ def _mwu_z():
             / (n_tot * (n_a.cast("double") + n_b - 1))
         )
     )
+    # r11 ADVICE: an all-identical pooled sample gives sigma = 0, where
+    # Spark's non-ANSI Divide yields NULL but DuckDB's IEEE division
+    # yields +/-Inf or NaN — make the degenerate case identically NULL
+    # on both engines (the oracle twin wraps its sqrt in nullif).
     return (F.col("u2").cast("double") - n_a.cast("double") * n_b) / (
-        2.0 * sigma
+        F.when(sigma != 0.0, 2.0 * sigma)
     )
 
 
@@ -2236,12 +2240,12 @@ _SQL_MWU_PAIRS = """
     ), zs AS (
         SELECT type_a, type_b, n_a, n_b, u2,
                (CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
-               / (2.0 * sqrt(
+               / (2.0 * nullif(sqrt(
                      (CAST(n_a AS DOUBLE) * n_b / 12.0)
                      * ((n_a + n_b + 1)
                         - CAST(ties AS DOUBLE)
                           / ((n_a + n_b)
-                             * (CAST(n_a AS DOUBLE) + n_b - 1))))) AS z
+                             * (CAST(n_a AS DOUBLE) + n_b - 1)))), 0.0)) AS z
         FROM pairs
     )"""
 

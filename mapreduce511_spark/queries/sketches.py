@@ -69,6 +69,51 @@ def _hex_long(col: Column, start: int, n: int) -> Column:
     return F.conv(F.substring(col, start, n), 16, 10).cast("long")
 
 
+def _winnow_doc_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp) DISTINCT winnowing fingerprints, computed in the
+    ARRAY domain (r12, guide §2.1): the w=4 sliding min over each
+    document's trigram-hash sequence is a per-row indexed transform
+    (``least`` of the last four elements of the bound hash array) and
+    the per-doc dedup is ``array_distinct`` BEFORE the explode — so
+    selection and dedup are map-side and the first shuffle a consumer
+    pays is its own aggregation. Replaces the
+    explode → Window(doc_id ORDER BY p) → distinct formulation (a
+    doc_id sort shuffle + a distinct shuffle) with bit-identical
+    output: same md5-hex hash, same window extent, same qualify rule
+    (positions >= w-1), same per-doc distinct set."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("toks"))
+    grams = toks.select(
+        "doc_id", word_ngrams(F.col("toks"), 3).alias("g")
+    )
+    # bind the hash array to an attribute BEFORE the indexed lambda:
+    # element_at against a bound column is O(1) per access.
+    h = grams.select(
+        "doc_id",
+        F.transform(
+            F.col("g"), lambda x: _hex_long(F.md5(x), 1, 15)
+        ).alias("h"),
+    )
+    win_min = F.transform(
+        F.col("h"),
+        lambda x, i: F.when(
+            i >= _WINNOW_W - 1,
+            F.least(
+                *[
+                    F.element_at(F.col("h"), i + 1 - k)
+                    for k in range(_WINNOW_W)
+                ]
+            ),
+        ),
+    )
+    return h.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(win_min, lambda v: v.isNotNull()))
+        ).alias("fp"),
+    )
+
+
 def _doc_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, g, p): word trigrams with 0-based gram position.
 
@@ -520,23 +565,9 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference basis: extension tier — fingerprinting family
     (``doc_fingerprint`` is the whole-document exact hash)."""
-    grams = _doc_trigrams(spark, sf_dir)
-    hashed = grams.select(
-        "doc_id", "p", _hex_long(F.md5("g"), 1, 15).alias("h")
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(-(_WINNOW_W - 1), 0)
-    )
-    winnowed = (
-        hashed.withColumn("fp", F.min("h").over(w))
-        .filter(F.col("p") >= _WINNOW_W - 1)
-        .select("doc_id", "fp")
-        .distinct()
-    )
     return (
-        winnowed.groupBy("fp")
+        _winnow_doc_fps(spark, sf_dir)
+        .groupBy("fp")
         .agg(F.count("*").alias("n_docs"))
         .orderBy(F.desc("n_docs"), "fp")
         .limit(20)
@@ -709,25 +740,10 @@ def winnow_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``winnowing_fingerprints`` the selection stage,
     ``near_dup_containment`` the shingle-level asymmetric screen,
     ``minhash_near_dup`` the whole-document path)."""
-    grams = _doc_trigrams(spark, sf_dir)
-    hashed = grams.select(
-        "doc_id", "p", _hex_long(F.md5("g"), 1, 15).alias("h")
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(-(_WINNOW_W - 1), 0)
-    )
-    # the winnowing window + distinct is the expensive stage and fans
-    # out to the df census and BOTH pair-join sides — checkpoint it
-    # (and the rare postings) so it executes once, not 4x.
-    doc_fps = (
-        hashed.withColumn("fp", F.min("h").over(w))
-        .filter(F.col("p") >= _WINNOW_W - 1)
-        .select("doc_id", "fp")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # the winnowing selection is the expensive stage and fans out to
+    # the df census and BOTH pair-join sides — checkpoint it (and the
+    # rare postings) so it executes once, not 4x.
+    doc_fps = _winnow_doc_fps(spark, sf_dir).localCheckpoint(eager=True)
     df_counts = doc_fps.groupBy("fp").agg(F.count("*").alias("d"))
     rare = doc_fps.join(
         df_counts.filter(F.col("d") <= _WINNOW_MAX_DF).select("fp"), "fp"

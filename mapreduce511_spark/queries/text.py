@@ -2709,19 +2709,24 @@ def bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg((-F.sum(p * F.log(p))).alias(key))
         )
 
-    uni = (
-        toks.select("lang", F.explode("toks").alias("w"))
-        .groupBy("lang", "w")
-        .agg(F.count("*").alias("c"))
-    )
-    bi = (
+    # One corpus scan, not two (r12, guide §2.2): the dsir gram-stream
+    # trick — explode unigrams and bigrams together (tokens are
+    # whitespace-split, so 'contains a space' separates the two
+    # exactly), one map-side-combinable count, checkpoint the
+    # vocabulary-sized table for its four consumers.
+    counts = (
         toks.select(
-            "lang", word_ngrams(F.col("toks"), 2).alias("grams")
+            "lang",
+            F.explode(
+                F.concat(F.col("toks"), word_ngrams(F.col("toks"), 2))
+            ).alias("g"),
         )
-        .select("lang", F.explode("grams").alias("g"))
         .groupBy("lang", "g")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
+    uni = counts.filter(~F.col("g").contains(" "))
+    bi = counts.filter(F.col("g").contains(" "))
     hu = entropy(uni, "hu")
     hb = entropy(bi, "hb")
     return (
@@ -2785,24 +2790,28 @@ def collocation_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §7 M7 text-analysis family)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize("text").alias("toks"))
-    # both count tables fan out to multiple consumers (uni -> total +
-    # two margin broadcasts; allbi -> total + floored pairs); without
-    # the checkpoint each consumer re-runs the corpus tokenize+count,
-    # ~5 full scans per invocation. Vocabulary-sized materializations.
-    uni = (
-        toks.select(F.explode("toks").alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=True)
-    )
-    ut = uni.agg(F.sum("c").alias("ut"))
-    allbi = (
-        toks.select(word_ngrams(F.col("toks"), 2).alias("grams"))
-        .select(F.explode("grams").alias("g"))
+    # One corpus scan, not two (r12, guide §2.2): explode unigrams and
+    # bigrams together (the dsir gram-stream trick — tokens are
+    # whitespace-split, so 'contains a space' separates the classes
+    # exactly) into ONE vocabulary-sized count table; its consumers
+    # (uni -> total + two margin broadcasts; allbi -> total + floored
+    # pairs) read the single checkpointed materialization, so the
+    # corpus tokenize+count runs once per invocation, not ~5x.
+    counts = (
+        toks.select(
+            F.explode(
+                F.concat(F.col("toks"), word_ngrams(F.col("toks"), 2))
+            ).alias("g")
+        )
         .groupBy("g")
         .agg(F.count("*").alias("c"))
         .localCheckpoint(eager=True)
     )
+    uni = counts.filter(~F.col("g").contains(" ")).select(
+        F.col("g").alias("w"), "c"
+    )
+    ut = uni.agg(F.sum("c").alias("ut"))
+    allbi = counts.filter(F.col("g").contains(" "))
     bt = allbi.agg(F.sum("c").alias("bt"))
     bi = allbi.filter(F.col("c") >= 5).select(
         F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
@@ -3211,19 +3220,30 @@ def heldout_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
         )
     )
-    # train counts fan out three ways (bigram join, prefix margins,
-    # vocab census) — checkpoint the vocabulary-sized table once.
-    bfreq = (
-        big.filter(F.col("b") < 80)
-        .groupBy("lang", "w1", "w2")
-        .agg(F.count("*").alias("bc"))
+    # One corpus scan, not two (r12, guide §2.2): collapse the bigram
+    # stream to (lang, shard, w1, w2) COUNTS in a single map-side-
+    # combinable aggregation — the train slice is the bigram count
+    # table, and the val slice's identical bigrams share one NLL, so
+    # Σ nll over occurrences equals Σ count·nll over types in exact
+    # integer micro-nats. Checkpointed once (the r6 fan-out rule).
+    hist = (
+        big.filter(F.col("b") < 90)
+        .groupBy(
+            "lang", (F.col("b") < 80).alias("tr"), "w1", "w2"
+        )
+        .agg(F.count("*").alias("c"))
         .localCheckpoint(eager=True)
+    )
+    bfreq = hist.filter(F.col("tr")).select(
+        "lang", "w1", "w2", F.col("c").alias("bc")
     )
     ufreq = bfreq.groupBy("lang", "w1").agg(F.sum("bc").alias("uc"))
     vocab = bfreq.select("lang", "w1").distinct().groupBy("lang").agg(
         F.count("*").alias("v")
     )
-    val = big.filter((F.col("b") >= 80) & (F.col("b") < 90))
+    val = hist.filter(~F.col("tr")).select(
+        "lang", "w1", "w2", F.col("c").alias("vc")
+    )
     # per-bigram NLL quantized to FLOORED integer micro-nats before
     # the aggregate: integer sums are order-independent, so Spark's
     # nondeterministic partial-sum order can never move a rounding-
@@ -3237,15 +3257,18 @@ def heldout_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.coalesce(F.col("uc"), F.lit(0)) + F.col("v"))
         )
     ).cast("long")
-    ce = F.sum("nll_micro").cast("double") / (1_000_000.0 * F.count("*"))
+    n_val = F.sum("vc")
+    ce = F.sum(F.col("vc") * F.col("nll_micro")).cast("double") / (
+        1_000_000.0 * n_val
+    )
     return (
         val.join(bfreq, ["lang", "w1", "w2"], "left")
         .join(ufreq, ["lang", "w1"], "left")
         .join(F.broadcast(vocab), "lang")
-        .select("lang", nll_micro.alias("nll_micro"))
+        .select("lang", "vc", nll_micro.alias("nll_micro"))
         .groupBy("lang")
         .agg(
-            F.count("*").alias("n_val_bigrams"),
+            n_val.alias("n_val_bigrams"),
             F.round(ce, 4).alias("cross_entropy"),
             F.round(F.exp(ce), 2).alias("perplexity"),
         )
@@ -3347,13 +3370,21 @@ def heldout_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
         F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
     )
-    # train bigram types fan out four ways (bigram join, prefix
-    # margins, continuation margins, totals) — checkpoint once.
-    bfreq = (
-        big.filter(F.col("b") < 80)
-        .groupBy("lang", "w1", "w2")
-        .agg(F.count("*").alias("bc"))
+    # One corpus scan, not two (r12, guide §2.2): the
+    # heldout_bigram_ppl restatement — a single (lang, shard, w1, w2)
+    # count table serves as both the train bigram counts and the val
+    # type stream, and Σ count·nll over val types equals Σ nll over
+    # val occurrences in exact integer micro-nats.
+    hist = (
+        big.filter(F.col("b") < 90)
+        .groupBy(
+            "lang", (F.col("b") < 80).alias("tr"), "w1", "w2"
+        )
+        .agg(F.count("*").alias("c"))
         .localCheckpoint(eager=True)
+    )
+    bfreq = hist.filter(F.col("tr")).select(
+        "lang", "w1", "w2", F.col("c").alias("bc")
     )
     pref = bfreq.groupBy("lang", "w1").agg(
         F.sum("bc").alias("uc"), F.count("*").alias("f1")
@@ -3362,7 +3393,9 @@ def heldout_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = bfreq.groupBy("lang").agg(
         F.count("*").alias("tc"), F.countDistinct("w2").alias("v2")
     )
-    val = big.filter((F.col("b") >= 80) & (F.col("b") < 90))
+    val = hist.filter(~F.col("tr")).select(
+        "lang", "w1", "w2", F.col("c").alias("vc")
+    )
     pcont = (F.coalesce(F.col("cc"), F.lit(0)) + 1.0) / (
         F.col("tc") + F.col("v2") + 1.0
     )
@@ -3374,16 +3407,19 @@ def heldout_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (0.75 * F.col("f1") / F.col("uc")) * pcont
     )
     nll_micro = F.floor(-1_000_000 * F.log(prob)).cast("long")
-    ce = F.sum("nll_micro").cast("double") / (1_000_000.0 * F.count("*"))
+    n_val = F.sum("vc")
+    ce = F.sum(F.col("vc") * F.col("nll_micro")).cast("double") / (
+        1_000_000.0 * n_val
+    )
     return (
         val.join(bfreq, ["lang", "w1", "w2"], "left")
         .join(pref, ["lang", "w1"], "left")
         .join(cont, ["lang", "w2"], "left")
         .join(F.broadcast(tot), "lang")
-        .select("lang", nll_micro.alias("nll_micro"))
+        .select("lang", "vc", nll_micro.alias("nll_micro"))
         .groupBy("lang")
         .agg(
-            F.count("*").alias("n_val_bigrams"),
+            n_val.alias("n_val_bigrams"),
             F.round(ce, 4).alias("cross_entropy"),
             F.round(F.exp(ce), 2).alias("perplexity"),
         )
@@ -4645,15 +4681,22 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("tgt"),
     )
-    # pass 1: the 512-row bucket count table (tiny — checkpoint it so
-    # the log-ratio table doesn't re-scan the corpus).
-    bstats = (
-        hashed.groupBy("bkt")
-        .agg(
-            F.sum("tgt").alias("cp"),
-            F.sum(1 - F.col("tgt")).alias("cq"),
-        )
+    # One corpus scan, not two (r12, guide §2.2): collapse the gram
+    # stream to the per-(doc, bucket) histogram first — the DSIR
+    # feature vector, at most B=512 rows per doc, reached via a
+    # map-side-combinable aggregation — and derive BOTH passes from
+    # it. Bucket totals are sums of per-doc counts, and each doc's
+    # Σ_grams lr[bkt] equals Σ_buckets cnt·lr[bkt] in exact integer
+    # micro-nats, so results are bit-identical to the two-pass form
+    # while tokenize + gram-explode runs once.
+    doc_bkt = (
+        hashed.groupBy("doc_id", "bkt", "tgt")
+        .agg(F.count("*").alias("cnt"))
         .localCheckpoint(eager=True)
+    )
+    bstats = doc_bkt.groupBy("bkt").agg(
+        F.sum(F.col("cnt") * F.col("tgt")).alias("cp"),
+        F.sum(F.col("cnt") * (1 - F.col("tgt"))).alias("cq"),
     )
     tot = bstats.agg(
         F.sum("cp").alias("np"), F.sum("cq").alias("nq")
@@ -4668,14 +4711,15 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     lr = bstats.crossJoin(F.broadcast(tot)).select(
         "bkt", lr_micro.alias("lr_micro")
     )
-    # pass 2: raw grams x broadcast log-ratio table -> per-doc sums.
+    # pass 2 (off the histogram): raw buckets x broadcast log-ratio
+    # table -> per-doc integer sums.
     w = (
-        hashed.filter(F.col("tgt") == 0)
+        doc_bkt.filter(F.col("tgt") == 0)
         .join(F.broadcast(lr), "bkt")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_grams"),
-            F.sum("lr_micro").alias("logw_micro"),
+            F.sum("cnt").alias("n_grams"),
+            F.sum(F.col("cnt") * F.col("lr_micro")).alias("logw_micro"),
         )
     )
     u = (
