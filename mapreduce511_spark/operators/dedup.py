@@ -193,31 +193,43 @@ def verify_jaccard(
     ``keep_zero=True`` keeps candidates with an EMPTY intersection
     (jaccard 0.0) — needed by accuracy censuses that want LSH false
     positives visible; the default drops them (a near-dup filter
-    discards them anyway)."""
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sa = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
-    sb = shingles.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
-        candidates.join(sa, "doc_a")
-        .join(sb, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("both"))
-    )
-    if keep_zero:
-        inter = candidates.join(inter, ["doc_a", "doc_b"], "left").fillna(
-            0, subset=["both"]
-        )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("both") / (F.col("sz_a") + F.col("sz_b") - F.col("both"))
-    # sizes is one row per document — corpus-linear, so no broadcast
+    discards them anyway).
+
+    r12 (guide §2.2): the verify is one row PER CANDIDATE, not per
+    (candidate x shingle). The old shape joined each pair through the
+    exploded (doc_id, sh) stream — an intermediate of |cand| x
+    |doc shingles| rows shuffled on (doc_b, sh) — before counting.
+    Now each doc's distinct shingle set rides as ONE array row
+    (collect_set of the already-distinct stream), the two doc-keyed
+    equi-joins attach both sides' arrays, and the intersection is a
+    map-side ``array_intersect`` — same integer |A∩B|, |A|, |B|, so
+    bit-identical jaccard. Zero-intersection candidates are filtered
+    (the old inner join on sh never produced them); ``keep_zero``
+    keeps them, matching the old left-join + fillna path. The shuffle
+    carries one array row per doc — the same bytes as the exploded
+    stream in fewer, combine-free rows."""
+    sets_ = shingles.groupBy("doc_id").agg(F.collect_set("sh").alias("shs"))
+    sa = sets_.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sh_a"))
+    sb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sh_b"))
+    both = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    # sets_ is one row per document — corpus-linear, so no broadcast
     # hint (hints are honored regardless of size; AQE broadcasts when
     # the side is actually small).
-    return (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    scored = (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            both.alias("both"),
+            F.size("sh_a").alias("sz_a"),
+            F.size("sh_b").alias("sz_b"),
+        )
     )
+    if not keep_zero:
+        scored = scored.filter(F.col("both") > 0)
+    jac = F.col("both") / (F.col("sz_a") + F.col("sz_b") - F.col("both"))
+    return scored.select("doc_a", "doc_b", jac.alias("jaccard"))
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
