@@ -41,6 +41,44 @@ def _sized_partitions(df: DataFrame, num_partitions: int | None) -> int:
     return max(_MIN_RANGE_PARTITIONS, df.rdd.getNumPartitions())
 
 
+def _global_row_number_with_total(
+    df: DataFrame,
+    sort_cols: list,
+    out_col: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, int]:
+    """``global_row_number`` body that ALSO returns the total row
+    count: the per-partition offset pass already sums every
+    partition's count on the driver, so callers that need n
+    (``global_ntile``) read it here instead of paying a separate
+    ``count()`` job over the materialized numbering (r12, guide §1.2
+    step 1 — one fewer action per ntile call)."""
+    spark = df.sparkSession
+    d = (
+        df.repartitionByRange(_sized_partitions(df, num_partitions), *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        # one materialization feeds the offset pass and the row-number
+        # pass (and pins _pid against recomputation)
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        d.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]
+    )
+    offs, acc = [], 0
+    for r in counts:
+        offs.append((r["_pid"], acc))
+        acc += r["count"]
+    off_df = spark.createDataFrame(offs, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*sort_cols)
+    numbered = (
+        d.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.row_number().over(w) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+    return numbered, acc
+
+
 def global_row_number(
     df: DataFrame,
     sort_cols: list,
@@ -60,29 +98,10 @@ def global_row_number(
     Column expressions (``F.col(c).desc()``) — repartitionByRange,
     sortWithinPartitions, and Window.orderBy all honor the embedded
     sort direction, so descending total orders cost nothing extra."""
-    spark = df.sparkSession
-    d = (
-        df.repartitionByRange(_sized_partitions(df, num_partitions), *sort_cols)
-        .sortWithinPartitions(*sort_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        # one materialization feeds the offset pass and the row-number
-        # pass (and pins _pid against recomputation)
-        .localCheckpoint(eager=True)
+    numbered, _ = _global_row_number_with_total(
+        df, sort_cols, out_col, num_partitions
     )
-    counts = sorted(
-        d.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]
-    )
-    offs, acc = [], 0
-    for r in counts:
-        offs.append((r["_pid"], acc))
-        acc += r["count"]
-    off_df = spark.createDataFrame(offs, "_pid int, _off long")
-    w = Window.partitionBy("_pid").orderBy(*sort_cols)
-    return (
-        d.join(F.broadcast(off_df), "_pid")
-        .withColumn(out_col, F.row_number().over(w) + F.col("_off"))
-        .drop("_pid", "_off")
-    )
+    return numbered
 
 
 def global_ntile(
@@ -108,10 +127,11 @@ def global_ntile(
     materialized numbering pass — one distributed count, no extra
     data motion."""
     rn_col = f"_{out_col}_rn"
-    keyed = global_row_number(
-        df, sort_cols, out_col=rn_col, num_partitions=num_partitions
+    # n comes from the numbering pass's own offset collect — no
+    # separate count() action (r12).
+    keyed, n = _global_row_number_with_total(
+        df, sort_cols, rn_col, num_partitions
     )
-    n = keyed.count()
     q, r = divmod(n, n_tiles)
     rn = F.col(rn_col)
     if q == 0:  # degenerate n < n_tiles: each row its own leading tile

@@ -886,11 +886,21 @@ def concurrent_user_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = ev.groupBy(
         "user_id", F.col("ts").cast("date").alias("day")
     ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    # Per-SPAN precomputation (r12, guide §2.3): the candidate stream is
+    # pair-volume sized, so everything evaluated inside the join
+    # condition or after it is paid per candidate pair. hour() is a
+    # timezone conversion and greatest() on timestamps re-does it —
+    # hoist hour(s) and the µs epochs to span columns, and the per-pair
+    # work collapses to long compares/adds: hour(greatest(sa, sb)) ==
+    # IF(su_a >= su_b, hs_a, hs_b) exactly (equal instants share an
+    # hour), and the overlap predicate/arithmetic runs on the hoisted
+    # longs. Same buckets, same pairs, same integer µs -> bit-identical.
     bucketed = spans.select(
         "user_id",
         "day",
-        "s",
-        "e",
+        F.hour("s").cast("int").alias("hs"),
+        F.unix_micros("s").alias("su"),
+        F.unix_micros("e").alias("eu"),
         F.explode(
             F.sequence(
                 F.hour("s").cast("int"), F.hour("e").cast("int")
@@ -909,16 +919,18 @@ def concurrent_user_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shared buckets, so no distinct is needed
         & (
             F.col("a.hb")
-            == F.hour(F.greatest(F.col("a.s"), F.col("b.s"))).cast("int")
+            == F.when(
+                F.col("a.su") >= F.col("b.su"), F.col("a.hs")
+            ).otherwise(F.col("b.hs"))
         ),
     ).select(
         F.col("a.day").alias("day"),
         F.col("a.user_id").alias("user_a"),
         F.col("b.user_id").alias("user_b"),
-        F.col("a.s").alias("sa"),
-        F.col("a.e").alias("ea"),
-        F.col("b.s").alias("sb"),
-        F.col("b.e").alias("eb"),
+        F.col("a.su").alias("sa_us"),
+        F.col("a.eu").alias("ea_us"),
+        F.col("b.su").alias("sb_us"),
+        F.col("b.eu").alias("eb_us"),
     )
     # Integer-microsecond arithmetic end to end: Spark's F.round is
     # HALF_UP while DuckDB's CAST rounds half-to-even, so an overlap
@@ -927,11 +939,12 @@ def concurrent_user_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # epoch_us(..) // 1000000 exactly (overlap is non-negative by the
     # join predicate, so floor == trunc).
     overlap_us = F.least(
-        F.unix_micros("ea"), F.unix_micros("eb")
-    ) - F.greatest(F.unix_micros("sa"), F.unix_micros("sb"))
+        F.col("ea_us"), F.col("eb_us")
+    ) - F.greatest(F.col("sa_us"), F.col("sb_us"))
     return (
         pairs.filter(
-            (F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea"))
+            (F.col("sa_us") <= F.col("eb_us"))
+            & (F.col("sb_us") <= F.col("ea_us"))
         )
         .select(
             F.col("day").cast("string").alias("day"),

@@ -1329,31 +1329,77 @@ def near_dup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle it shares is above the cap — the standard
     prefix-filtering trade, and the oracle reproduces the identical
     semantics so parity is exact, not approximate."""
-    from mapreduce511_spark.operators.dedup import doc_shingles, verify_jaccard
+    from mapreduce511_spark.operators.dedup import doc_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    shingles = doc_shingles(docs)
+    # shingles fans out four ways (dfreq, both sides of the rare
+    # candidate self-join, and the verify's per-doc builders) —
+    # checkpoint so tokenize + trigram explode + distinct executes
+    # once, not once per consumer (r12, guide §1.2 step 1).
+    shingles = doc_shingles(docs).localCheckpoint(eager=True)
     dfreq = shingles.groupBy("sh").agg(F.count("*").alias("dfc"))
     rare = shingles.join(dfreq.filter(F.col("dfc") <= _DF_CAP), "sh").select(
         "doc_id", "sh"
     )
     a = rare.alias("a")
     b = rare.alias("b")
-    cand = (
+    # r12 verify (guide §2.3): rare/hot is a GLOBAL partition of the
+    # shingle vocabulary (by document frequency vs the cap), so
+    # |A∩B| = |A∩B∩rare| + |A∩B∩hot| exactly. The rare part is the
+    # candidate self-join's own per-pair match count (count instead of
+    # the old distinct — same shuffle volume), and the hot part
+    # intersects only each doc's HOT-shingle set, which the cap keeps
+    # tiny (boilerplate alphabet), instead of attaching both docs'
+    # FULL shingle sets per candidate (the old verify's dominant
+    # cost). Candidates share >=1 rare shingle by construction, so
+    # the old verify's both>0 filter is vacuous here. Same integer
+    # both/sz_a/sz_b => bit-identical jaccard.
+    shared_rare = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
+        .agg(F.count("*").alias("shared_rare"))
     )
+    hot_sets = (
+        shingles.join(dfreq.filter(F.col("dfc") > _DF_CAP), "sh")
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("hot"))
+    )
+    side = (
+        shingles.groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+        .join(hot_sets, "doc_id", "left")
+    )
+    sa = side.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("hot").alias("hot_a"),
+    )
+    sb = side.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("hot").alias("hot_b"),
+    )
+    empty = F.array().cast("array<string>")
+    both = F.col("shared_rare") + F.size(
+        F.array_intersect(
+            F.coalesce(F.col("hot_a"), empty), F.coalesce(F.col("hot_b"), empty)
+        )
+    )
+    scored = (
+        shared_rare.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", both.alias("both"), "sz_a", "sz_b")
+    )
+    jac = F.col("both") / (F.col("sz_a") + F.col("sz_b") - F.col("both"))
     return (
-        verify_jaccard(cand, shingles)
-        .filter(F.col("jaccard") >= _JACCARD_T)
-        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+        scored.filter(jac >= _JACCARD_T)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
 

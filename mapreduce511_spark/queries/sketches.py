@@ -261,12 +261,23 @@ def hll_distinct_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference basis: §2.4 approx-aggregate note; the 781,397-word
     exact cardinality in `/root/reference/.../job_output.log:107` is
     what this replaces at scale."""
-    grams = _doc_trigrams(spark, sf_dir)
+    # r12 (guide §2.3): per-doc array_distinct BEFORE the explode — the
+    # distinct's hash-aggregate then ingests one row per (doc, distinct
+    # trigram) instead of one per occurrence; the global distinct over
+    # (lang, g) is unchanged, so dg is the identical set. (The shared
+    # _doc_trigrams keeps positions for winnowing; this query needs
+    # neither positions nor duplicates.)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", tokenize("text").alias("toks"))
+    grams = toks.select(
+        "lang",
+        F.explode(F.array_distinct(word_ngrams(F.col("toks"), 3))).alias("g"),
+    )
     # one distinct feeds BOTH branches: the sketch registers and the
     # exact twin (countDistinct is a distinct + count anyway) — the
     # checkpoint stops the trigram explode + distinct shuffle from
     # executing twice (same pattern as copurchase_triangles' edges).
-    dg = grams.select("lang", "g").distinct().localCheckpoint(eager=True)
+    dg = grams.distinct().localCheckpoint(eager=True)
     reg, rho = _hll_reg_rho(F.md5("g"))
     regs = (
         dg.select("lang", reg, rho)
@@ -350,10 +361,15 @@ def cms_heavy_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize("text").alias("toks"))
     grams = toks.select(word_ngrams(F.col("toks"), 2).alias("grams"))
+    # cnts fans out three ways (the sketch via salted, the exact top-20,
+    # and the top-20's salted buckets) — checkpoint so the tokenize +
+    # bigram explode + count executes once, not once per consumer
+    # (r12, guide §1.2 step 1; the tfidf `tf` precedent).
     cnts = (
         grams.select(F.explode("grams").alias("g"))
         .groupBy("g")
         .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     salts = F.array(*[F.lit(i) for i in range(_CMS_D)])
     salted = cnts.select(

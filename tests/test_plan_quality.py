@@ -536,7 +536,7 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("queries/relational.py", "winsorized_price_stats", "bounds"): "1-row",
     ("queries/relational.py", "zorder_cell_census", "rng"): "1-row",
     ("queries/relational.py", "hilbert_cell_census", "rng"): "1-row",
-    ("operators/order.py", "global_row_number", "off_df"): "k-rows: <= num_partitions offsets",
+    ("operators/order.py", "_global_row_number_with_total", "off_df"): "k-rows: <= num_partitions offsets",
     ("operators/order.py", "grouped_prefix_sum", "off_df"): "k-rows: <= num_partitions x group-alphabet offsets",
     ("queries/relational.py", "zonemap_skipping_census", "pred_df"): "const: 8 predicates",
     ("queries/relational.py", "zonemap_skipping_census", "m"): "const: 8 predicate match counts",

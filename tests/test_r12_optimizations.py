@@ -126,6 +126,77 @@ def test_session_standing_memo_semantics(spark):
     assert v3 == ("payload", "b") and calls["b"] == 1
 
 
+def test_capped_jaccard_rare_hot_decomposition(spark):
+    """near_dup_jaccard_capped's split verify (|A∩B| = shared_rare +
+    shared_hot over the global df-partition of the shingle vocabulary)
+    equals the generic candidate verify_jaccard on the same candidate
+    set, threshold and rounding."""
+    from mapreduce511_spark.operators.dedup import doc_shingles, verify_jaccard
+    from mapreduce511_spark.queries.similarity import (
+        _DF_CAP,
+        _JACCARD_T,
+        near_dup_jaccard_capped,
+    )
+    from mapreduce511_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    shingles = doc_shingles(docs)
+    dfreq = shingles.groupBy("sh").agg(F.count("*").alias("dfc"))
+    rare = shingles.join(
+        dfreq.filter(F.col("dfc") <= _DF_CAP), "sh"
+    ).select("doc_id", "sh")
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    want = sorted(
+        tuple(r)
+        for r in verify_jaccard(cand, shingles)
+        .filter(F.col("jaccard") >= _JACCARD_T)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+        .collect()
+    )
+    got = sorted(
+        tuple(r) for r in near_dup_jaccard_capped(spark, SF_SMOKE).collect()
+    )
+    assert got == want
+
+
+def test_global_ntile_matches_sql_ntile(spark):
+    """global_ntile (now fed by the offset pass's own total, no extra
+    count() action) still reproduces SQL ntile exactly, remainder rule
+    and all."""
+    from pyspark.sql.window import Window
+
+    from mapreduce511_spark.operators.order import global_ntile
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 101) for i in range(103)], "id long, v long"
+    )
+    got = {
+        r.id: r.tile
+        for r in global_ntile(
+            df, [F.desc("v"), F.asc("id")], 5, num_partitions=4
+        ).collect()
+    }
+    want = {
+        r.id: r.t
+        for r in df.withColumn(
+            "t",
+            F.ntile(5).over(Window.orderBy(F.desc("v"), F.asc("id"))),
+        ).collect()
+    }
+    assert got == want
+
+
 def test_admission_census_stable_across_invocations(spark):
     """An admission query's drained census is identical on a fresh
     staging (first call) and on the memoized standing side (second
