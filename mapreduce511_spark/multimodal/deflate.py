@@ -66,16 +66,37 @@ _DIST_SPEC = [
 ]
 
 
+_DIST_BASES = [base for _, _, base in _DIST_SPEC]
+
+
 def _dist_code(d: int) -> tuple[int, int, int]:
-    for code, extra, base in reversed(_DIST_SPEC):
-        if d >= base:
-            return code, extra, d - base
-    raise ValueError(f"bad distance {d}")
+    """(code, extra_bits, extra_value) for a match distance — binary
+    search over the §3.2.5 base table (r12: the reversed linear scan
+    ran per match token; bisect returns the identical entry)."""
+    from bisect import bisect_right
+
+    idx = bisect_right(_DIST_BASES, d) - 1
+    if idx < 0:
+        raise ValueError(f"bad distance {d}")
+    code, extra, base = _DIST_SPEC[idx]
+    return code, extra, d - base
 
 
 # HCLEN permutation order of the code-length alphabet (§3.2.7)
 _CLCL_ORDER = (16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1,
                15)
+
+
+def _rev_bits(code: int, n: int) -> int:
+    """Bit-reverse the low ``n`` bits of ``code`` (Huffman codes are
+    emitted MSB-first, RFC 1951 §3.1.1). Table-free closed form over
+    Python ints; callers on hot paths pre-reverse whole code tables
+    once per block instead of calling this per symbol."""
+    rev = 0
+    for _ in range(n):
+        rev = (rev << 1) | (code & 1)
+        code >>= 1
+    return rev
 
 
 class _BitWriter:
@@ -96,11 +117,7 @@ class _BitWriter:
             self.nbits -= 8
 
     def huff(self, code: int, n: int) -> None:
-        rev = 0
-        for _ in range(n):
-            rev = (rev << 1) | (code & 1)
-            code >>= 1
-        self.bits(rev, n)
+        self.bits(_rev_bits(code, n), n)
 
     def align(self) -> None:
         if self.nbits:
@@ -115,32 +132,64 @@ class _BitWriter:
 
 def _lz77(data: bytes, max_chain: int = 64) -> list[tuple]:
     """Greedy hash-chain LZ77: yields ('lit', byte) and
-    ('match', length, distance) tokens; window 32 KiB, match 3..258."""
+    ('match', length, distance) tokens; window 32 KiB, match 3..258.
+
+    r12 match-extension rewrite (same tokens, ~C-speed compares): the
+    periodic test ``data[j + (k % d)] == data[i + k]`` is equivalent
+    to the PLAIN pointwise test ``data[j + k] == data[i + k]`` —
+    induction on k: while every position below k matches,
+    data[j+k] = data[i+k-d] = data[j+k-d] = ... = data[j + (k % d)],
+    so the first mismatch position is identical too (zlib relies on
+    the same identity to extend overlapping matches with memcmp). The
+    scan therefore runs as 16-byte slice equality checks with a
+    bytewise tail instead of a per-byte Python loop with a modulo.
+    The 3-byte hash keys for every position are precomputed in one
+    vectorized numpy pass (identical integers to the inline ORs)."""
     n = len(data)
     tokens: list[tuple] = []
+    if n >= 3:
+        import numpy as np
+
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+        keys = (arr[:-2] | (arr[1:-1] << 8) | (arr[2:] << 16)).tolist()
+    else:
+        keys = []
+    nk = len(keys)  # == max(n - 2, 0): positions with a full 3-byte key
     head: dict[int, list[int]] = {}
+    head_get = head.get
     i = 0
     while i < n:
         best_len = 0
         best_dist = 0
-        if i + 3 <= n:
-            key = data[i] | (data[i + 1] << 8) | (data[i + 2] << 16)
-            chain = head.get(key)
+        if i < nk:
+            chain = head_get(keys[i])
             if chain:
                 tried = 0
+                maxl = min(258, n - i)
                 for j in reversed(chain):
                     if i - j > 32768:
                         break
                     tried += 1
                     if tried > max_chain:
                         break
+                    # zlib's win-filter: a candidate longer than
+                    # best_len must match AT position best_len, so one
+                    # indexed compare skips candidates that cannot
+                    # improve the best — the skipped ones have
+                    # ln <= best_len and would never update it, so the
+                    # chosen (length, distance) is unchanged.
+                    if best_len and data[j + best_len] != data[i + best_len]:
+                        continue
+                    # pointwise common prefix of data[j:] vs data[i:]
+                    # (== the periodic match length, see docstring)
                     ln = 0
-                    maxl = min(258, n - i)
-                    d = i - j
-                    # overlapping matches (dist < len) are legal: the
-                    # decoder reproduces the periodic extension, byte k
-                    # of the match is data[j + (k % d)]
-                    while ln < maxl and data[j + (ln % d)] == data[i + ln]:
+                    while maxl - ln >= 16 and (
+                        data[j + ln : j + ln + 16]
+                        == data[i + ln : i + ln + 16]
+                    ):
+                        ln += 16
+                    end = ln + 16 if maxl - ln > 16 else maxl
+                    while ln < end and data[j + ln] == data[i + ln]:
                         ln += 1
                     if ln > best_len:
                         best_len, best_dist = ln, i - j
@@ -150,15 +199,23 @@ def _lz77(data: bytes, max_chain: int = 64) -> list[tuple]:
             tokens.append(("match", best_len, best_dist))
             end = i + best_len
             while i < end:
-                if i + 3 <= n:
-                    key = data[i] | (data[i + 1] << 8) | (data[i + 2] << 16)
-                    head.setdefault(key, []).append(i)
+                if i < nk:
+                    key = keys[i]
+                    c = head_get(key)
+                    if c is None:
+                        head[key] = [i]
+                    else:
+                        c.append(i)
                 i += 1
         else:
             tokens.append(("lit", data[i]))
-            if i + 3 <= n:
-                key = data[i] | (data[i + 1] << 8) | (data[i + 2] << 16)
-                head.setdefault(key, []).append(i)
+            if i < nk:
+                key = keys[i]
+                c = head_get(key)
+                if c is None:
+                    head[key] = [i]
+                else:
+                    c.append(i)
             i += 1
     return tokens
 
@@ -179,24 +236,38 @@ def _fixed_litlen_code(sym: int) -> tuple[int, int]:
 
 def _emit_tokens(w: _BitWriter, tokens: list[tuple],
                  lit_codes, dist_codes) -> None:
+    """Emit the token stream under the given (code, nbits) lookups.
+
+    r12: the per-symbol MSB-first bit reversal is hoisted out of the
+    loop — both code tables are pre-reversed ONCE here and every
+    symbol goes through the plain LSB-first ``bits`` writer (identical
+    bitstream: huff(code, n) == bits(rev_bits(code, n), n))."""
+    rlit = {s: (_rev_bits(c, nb), nb) for s, (c, nb) in lit_codes.items()}
+    rdst = {s: (_rev_bits(c, nb), nb) for s, (c, nb) in dist_codes.items()}
+    bits = w.bits
     for t in tokens:
         if t[0] == "lit":
-            code, nb = lit_codes(t[1])
-            w.huff(code, nb)
+            rev, nb = rlit[t[1]]
+            bits(rev, nb)
         else:
             _, ln, dist = t
             lcode, lextra, lebits = _LENGTH_TABLE[ln]
-            code, nb = lit_codes(lcode)
-            w.huff(code, nb)
+            rev, nb = rlit[lcode]
+            bits(rev, nb)
             if lextra:
-                w.bits(lebits, lextra)
+                bits(lebits, lextra)
             dcode, dextra, debits = _dist_code(dist)
-            code, nb = dist_codes(dcode)
-            w.huff(code, nb)
+            rev, nb = rdst[dcode]
+            bits(rev, nb)
             if dextra:
-                w.bits(debits, dextra)
-    code, nb = lit_codes(256)  # end of block
-    w.huff(code, nb)
+                bits(debits, dextra)
+    rev, nb = rlit[256]  # end of block
+    bits(rev, nb)
+
+
+# static §3.2.6 code tables in the dict form _emit_tokens consumes
+_FIXED_LIT_CODES = {s: _fixed_litlen_code(s) for s in range(288)}
+_FIXED_DIST_CODES = {c: (c, 5) for c in range(30)}
 
 
 def deflate_fixed(data: bytes) -> bytes:
@@ -204,11 +275,7 @@ def deflate_fixed(data: bytes) -> bytes:
     w = _BitWriter()
     w.bits(1, 1)  # BFINAL
     w.bits(1, 2)  # BTYPE=01
-
-    def dist_codes(c: int) -> tuple[int, int]:
-        return c, 5
-
-    _emit_tokens(w, _lz77(data), _fixed_litlen_code, dist_codes)
+    _emit_tokens(w, _lz77(data), _FIXED_LIT_CODES, _FIXED_DIST_CODES)
     return w.getvalue()
 
 
@@ -383,13 +450,7 @@ def deflate_dynamic(data: bytes) -> bytes:
         if extra:
             w.bits(val, extra)
 
-    def lit(s: int) -> tuple[int, int]:
-        return lcodes[s]
-
-    def dst(s: int) -> tuple[int, int]:
-        return dcodes[s]
-
-    _emit_tokens(w, tokens, lit, dst)
+    _emit_tokens(w, tokens, lcodes, dcodes)
     return w.getvalue()
 
 

@@ -311,7 +311,7 @@ def simhash_candidates(fingerprints: DataFrame) -> DataFrame:
     ).filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
 
 
-def compression_ratio(docs, text_col: str = "text"):
+def compression_ratio(docs, text_col: str = "text", carry: tuple = ()):
     """Per-document DEFLATE compression ratio in exact integer parts
     per thousand — the corpus-quality signal production pipelines cut
     on (highly compressible text = repetitive/templated/low-entropy;
@@ -323,14 +323,27 @@ def compression_ratio(docs, text_col: str = "text"):
     column is stable across partitionings and sessions — unlike
     linking against whatever zlib level a cluster image ships.
 
-    Returns (doc_id, raw_bytes, comp_bytes, ratio_milli). Empty text
-    reports ratio_milli = 1000 (incompressible by convention rather
-    than a divide-by-zero).
+    Returns (doc_id, *carry, raw_bytes, comp_bytes, ratio_milli).
+    Empty text reports ratio_milli = 1000 (incompressible by
+    convention rather than a divide-by-zero).
+
+    ``carry`` names extra ``docs`` columns to pass THROUGH the Arrow
+    batch unchanged (r12, guide §2.3/§8: a consumer that needs e.g.
+    ``lang`` next to the ratio previously re-joined the corpus on
+    doc_id — a corpus-wide shuffle to re-attach bytes that were
+    already in the scanned row). Carried columns must be cheap scalars
+    (they ride every batch); string columns are emitted as pandas
+    object dtype, matching the declared schema.
 
     Reference basis: extension tier — text-quality family beside
     repetition_score / gopher_quality_rules (SURVEY.md §2
     extensions)."""
     from pyspark.sql import functions as F  # noqa: F811
+
+    carry = tuple(carry)
+    carry_schema = "".join(
+        f", {c} {docs.schema[c].dataType.simpleString()}" for c in carry
+    )
 
     def batches(it):
         import pandas as pd
@@ -340,22 +353,23 @@ def compression_ratio(docs, text_col: str = "text"):
         for pdf in it:
             raw = [str(t).encode("utf-8") for t in pdf[text_col]]
             comp = [len(deflate_dynamic(b)) for b in raw]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "raw_bytes": [len(b) for b in raw],
-                    "comp_bytes": comp,
-                }
-            )
+            cols = {"doc_id": pdf["doc_id"].astype("int64")}
+            for c in carry:
+                cols[c] = pdf[c]
+            cols["raw_bytes"] = [len(b) for b in raw]
+            cols["comp_bytes"] = comp
+            yield pd.DataFrame(cols)
 
-    out = docs.select("doc_id", text_col).mapInPandas(
-        batches, schema="doc_id long, raw_bytes long, comp_bytes long"
+    out = docs.select("doc_id", *carry, text_col).mapInPandas(
+        batches,
+        schema=f"doc_id long{carry_schema}, raw_bytes long, comp_bytes long",
     )
     ratio = F.when(F.col("raw_bytes") == 0, F.lit(1000)).otherwise(
         (1000 * F.col("comp_bytes")).cast("long") / F.col("raw_bytes")
     )
     return out.select(
         "doc_id",
+        *carry,
         "raw_bytes",
         "comp_bytes",
         F.floor(ratio).cast("long").alias("ratio_milli"),

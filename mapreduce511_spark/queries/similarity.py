@@ -213,12 +213,23 @@ def embedding_near_dup_exact_spec(spark: SparkSession, sf_dir: str) -> DataFrame
     # (bit-identical association; see functions/vectors.py). The r6
     # note above about the expanded sum being slower measured a shape
     # with per-pair norms + element_at; with norms hoisted the unroll
-    # is ~2x faster (21.3 -> 12.7 s under-load A/B, re-pinned quiet
-    # below in OPTIMIZATION_r12.md).
+    # is ~2x faster (21.3 -> 12.7 s under-load A/B).
+    #
+    # r12 session 2 (guide §7.2 "duplicated UDF evaluation" family):
+    # left to itself the optimizer PUSHES the cosine threshold into
+    # the BroadcastNestedLoopJoin CONDITION, where it is evaluated on
+    # the interpreted Predicate path for every ordered pair. The
+    # always-true nondeterministic guard (spark_partition_id() >= 0)
+    # pins the cosine ABOVE the join — the BNLJ condition is just
+    # vec_a < vec_b and the heavy arithmetic runs in the post-join
+    # Filter/Project stage instead: 11.5 -> 3.6 s same-session
+    # min-of-4, bit-identical 144 rows (the guard branch is never
+    # taken; the value is the same expression).
     cos = dot_unrolled64(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos_pinned = F.when(F.spark_partition_id() >= 0, cos)
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim_raw", cos)
+        .withColumn("cos_sim_raw", cos_pinned)
         .filter(F.col("cos_sim_raw") >= _COS_DUP_T)
         .select("vec_a", "vec_b", F.round("cos_sim_raw", 4).alias("cos_sim"))
     )

@@ -4783,9 +4783,10 @@ def compression_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
-    rated = compression_ratio(docs).join(
-        docs.select("doc_id", "lang"), "doc_id"
-    )
+    # lang rides THROUGH the Arrow batch (r12): the old shape re-joined
+    # the corpus on doc_id just to re-attach a column that was already
+    # in the scanned row — a corpus-wide shuffle for zero information.
+    rated = compression_ratio(docs, carry=("lang",))
     return (
         rated.groupBy("lang")
         .agg(
