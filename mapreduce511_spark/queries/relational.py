@@ -3103,15 +3103,30 @@ def theil_sen_price_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = global_row_number(
         hashed, ["h", "l_orderkey", "l_linenumber", "q", "p"]
     ).select("q", "p", "rn")
-    a, b = keyed.alias("a"), keyed.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("b.rn") == F.col("a.rn") + 1)
-        & (F.col("a.rn") % 2 == 1)
-        & (F.col("b.q") != F.col("a.q")),
+    # r12 (guide §2.4): pair row 2k-1 with row 2k by GROUPING on the
+    # pair id (rn+1) DIV 2 — one map-combinable shuffle — instead of
+    # the rn = rn+1 self-join, whose two sides exchange on DIFFERENT
+    # keys (rn vs rn+1) and so shuffle the numbered table twice. Each
+    # pair id holds exactly one odd and (when present) one even row,
+    # so the conditional max-of-struct aggregates reproduce the join's
+    # (a, b) sides exactly; a trailing odd row without a partner drops
+    # via the e IS NULL filter, as the inner join dropped it. Same
+    # pairs, same slope expression on the same columns.
+    paired = keyed.groupBy(F.expr("(rn + 1) DIV 2").alias("pid")).agg(
+        F.max(
+            F.when(F.col("rn") % 2 == 1, F.struct("q", "p"))
+        ).alias("o"),
+        F.max(
+            F.when(F.col("rn") % 2 == 0, F.struct("q", "p"))
+        ).alias("e"),
+    )
+    pairs = paired.filter(
+        F.col("o").isNotNull()
+        & F.col("e").isNotNull()
+        & (F.col("e.q") != F.col("o.q"))
     ).select(
         (
-            (F.col("b.p") - F.col("a.p")) / (F.col("b.q") - F.col("a.q"))
+            (F.col("e.p") - F.col("o.p")) / (F.col("e.q") - F.col("o.q"))
         ).alias("s")
     )
     ols = li.agg(

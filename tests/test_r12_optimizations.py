@@ -197,6 +197,19 @@ def test_global_ntile_matches_sql_ntile(spark):
     assert got == want
 
 
+def test_near_dup_components_memo_hit_and_stability(spark):
+    """_near_dup_components returns the memoized checkpointed frame on
+    re-entry, and the clustered rows are identical across calls."""
+    from mapreduce511_spark.queries import dedup as dd
+
+    cc1 = dd._near_dup_components(spark, SF_SMOKE)
+    cc2 = dd._near_dup_components(spark, SF_SMOKE)
+    assert cc1 is cc2  # memo hit
+    a = sorted(tuple(r) for r in cc1.collect())
+    b = sorted(tuple(r) for r in cc2.collect())
+    assert a == b
+
+
 def test_admission_census_stable_across_invocations(spark):
     """An admission query's drained census is identical on a fresh
     staging (first call) and on the memoized standing side (second
