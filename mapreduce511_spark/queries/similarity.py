@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from mapreduce511_spark.functions.text import tokenize, word_ngrams
 from mapreduce511_spark.functions.vectors import cosine_similarity, dot, l2_norm
 from mapreduce511_spark.queries import norm0, register
-from mapreduce511_spark.sources.tables import load_table
+from mapreduce511_spark.sources.tables import load_table, spread_scan
 
 # DuckDB twin of functions.vectors.cosine_similarity — identical
 # formula/association so doubles match bit-for-bit.
@@ -2077,8 +2077,11 @@ def tfidf_cosine_pairs_exact_spec(spark: SparkSession, sf_dir: str) -> DataFrame
     # and the norms — checkpoint so tokenize + bigram explode + count
     # executes once, not 4x (without the r6-era forced broadcasts the
     # recomputation cost became visible: 48 s vs 11 s at sf0.1).
+    # spread_scan (r13): the single-row-group testdata file plans as
+    # ONE scan task, serializing the tokenize+explode map stage
+    # (4.2 s -> 0.9 s at 32 cores); no-op on any multi-split input.
     tf = (
-        docs.select(
+        spread_scan(docs).select(
             "doc_id",
             F.explode(word_ngrams(tokenize("text"), 2)).alias("g"),
         )
@@ -2094,6 +2097,21 @@ def tfidf_cosine_pairs_exact_spec(spark: SparkSession, sf_dir: str) -> DataFrame
     # the co-partitioned 100 TB plan, and AQE broadcasts the side at
     # runtime when it is actually small). nd is a 1-row aggregate:
     # hint is safe and correct.
+    # r13 (guide §2.5/§2.2): AQE sizes post-shuffle partitions by INPUT
+    # bytes, but the g-keyed pair self-join below expands to Σ df²
+    # candidate rows (36.5M from 256k input rows at sf0.1) — so the
+    # checkpointed wts inherited an AQE-coalesced 4-partition layout
+    # and the suite's most expensive stage (pair generation + partial
+    # aggregation) ran on 4 tasks at ANY core count (measured: the
+    # 8→32-core ratio was 0.95 and the query was the suite's #1 at
+    # 21.4 s in the driver bench). Repartition by g to a core-derived
+    # width BEFORE the checkpoint: the pair stage then parallelizes
+    # with the machine, and hash(g) is the co-partitioned layout the
+    # join would want at cluster scale (931 distinct bigrams into ≤64
+    # partitions keeps per-partition Σ df² balanced — ~29x more keys
+    # than partitions, guide §2.5). Placement-only change: every sum
+    # here is an exact integer aggregate, so results are bit-identical.
+    n_pair_parts = max(spark.sparkContext.defaultParallelism, 8)
     wts = (
         tf.join(dfreq, "g")
         .crossJoin(F.broadcast(nd))
@@ -2108,6 +2126,7 @@ def tfidf_cosine_pairs_exact_spec(spark: SparkSession, sf_dir: str) -> DataFrame
                 )
             ).alias("wt"),
         )
+        .repartition(n_pair_parts, "g")
         .localCheckpoint(eager=True)
     )
     norms = wts.groupBy("doc_id").agg(
@@ -2263,8 +2282,12 @@ def tfidf_cosine_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-bounded; no broadcast hint touches a corpus-linear
     side."""
     docs = load_table(spark, sf_dir, "documents")
+    # spread_scan + g-keyed repartition of the checkpointed weights:
+    # same r13 treatment as the exact-spec twin (serial scan task;
+    # AQE-coalesced checkpoint partitioning starving the candidate /
+    # verify joins) — see the comments there.
     tf = (
-        docs.select(
+        spread_scan(docs).select(
             "doc_id",
             F.explode(word_ngrams(tokenize("text"), 2)).alias("g"),
         )
@@ -2289,7 +2312,9 @@ def tfidf_cosine_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wt"),
         )
     )
-    wts = wts.localCheckpoint(eager=True)  # 3 consumers: wa, wb, norms
+    wts = wts.repartition(
+        max(spark.sparkContext.defaultParallelism, 8), "g"
+    ).localCheckpoint(eager=True)  # 3 consumers: wa, wb, norms
     rare = tf.join(dfreq.filter(F.col("df") <= _TFIDF_DF_CAP), "g").select(
         "doc_id", "g"
     )
