@@ -40,20 +40,41 @@ def normalize_text(text: Column | str) -> Column:
 def word_ngrams(tokens: Column, n: int) -> Column:
     """Adjacent word n-grams (space-joined) from a token array.
 
-    Pure array expressions: a transform over the first ``len-n+1``
-    positions, joining each window — no shuffle, no UDF.
+    Pure array expressions — no shuffle, no UDF. Bigrams (the hot
+    case, every tf-idf/LM/CMS kernel) are a ``zip_with`` of the array
+    against its own 1-shifted slice (r13): the lambda touches only its
+    two element arguments, so ``tokens`` may be ANY expression — it is
+    referenced a constant number of times per ROW, never per element.
+    The general n >= 3 path keeps the indexed ``transform``, whose
+    window lambda references ``tokens`` once per position: pass a
+    bound column there (project the token array first), or the
+    per-element re-evaluation turns O(len²) per row.
 
-    PERF: pass a *bound column* (project the token array first, e.g.
-    ``df.select(tokenize("text").alias("toks"))`` then
-    ``word_ngrams(F.col("toks"), n)``), not a raw expression like
-    ``word_ngrams(tokenize("text"), n)`` — the lambda below references
-    ``tokens`` once per position, and Spark re-evaluates a non-attribute
-    expression each time, turning the transform O(len²) per row.
+    PERF (r13, measured): prefer the FUSED call
+    ``F.explode(word_ngrams(tokenize("text"), 2))`` over staging the
+    arrays as named columns before the explode. With staged columns,
+    ``InferFiltersFromGenerate`` derives ``size(grams) > 0`` and
+    predicate pushdown substitutes the WHOLE tokenize+ngram expression
+    into a Filter below the scan-side exchange — re-evaluating the
+    pipeline once more per row on the (possibly serial) scan task
+    (measured 4.7 s vs 0.5 s on the cms count table at sf0.1). A
+    non-attribute generator input blocks that inference entirely.
     """
     if n < 1:
         raise ValueError("n must be >= 1")
     if n == 1:
         return tokens
+    if n == 2:
+        n1 = F.greatest(F.size(tokens) - F.lit(1), F.lit(0))
+        return F.slice(
+            F.zip_with(
+                tokens,
+                F.slice(tokens, 2, n1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+            1,
+            n1,
+        )
 
     def gram(_, i: Column) -> Column:
         return F.array_join(F.slice(tokens, i + 1, n), " ")

@@ -33,7 +33,7 @@ from mapreduce511_spark.operators.dedup import (
     verify_jaccard,
 )
 from mapreduce511_spark.queries import register
-from mapreduce511_spark.sources.tables import load_table
+from mapreduce511_spark.sources.tables import load_table, spread_scan
 
 _JACCARD_T = 0.5
 
@@ -128,7 +128,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     All {N_PERMS} permutations are computed in ONE groupBy pass with
     map-side partial mins — a single shuffle of (doc_id, h) pairs; the
     unpivot happens after aggregation."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return minhash_signatures_long(doc_shingles(docs))
 
 
@@ -140,7 +140,7 @@ def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs agreeing on >=1 of 4 bands of 4
     minhash rows. The self-join key is (band, sig) — candidate
     generation never materializes the all-pairs space."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return band_candidates(minhash_bands(minhash_signatures_wide(doc_shingles(docs))))
 
 
@@ -179,7 +179,7 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pipeline end-to-end: candidates from band
     buckets, then EXACT Jaccard verification on candidates only — the
     100 TB shape (verification cost ~ candidates, not all pairs)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     shingles = doc_shingles(docs)
     cand = band_candidates(minhash_bands(minhash_signatures_wide(shingles)))
     verified = verify_jaccard(cand, shingles)
@@ -194,7 +194,7 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit term-frequency SimHash per document."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return simhash_fingerprints(docs)
 
 
@@ -224,7 +224,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups: pigeonhole banding (hamming <= 3 over 60
     bits => >=1 of 4 15-bit chunks identical) generates candidates via
     equi-join; bit_count(xor) verifies exactly."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return simhash_candidates(simhash_fingerprints(docs))
 
 
@@ -284,7 +284,7 @@ def _near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo = _CC_MEMO.get(key)
     if memo is not None and memo[0] == sig:
         return memo[1]
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     # shingles feeds both the signature build and the verify's per-doc
     # set builder — checkpoint so tokenize + explode + distinct
     # executes once (the near_dup_jaccard discipline).
@@ -344,7 +344,7 @@ def fuzzy_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus on doc_id — a plain hash join (the map is proportional to
     the *duplicated* subset, not the corpus, but is not guaranteed
     broadcast-small at 100 TB)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     cc = _near_dup_components(spark, sf_dir)
     keep = docs.join(cc, docs["doc_id"] == cc["node"], "left").filter(
         F.col("node").isNull() | (F.col("component") == F.col("doc_id"))
@@ -390,7 +390,7 @@ def dup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate per cluster — collect_set stays bounded by the distinct
     source count, not the cluster size. Oracle: the same recursive-
     CTE component labels + a grouped merge."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     cc = _near_dup_components(spark, sf_dir)
     members = cc.join(
         docs, cc["node"] == docs["doc_id"]
@@ -466,7 +466,7 @@ def contrastive_triplet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     contiguous per partition-spec — a rank join replaces the modulo
     where they are not); output is one row per mined pair. No new
     shuffle beyond the dedup pipeline's own."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     shingles = doc_shingles(docs)
     cand = band_candidates(minhash_bands(minhash_signatures_wide(shingles)))
     pairs = (
@@ -558,7 +558,7 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference basis: extension tier — dedup family evaluation
     (companions: ``minhash_near_dup`` the pipeline,
     ``lsh_recall_curve`` the recall side)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     shingles = doc_shingles(docs)
     wide = minhash_signatures_wide(shingles)
     cand = band_candidates(minhash_bands(wide))
@@ -653,7 +653,7 @@ def lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference basis: extension tier — dedup evaluation (SURVEY.md §7
     M7); the LSH S-curve math is Leskovec/Rajaraman/Ullman ch. 3."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     # shingles feeds the minhash pipeline, the size census, and both
     # truth-join sides — checkpoint so it executes once, not 4x+.
     shingles = doc_shingles(docs).localCheckpoint(eager=True)

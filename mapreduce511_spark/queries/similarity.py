@@ -386,7 +386,7 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-document-frequency shingles."""
     from mapreduce511_spark.operators.dedup import doc_shingles
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     # shingles fans out to the size census and both join sides (and
     # sizes is read twice as margins) — checkpoint so the tokenize +
     # ngram explode + distinct executes once, not 4x.
@@ -1342,7 +1342,7 @@ def near_dup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics so parity is exact, not approximate."""
     from mapreduce511_spark.operators.dedup import doc_shingles
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     # shingles fans out four ways (dfreq, both sides of the rare
     # candidate self-join, and the verify's per-doc builders) —
     # checkpoint so tokenize + trigram explode + distinct executes
@@ -1523,7 +1523,7 @@ def ensemble_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce511_spark.operators.ann import cosine_pairs_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     cand = cosine_pairs_blocked(emb, _COS_DUP_T).select(
         F.col("vec_a").alias("doc_a"),
         F.col("vec_b").alias("doc_b"),
@@ -1713,7 +1713,7 @@ def near_dup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mapreduce511_spark.operators.dedup import doc_shingles
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     # shingles feeds FOUR consumers (df census, the ranked prefix,
     # sizes, and the full verify sets) — checkpoint so the tokenize +
     # ngram explode + distinct executes once. Without the r6-era
@@ -1872,7 +1872,7 @@ def near_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     quote/contamination detector Jaccard misses)."""
     from mapreduce511_spark.operators.dedup import doc_shingles
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     shingles = doc_shingles(docs)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = shingles.alias("a")

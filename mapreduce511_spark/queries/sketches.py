@@ -39,7 +39,7 @@ from pyspark.sql.window import Window
 
 from mapreduce511_spark.functions.text import tokenize, word_ngrams
 from mapreduce511_spark.queries import register
-from mapreduce511_spark.sources.tables import load_table
+from mapreduce511_spark.sources.tables import load_table, spread_scan
 
 _SQL_TOKENS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
 
@@ -81,7 +81,7 @@ def _winnow_doc_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id sort shuffle + a distinct shuffle) with bit-identical
     output: same md5-hex hash, same window extent, same qualify rule
     (positions >= w-1), same per-doc distinct set."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", tokenize("text").alias("toks"))
     grams = toks.select(
         "doc_id", word_ngrams(F.col("toks"), 3).alias("g")
@@ -120,7 +120,7 @@ def _doc_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Array-expression build (tokenize → transform over slices), zero
     Python UDFs; ``posexplode`` turns grams into rows with their
     position for the order-dependent consumers (winnowing)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", "lang", tokenize("text").alias("toks"))
     grams = toks.select(
         "doc_id", "lang", word_ngrams(F.col("toks"), 3).alias("grams")
@@ -267,7 +267,7 @@ def hll_distinct_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (lang, g) is unchanged, so dg is the identical set. (The shared
     # _doc_trigrams keeps positions for winnowing; this query needs
     # neither positions nor duplicates.)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select("lang", tokenize("text").alias("toks"))
     grams = toks.select(
         "lang",
@@ -358,15 +358,19 @@ def cms_heavy_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference basis: §2.4 heavy-hitter/approx family (companions:
     ``heavy_hitter_tokens`` exact, ``hll_distinct_trigrams``
     cardinality)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokenize("text").alias("toks"))
-    grams = toks.select(word_ngrams(F.col("toks"), 2).alias("grams"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     # cnts fans out three ways (the sketch via salted, the exact top-20,
     # and the top-20's salted buckets) — checkpoint so the tokenize +
     # bigram explode + count executes once, not once per consumer
-    # (r12, guide §1.2 step 1; the tfidf `tf` precedent).
+    # (r12, guide §1.2 step 1; the tfidf `tf` precedent). FUSED explode
+    # (r13): staging the token/gram arrays as named columns let
+    # InferFiltersFromGenerate + pushdown re-evaluate the whole
+    # pipeline in a Filter below the exchange, on the serial scan task
+    # (measured 4.7 s vs 0.5 s) — see word_ngrams' docstring.
     cnts = (
-        grams.select(F.explode("grams").alias("g"))
+        docs.select(
+            F.explode(word_ngrams(tokenize("text"), 2)).alias("g")
+        )
         .groupBy("g")
         .agg(F.count("*").alias("cnt"))
         .localCheckpoint(eager=True)

@@ -549,9 +549,18 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_distinct) — zero shuffles before the final projection.
     Scale-before-divide rounding (see sessionize_events)."""
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", tokenize("text").alias("toks"))
-    grams = toks.select(
-        "doc_id", word_ngrams(F.col("toks"), 3).alias("grams")
+    # Always-true nondeterministic guard (the r12 BNLJ idiom, guide
+    # §4.4's duplication hazard in pure-JVM form): without it,
+    # CollapseProject inlines the trigram array into BOTH size()
+    # references and the per-position transform then re-evaluates the
+    # tokenize regex per element — O(len²) per row (measured 3.1 s ->
+    # 1.0 s at sf0.1). The guard pins ONE evaluation of the array.
+    grams = docs.select(
+        "doc_id",
+        F.when(
+            F.spark_partition_id() >= 0,
+            word_ngrams(tokenize("text"), 3),
+        ).alias("grams"),
     ).select(
         "doc_id",
         F.size("grams").alias("n_tri"),
