@@ -1792,7 +1792,17 @@ def _copurchase_edges_ck(
     memo = _EDGES_MEMO.get(key)
     if memo is not None and memo[0] == sig:
         return memo[1]
-    val = _copurchase_edges(li).localCheckpoint(eager=True)
+    # r13 (guide §2.2): the checkpointed edge list inherited the
+    # AQE-coalesced distinct's ~10 partitions, capping every graph
+    # consumer's map stage at 10 tasks; widen to the machine's
+    # parallelism keyed on u before pinning it (placement only —
+    # measured triangles 4.2 -> 3.5 s; no-op semantically).
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    val = (
+        _copurchase_edges(li)
+        .repartition(n, "u")
+        .localCheckpoint(eager=True)
+    )
     _EDGES_MEMO[key] = (sig, val)
     return val
 
@@ -3671,8 +3681,16 @@ def copurchase_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = und.select(F.col("u").alias("v")).distinct().select(
         "v", F.col("v").alias("lab")
     )
+    # r13 (guide §5, VERDICT r12 item 6): materialize each round's
+    # |V|-row label table. Lazily chained, rounds 2-3 join against an
+    # un-sized aggregate subtree the planner won't broadcast (and the
+    # final plan re-optimizes the whole 3-round lineage); checkpointed,
+    # every round's join sees a small materialized relation and
+    # broadcasts it (measured 8.2 -> 5.7 s for the 3-round census).
+    # Placement/materialization only — the max-struct tie-break is
+    # deterministic, so results are bit-identical.
     for _ in range(3):
-        labels = _lp_round(und, labels)
+        labels = _lp_round(und, labels).localCheckpoint(eager=True)
     return labels.groupBy(F.col("lab").alias("community")).agg(
         F.count("*").alias("n_members")
     )
