@@ -74,3 +74,43 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def lit_doubles(values) -> Column:
+    """Literal ``array<double>`` parsed as ONE SQL expression.
+
+    r13 (guide §7.3 — driver-side cost): ``F.array(*[F.lit(x) ...])``
+    pays one py4j round trip per element (~0.4 ms each), so a 16x64
+    centroid table costs ~0.4 s of pure driver time per construction.
+    Formatting the same doubles into one ``array(...)`` SQL string and
+    parsing it JVM-side is ~150x faster and yields the IDENTICAL
+    literal tree: ``repr`` is the shortest round-trip decimal, and the
+    SQL parser's nearest-double conversion returns the same IEEE bits.
+    Finite values only (inf/nan have no SQL literal) — every vector
+    kernel here operates on finite embeddings by construction.
+    """
+    import math
+
+    vals = [float(x) for x in values]
+    if not all(map(math.isfinite, vals)):
+        raise ValueError("lit_doubles requires finite values")
+    return F.expr("array(" + ",".join(repr(x) + "D" for x in vals) + ")")
+
+
+def sql_doubles(values) -> str:
+    """The ``array(...)`` SQL text ``lit_doubles`` parses — for
+    embedding into larger single-parse expression strings."""
+    import math
+
+    vals = [float(x) for x in values]
+    if not all(map(math.isfinite, vals)):
+        raise ValueError("sql_doubles requires finite values")
+    return "array(" + ",".join(repr(x) + "D" for x in vals) + ")"
+
+
+def lit_doubles_nested(rows) -> Column:
+    """Literal ``array<array<double>>`` as one parsed SQL expression
+    (see ``lit_doubles``)."""
+    return F.expr(
+        "array(" + ",".join(sql_doubles(r) for r in rows) + ")"
+    )

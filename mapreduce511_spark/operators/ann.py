@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mapreduce511_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from mapreduce511_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+    lit_doubles,
+    lit_doubles_nested,
+)
 
 K_CELLS = 16
 KMEANS_ITERS = 3
@@ -68,14 +74,17 @@ def _with_best_cell(df: DataFrame, vec_col: str, centroids: list[list[float]]) -
             acc = acc + float(x) * float(x)
         return math.sqrt(acc)
 
-    cent_structs = F.array(
-        *[
-            F.struct(
-                F.array(*[F.lit(float(x)) for x in c]).alias("cv"),
-                F.lit(_lit_norm(c)).alias("cn"),
-            )
+    # One parsed SQL string instead of k x dim F.lit py4j calls (r13,
+    # see functions.vectors.lit_doubles — identical literal tree).
+    from mapreduce511_spark.functions.vectors import sql_doubles
+
+    cent_structs = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('cv', {sql_doubles(c)}, 'cn', {_lit_norm(c)!r}D)"
             for c in centroids
-        ]
+        )
+        + ")"
     )
     sims = F.transform(
         cent_structs,
@@ -989,7 +998,7 @@ def _unit_residuals(
         F.zip_with(
             "uv",
             F.element_at(
-                F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids]),
+                lit_doubles_nested(centroids),
                 F.col("cell") + 1,
             ),
             lambda a, b: a - b,
@@ -1041,7 +1050,7 @@ def _subspace_code_cols(books: list[list[list[float]]]) -> list[Column]:
                     F.aggregate(
                         F.zip_with(
                             sub,
-                            F.array(*[F.lit(x) for x in books[s][j]]),
+                            lit_doubles(books[s][j]),
                             lambda a, b: (a - b) * (a - b),
                         ),
                         F.lit(0.0),
@@ -1112,7 +1121,7 @@ def _pq_probe_table_col(books: list[list[list[float]]], pv_col: str = "pv") -> C
                     F.aggregate(
                         F.zip_with(
                             F.slice(pu, s * d_sub + 1, d_sub),
-                            F.array(*[F.lit(x) for x in books[s][j]]),
+                            lit_doubles(books[s][j]),
                             lambda a, b: a * b,
                         ),
                         F.lit(0.0),

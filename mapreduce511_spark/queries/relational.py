@@ -3012,7 +3012,14 @@ def _item_cosine(
             .filter(F.col("rn") <= cap)
             .drop("rn")
         )
-    pu = pu.localCheckpoint(eager=True)
+    # r13 (guide §2.5, the tfidf-pair precedent): the checkpointed pu
+    # inherits AQE's byte-coalesced partitioning, but the u-keyed pair
+    # self-join below expands to Σ basket² rows — repartition by u to
+    # a core-derived width before pinning it so the pair stage
+    # parallelizes with the machine (placement only, exact counts).
+    pu = pu.repartition(
+        max(spark.sparkContext.defaultParallelism, 8), "u"
+    ).localCheckpoint(eager=True)
     deg = (
         pu.groupBy("p").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
     )

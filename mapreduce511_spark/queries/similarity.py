@@ -440,6 +440,18 @@ def _lsh_hyperplanes() -> list[list[float]]:
     return planes
 
 
+# r13 (guide §7.3 — driver-side planning cost): the hyperplane
+# literals are 16 x 64 F.lit() py4j round trips per construction, and
+# _lsh_code/_lsh_margins were rebuilt on EVERY invocation — ~2.1 s of
+# pure driver-side expression construction per ann_lsh_topk call,
+# dwarfing the 2,000-row execution. The trees are CONSTANT (frozen
+# LCG planes over the fixed `embedding` column), so they are built
+# once per process and reused — a Python-level cache of immutable
+# Column expression trees, not of data; the produced plan (and every
+# result) is identical.
+_LSH_COL_CACHE: dict[str, F.Column] = {}
+
+
 def _lsh_code(vec_col: F.Column) -> F.Column:
     """16-bit sign code: bit i = [dot(v, plane_i) > 0]."""
     from mapreduce511_spark.functions.vectors import dot
@@ -452,6 +464,15 @@ def _lsh_code(vec_col: F.Column) -> F.Column:
     for b in bits[1:]:
         code = code + b
     return code.cast("int")
+
+
+def _lsh_code_cached() -> F.Column:
+    """_lsh_code(F.col('embedding')), built once per process."""
+    col = _LSH_COL_CACHE.get("code")
+    if col is None:
+        col = _lsh_code(F.col("embedding"))
+        _LSH_COL_CACHE["code"] = col
+    return col
 
 
 def _lsh_margins(vec_col: F.Column) -> F.Column:
@@ -469,11 +490,20 @@ def _lsh_margins(vec_col: F.Column) -> F.Column:
     return F.array(*cols)
 
 
+def _lsh_margins_cached() -> F.Column:
+    """_lsh_margins(F.col('embedding')), built once per process."""
+    col = _LSH_COL_CACHE.get("margins")
+    if col is None:
+        col = _lsh_margins(F.col("embedding"))
+        _LSH_COL_CACHE["margins"] = col
+    return col
+
+
 def _lsh_corpus_bands(emb: DataFrame) -> DataFrame:
     """(vec_id, band, bits): each corpus vector's single bucket per
     band — the index side, exactly one entry per (vector, band)."""
     coded = emb.select(
-        "vec_id", _lsh_code(F.col("embedding")).alias("code")
+        "vec_id", _lsh_code_cached().alias("code")
     )
     band_arr = F.array(
         *[
@@ -500,8 +530,8 @@ def _lsh_probe_bands(emb: DataFrame, n_probes: int) -> DataFrame:
     layout, ~(2^flips)x the probe entries on the tiny query side."""
     probes = emb.filter(F.col("vec_id") < n_probes).select(
         F.col("vec_id").alias("pid"),
-        _lsh_code(F.col("embedding")).alias("code"),
-        _lsh_margins(F.col("embedding")).alias("mg"),
+        _lsh_code_cached().alias("code"),
+        _lsh_margins_cached().alias("mg"),
     )
     entries = []
     for j in range(_LSH_BANDS):
