@@ -130,15 +130,21 @@ def _session_standing(spark: SparkSession, sf_dir: str, tag: str, builder):
 
 
 def _detach(df: DataFrame, name: str) -> DataFrame:
-    """Copy a memory-sink result into a local-relation DataFrame and
-    drop the sink's temp view: without this every invocation leaves
-    its full materialized output pinned in the driver catalog for the
-    session lifetime (the results here are small — drained aggregates
-    or closed sessions — so the copy is cheap)."""
+    """Pin a memory-sink result independently of the sink and drop the
+    sink's temp view: without this every invocation leaves its full
+    materialized output pinned in the driver catalog for the session
+    lifetime.
+
+    r13 (guide §5 — keep the driver out of the data path): the old
+    copy went memory sink -> collect() -> Python Row list ->
+    createDataFrame, a per-row py4j round trip in BOTH directions
+    (~3 s per drain for the ~30k-row sessionization results, more
+    wall than the drain itself). localCheckpoint materializes the
+    same rows JVM-side instead; values and schema are untouched."""
     spark = df.sparkSession
-    rows = df.collect()
+    out = df.localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, df.schema)
+    return out
 
 
 @register(
