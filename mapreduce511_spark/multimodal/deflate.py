@@ -26,6 +26,8 @@ in /root/reference, which is text-only).
 
 from __future__ import annotations
 
+from bisect import bisect_right
+
 # --- RFC 1951 §3.2.5 tables -------------------------------------------------
 
 # length code: (code, extra_bits, base) for match lengths 3..258
@@ -69,13 +71,14 @@ _DIST_SPEC = [
 _DIST_BASES = [base for _, _, base in _DIST_SPEC]
 
 
-def _dist_code(d: int) -> tuple[int, int, int]:
+def _dist_code(d: int, _bisect_right=bisect_right) -> tuple[int, int, int]:
     """(code, extra_bits, extra_value) for a match distance — binary
     search over the §3.2.5 base table (r12: the reversed linear scan
-    ran per match token; bisect returns the identical entry)."""
-    from bisect import bisect_right
-
-    idx = bisect_right(_DIST_BASES, d) - 1
+    ran per match token; bisect returns the identical entry). r13
+    (ADVICE): the import is module-scope and bound as a default arg —
+    the old in-function import paid a sys.modules lookup + attribute
+    fetch per match token on the encoder's hot path."""
+    idx = _bisect_right(_DIST_BASES, d) - 1
     if idx < 0:
         raise ValueError(f"bad distance {d}")
     code, extra, base = _DIST_SPEC[idx]
@@ -234,16 +237,22 @@ def _fixed_litlen_code(sym: int) -> tuple[int, int]:
     return 0xC0 + (sym - 280), 8
 
 
+def _rev_table(codes) -> dict:
+    """(code, nbits) table -> its LSB-first pre-reversed form."""
+    return {s: (_rev_bits(c, nb), nb) for s, (c, nb) in codes.items()}
+
+
 def _emit_tokens(w: _BitWriter, tokens: list[tuple],
-                 lit_codes, dist_codes) -> None:
-    """Emit the token stream under the given (code, nbits) lookups.
+                 rlit, rdst) -> None:
+    """Emit the token stream under PRE-REVERSED (code, nbits) lookups.
 
     r12: the per-symbol MSB-first bit reversal is hoisted out of the
-    loop — both code tables are pre-reversed ONCE here and every
-    symbol goes through the plain LSB-first ``bits`` writer (identical
-    bitstream: huff(code, n) == bits(rev_bits(code, n), n))."""
-    rlit = {s: (_rev_bits(c, nb), nb) for s, (c, nb) in lit_codes.items()}
-    rdst = {s: (_rev_bits(c, nb), nb) for s, (c, nb) in dist_codes.items()}
+    loop — both code tables are pre-reversed and every symbol goes
+    through the plain LSB-first ``bits`` writer (identical bitstream:
+    huff(code, n) == bits(rev_bits(code, n), n)). r13 (ADVICE):
+    callers pass already-reversed tables, so the static §3.2.6 fixed
+    tables are reversed ONCE at module init instead of per block
+    (dynamic-Huffman tables legitimately stay per-block)."""
     bits = w.bits
     for t in tokens:
         if t[0] == "lit":
@@ -265,9 +274,12 @@ def _emit_tokens(w: _BitWriter, tokens: list[tuple],
     bits(rev, nb)
 
 
-# static §3.2.6 code tables in the dict form _emit_tokens consumes
+# static §3.2.6 code tables in the dict form _emit_tokens consumes,
+# pre-reversed once at module init (r13 ADVICE — they are constant)
 _FIXED_LIT_CODES = {s: _fixed_litlen_code(s) for s in range(288)}
 _FIXED_DIST_CODES = {c: (c, 5) for c in range(30)}
+_FIXED_RLIT = _rev_table(_FIXED_LIT_CODES)
+_FIXED_RDST = _rev_table(_FIXED_DIST_CODES)
 
 
 def deflate_fixed(data: bytes) -> bytes:
@@ -275,7 +287,7 @@ def deflate_fixed(data: bytes) -> bytes:
     w = _BitWriter()
     w.bits(1, 1)  # BFINAL
     w.bits(1, 2)  # BTYPE=01
-    _emit_tokens(w, _lz77(data), _FIXED_LIT_CODES, _FIXED_DIST_CODES)
+    _emit_tokens(w, _lz77(data), _FIXED_RLIT, _FIXED_RDST)
     return w.getvalue()
 
 
@@ -450,7 +462,7 @@ def deflate_dynamic(data: bytes) -> bytes:
         if extra:
             w.bits(val, extra)
 
-    _emit_tokens(w, tokens, lcodes, dcodes)
+    _emit_tokens(w, tokens, _rev_table(lcodes), _rev_table(dcodes))
     return w.getvalue()
 
 

@@ -277,13 +277,22 @@ def _near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared Spark body: verified MinHash pairs -> (node, component)."""
     import os
 
-    p = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    st = os.stat(p)
-    key = (spark.sparkContext.applicationId, p)
-    sig = (st.st_mtime_ns, st.st_size)
-    memo = _CC_MEMO.get(key)
-    if memo is not None and memo[0] == sig:
-        return memo[1]
+    # r13 (ADVICE r12): a non-stat-able sf_dir (hdfs://, s3a://) skips
+    # memoization and just builds — the operators/ann.py fingerprint
+    # discipline — instead of raising where the pre-memo code ran.
+    key = None
+    sig = None
+    try:
+        p = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+        st = os.stat(p)
+        key = (spark.sparkContext.applicationId, p)
+        sig = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        pass
+    if key is not None:
+        memo = _CC_MEMO.get(key)
+        if memo is not None and memo[0] == sig:
+            return memo[1]
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
     # shingles feeds both the signature build and the verify's per-doc
     # set builder — checkpoint so tokenize + explode + distinct
@@ -294,7 +303,8 @@ def _near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(pairs, src="doc_a", dst="doc_b").localCheckpoint(
         eager=True
     )
-    _CC_MEMO[key] = (sig, cc)
+    if key is not None:
+        _CC_MEMO[key] = (sig, cc)
     return cc
 
 
