@@ -981,3 +981,21 @@ def test_assortativity_is_two_degree_joins_and_a_reduce(spark):
     plan = _plan(spark, "copurchase_assortativity")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_exact_spec_bnlj_condition_is_arithmetic_free(spark):
+    """embedding_near_dup_exact_spec pins its cosine ABOVE the
+    BroadcastNestedLoopJoin with an always-true nondeterministic guard
+    (r12): the join condition must stay the bare vec_a < vec_b id
+    compare — no GetArrayItem/Multiply/aggregate arithmetic on the
+    per-ordered-pair interpreted Predicate path. The guard relies on
+    Catalyst never pushing nondeterministic expressions through a
+    join; this test fails loudly if a Spark upgrade regresses that
+    (VERDICT r12 item 7)."""
+    plan = _plan(spark, "embedding_near_dup_exact_spec")
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    seg = plan.split("BroadcastNestedLoopJoin", 1)[1]
+    cond = seg.split("\n", 1)[0]  # the operator line carries the condition
+    for needle in ("aggregate(", "zip_with(", "Multiply", "*", "GetArrayItem"):
+        assert needle not in cond, (needle, cond)
+    assert "<" in cond, cond
