@@ -1751,7 +1751,16 @@ def near_dup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle-per-consumer (measured 14.1 s vs 5.4 s at sf0.1 — the
     # PROFILE.md r7 rule: checkpoint a shared subtree when its
     # consumers SHUFFLE it).
-    shingles = doc_shingles(docs).localCheckpoint(eager=True)
+    # r13: widen the checkpoint to the machine's parallelism keyed on
+    # doc_id (the AQE-coalesced 4-partition layout capped the window /
+    # set-build / verify consumers at 4 tasks) — placement only.
+    shingles = (
+        doc_shingles(docs)
+        .repartition(
+            max(spark.sparkContext.defaultParallelism, 8), "doc_id"
+        )
+        .localCheckpoint(eager=True)
+    )
     # global canonical order: rarest shingles first (df asc, sh asc)
     df_counts = shingles.groupBy("sh").agg(F.count("*").alias("df"))
     ordered = shingles.join(df_counts, "sh")
