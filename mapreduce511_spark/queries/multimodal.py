@@ -43,7 +43,7 @@ from mapreduce511_spark.multimodal import (
     sample_frames,
 )
 from mapreduce511_spark.queries import register
-from mapreduce511_spark.sources.tables import load_table
+from mapreduce511_spark.sources.tables import load_table, spread_scan
 
 
 @register("multimodal_features")
@@ -52,7 +52,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     extractor, aggregate per source: the full binary-column round trip
     (JVM -> Arrow -> numpy -> Arrow -> JVM) with only the final tiny
     aggregate leaving the executors."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     media = attach_fake_media(docs)
     feats = extract_features(media, passthrough=("source",))
     return feats.groupBy("source").agg(
@@ -87,7 +87,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reproduces the frame geometry arithmetically from the
     UTF-8 payload length (the demux itself runs only Spark-side), so
     the driver hash-checks the sampling schedule and slice sizes."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     frames = sample_frames(attach_fake_media(docs), every_n=4)
     return frames.groupBy("doc_id").agg(
         F.count("*").alias("n_sampled_frames"),
@@ -151,7 +151,7 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_codec_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return extract_decoded_features(synth_codec_media(docs))
 
 
@@ -202,7 +202,7 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_png_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return extract_decoded_features(synth_png_media(docs))
 
 
@@ -264,7 +264,7 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_jpeg_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return extract_decoded_features(synth_jpeg_media(docs))
 
 
@@ -329,7 +329,7 @@ def multimodal_jpeg_arith_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_jpeg_arith_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return extract_decoded_features(synth_jpeg_arith_media(docs))
 
 
@@ -393,7 +393,7 @@ def multimodal_jpeg420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_jpeg420_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return extract_decoded_features(synth_jpeg420_media(docs))
 
 
@@ -462,7 +462,7 @@ def multimodal_jpeg_progressive_stats(
         synth_jpeg_progressive_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return extract_decoded_features(synth_jpeg_progressive_media(docs))
 
 
@@ -536,7 +536,7 @@ def multimodal_flac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_flac_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return extract_decoded_features(synth_flac_media(docs))
 
 
@@ -594,7 +594,7 @@ def multimodal_flac_stereo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_flac_stereo_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return extract_decoded_features(synth_flac_stereo_media(docs))
 
 
@@ -665,7 +665,7 @@ def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce511_spark.multimodal import synth_gif_media
     from mapreduce511_spark.multimodal.gif import decode_gif
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     media = synth_gif_media(docs)
 
     def batches(it):
@@ -820,7 +820,7 @@ def gif_animation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce511_spark.multimodal import synth_gif_anim_media
     from mapreduce511_spark.multimodal.gif import decode_gif_frames
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     media = synth_gif_anim_media(docs)
 
     def batches(it):
@@ -955,7 +955,7 @@ def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no analog in /root/reference, which is text-only)."""
     from mapreduce511_spark.multimodal import extract_dhash, synth_dhash_media
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     hashes = extract_dhash(synth_dhash_media(docs)).localCheckpoint(
         eager=True
     )
@@ -1064,7 +1064,7 @@ def multimodal_png_deflate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_png_native_deflate_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return extract_decoded_features(synth_png_native_deflate_media(docs))
 
 
@@ -1156,7 +1156,7 @@ def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_audio_fp_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     hashes = extract_audio_fingerprint(
         synth_audio_fp_media(docs)
     ).localCheckpoint(eager=True)
@@ -1319,7 +1319,7 @@ def video_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_video_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     frames = extract_video_frame_hashes(synth_video_media(docs))
     # frame identity is the FULL (h_lo, h_hi) pair (r10, r9 ADVICE):
     # packing the two 32-bit halves into one int64 via h_lo*1000003 +
@@ -1453,7 +1453,7 @@ def fingerprint_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce511_spark.multimodal import extract_dhash, synth_dhash_media
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     hashes = extract_dhash(synth_dhash_media(docs)).localCheckpoint(
         eager=True
     )
@@ -1718,7 +1718,7 @@ def cross_modal_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_video_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = spread_scan(load_table(spark, sf_dir, "documents")).filter(
         F.col("doc_id") < VID_DOC_LIMIT
     )
     is_arr = F.col("doc_id") % VID_CLASS != 0
@@ -1931,7 +1931,7 @@ def multimodal_flac_depth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_flac_depth_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     feats = extract_decoded_features(synth_flac_depth_media(docs))
     return feats.select(
         "doc_id",
@@ -2003,5 +2003,5 @@ def multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_tiff_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return extract_decoded_features(synth_tiff_media(docs))
